@@ -1,0 +1,158 @@
+"""Windowing: assembling event "vectors" (micro-batch groups) in batch.
+
+The reference assembles per-step vectors with a count-or-time rule:
+flush at ``events: N`` elements or ``seconds: S`` after the group's
+first event (src/step.ts:70-151, defaults {events: 1, seconds: -1} at
+src/api.ts:345).  Two grouping modes (src/step.ts:88-131):
+
+- ``reduce``  — disjoint tumbling-by-count groups [1..N], [N+1..2N]...
+- ``flatmap`` — overlapping groups sliding by 1: (A,B,C), (B,C,D), ...
+  including truncated tails (__tests__/step.ts:30-59).
+
+Batch mapping: determinism comes from an explicit arrival-order column
+(never physical row order).  Groups are identified by a window-id
+column ``_w``; step functions (deduplicate/keep/...) operate per
+``_w`` with window functions, then drop it.
+
+Scale note: a single global arrival order forces a single-partition
+sort, which is correct for parity tests but serial at 100 TB.  Every
+function takes ``partition_by`` — with a partition key (e.g. the
+event name, a tenant id) ordering and windowing run per key, fully
+parallel, which is the deployment-scale configuration.  Time-based
+windows (the streaming path) need no global order at all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+WINDOW_COL = "_w"
+
+
+def _order_window(order_by: str | Column, partition_by: Optional[Sequence[str]]):
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(order_by)
+
+
+def with_arrival_order(
+    df: DataFrame, order_by: str | Column, partition_by: Optional[Sequence[str]] = None,
+    col_name: str = "_rn",
+) -> DataFrame:
+    """Materialize a dense 0-based arrival index (per partition key)."""
+    return df.withColumn(
+        col_name, F.row_number().over(_order_window(order_by, partition_by)) - 1
+    )
+
+
+def tumbling_count_windows(
+    df: DataFrame,
+    max_size: int,
+    order_by: str | Column,
+    partition_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """``reduce`` mode: disjoint count-N groups in arrival order
+    (src/step.ts:112-113; truth table __tests__/step.ts:61-86).
+    Adds the window-id column ``_w``."""
+    if max_size < 1:
+        raise ValueError("window size must be >= 1")
+    out = with_arrival_order(df, order_by, partition_by)
+    return out.withColumn(WINDOW_COL, F.floor(F.col("_rn") / max_size)).drop("_rn")
+
+
+def sliding_count_windows(
+    df: DataFrame,
+    size: int,
+    order_by: str | Column,
+    partition_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """``flatmap`` mode: every event starts a group of the next
+    ``size`` events, including truncated tails
+    (src/step.ts:114-117; truth table __tests__/step.ts:30-59).
+
+    Returns one row per (group, member): window-id ``_w`` is the
+    arrival index of the group's first event.  Row amplification is
+    x``size`` by construction — the same cost the reference documents
+    for flatmap windows (README.md:670).
+    """
+    if size < 1:
+        raise ValueError("window size must be >= 1")
+    out = with_arrival_order(df, order_by, partition_by)
+    member_of = F.sequence(
+        F.greatest(F.lit(0), F.col("_rn") - F.lit(size - 1)), F.col("_rn")
+    )
+    return out.withColumn(WINDOW_COL, F.explode(member_of)).drop("_rn")
+
+
+def count_or_time_windows(
+    df: DataFrame,
+    max_size: int,
+    max_seconds: float,
+    ts_col: str,
+    order_by: str | Column,
+    partition_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Exact count-or-time semantics in batch: a group flushes at
+    ``max_size`` events or when an arriving event is more than
+    ``max_seconds`` after the group's FIRST event (src/step.ts:70-151;
+    timeout truth table __tests__/step.ts:88-111).
+
+    The flush rule depends on the running group's first-event time, so
+    it is inherently sequential per partition key — implemented with
+    applyInPandas per key (single group when ``partition_by`` is
+    None; at scale always provide a key).
+    """
+    if max_size < 1:
+        raise ValueError("window size must be >= 1")
+    keys = list(partition_by) if partition_by else []
+    order_name = order_by if isinstance(order_by, str) else None
+    if order_name is None:
+        raise ValueError("count_or_time_windows needs a named order column")
+
+    from pyspark.sql import types as T
+
+    # Copy the fields: StructType.add would mutate df's cached schema.
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(WINDOW_COL, T.LongType())])
+    out_cols = [f.name for f in schema.fields]
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_name, kind="mergesort").reset_index(drop=True)
+        if pd.api.types.is_numeric_dtype(pdf[ts_col]):
+            ts = pdf[ts_col].astype("float64")
+        else:
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") / 1e9
+        win, wid, count, first_ts = [], 0, 0, None
+        for i in range(len(pdf)):
+            if count > 0 and (
+                count >= max_size
+                or (max_seconds >= 0 and ts[i] - first_ts > max_seconds)
+            ):
+                wid += 1
+                count = 0
+            if count == 0:
+                first_ts = ts[i]
+            count += 1
+            win.append(wid)
+        pdf[WINDOW_COL] = pd.Series(win, dtype="int64")
+        return pdf[out_cols]
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(assign, schema=schema)
+    # Single logical stream: group on a constant column (a bare
+    # lit(1) in groupBy is read as an ordinal in Spark 4.1).
+    return df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(assign, schema=schema)
+
+
+def collect_windows(df: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
+    """Gather each window group into one row with an array of structs —
+    the vector-in representation for send-receive transforms.
+
+    ``payload_cols[0]`` must be the arrival-order column: array_sort
+    orders struct elements by their first field.
+    """
+    return df.groupBy(WINDOW_COL).agg(
+        F.array_sort(F.collect_list(F.struct(*payload_cols))).alias("events")
+    )
