@@ -146,28 +146,52 @@ def parse_lines(
         )
         return events, dead_json
 
-    # Flatten top-level (possibly nested) arrays of events.
-    flat = ok.select(F.col(line_col).alias("line"), F.col("_v").alias("_v"))
+    extracted = variants_to_events(
+        ok.select(F.col(line_col).alias("line"), F.col("_v")),
+        keep_cols=["line"],
+        max_array_depth=max_array_depth,
+    )
+    events = extracted.filter(F.col("_reason").isNull()).select("n", "d", "t")
+    dead_events = extracted.filter(F.col("_reason").isNotNull()).select(
+        F.col("line"), F.col("_reason").alias("reason")
+    )
+    return events, dead_json.unionByName(dead_events)
+
+
+def variants_to_events(
+    df: DataFrame,
+    variant_col: str = "_v",
+    keep_cols: Optional[list[str]] = None,
+    max_array_depth: int = 5,
+) -> DataFrame:
+    """Turn a DataFrame with a variant column of raw JSON values into
+    candidate events: flattens (nested) arrays, extracts/validates the
+    envelope.  Output columns: keep_cols + n, d, t, _reason (null when
+    the value is a valid event; else a drop reason).  Shared by NDJSON
+    ingestion and the send-receive transforms' output parsing
+    (parseVector, src/event.ts:276-297)."""
+    keep = list(keep_cols or [])
+    flat = df
     for _ in range(max_array_depth):
-        is_arr = F.schema_of_variant(F.col("_v")).startswith("ARRAY")
+        is_arr = F.schema_of_variant(F.col(variant_col)).startswith("ARRAY")
         flat = flat.select(
-            "line",
+            *keep,
             F.explode(
-                F.when(is_arr, F.from_json(F.to_json("_v"), "array<variant>")).otherwise(
-                    F.array(F.col("_v"))
+                F.when(is_arr, F.from_json(F.to_json(variant_col), "array<variant>")).otherwise(
+                    F.array(F.col(variant_col))
                 )
-            ).alias("_v"),
+            ).alias(variant_col),
         )
 
     extracted = flat.select(
-        "line",
-        F.try_variant_get("_v", "$.n", "string").alias("n"),
+        *keep,
+        F.try_variant_get(variant_col, "$.n", "string").alias("n"),
         # Distinguish absent d (SQL NULL) from JSON null (the string
         # 'null'): to_json of a variant-null is 'null', of SQL NULL is
         # NULL.
-        F.to_json(F.try_variant_get("_v", "$.d", "variant")).alias("d"),
-        F.try_variant_get("_v", "$.t", "variant").alias("_traw"),
-        F.schema_of_variant(F.col("_v")).alias("_sch"),
+        F.to_json(F.try_variant_get(variant_col, "$.d", "variant")).alias("d"),
+        F.try_variant_get(variant_col, "$.t", "variant").alias("_traw"),
+        F.schema_of_variant(F.col(variant_col)).alias("_sch"),
     )
     t_parsed = F.from_json(F.to_json(F.col("_traw")), TRACE_TYPE)
     trace_ok = F.col("_traw").isNull() | (
@@ -178,24 +202,19 @@ def parse_lines(
         )
     )
     is_object = F.col("_sch").startswith("OBJECT")
-    good = valid_name_col(F.col("n")) & trace_ok & is_object
-
-    events = (
-        extracted.filter(good)
-        .select(
-            "n",
-            "d",
-            F.coalesce(t_parsed, F.lit(None).cast(TRACE_TYPE)).alias("t"),
-        )
-    )
-    dead_events = extracted.filter(~good).select(
-        F.col("line"),
+    reason = (
         F.when(~is_object, F.lit("not an event object"))
         .when(~valid_name_col(F.col("n")), F.lit("invalid or missing event name"))
-        .otherwise(F.lit("invalid trace"))
-        .alias("reason"),
+        .when(~trace_ok, F.lit("invalid trace"))
+        .otherwise(F.lit(None).cast("string"))
     )
-    return events, dead_json.unionByName(dead_events)
+    return extracted.select(
+        *keep,
+        "n",
+        "d",
+        F.coalesce(t_parsed, F.lit(None).cast(TRACE_TYPE)).alias("t"),
+        reason.alias("_reason"),
+    )
 
 
 def read_ndjson(

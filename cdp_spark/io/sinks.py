@@ -1,0 +1,176 @@
+"""Pass-through sink step functions (batch executors).
+
+Reference shape (e.g. src/step-functions/send-file.ts:121-135): a sink
+forwards its input events unchanged and drains a side-effect channel.
+Batch mapping: the compiler forwards the DataFrame and records an
+*action* (a thunk) per sink; running the pipeline executes the
+actions.  The emitted payload is either the events themselves (NDJSON)
+or, with ``jq-expr``, each value the jq program produces
+(src/step-functions/index.ts:35-48).
+
+Driver-side sinks (stdout, single-file append) iterate with
+``toLocalIterator`` — bounded memory, used for parity/debug.  The
+scale path for files is ``dir=True`` (distributed text write), and
+send-http posts from executors via ``foreachPartition``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..events import serialize_events
+from ..operators.transform import jq_produced_values
+
+
+def sink_payload_lines(
+    df: DataFrame,
+    order_col: str = "_ord",
+    jq_expr: Optional[str] = None,
+    jq_prelude: Optional[str] = None,
+) -> DataFrame:
+    """DataFrame of one output line per emitted value, with an order
+    column: events as NDJSON, or each jq-produced value verbatim when
+    jq_expr is given (src/step-functions/index.ts:35-48)."""
+    if jq_expr is None:
+        return df.select(F.col(order_col).alias("_ord"), serialize_events(df).alias("line"))
+    produced = jq_produced_values(df, jq_expr, order_col=order_col, prelude=jq_prelude)
+    return produced.select(
+        (F.col("_worder") * F.lit(1 << 20) + F.col("_idx")).alias("_ord"),
+        F.col("_val").alias("line"),
+    )
+
+
+def _iter_lines(df: DataFrame) -> Iterable[str]:
+    for row in df.orderBy("_ord").select("line").toLocalIterator():
+        yield row["line"]
+
+
+def make_stdout_action(lines_df: DataFrame, stream=None) -> Callable[[], None]:
+    """send-stdout (src/step-functions/send-stdout.ts:64-113)."""
+
+    def action() -> None:
+        out = stream if stream is not None else sys.stdout
+        for line in _iter_lines(lines_df):
+            out.write(line + "\n")
+
+    return action
+
+
+def make_file_action(lines_df: DataFrame, path: str) -> Callable[[], None]:
+    """send-file append-NDJSON (src/step-functions/send-file.ts:80-135).
+    Driver-side append to ONE file for reference parity; use
+    make_file_dir_action for the distributed write."""
+
+    def action() -> None:
+        with open(path, "a", encoding="utf-8") as fh:
+            for line in _iter_lines(lines_df):
+                fh.write(line + "\n")
+
+    return action
+
+
+def make_file_dir_action(lines_df: DataFrame, path: str) -> Callable[[], None]:
+    """Distributed variant: a directory of part files (the shape a
+    100 TB pipeline actually wants)."""
+
+    def action() -> None:
+        lines_df.select(F.col("line").alias("value")).write.mode("append").text(path)
+
+    return action
+
+
+def make_http_action(
+    lines_df: DataFrame,
+    target: str,
+    method: str = "POST",
+    headers: Optional[dict[str, str]] = None,
+    max_retries: int = 4,
+    backoff_factor: float = 1.0,
+    timeout: float = 60.0,
+    batch_size: int = 500,
+) -> Callable[[], None]:
+    """send-http fire-and-forget (src/step-functions/send-http.ts:88-154)
+    with 5xx retry + exponential backoff (src/io/http-client.ts:28-56).
+    Executes on executors via foreachPartition; concurrency is the
+    partition count (the reference's 10-in-flight window becomes
+    cluster parallelism)."""
+
+    def action() -> None:
+        hdrs = {"Content-Type": "application/x-ndjson", **(headers or {})}
+
+        def send_partition(rows) -> None:  # noqa: ANN001
+            import time
+
+            import requests
+
+            session = requests.Session()
+            buf: list[str] = []
+
+            def flush() -> None:
+                if not buf:
+                    return
+                body = ("\n".join(buf) + "\n").encode()
+                for attempt in range(max_retries + 1):
+                    try:
+                        resp = session.request(method, target, data=body, headers=hdrs, timeout=timeout)
+                        if resp.status_code >= 500 and attempt < max_retries:
+                            time.sleep(backoff_factor * (2**attempt))
+                            continue
+                        break
+                    except requests.RequestException:
+                        if attempt < max_retries:
+                            time.sleep(backoff_factor * (2**attempt))
+                        else:
+                            break
+                buf.clear()
+
+            for row in rows:
+                buf.append(row["line"])
+                if len(buf) >= batch_size:
+                    flush()
+            flush()
+
+        lines_df.select("line").foreachPartition(send_partition)
+
+    return action
+
+
+def make_expose_action(
+    lines_df: DataFrame, step_name: str, responses: int = 1
+) -> Callable[[], None]:
+    """expose-http (src/step-functions/expose-http.ts:165-291) batch
+    analog: materialize the latest N windows as a queryable temp view
+    ``cdp_expose_<step>`` (the 'latest-window view').  The HTTP
+    serving layer is deliberately out of engine scope."""
+
+    def action() -> None:
+        spark = lines_df.sparkSession
+        view = f"cdp_expose_{step_name}".replace("-", "_").replace(".", "_")
+        lines_df.orderBy(F.col("_ord").desc()).limit(responses).createOrReplaceTempView(view)
+
+    return action
+
+
+def make_broker_action(kind: str, *_args, **_kwargs) -> Callable[[], None]:
+    """send-amqp / send-mqtt / send-redis: broker clients (pika,
+    paho-mqtt, redis) are not installed in this environment; the
+    executors are import-gated.  On a real deployment these are
+    foreachPartition publishers exactly like make_http_action
+    (src/step-functions/send-{amqp,mqtt,redis}.ts)."""
+    module = {"send-amqp": "pika", "send-mqtt": "paho.mqtt", "send-redis": "redis"}[kind]
+
+    def action() -> None:
+        try:
+            __import__(module)
+        except ImportError as err:
+            raise NotImplementedError(
+                f"{kind} requires the '{module}' client, not available in this environment"
+            ) from err
+        raise NotImplementedError(f"{kind} publisher not yet implemented")
+
+    return action

@@ -1,0 +1,247 @@
+"""send-receive transforms: pipe each window vector through an
+external program/service; its output becomes the new events.
+
+- send-receive-jq (src/step-functions/send-receive-jq.ts:70-95): the
+  reference's workhorse transform.  Spark mapping: windows are
+  collected to one row each, a partition-level ``mapInPandas`` feeds
+  all vectors of an Arrow batch to ONE ``jq`` subprocess (one JSON
+  array per line), and the program is wrapped as ``[try (...)]`` so
+  (a) runtime errors silently skip the vector (parity with the
+  ``try``-wrap at src/io/jq.ts:14-24) and (b) each input line maps to
+  exactly one output line, keeping window attribution deterministic.
+- send-receive-http (src/step-functions/send-receive-http.ts:96-143):
+  POST each vector as NDJSON; the response body becomes the new
+  events; request errors yield an empty vector.  Partition-level
+  batched HTTP with retry/backoff (src/io/http-client.ts:28-56) —
+  this is the external-model-inference hook.
+- send-receive-jsonnet: gated — no jsonnet evaluator in this
+  environment (would follow the jq adapter shape exactly).
+
+Output values are parsed back into events with the shared
+variants_to_events (old-event semantics; wrap directive supported),
+so invalid outputs drop silently like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..events import TRACE_TYPE, WrapDirective, validate_wrap, variants_to_events
+from ..windows import WINDOW_COL
+
+
+def _serialized_vector_col(order_col: str) -> Column:
+    """Array-of-events JSON for one window, in arrival order: the
+    vector-in wire shape the reference feeds to jq/HTTP."""
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col("n"),
+                F.col("d"),
+                F.coalesce(F.to_json("t"), F.lit("[]")).alias("t"),
+            )
+        )
+    )
+    one = lambda e: F.concat(  # noqa: E731
+        F.lit('{"n":'),
+        F.to_json(F.array(e["n"])).substr(F.lit(2), F.length(F.to_json(F.array(e["n"]))) - 2),
+        F.when(e["d"].isNotNull(), F.concat(F.lit(',"d":'), e["d"])).otherwise(F.lit("")),
+        F.lit(',"t":'),
+        e["t"],
+        F.lit("}"),
+    )
+    return F.concat(F.lit("["), F.array_join(F.transform(ev, one), ","), F.lit("]"))
+
+
+def _collect_vectors(df: DataFrame, order_col: str) -> DataFrame:
+    """(window id, min order, vector-json) — one row per window."""
+    w = WINDOW_COL if WINDOW_COL in df.columns else None
+    grouped = df.groupBy(F.col(w).alias("_w")) if w else df.groupBy(F.lit(1).alias("_w"))
+    return grouped.agg(
+        F.min(order_col).alias("_worder"),
+        _serialized_vector_col(order_col).alias("_vec"),
+    )
+
+
+def _values_to_events(
+    produced: DataFrame, wrap: WrapDirective, max_array_depth: int = 5
+) -> DataFrame:
+    """produced: (_worder, _idx, _val JSON-text) -> event rows with a
+    deterministic order column ``_ord`` (window order, then output
+    index)."""
+    validate_wrap(wrap)
+    ordered = produced.withColumn(
+        "_ord", F.col("_worder") * F.lit(1 << 20) + F.col("_idx")
+    )
+    if wrap is not None:
+        name = wrap if isinstance(wrap, str) else wrap["name"]
+        return ordered.select(
+            F.lit(name).alias("n"),
+            F.col("_val").alias("d"),
+            F.lit(None).cast(TRACE_TYPE).alias("t"),
+            "_ord",
+        )
+    parsed = ordered.select("_ord", F.try_parse_json("_val").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    out = variants_to_events(parsed, keep_cols=["_ord"], max_array_depth=max_array_depth)
+    return out.filter(F.col("_reason").isNull()).select("n", "d", "t", "_ord")
+
+
+def jq_produced_values(
+    df: DataFrame,
+    jq_expr: str,
+    order_col: str = "_ord",
+    prelude: Optional[str] = None,
+    jq_bin: str = "jq",
+) -> DataFrame:
+    """Run a jq program over each window vector; returns the raw
+    produced values as (_worder, _idx, _val JSON-text) — used directly
+    by sinks with a jq-expr, and by send_receive_jq for the
+    value->event path.
+
+    Scale shape: one subprocess per Arrow batch per partition — the
+    JSON round-trip is the cost, amplification is bounded by the jq
+    program.  cites src/step-functions/send-receive-jq.ts:70-95,
+    src/io/json-processor.ts:115-187.
+    """
+    program = f"[ try ( {(prelude + chr(10)) if prelude else ''}{jq_expr} ) ]"
+    # Fail fast on a bad program (parity: the reference errors at
+    # pipeline start, src/io/jq.ts) — run once against an empty array.
+    probe = subprocess.run(
+        [jq_bin, "-c", program], input="[]", capture_output=True, text=True
+    )
+    if probe.returncode != 0:
+        raise ValueError(f"invalid jq program: {probe.stderr.strip()}")
+
+    vectors = _collect_vectors(df, order_col)
+
+    def run_jq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lines = "\n".join(pdf["_vec"].tolist()) + "\n"
+            proc = subprocess.run(
+                [jq_bin, "-c", program], input=lines, capture_output=True, text=True
+            )
+            out_lines = proc.stdout.splitlines()
+            # [try (...)] guarantees 1:1 line mapping unless jq died
+            # mid-stream; attribute what we can, drop the rest.
+            rows = []
+            for worder, out in zip(pdf["_worder"].tolist(), out_lines):
+                try:
+                    values = json.loads(out)
+                except ValueError:
+                    continue
+                for idx, val in enumerate(values):
+                    rows.append(
+                        (worder, idx, json.dumps(val, separators=(",", ":"), ensure_ascii=False))
+                    )
+            yield pd.DataFrame(rows, columns=["_worder", "_idx", "_val"])
+
+    return vectors.mapInPandas(run_jq, schema="_worder long, _idx long, _val string")
+
+
+def send_receive_jq(
+    df: DataFrame,
+    jq_expr: str,
+    order_col: str = "_ord",
+    prelude: Optional[str] = None,
+    wrap: WrapDirective = None,
+    jq_bin: str = "jq",
+) -> DataFrame:
+    """jq transform step: produced values parsed back into events
+    (src/step-functions/send-receive-jq.ts:70-95)."""
+    produced = jq_produced_values(df, jq_expr, order_col, prelude, jq_bin)
+    return _values_to_events(produced, wrap)
+
+
+def send_receive_http(
+    df: DataFrame,
+    target: str,
+    order_col: str = "_ord",
+    method: str = "POST",
+    headers: Optional[dict[str, str]] = None,
+    wrap: WrapDirective = None,
+    max_retries: int = 4,
+    backoff_factor: float = 1.0,
+    timeout: float = 60.0,
+) -> DataFrame:
+    """POST each window vector as NDJSON to ``target``; the response
+    body (NDJSON of values) becomes the new events.  Errors (network,
+    non-2xx after retries) produce an empty vector, matching
+    src/step-functions/send-receive-http.ts:96-143.
+    """
+    import requests  # gated: available in this env, but optional
+
+    validate_wrap(wrap)
+    vectors = _collect_vectors(df, order_col)
+    hdrs = {"Content-Type": "application/x-ndjson", **(headers or {})}
+
+    def call(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        session = requests.Session()
+        for pdf in batches:
+            rows = []
+            for worder, vec in zip(pdf["_worder"].tolist(), pdf["_vec"].tolist()):
+                body = "\n".join(json.dumps(e) for e in json.loads(vec)) + "\n"
+                text = None
+                for attempt in range(max_retries + 1):
+                    try:
+                        resp = session.request(
+                            method, target, data=body.encode(), headers=hdrs, timeout=timeout
+                        )
+                        if resp.status_code >= 500 and attempt < max_retries:
+                            time.sleep(backoff_factor * (2**attempt))
+                            continue
+                        if 200 <= resp.status_code < 300:
+                            text = resp.text
+                        break
+                    except requests.RequestException:
+                        if attempt < max_retries:
+                            time.sleep(backoff_factor * (2**attempt))
+                        else:
+                            break
+                if text is None:
+                    continue
+                idx = 0
+                for line in text.splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        val = json.loads(line)
+                    except ValueError:
+                        continue
+                    rows.append(
+                        (worder, idx, json.dumps(val, separators=(",", ":"), ensure_ascii=False))
+                    )
+                    idx += 1
+            yield pd.DataFrame(rows, columns=["_worder", "_idx", "_val"])
+
+    produced = vectors.mapInPandas(call, schema="_worder long, _idx long, _val string")
+    return _values_to_events(produced, wrap)
+
+
+def send_receive_jsonnet(*args, **kwargs):  # noqa: ANN002, ANN003
+    """Gated: no jsonnet evaluator (jsonnet/_jsonnet/rjsonnet) is
+    installed in this environment.  The adapter would mirror
+    send_receive_jq: evaluate ``function(events)`` per vector inside
+    mapInPandas (src/step-functions/send-receive-jsonnet.ts:70-97,
+    stream-jsonnet/main.go:18-70)."""
+    try:
+        import _jsonnet  # noqa: F401
+    except ImportError as err:
+        raise NotImplementedError(
+            "send-receive-jsonnet requires a jsonnet evaluator "
+            "(pip install jsonnet) — not available in this environment"
+        ) from err
+    raise NotImplementedError("jsonnet adapter not yet implemented")

@@ -68,10 +68,16 @@ def sliding_count_windows(
     size: int,
     order_by: str | Column,
     partition_by: Optional[Sequence[str]] = None,
+    ts_col: Optional[str] = None,
+    max_seconds: float = -1.0,
 ) -> DataFrame:
     """``flatmap`` mode: every event starts a group of the next
     ``size`` events, including truncated tails
     (src/step.ts:114-117; truth table __tests__/step.ts:30-59).
+
+    With ``ts_col``/``max_seconds``, each group only holds members
+    arriving within ``max_seconds`` of its leader (the per-buffer
+    timeout of src/step.ts:76-87 applied to flatmap's multi-buffer).
 
     Returns one row per (group, member): window-id ``_w`` is the
     arrival index of the group's first event.  Row amplification is
@@ -84,7 +90,17 @@ def sliding_count_windows(
     member_of = F.sequence(
         F.greatest(F.lit(0), F.col("_rn") - F.lit(size - 1)), F.col("_rn")
     )
-    return out.withColumn(WINDOW_COL, F.explode(member_of)).drop("_rn")
+    out = out.withColumn(WINDOW_COL, F.explode(member_of))
+    if ts_col is not None and max_seconds >= 0:
+        # leader ts = ts of the first member of each group (_rn == _w)
+        parts = list(partition_by) if partition_by else []
+        leader = Window.partitionBy(*(parts + [WINDOW_COL])).orderBy("_rn")
+        out = (
+            out.withColumn("_lead_ts", F.first(F.col(ts_col)).over(leader).cast("double"))
+            .filter(F.col(ts_col).cast("double") - F.col("_lead_ts") <= F.lit(float(max_seconds)))
+            .drop("_lead_ts")
+        )
+    return out.drop("_rn")
 
 
 def count_or_time_windows(
