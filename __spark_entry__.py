@@ -1,38 +1,729 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2 + the LLM-pipeline
+extensions) to (spark, sf_dir) -> DataFrame callables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible entry.
+Column names AND types are aligned on both sides (explicit casts,
+rounded floats, no raw timestamp outputs) so the driver's
+order-insensitive value hash matches.
+
+Queries marked rows-only (absent from oracle_sql) are the genuinely
+non-SQL-expressible ops: stateful count-or-time sessions, MinHash/LSH
+and SimHash (xxhash64-based), hyperplane-LSH ANN, IVF assignment, and
+the stubbed multimodal featurizer.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import dedup as ddp
+from cdp_spark.datapipe import multimodal as mm
+from cdp_spark.datapipe import similarity as sim
+from cdp_spark.datapipe import text as txt
+from cdp_spark.operators import deduplicate, keep, keep_when, rename
+from cdp_spark.patterns import pattern_to_column, pattern_to_sql
+from cdp_spark.session import load_table
+from cdp_spark.windows import count_or_time_windows, tumbling_count_windows
+
+# ---------------------------------------------------------------------------
+# shared bits
+
+# Derived CDP-style dotted event name over the events table
+# (event_type ~ name, props ~ payload; FIXTURES.md §B).
+_NAME_SQL = "'app.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR)"
+
+
+def _events_with_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "n",
+        F.concat(
+            F.lit("app."), F.col("event_type"), F.lit(".u"), (F.col("user_id") % 10).cast("string")
+        ),
+    )
+
+
+_COMPOSITE_PATTERN = {"and": ["#.u3", {"not": "app.error.#"}]}
+
+# Relational SQL shared verbatim by Spark and DuckDB (dialect-common
+# subset, explicit casts for type alignment).
+_SHARED_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q5_local_supplier": """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+    """,
+    "sort_limit": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "scalar_functions": """
+        SELECT p_partkey,
+               upper(substr(p_name, 1, 8)) AS name_prefix,
+               CAST(length(p_type) AS BIGINT) AS type_len,
+               round(p_retailprice * 1.1, 2) AS price_bump,
+               p_size % 7 AS size_mod,
+               abs(p_size - 25) AS size_dist,
+               CASE WHEN p_size > 25 THEN 'large'
+                    WHEN p_size > 10 THEN 'medium'
+                    ELSE 'small' END AS size_class,
+               concat(p_brand, '#', p_type) AS brand_type,
+               replace(p_name, ' ', '_') AS name_snake
+        FROM part
+    """,
+    "pivot_conditional": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+}
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _shared_sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(_SHARED_SQL[name])
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# CDP-semantics queries (events table)
+
+
+def q_pattern_match_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_with_name(spark, sf_dir)
+    return (
+        ev.filter(pattern_to_column("app.*.u3"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_pattern_match_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_with_name(spark, sf_dir)
+    return (
+        ev.filter(pattern_to_column(_COMPOSITE_PATTERN))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_rename_affix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_with_name(spark, sf_dir)
+    renamed = rename(ev, prepend="evt.", append=".done")
+    return renamed.groupBy("n").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def q_window_reduce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = tumbling_count_windows(ev, 100, "event_id")
+    return win.groupBy(F.col("_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_window_flatmap_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(0, 4)
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("sliding_sum")
+    )
+
+
+def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("n"), F.col("props").alias("d"),
+        F.lit(None).cast("array<struct<i double, p string, h string>>").alias("t"),
+    )
+    return deduplicate(ev, "event_id", window_col=None).select("event_id")
+
+
+def q_keep_last_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = tumbling_count_windows(ev, 50, "event_id")
+    kept = keep(win, "event_id", last=3)
+    return kept.select("event_id", F.col("_w").alias("w"))
+
+
+def q_keep_when_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("props", "d")
+    schema = {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 50}},
+    }
+    return keep_when(ev, schema).select("event_id")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark op): for each purchase, the
+    timestamp of the user's latest view at-or-before it.  Single
+    shuffle on user_id + one ordered window — no per-row subquery."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    marked = ev.withColumn("m", F.when(F.col("event_type") == "view", 0).otherwise(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "m", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_view = F.max(F.when(F.col("m") == 0, F.col("ts"))).over(w)
+    return (
+        marked.withColumn("lv", last_view)
+        .filter(F.col("m") == 1)
+        .select("event_id", F.unix_micros("lv").alias("last_view_us"))
+    )
+
+
+def q_count_or_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-or-time windows per user (20 events / 1h from first) —
+    the reference's exact windowing rule, stateful & sequential per
+    key, hence rows-only (no SQL oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = count_or_time_windows(
+        ev, max_size=20, max_seconds=3600.0, ts_col="ts", order_by="event_id",
+        partition_by=["user_id"],
+    )
+    return win.groupBy("user_id", F.col("_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational superset (star schema)
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_total",
+            "n",
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.intersect(s).withColumn("op", F.lit("intersect"))
+        .unionByName(c.subtract(s).withColumn("op", F.lit("except")))
+        .unionByName(c.union(s).distinct().withColumn("op", F.lit("union")))
+        .select("op", "nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (documents / embeddings)
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ddp.exact_dup_clusters(docs, "doc_id", "text")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(toks).cast("long")
+    nonws = F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is"))).cast("double")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(nonws / n_tokens, 4).alias("avg_tok_len"),
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", txt.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return docs.select("doc_id", txt.quality_score(F.col("text")).alias("quality"))
+
+
+def q_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(txt.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", txt.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    joined = emb.crossJoin(F.broadcast(query))
+    cos = F.round(sim.cosine(F.col("embedding"), F.col("q")), 4)
+    return (
+        joined.select("vec_id", cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only: xxhash64-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ddp.minhash_candidate_pairs(docs, "doc_id", "text", num_perm=32, bands=8)
+
+
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ddp.verified_near_dups(docs, "doc_id", "text", threshold=0.5, num_perm=32, bands=8)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: xxhash64-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", ddp.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-k (rows-only: seeded projections)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return sim.ann_topk_lsh(emb, qvec, k=10, n_planes=8, probe_hamming=2)
+
+
+def q_ivf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization occupancy (rows-only: seeded anchors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return sim.ivf_assign(emb, dim).groupBy("centroid").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("media")
+    )
+    return mm.with_media_meta(media).select(
+        "id", F.col("media_bytes").cast("long").alias("n_bytes"), "media_mime"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed media featurizer over binary columns (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("media"))
+    feats = mm.extract_features(media, fake=True)
+    return feats.select("id", "n_bytes", F.round("mean_byte", 4).alias("mean_byte"))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDP-style pattern routing + tumbling count windows +
+    in-window dedup + aggregation over sf0.001 events."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _events_with_name(spark, sf_dir)
+    routed = ev.filter(pattern_to_column(_COMPOSITE_PATTERN))
+    win = tumbling_count_windows(routed, 25, "event_id")
+    deduped = deduplicate(
+        win.withColumnRenamed("props", "d"), "event_id", consider_name=False
+    )
+    return deduped.groupBy(F.col("_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # CDP semantics
+        "pattern_match_drop": q_pattern_match_drop,
+        "pattern_match_composite": q_pattern_match_composite,
+        "rename_affix": q_rename_affix,
+        "window_reduce_agg": q_window_reduce_agg,
+        "window_flatmap_slide": q_window_flatmap_slide,
+        "dedup_exact_events": q_dedup_exact_events,
+        "keep_last_per_window": q_keep_last_per_window,
+        "keep_when_filter": q_keep_when_filter,
+        "asof_join": q_asof_join,
+        "count_or_time_sessions": q_count_or_time_sessions,
+        # relational superset
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "top_customers": q_top_customers,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "topk_per_group": q_topk_per_group,
+        "set_ops": q_set_ops,
+        # LLM-pipeline extensions
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count_by_source": q_token_count_by_source,
+        "fingerprint_docs": q_fingerprint_docs,
+        "ann_bruteforce": q_ann_bruteforce,
+        "minhash_pairs": q_minhash_pairs,
+        "near_dup_verified": q_near_dup_verified,
+        "simhash_docs": q_simhash_docs,
+        "ann_lsh": q_ann_lsh,
+        "ivf_counts": q_ivf_counts,
+        "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_features": q_multimodal_features,
+    }
+    for name in _SHARED_SQL:
+        q[name] = _shared_sql_query(name)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pat_drop = pattern_to_sql("app.*.u3", "n")
+    pat_comp = pattern_to_sql(_COMPOSITE_PATTERN, "n")
+    tok = r"string_split_regex(trim(text), '\s+')"
+    stop_en = "['the','a','of','and','is']"
+    lang_lists = {
+        "en": "['the','a','of','and','is']",
+        "de": "['der','die','das','und','ist']",
+        "fr": "['le','la','les','et','est']",
+        "es": "['el','los','las','y','es']",
+        "zh": "['de5','shi4','le5','zai4','he2']",
+    }
+    score = {
+        lang: f"len(list_filter({tok}, x -> list_contains({lst}, x)))"
+        for lang, lst in lang_lists.items()
+    }
+    oracles: dict[str, str] = {
+        "pattern_match_drop": f"""
+            SELECT n, count(*) AS n_events
+            FROM (SELECT {_NAME_SQL} AS n FROM events)
+            WHERE {pat_drop}
+            GROUP BY n
+        """,
+        "pattern_match_composite": f"""
+            SELECT n, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM (SELECT {_NAME_SQL} AS n, value FROM events)
+            WHERE {pat_comp}
+            GROUP BY n
+        """,
+        "rename_affix": f"""
+            SELECT 'evt.' || n || '.done' AS n, count(*) AS n_events
+            FROM (SELECT {_NAME_SQL} AS n FROM events)
+            GROUP BY 1
+        """,
+        "window_reduce_agg": """
+            WITH w AS (
+              SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 100) AS BIGINT) AS w,
+                     value, user_id
+              FROM events)
+            SELECT w, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM w GROUP BY w
+        """,
+        "window_flatmap_slide": """
+            SELECT event_id,
+                   round(sum(value) OVER (ORDER BY event_id
+                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), 2) AS sliding_sum
+            FROM events
+        """,
+        "dedup_exact_events": """
+            SELECT event_id FROM (
+              SELECT event_id,
+                     row_number() OVER (PARTITION BY event_type, props ORDER BY event_id) AS rn
+              FROM events)
+            WHERE rn = 1
+        """,
+        "keep_last_per_window": """
+            WITH w AS (
+              SELECT event_id,
+                     CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 50) AS BIGINT) AS w
+              FROM events),
+            r AS (
+              SELECT event_id, w,
+                     row_number() OVER (PARTITION BY w ORDER BY event_id DESC) AS rn
+              FROM w)
+            SELECT event_id, w FROM r WHERE rn <= 3
+        """,
+        "keep_when_filter": """
+            SELECT event_id FROM events
+            WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        """,
+        "asof_join": """
+            SELECT p.event_id,
+                   (SELECT CAST(epoch_us(max(v.ts)) AS BIGINT) FROM events v
+                    WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                      AND v.ts <= p.ts) AS last_view_us
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spent,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spent DESC, c_custkey
+            LIMIT 20
+        """,
+        "join_semi": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+            GROUP BY o_orderpriority
+        """,
+        "join_anti": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY n_name
+        """,
+        "agg_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "agg_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS orderpriority,
+                   round(sum(o_totalprice), 2) AS sum_total, count(*) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "topk_per_group": """
+            SELECT p_brand, p_partkey, p_retailprice FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey) AS rn
+              FROM part)
+            WHERE rn <= 3
+        """,
+        "set_ops": """
+            SELECT 'intersect' AS op, nationkey FROM
+              (SELECT c_nationkey AS nationkey FROM customer
+               INTERSECT SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'except' AS op, nationkey FROM
+              (SELECT c_nationkey AS nationkey FROM customer
+               EXCEPT SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT 'union' AS op, nationkey FROM
+              (SELECT c_nationkey AS nationkey FROM customer
+               UNION SELECT s_nationkey FROM supplier)
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(len({tok}) AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len({tok}), 4) AS avg_tok_len,
+                   round(len(list_filter({tok}, x -> list_contains({stop_en}, x))) * 1.0 / len({tok}), 6) AS stopword_ratio
+            FROM documents WHERE length(trim(text)) > 0
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN {score['en']} > 0 AND {score['en']} >= {score['de']} AND {score['en']} >= {score['fr']} AND {score['en']} >= {score['es']} AND {score['en']} >= {score['zh']} THEN 'en'
+                     WHEN {score['de']} > 0 AND {score['de']} >= {score['fr']} AND {score['de']} >= {score['es']} AND {score['de']} >= {score['zh']} THEN 'de'
+                     WHEN {score['fr']} > 0 AND {score['fr']} >= {score['es']} AND {score['fr']} >= {score['zh']} THEN 'fr'
+                     WHEN {score['es']} > 0 AND {score['es']} >= {score['zh']} THEN 'es'
+                     WHEN {score['zh']} > 0 THEN 'zh'
+                     ELSE 'und'
+                   END AS pred_lang
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   round((
+                     least(len({tok}) / 50.0, 1.0)
+                     + (CASE WHEN (length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len({tok})) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + (CASE WHEN (len(list_filter({tok}, x -> list_contains({stop_en}, x))) * 1.0 / len({tok})) > 0.0
+                              AND (len(list_filter({tok}, x -> list_contains({stop_en}, x))) * 1.0 / len({tok})) < 0.5 THEN 1.0 ELSE 0.5 END)
+                   ) / 3.0, 6) AS quality
+            FROM documents WHERE length(trim(text)) > 0
+        """,
+        "token_count_by_source": f"""
+            SELECT source, CAST(sum(len({tok})) AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "ann_bruteforce": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cosine_sim
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cosine_sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        "multimodal_bytes": """
+            SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   'application/octet-stream' AS media_mime
+            FROM documents
+        """,
+    }
+    oracles.update(_SHARED_SQL)
+    return oracles

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a count() (full plan execution, no
+driver collect of payloads).  A warmup query amortizes JVM/session
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import __spark_entry__ as entrymod
+from cdp_spark.session import get_spark, load_table
+
+BENCH_QUERIES = [
+    # relational
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_customers",
+    "join_semi",
+    "join_anti",
+    "agg_rollup",
+    "agg_cube",
+    "topk_per_group",
+    "sort_limit",
+    # CDP semantics
+    "pattern_match_composite",
+    "window_reduce_agg",
+    "window_flatmap_slide",
+    "dedup_exact_events",
+    "keep_when_filter",
+    "asof_join",
+    "count_or_time_sessions",
+    # LLM-pipeline
+    "dedup_exact_docs",
+    "text_stats",
+    "lang_id",
+    "token_count_by_source",
+    "fingerprint_docs",
+    "ann_bruteforce",
+    "minhash_pairs",
+    "simhash_docs",
+    "ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("cdp_spark_bench")
+
+    # Warmup: touch the big tables so the first timed query doesn't
+    # pay session/scan initialization.
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "events").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

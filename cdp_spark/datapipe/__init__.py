@@ -1,0 +1,13 @@
+"""LLM-data-pipeline extensions (beyond the reference's surface).
+
+Operators a large-scale training-data pipeline needs, built
+shuffle-aware for the 100 TB regime: text analysis, exact and
+near-duplicate detection, embedding similarity search, and multimodal
+column plumbing.  All hot paths are JVM-side Column expressions
+(split/filter/transform/aggregate higher-order functions, xxhash64);
+Python appears only in clearly-marked stubs.
+"""
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,118 @@
+"""Text analysis: tokenization, quality scoring, language ID,
+fingerprinting.
+
+All pure Column expressions — at 100 TB these run inside whole-stage
+codegen directly over the parquet scan, no shuffle, no Python.
+Each operator has an exact ANSI-SQL twin used by the DuckDB oracle
+(__spark_entry__.oracle_sql), so semantics are pinned by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small marker-word lists for the language-ID heuristic.  Ordered:
+# ties resolve to the earlier language (deterministic).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty text gives an empty array."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Rough BPE-style subword count: word-piece regex splits on
+    letter/digit/punct boundaries, ~ the usual tokens≈chars/4 check."""
+    pieces = F.split(F.trim(col), r"[^A-Za-z0-9]+|(?<=[a-z])(?=[A-Z])")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def avg_token_length(col: Column) -> Column:
+    tk = tokens(col)
+    total = F.aggregate(tk, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(tk) > 0, total.cast("double") / F.size(tk)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[.!?,;:]", ""))
+    return F.when(F.length(col) > 0, n_punct.cast("double") / F.length(col)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    words = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    tk = tokens(col)
+    hits = F.size(F.filter(tk, lambda t: t.isin(*words)))
+    return F.when(F.size(tk) > 0, hits.cast("double") / F.size(tk)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane average
+    word length, some (but not too many) stopwords — the standard
+    cheap pre-filters applied before expensive pipeline stages."""
+    tk_n = token_count(col).cast("double")
+    len_score = F.least(tk_n / F.lit(50.0), F.lit(1.0))
+    awl = avg_token_length(col)
+    awl_score = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(col)
+    sw_score = F.when((sw > 0.0) & (sw < 0.5), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + awl_score + sw_score) / F.lit(3.0), 6)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    tk = tokens(col)
+    return {
+        lang: F.size(F.filter(tk, lambda t: t.isin(*words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language ID; 'und' when no marker hits.  Ties go to
+    the earlier language in LANG_MARKERS (deterministic)."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in reverse so earlier languages win ties.
+    for lang in reversed(list(scores)):
+        s = scores[lang]
+        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Stable document fingerprint (hex md5 — same value DuckDB's
+    md5() produces, so it doubles as a cross-engine key)."""
+    return F.md5(col)
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style content fingerprint: min xxhash64 over rolling
+    token windows — robust to small edits, all JVM-side."""
+    tk = tokens(col)
+    n = F.size(tk)
+    starts = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.when(n > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
+    )
+    grams = F.transform(
+        starts, lambda i: F.xxhash64(F.array_join(F.slice(tk, i, window), " "))
+    )
+    return F.array_min(grams)

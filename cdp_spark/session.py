@@ -50,5 +50,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+        # Integer division: ts/1000 via `/` would be a double divide,
+        # which is lossy at 1e18 (±1 us errors).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
