@@ -1,0 +1,83 @@
+"""Streaming input forms.
+
+| reference input | here |
+|---|---|
+| generator (src/input/generator.ts:80-128) | rate source shaped into events |
+| tail (src/input/tail.ts:76-141) | file-source NDJSON dir (new-file discovery IS the idiomatic tail; Trigger.AvailableNow for catch-up) |
+| stdin (src/input/stdin.ts) | batch path (cdp_spark.events.read_ndjson) |
+| http/poll (src/input/{http,poll}.ts) | custom DataSource or ingest bridge — documented, not shipped: no server surface in an engine library |
+| amqp/mqtt/redis (src/input/{amqp,mqtt,redis}.ts) | Kafka source as the canonical broker (`spark.readStream.format("kafka")`); broker bridges are deployment glue |
+
+Every source yields the event schema (n, d, t) and stamps new-event
+trace points exactly like the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..events import TRACE_TYPE, WrapDirective, validate_wrap, variants_to_events
+
+
+def stream_generator(
+    spark: SparkSession, name: str = "_generated", rows_per_second: int = 1
+) -> DataFrame:
+    """Generator input: emits {n: name, d: <float>} events — the rate
+    source gives (timestamp, value); we shape value into a payload.
+    The reference emits random floats; we emit value/1000 offsets for
+    determinism (tests care about flow, not the sampled number)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.lit(name).alias("n"),
+        F.concat(F.lit(""), (F.col("value") / 1000.0).cast("string")).alias("d"),
+        F.array(
+            F.struct(
+                F.unix_timestamp("timestamp").cast("double").alias("i"),
+                F.lit("generator").alias("p"),
+                F.lit("").alias("h"),
+            )
+        ).alias("t"),
+    )
+
+
+def stream_ndjson_files(
+    spark: SparkSession,
+    path: str,
+    wrap: WrapDirective = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tail analog: follow a directory of NDJSON files.  Tolerant
+    parsing matches the batch reader: invalid lines are dropped (the
+    streaming dead-letter pattern is a second query over the same
+    source filtering `_reason IS NOT NULL`)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(path)
+    validate_wrap(wrap)
+    if wrap is not None:
+        name = wrap if isinstance(wrap, str) else wrap["name"]
+        if isinstance(wrap, dict) and wrap.get("raw"):
+            return lines.select(
+                F.lit(name).alias("n"),
+                F.expr("substring(to_json(array(value)), 2, length(to_json(array(value))) - 2)").alias("d"),
+                F.lit(None).cast(TRACE_TYPE).alias("t"),
+            )
+        parsed = lines.select(F.try_parse_json("value").alias("_v")).filter(
+            F.col("_v").isNotNull()
+        )
+        return parsed.select(
+            F.lit(name).alias("n"),
+            F.to_json("_v").alias("d"),
+            F.lit(None).cast(TRACE_TYPE).alias("t"),
+        )
+    parsed = lines.select(F.try_parse_json("value").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    ev = variants_to_events(parsed, keep_cols=[])
+    return ev.filter(F.col("_reason").isNull()).select("n", "d", "t")

@@ -1,0 +1,157 @@
+"""Structured Streaming mode: file-drop NDJSON source (tail analog),
+event-time watermark windows + dropDuplicatesWithinWatermark (new
+capabilities over the reference), the stateful count-or-time operator,
+and foreachBatch sinks.  All driven synchronously with memory sinks +
+processAllAvailable on finite inputs.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdp_spark.streaming import stream_ndjson_files, streaming_count_or_time
+
+
+def drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_ndjson_files_tail_analog(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.ndjson").write_text(
+        '{"n":"s.one","d":1}\n{"n":"s.two","d":2}\nnot json\n{"n":"s.three","d":3}\n'
+    )
+    events = stream_ndjson_files(spark, str(src))
+    q = (
+        events.writeStream.format("memory")
+        .queryName("tail_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    rows = spark.sql("SELECT n, d FROM tail_out ORDER BY n").collect()
+    assert [(r.n, r.d) for r in rows] == [("s.one", "1"), ("s.three", "3"), ("s.two", "2")]
+
+
+def test_stream_wrap(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.ndjson").write_text('{"x":1}\n[2,3]\n')
+    events = stream_ndjson_files(spark, str(src), wrap="wrapped.ev")
+    q = (
+        events.writeStream.format("memory").queryName("wrap_out")
+        .trigger(availableNow=True).start()
+    )
+    drain(q)
+    rows = spark.sql("SELECT n, d FROM wrap_out ORDER BY d").collect()
+    assert [(r.n, r.d) for r in rows] == [("wrapped.ev", "[2,3]"), ("wrapped.ev", '{"x":1}')]
+
+
+def test_watermark_tumbling_window(spark, tmp_path):
+    """Event-time windowed aggregation with watermark — the late-data
+    policy the reference lacks entirely (SURVEY §2.6)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        json.dumps({"n": "m.t", "d": v, "t": [{"i": 1700000000 + off, "p": "x", "h": "y"}]})
+        for v, off in [(1, 0), (2, 30), (3, 70), (4, 100)]
+    ]
+    (src / "a.ndjson").write_text("\n".join(lines) + "\n")
+    events = stream_ndjson_files(spark, str(src))
+    with_ts = events.withColumn(
+        "ts", F.timestamp_seconds(F.element_at("t", -1)["i"])
+    )
+    agg = (
+        with_ts.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.col("d").cast("double")).alias("total"))
+    )
+    # complete mode: append-mode windows would hold back the final
+    # window until the watermark passes it, which never happens on a
+    # finite input.
+    q = (
+        agg.writeStream.format("memory").queryName("win_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    drain(q)
+    rows = spark.sql("SELECT cnt, total FROM win_out ORDER BY win.start").collect()
+    # Minute windows are epoch-aligned: 1700000000s is :20 past the
+    # boundary, so offsets 0,30 share a window while 70 and 100 land
+    # in two different ones.
+    assert [(r.cnt, r.total) for r in rows] == [(2, 3.0), (1, 3.0), (1, 4.0)]
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        json.dumps({"n": "dup.ev", "d": 1, "t": [{"i": 1700000000, "p": "x", "h": "y"}]}),
+        json.dumps({"n": "dup.ev", "d": 1, "t": [{"i": 1700000001, "p": "x", "h": "y"}]}),
+        json.dumps({"n": "dup.ev", "d": 2, "t": [{"i": 1700000002, "p": "x", "h": "y"}]}),
+    ]
+    (src / "a.ndjson").write_text("\n".join(lines) + "\n")
+    events = stream_ndjson_files(spark, str(src))
+    with_ts = events.withColumn("ts", F.timestamp_seconds(F.element_at("t", -1)["i"]))
+    deduped = with_ts.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["n", "d"])
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .trigger(availableNow=True).start()
+    )
+    drain(q)
+    rows = spark.sql("SELECT d FROM dedup_out ORDER BY d").collect()
+    assert [r.d for r in rows] == ["1", "2"]
+
+
+def test_streaming_count_or_time_flushes_full_windows(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [json.dumps({"n": "s.ev", "d": i}) for i in range(5)]
+    (src / "a.ndjson").write_text("\n".join(lines) + "\n")
+    events = stream_ndjson_files(spark, str(src))
+    windows = streaming_count_or_time(events, max_size=2, max_seconds=3600)
+    q = (
+        windows.writeStream.format("memory").queryName("cot_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    # Can't processAllAvailable(): the pending 3600s processing-time
+    # timer for the partial buffer keeps the availableNow trigger in a
+    # "cleaning up state" loop until the timer fires.  Poll the sink
+    # for the two full windows, then stop.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT * FROM cot_out").count() >= 4:
+            break
+        _time.sleep(1)
+    q.stop()
+    rows = spark.sql("SELECT key, w, d FROM cot_out ORDER BY w, d").collect()
+    # 5 events, size-2 windows: [0,1],[2,3] flush; the partial [4]
+    # stays buffered awaiting its timeout (processing-time semantics).
+    assert [(r.w, r.d) for r in rows] == [(0, "0"), (0, "1"), (1, "2"), (1, "3")]
+
+
+def test_foreachbatch_ndjson_sink(spark, tmp_path):
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    (src / "a.ndjson").write_text('{"n":"a.b","d":1}\n{"n":"c.d","d":2}\n')
+    events = stream_ndjson_files(spark, str(src))
+
+    from cdp_spark.events import serialize_events
+
+    def write_batch(df, epoch_id: int) -> None:
+        lines = df.select(serialize_events(df).alias("value"))
+        lines.write.mode("append").text(str(out))
+
+    q = events.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    drain(q)
+    produced = []
+    for part in out.glob("*.txt"):
+        produced += [json.loads(l)["n"] for l in part.read_text().splitlines()]
+    assert sorted(produced) == ["a.b", "c.d"]
