@@ -1,0 +1,75 @@
+"""Pipeline metrics — the reference's Prometheus surface re-expressed
+with Spark observed metrics.
+
+Reference (src/metrics.ts:30-117): counters ``pipeline_events_total
+{flow}`` and ``step_events_total{step,flow}`` plus gauges for queue
+depth / dead events / backpressure, exposed in Prometheus text format
+on :8001/metrics.  Queue depth and backpressure are executor-model
+concepts Spark owns (micro-batch scheduling, AQE) and are not
+re-counted here; event counters map directly onto ``DataFrame.observe``
+— metrics ride the job that executes the plan, costing no extra pass
+over the data.
+
+Batch / foreachBatch: each observed step gets a
+:class:`pyspark.sql.Observation`; values are read after an action runs
+the plan.  ``PipelineMetrics`` accumulates across pipeline runs
+(micro-batches) and renders the Prometheus text exposition format.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .pipeline.compiler import PipelineResult
+
+
+@dataclass
+class PipelineMetrics:
+    """Accumulated event counters across pipeline executions."""
+
+    pipeline_events_total: dict[str, int] = field(default_factory=dict)
+    step_events_total: dict[tuple[str, str], int] = field(default_factory=dict)
+    dead_events: int = 0
+    batches: int = 0
+
+    def record(self, flow: str, count: int) -> None:
+        self.pipeline_events_total[flow] = (
+            self.pipeline_events_total.get(flow, 0) + count
+        )
+
+    def record_step(self, step: str, flow: str, count: int) -> None:
+        key = (step, flow)
+        self.step_events_total[key] = self.step_events_total.get(key, 0) + count
+
+    def update_from(self, result: "PipelineResult") -> None:
+        """Fold one executed pipeline's observations in.  Call only
+        after an action has run ``result.output`` — ``Observation.get``
+        blocks until its plan executed."""
+        self.batches += 1
+        for name, obs in result.observations.items():
+            count = int(obs.get.get("events", 0))
+            if name == "$input":
+                self.record("incoming", count)
+            else:
+                self.record_step(name, "outgoing", count)
+        if result.dead_letters is not None:
+            self.dead_events += result.dead_letters.count()
+
+    def as_prometheus_lines(self) -> list[str]:
+        """Prometheus text exposition (src/metrics.ts:187-228 exposes
+        the same families over HTTP; serving is deployment glue)."""
+        lines = [
+            "# TYPE cdp_pipeline_events_total counter",
+        ]
+        for flow, value in sorted(self.pipeline_events_total.items()):
+            lines.append(f'cdp_pipeline_events_total{{flow="{flow}"}} {value}')
+        lines.append("# TYPE cdp_step_events_total counter")
+        for (step, flow), value in sorted(self.step_events_total.items()):
+            lines.append(
+                f'cdp_step_events_total{{step="{step}",flow="{flow}"}} {value}'
+            )
+        lines.append("# TYPE cdp_dead_events gauge")
+        lines.append(f"cdp_dead_events {self.dead_events}")
+        return lines

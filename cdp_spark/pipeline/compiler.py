@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..events import read_ndjson, stamp_new_events, stamp_old_events, event_timestamp
@@ -67,6 +67,9 @@ class PipelineResult:
     # Input lines that failed event validation (the reference's
     # dead-letter channel, src/dead-letter.ts:19-32): (line, reason).
     dead_letters: Optional[DataFrame] = None
+    # step name (or "$input") -> Observation, populated when compiled
+    # with observe=True; values readable after output executes.
+    observations: dict[str, "Observation"] = field(default_factory=dict)
 
     def run_sinks(self) -> None:
         for _name, action in self.sinks:
@@ -240,6 +243,7 @@ def compile_pipeline(
     template: PipelineTemplate,
     input_df: Optional[DataFrame] = None,
     arrival_ts: Optional[float] = None,
+    observe: bool = False,
 ) -> PipelineResult:
     """Lower the template to DataFrames.  ``input_df`` overrides the
     template's input form (the library/test entry, mirroring how the
@@ -265,6 +269,21 @@ def compile_pipeline(
     ts = F.lit(float(arrival_ts)) if arrival_ts is not None else None
     stamped = stamp_new_events(input_df, template.name, signature, arrival_ts=ts)
 
+    # Observed metrics ride the job that executes the plan — the
+    # reference's pipeline/step event counters (src/metrics.ts:30-117)
+    # at zero extra passes.  Every step is upstream of `output` (it is
+    # the union of all terminals), so executing output populates all.
+    observations: dict[str, Observation] = {}
+
+    def _observe(name: str, df: DataFrame) -> DataFrame:
+        if not observe:
+            return df
+        obs = Observation()
+        observations[name] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("events"))
+
+    stamped = _observe(INPUT_ALIAS, stamped)
+
     outputs: dict[str, DataFrame] = {}
     remaining = list(template.steps)
     while remaining:
@@ -277,7 +296,9 @@ def compile_pipeline(
                 source = sources[0]
                 for extra in sources[1:]:
                     source = source.unionByName(extra)
-                outputs[step.name] = compile_step(ctx, step, source)
+                outputs[step.name] = _observe(
+                    step.name, compile_step(ctx, step, source)
+                )
                 remaining.remove(step)
                 progressed = True
         if not progressed:  # pragma: no cover — template validation rejects cycles
@@ -299,4 +320,5 @@ def compile_pipeline(
         output=output,
         sinks=ctx.sinks,
         dead_letters=dead,
+        observations=observations,
     )

@@ -1,0 +1,102 @@
+"""Streaming pipeline runner (run_pipeline_stream) + observed metrics
+(PipelineMetrics): the whole YAML pipeline — routing, window, jq
+transform, file sink — executed as a streaming query over a file-drop
+dir, with the reference's event counter families accumulated from
+Spark observed metrics (src/metrics.ts:30-117)."""
+
+from __future__ import annotations
+
+import json
+
+from cdp_spark.metrics import PipelineMetrics
+from cdp_spark.pipeline import compile_pipeline, from_yaml
+from cdp_spark.streaming import run_pipeline_stream
+
+
+PIPELINE = """
+name: stream-test
+input:
+  tail: {path: "%s"}
+steps:
+  only-metric:
+    match/drop: "metric.#"
+    flatmap:
+      rename: {prepend: seen}
+  totals:
+    after: [only-metric]
+    window: {events: 10, seconds: 300}
+    reduce:
+      send-receive-jq: "[{n: \\"total\\", d: (map(.d | tonumber) | add)}]"
+  out:
+    after: [totals]
+    flatmap:
+      send-file: {path: "%s"}
+"""
+
+
+def _write_events(src, k=4):
+    lines = [
+        json.dumps({"n": "metric.cpu", "d": i}) for i in range(k)
+    ] + [json.dumps({"n": "other.ev", "d": 99})]
+    (src / "a.ndjson").write_text("\n".join(lines) + "\n")
+
+
+def test_run_pipeline_stream_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    out_file = tmp_path / "out.ndjson"
+    _write_events(src)
+    template = from_yaml(PIPELINE % (src, out_file))
+
+    metrics = PipelineMetrics()
+    batches = []
+    q = run_pipeline_stream(
+        template,
+        spark=spark,
+        metrics=metrics,
+        on_batch=lambda df, epoch: batches.append(
+            [(r.n, r.d) for r in df.orderBy("_ord").collect()]
+        ),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    # Terminal output: one total event, 0+1+2+3 = 6; other.ev dropped.
+    flat = [ev for b in batches for ev in b]
+    assert flat == [("total", "6")]
+    # The send-file sink ran.
+    produced = [json.loads(l) for l in out_file.read_text().splitlines()]
+    assert [(e["n"], e["d"]) for e in produced] == [("total", 6)]
+    # Counter families: 5 in, 4 past the match/drop, 1 out of the agg.
+    assert metrics.pipeline_events_total["incoming"] == 5
+    assert metrics.step_events_total[("only-metric", "outgoing")] == 4
+    assert metrics.step_events_total[("totals", "outgoing")] == 1
+    assert metrics.step_events_total[("out", "outgoing")] == 1
+    assert metrics.batches >= 1
+
+
+def test_batch_observed_metrics(spark):
+    """The same counters in plain batch mode."""
+    template = from_yaml(
+        """
+name: b
+input:
+  stdin:
+steps:
+  evens:
+    match/drop: "ev.even"
+    flatmap:
+      rename: {prepend: kept}
+"""
+    )
+    rows = [(f"ev.{'even' if i % 2 == 0 else 'odd'}", str(i), None) for i in range(10)]
+    df = spark.createDataFrame(rows, "n string, d string, t array<struct<i:double,p:string,h:string>>")
+    result = compile_pipeline(spark, template, input_df=df, observe=True)
+    result.output.count()
+    metrics = PipelineMetrics()
+    metrics.update_from(result)
+    assert metrics.pipeline_events_total["incoming"] == 10
+    assert metrics.step_events_total[("evens", "outgoing")] == 5
+    text = "\n".join(metrics.as_prometheus_lines())
+    assert 'cdp_step_events_total{step="evens",flow="outgoing"} 5' in text
