@@ -113,6 +113,43 @@ _SHARED_SQL: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    # Running aggregates / ranking — the per-partition sequential
+    # accumulation order (o_orderdate, o_orderkey) is total, so the
+    # double sums are deterministic on both engines.
+    "window_running_funcs": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
+               CAST(rank() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        FROM orders
+    """,
+    # TPC-H Q17 shape: correlated scalar subquery, written decorrelated
+    # (aggregate once, equi-join) — the plan Catalyst should produce.
+    "avg_subquery_join": """
+        SELECT l_partkey, count(*) AS n_small,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem,
+             (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+              FROM lineitem GROUP BY l_partkey) part_avg
+        WHERE l_partkey = pk AND l_quantity < 0.5 * avg_qty
+        GROUP BY l_partkey
+    """,
+    # Event-time range join: per purchase, the same user's views in
+    # the preceding hour (equi-key on user + range predicate — a
+    # sort-merge equi-join with a post-filter, not a nested loop).
+    "range_join_events": """
+        SELECT p.event_id, count(v.event_id) AS n_prior_views,
+               round(coalesce(sum(v.value), 0), 2) AS sum_prior_value
+        FROM events p LEFT JOIN events v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """,
 }
 
 _TABLES = [
@@ -460,6 +497,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", "n_bytes", F.round("mean_byte", 4).alias("mean_byte"))
 
 
+def q_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session)
+    per user — the batch analog of a streaming session_window.  One
+    shuffle on user_id; both window passes share the partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0)
+    sess = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("sess", sess)
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard between consecutive documents —
+    the oracled face of the near-dup machinery (the LSH variants are
+    rows-only because their hashes are engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, "id_a")
+    return pairs.select(
+        "id_a", "id_b", F.round(ddp.jaccard(F.col("text_a"), F.col("text_b")), 4).alias("jaccard")
+    )
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scoring over consecutive vector ids
+    (linear pair set so the exact score is oracle-checkable; the
+    all-pairs path goes through LSH bucketing, see ann_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select((F.col("vec_id") - 1).alias("id_a"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return a.join(b, "id_a").select(
+        "id_a", "id_b", F.round(sim.cosine(F.col("ea"), F.col("eb")), 4).alias("cosine_sim")
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (linear interpolation —
+    same definition as DuckDB quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -493,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_when_filter": q_keep_when_filter,
         "asof_join": q_asof_join,
         "count_or_time_sessions": q_count_or_time_sessions,
+        "session_gap": q_session_gap,
         # relational superset
         "q3_shipping_priority": q_q3_shipping_priority,
         "top_customers": q_top_customers,
@@ -502,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": q_agg_cube,
         "topk_per_group": q_topk_per_group,
         "set_ops": q_set_ops,
+        "percentiles": q_percentiles,
         # LLM-pipeline extensions
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
@@ -512,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_pairs": q_minhash_pairs,
         "near_dup_verified": q_near_dup_verified,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "simhash_docs": q_simhash_docs,
         "ann_lsh": q_ann_lsh,
         "ivf_counts": q_ivf_counts,
@@ -723,6 +820,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    'application/octet-stream' AS media_mime
             FROM documents
+        """,
+        "session_gap": """
+            WITH d AS (
+              SELECT user_id, value, ts, event_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+              FROM d)
+            SELECT user_id, sess, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sess
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH tk AS (
+              SELECT doc_id, {tok} AS toks FROM documents WHERE length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[gs:gs+2], ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS gs
+                    FROM tk)
+            ),
+            counts AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1
+            ),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY p.id_a, p.id_b
+            )
+            SELECT p.id_a, p.id_b,
+                   round(coalesce(i.i, 0) * 1.0 / (ca.c + cb.c - coalesce(i.i, 0)), 4) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN counts ca ON ca.doc_id = p.id_a
+            JOIN counts cb ON cb.doc_id = p.id_b
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        """,
+        "percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
         """,
     }
     oracles.update(_SHARED_SQL)
