@@ -30,16 +30,24 @@ _MERSENNE = (1 << 31) - 1
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct), as an array of strings."""
-    tk = tokens(col)
-    cnt = F.size(tk)
-    starts = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
-        F.when(cnt > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
-    )
-    grams = F.transform(
-        starts, lambda i: F.array_join(F.slice(tk, i, F.least(F.lit(n), cnt)), " ")
-    )
-    return F.array_distinct(grams)
+    """Word n-gram shingle set (distinct), as an array of strings.
+
+    The token array is let-bound via a one-element transform lambda:
+    a plain expression tree would re-run ``split`` for every shingle
+    (each lambda-body reference re-evaluates its subtree — O(tokens^2)
+    per document, ~30x slower on real text)."""
+
+    def build(tk: Column) -> Column:
+        cnt = F.size(tk)
+        starts = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
+            F.when(cnt > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
+        )
+        grams = F.transform(
+            starts, lambda i: F.array_join(F.slice(tk, i, F.least(F.lit(n), cnt)), " ")
+        )
+        return F.array_distinct(grams)
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
 def shingle_hashes(col: Column, n: int = 3) -> Column:
@@ -95,6 +103,18 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition when the scan produced too few partitions for the
+    cluster (small-file inputs collapse to 1 task and serialize the
+    CPU-heavy shingle/hash work).  At scale the input already has
+    >= cores partitions and this is a no-op — no shuffle added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str,
@@ -104,22 +124,34 @@ def minhash_signatures_df(
     seed: int = 42,
 ) -> DataFrame:
     """(id, signature array<long>) via the shuffle-based plan: explode
-    shingle hashes to (id, h) rows, then num_perm codegen'd ``min``
-    aggregates in ONE groupBy.  Unlike the single-expression
-    ``minhash_signature``, every arithmetic op here runs inside
-    whole-stage codegen — this is the 100 TB path (the shuffle carries
-    only (id, h) longs, combiners pre-aggregate map-side)."""
+    shingle hashes to (id, h) rows, then to (id, perm, value) and a
+    plain min per (id, perm) — map-side combiners reduce the shuffle
+    to O(ids x num_perm) longs before it moves, the same volume the
+    signature arrays themselves occupy, so this is the 100 TB path.
+    (A single groupBy with num_perm wide min-aggregates shuffles the
+    same data but generates a whole-stage method big enough to fall
+    off the JIT — measured 2-4x slower and unstable.)"""
     params = _permutation_params(num_perm, seed)
-    exploded = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingle_hashes(F.col(text_col), n)).alias("_h")
+    perms = F.array(
+        *[
+            F.struct(F.lit(i).alias("p"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(params)
+        ]
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sigs = exploded.groupBy("_id").agg(*aggs)
-    return sigs.select(
-        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("signature")
+    narrow = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+    exploded = narrow.select(
+        "_id", F.explode(shingle_hashes(F.col("_t"), n)).alias("_h")
+    )
+    pv = exploded.select("_id", F.explode(perms).alias("pp"), "_h").select(
+        "_id",
+        F.col("pp.p").alias("_p"),
+        ((F.col("pp.a") * F.col("_h") + F.col("pp.b")) % F.lit(_MERSENNE)).alias("_v"),
+    )
+    mins = pv.groupBy("_id", "_p").agg(F.min("_v").alias("_m"))
+    return mins.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_m"))), lambda s: s["_m"]
+        ).alias("signature")
     )
 
 
@@ -134,26 +166,38 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH bucket.  Scale shape: explode to (id, band, bucket) — the
-    only shuffled payload — self-join on (band, bucket), dedupe pairs.
+    only shuffled payload — then ONE groupBy(band, bucket) collecting
+    bucket members and a JVM-side pairwise expansion.  A self-join
+    formulation would evaluate the whole signature pipeline twice (no
+    exchange reuse across the join aliases) and shuffle both sides;
+    this computes signatures once and shuffles once.  Bucket sizes are
+    bounded by near-dup density, not data size — a skewed bucket means
+    a true duplicate cluster, whose pairs are the answer itself.
     """
     rows = num_perm // bands
     sig = minhash_signatures_df(df, id_col, text_col, num_perm, n, seed).select(
         "_id",
         F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    left = sig.alias("l")
-    right = sig.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+    buckets = (
+        sig.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def jaccard(col_a: Column, col_b: Column, n: int = 3) -> Column:
@@ -175,15 +219,30 @@ def verified_near_dups(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard >= threshold.
     The verify join re-reads only candidate documents (semi-join
-    pattern) — at 100 TB candidates are a tiny fraction of pairs."""
+    pattern) — at 100 TB candidates are a tiny fraction of pairs.
+
+    The shingle set is materialized per document BELOW the join:
+    Catalyst pulls a pair filter that references both sides up into
+    the join condition, so a jaccard-on-text formulation would
+    re-tokenize both documents several times per candidate pair inside
+    the join; carrying the precomputed arrays leaves only cheap
+    array_intersect/union arithmetic there."""
     cands = minhash_candidate_pairs(df, id_col, text_col, num_perm, bands, n)
-    docs = df.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtext"))
-    joined = (
-        cands.join(docs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_vtext", "text_a"), "id_a")
-        .join(docs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_vtext", "text_b"), "id_b")
+    docs_sh = df.select(
+        F.col(id_col).alias("_vid"), shingles(F.col(text_col), n).alias("_sh")
     )
+    joined = (
+        cands.join(
+            docs_sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+        ).join(
+            docs_sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        joined.withColumn("jaccard", F.round(jaccard(F.col("text_a"), F.col("text_b"), n), 6))
+        joined.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -139,10 +139,17 @@ def compile_schema_predicate(schema: dict, data_col: str = "d") -> tuple[Column,
     ``event.data``)."""
     d = F.col(data_col)
     if _is_native(schema):
-        v = F.try_parse_json(d)
-        pred = F.when(d.isNull(), F.lit(not schema)).otherwise(
-            _compile_native(v, schema)
+        # Let-bind the parsed variant via a one-element transform
+        # lambda: the compiled predicate references it ~6-8 times and
+        # each expression-tree reference would re-parse the JSON
+        # (measured 6x slowdown on the events table without this).
+        bound = F.element_at(
+            F.transform(
+                F.array(F.try_parse_json(d)), lambda v: _compile_native(v, schema)
+            ),
+            1,
         )
+        pred = F.when(d.isNull(), F.lit(not schema)).otherwise(bound)
         return pred, True
 
     import jsonschema  # noqa: deferred; only for the fallback path

@@ -26,6 +26,9 @@ def get_spark(app_name: str = "cdp_spark", shuffle_partitions: int | None = None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("CDP_SPARK_DRIVER_MEM", "16g"))
+        # Long sessions compile many whole-stage classes; the JVM
+        # default code cache fills and JIT quality degrades.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         # The synthetic events table stores ts as TIMESTAMP(NANOS),
         # which Spark's parquet reader rejects by default; read it as
