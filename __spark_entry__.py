@@ -479,6 +479,15 @@ def q_ivf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_assign(emb, dim).groupBy("centroid").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN top-k: search only the n_probe nearest inverted
+    lists (rows-only: seeded anchors make recall engine-specific)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return sim.ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=4)
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
@@ -612,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "ann_lsh": q_ann_lsh,
         "ivf_counts": q_ivf_counts,
+        "ann_ivf": q_ann_ivf,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_features": q_multimodal_features,
     }

@@ -142,3 +142,48 @@ def ivf_assign(
         best_idx = F.when(sim > best_sim, F.lit(i)).otherwise(best_idx)
         best_sim = F.greatest(sim, best_sim)
     return df.withColumn("centroid", best_idx)
+
+
+def _anchor_set(dim: int, n_centroids: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    anchors = []
+    for _ in range(n_centroids):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        anchors.append([x / s for x in v])
+    return anchors
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-probed approximate top-k: rank centroids against the query
+    driver-side (tiny math, no job), filter to the ``n_probe`` nearest
+    inverted lists, exact cosine top-k within them.  With the table
+    written partitioned-by-centroid this prunes (n_centroids-n_probe)/
+    n_centroids of the scan — the ANN shape that survives 100 TB.
+    Same anchor seed as :func:`ivf_assign` so assignments agree."""
+    anchors = _anchor_set(len(query_vector), n_centroids, seed)
+    qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
+    scored = sorted(
+        range(n_centroids),
+        key=lambda i: -sum(a * b for a, b in zip(anchors[i], query_vector)) / qn,
+    )
+    probe = scored[:n_probe]
+    assigned = ivf_assign(df, len(query_vector), n_centroids, id_col, vec_col, seed)
+    pruned = assigned.filter(F.col("centroid").isin(*[int(i) for i in probe]))
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    sim = F.round(cosine(F.col(vec_col), q), round_digits)
+    return (
+        pruned.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

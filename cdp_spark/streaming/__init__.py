@@ -15,10 +15,13 @@ source/sink/window machinery onto Structured Streaming:
 from .sources import stream_generator, stream_ndjson_files
 from .count_or_time import streaming_count_or_time
 from .runner import run_pipeline_stream
+from .poll import PollDataSource, stream_poll
 
 __all__ = [
     "stream_generator",
     "stream_ndjson_files",
     "streaming_count_or_time",
     "run_pipeline_stream",
+    "PollDataSource",
+    "stream_poll",
 ]
