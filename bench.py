@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "agg_cube",
     "topk_per_group",
     "sort_limit",
+    "window_running_funcs",
+    "avg_subquery_join",
+    "range_join_events",
+    "percentiles",
     # CDP semantics
     "pattern_match_composite",
     "window_reduce_agg",
@@ -38,6 +42,7 @@ BENCH_QUERIES = [
     "keep_when_filter",
     "asof_join",
     "count_or_time_sessions",
+    "session_gap",
     # LLM-pipeline
     "dedup_exact_docs",
     "text_stats",
@@ -46,8 +51,12 @@ BENCH_QUERIES = [
     "fingerprint_docs",
     "ann_bruteforce",
     "minhash_pairs",
+    "near_dup_verified",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
     "simhash_docs",
     "ann_lsh",
+    "ann_ivf",
 ]
 
 

@@ -12,12 +12,13 @@ source/sink/window machinery onto Structured Streaming:
 - sinks via foreachBatch reusing the batch sink executors
 """
 
-from .sources import stream_generator, stream_ndjson_files
+from .sources import stream_dead_letters, stream_generator, stream_ndjson_files
 from .count_or_time import streaming_count_or_time
 from .runner import run_pipeline_stream
 from .poll import PollDataSource, stream_poll
 
 __all__ = [
+    "stream_dead_letters",
     "stream_generator",
     "stream_ndjson_files",
     "streaming_count_or_time",

@@ -81,3 +81,24 @@ def stream_ndjson_files(
     )
     ev = variants_to_events(parsed, keep_cols=[])
     return ev.filter(F.col("_reason").isNull()).select("n", "d", "t")
+
+
+def stream_dead_letters(spark: SparkSession, path: str) -> DataFrame:
+    """The streaming dead-letter channel for a file-drop source: a
+    second query over the same directory yielding (line, reason) for
+    every rejected input line — unparseable JSON or an invalid event
+    envelope (src/dead-letter.ts:19-32; batch analog returns the same
+    shape from read_ndjson).  Route it to its own sink / table."""
+    lines = spark.readStream.format("text").load(path)
+    parsed = lines.select(
+        F.col("value").alias("line"), F.try_parse_json("value").alias("_v")
+    )
+    unparseable = parsed.filter(F.col("_v").isNull()).select(
+        "line", F.lit("unparseable JSON").alias("reason")
+    )
+    invalid = (
+        variants_to_events(parsed.filter(F.col("_v").isNotNull()), keep_cols=["line"])
+        .filter(F.col("_reason").isNotNull())
+        .select("line", F.col("_reason").alias("reason"))
+    )
+    return unparseable.unionByName(invalid)

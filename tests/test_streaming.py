@@ -12,7 +12,11 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from cdp_spark.streaming import stream_ndjson_files, streaming_count_or_time
+from cdp_spark.streaming import (
+    stream_dead_letters,
+    stream_ndjson_files,
+    streaming_count_or_time,
+)
 
 
 def drain(q):
@@ -36,6 +40,31 @@ def test_stream_ndjson_files_tail_analog(spark, tmp_path):
     drain(q)
     rows = spark.sql("SELECT n, d FROM tail_out ORDER BY n").collect()
     assert [(r.n, r.d) for r in rows] == [("s.one", "1"), ("s.three", "3"), ("s.two", "2")]
+
+
+def test_stream_dead_letters(spark, tmp_path):
+    """The rejected-line channel: unparseable JSON and invalid
+    envelopes surface as (line, reason) rows on a second query."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.ndjson").write_text(
+        '{"n":"ok.ev","d":1}\n'
+        "not json at all\n"
+        '{"n":"bad name!","d":2}\n'
+        '{"d":3}\n'
+    )
+    dead = stream_dead_letters(spark, str(src))
+    q = (
+        dead.writeStream.format("memory").queryName("dead_out")
+        .trigger(availableNow=True).start()
+    )
+    drain(q)
+    rows = spark.sql("SELECT line, reason FROM dead_out ORDER BY line").collect()
+    assert len(rows) == 3
+    reasons = {r.line: r.reason for r in rows}
+    assert reasons["not json at all"] == "unparseable JSON"
+    assert "{'n':'bad name!','d':2}".replace("'", '"') in reasons
+    assert '{"d":3}' in reasons
 
 
 def test_stream_wrap(spark, tmp_path):
