@@ -16,6 +16,7 @@ from .sources import stream_dead_letters, stream_generator, stream_ndjson_files
 from .count_or_time import streaming_count_or_time
 from .runner import run_pipeline_stream
 from .poll import PollDataSource, stream_poll
+from .kafka import kafka_event_sink, stream_kafka_events
 
 __all__ = [
     "stream_dead_letters",
@@ -25,4 +26,6 @@ __all__ = [
     "run_pipeline_stream",
     "PollDataSource",
     "stream_poll",
+    "kafka_event_sink",
+    "stream_kafka_events",
 ]

@@ -106,36 +106,10 @@ class PollDataSource(DataSource):
 def stream_poll(spark, target: str, wrap=None, headers: dict | None = None):
     """Poll ``target`` as an event stream: lines → events with the
     same wrap/validation semantics as the file sources."""
-    from pyspark.sql import functions as F
-
-    from ..events import TRACE_TYPE, validate_wrap, variants_to_events
+    from .sources import lines_to_events
 
     spark.dataSource.register(PollDataSource)
     reader = spark.readStream.format("cdp-poll").option("target", target)
     if headers:
         reader = reader.option("headers", json.dumps(headers))
-    lines = reader.load()
-    validate_wrap(wrap)
-    if wrap is not None:
-        name = wrap if isinstance(wrap, str) else wrap["name"]
-        if isinstance(wrap, dict) and wrap.get("raw"):
-            return lines.select(
-                F.lit(name).alias("n"),
-                F.expr(
-                    "substring(to_json(array(value)), 2, length(to_json(array(value))) - 2)"
-                ).alias("d"),
-                F.lit(None).cast(TRACE_TYPE).alias("t"),
-            )
-        parsed = lines.select(F.try_parse_json("value").alias("_v")).filter(
-            F.col("_v").isNotNull()
-        )
-        return parsed.select(
-            F.lit(name).alias("n"),
-            F.to_json("_v").alias("d"),
-            F.lit(None).cast(TRACE_TYPE).alias("t"),
-        )
-    parsed = lines.select(F.try_parse_json("value").alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
-    ev = variants_to_events(parsed, keep_cols=[])
-    return ev.filter(F.col("_reason").isNull()).select("n", "d", "t")
+    return lines_to_events(reader.load(), wrap)

@@ -45,27 +45,21 @@ def stream_generator(
     )
 
 
-def stream_ndjson_files(
-    spark: SparkSession,
-    path: str,
-    wrap: WrapDirective = None,
-    max_files_per_trigger: int | None = None,
-) -> DataFrame:
-    """Tail analog: follow a directory of NDJSON files.  Tolerant
-    parsing matches the batch reader: invalid lines are dropped (the
-    streaming dead-letter pattern is a second query over the same
-    source filtering `_reason IS NOT NULL`)."""
-    reader = spark.readStream.format("text")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    lines = reader.load(path)
+def lines_to_events(lines: DataFrame, wrap: WrapDirective = None) -> DataFrame:
+    """Shared line→event shaping for every line-oriented source (file
+    drop, poll, Kafka value column): tolerant NDJSON parse + wrap
+    directives (src/event.ts:322-411).  Input needs a ``value`` string
+    column; invalid lines are dropped (dead-letter is a second query,
+    see stream_dead_letters)."""
     validate_wrap(wrap)
     if wrap is not None:
         name = wrap if isinstance(wrap, str) else wrap["name"]
         if isinstance(wrap, dict) and wrap.get("raw"):
             return lines.select(
                 F.lit(name).alias("n"),
-                F.expr("substring(to_json(array(value)), 2, length(to_json(array(value))) - 2)").alias("d"),
+                F.expr(
+                    "substring(to_json(array(value)), 2, length(to_json(array(value))) - 2)"
+                ).alias("d"),
                 F.lit(None).cast(TRACE_TYPE).alias("t"),
             )
         parsed = lines.select(F.try_parse_json("value").alias("_v")).filter(
@@ -81,6 +75,22 @@ def stream_ndjson_files(
     )
     ev = variants_to_events(parsed, keep_cols=[])
     return ev.filter(F.col("_reason").isNull()).select("n", "d", "t")
+
+
+def stream_ndjson_files(
+    spark: SparkSession,
+    path: str,
+    wrap: WrapDirective = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tail analog: follow a directory of NDJSON files.  Tolerant
+    parsing matches the batch reader: invalid lines are dropped (the
+    streaming dead-letter pattern is a second query over the same
+    source filtering `_reason IS NOT NULL`)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return lines_to_events(reader.load(path), wrap)
 
 
 def stream_dead_letters(spark: SparkSession, path: str) -> DataFrame:

@@ -184,3 +184,16 @@ def test_foreachbatch_ndjson_sink(spark, tmp_path):
     for part in out.glob("*.txt"):
         produced += [json.loads(l)["n"] for l in part.read_text().splitlines()]
     assert sorted(produced) == ["a.b", "c.d"]
+
+
+def test_kafka_wrapper_gated(spark):
+    """Without the Kafka connector jar, the wrapper raises its
+    guidance error instead of an opaque ClassNotFound."""
+    from cdp_spark.streaming import stream_kafka_events
+
+    with pytest.raises((RuntimeError, ValueError)) as exc:
+        stream_kafka_events(spark, "localhost:9092", topics="t")
+    assert "connector" in str(exc.value) or "exactly one" in str(exc.value)
+
+    with pytest.raises(ValueError):
+        stream_kafka_events(spark, "localhost:9092")  # neither topic nor pattern
