@@ -127,6 +127,17 @@ _SHARED_SQL: dict[str, str] = {
                    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
         FROM orders
     """,
+    # Top-k by frequency (SURVEY §2.6: absent in the reference;
+    # native here) — heavy-hitter event names.
+    "topk_frequent": """
+        SELECT n, cnt FROM (
+          SELECT n, count(*) AS cnt,
+                 row_number() OVER (ORDER BY count(*) DESC, n) AS rn
+          FROM (SELECT event_type || '.' || CAST(user_id % 10 AS STRING) AS n
+                FROM events)
+          GROUP BY n) ranked
+        WHERE rn <= 15
+    """,
     # TPC-H Q17 shape: correlated scalar subquery, written decorrelated
     # (aggregate once, equi-join) — the plan Catalyst should produce.
     "avg_subquery_join": """
