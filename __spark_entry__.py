@@ -280,8 +280,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_count_or_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-or-time windows per user (20 events / 1h from first) —
     the reference's exact windowing rule, stateful & sequential per
-    key, hence rows-only (no SQL oracle)."""
-    ev = load_table(spark, sf_dir, "events")
+    key, hence rows-only (no SQL oracle).  Projected to the four
+    needed columns first: Catalyst can't prune through mapInPandas,
+    and the dropped props JSON is most of the row's bytes."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     win = count_or_time_windows(
         ev, max_size=20, max_seconds=3600.0, ts_col="ts", order_by="event_id",
         partition_by=["user_id"],
@@ -517,6 +519,109 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", "n_bytes", F.round("mean_byte", 4).alias("mean_byte"))
 
 
+def q_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (F.window) — the batch
+    face of the streaming watermark+window path.  Epoch-aligned hourly
+    buckets, emitted as unix-micros starts for oracle alignment."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.unix_micros("w.start").alias("bucket_us"), "n_events", "sum_value")
+    )
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload field extraction + predicate + aggregate — the
+    native-Column face of the jq `.d.k` idiom (payloads stay JSON
+    strings until touched; extraction pushes no shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_regexp_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction (the jq `capture` idiom) over
+    part names: '<adjective> <noun>' -> noun, counted per type."""
+    part = load_table(spark, sf_dir, "part")
+    noun = F.regexp_extract("p_name", r"(\w+)\s+(\w+)", 2)
+    return (
+        part.withColumn("noun", noun)
+        .groupBy("p_type", "noun")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer and supplier counts —
+    both sides pre-aggregated (tiny), so the join is broadcastable."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+def q_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation per group
+    (collect_list is unordered in a distributed engine; array_sort
+    before joining restores a total order both engines agree on)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics of the embedding column via
+    posexplode — one narrow explode, partial aggs combine map-side so
+    the shuffle carries only (dim, partial) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 4).alias("avg_x"),
+            F.round(F.min("x"), 4).alias("min_x"),
+            F.round(F.max("x"), 4).alias("max_x"),
+        )
+    )
+
+
 def q_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session)
     per user — the batch analog of a streaming session_window.  One
@@ -607,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "count_or_time_sessions": q_count_or_time_sessions,
         "session_gap": q_session_gap,
+        "time_window_agg": q_time_window_agg,
+        "json_extract_props": q_json_extract_props,
         # relational superset
         "q3_shipping_priority": q_q3_shipping_priority,
         "top_customers": q_top_customers,
@@ -617,6 +724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "set_ops": q_set_ops,
         "percentiles": q_percentiles,
+        "regexp_extract_parts": q_regexp_extract_parts,
+        "join_full_outer": q_join_full_outer,
+        "string_agg_sorted": q_string_agg_sorted,
+        "vector_dim_stats": q_vector_dim_stats,
         # LLM-pipeline extensions
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
@@ -891,6 +1002,49 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        """,
+        "time_window_agg": """
+            SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "json_extract_props": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(k), 4) AS avg_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            WHERE k >= 50
+            GROUP BY event_type
+        """,
+        "regexp_extract_parts": """
+            SELECT p_type, regexp_extract(p_name, '(\\w+)\\s+(\\w+)', 2) AS noun,
+                   count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY 1, 2
+        """,
+        "join_full_outer": """
+            SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                   coalesce(c.n_cust, 0) AS n_cust,
+                   coalesce(s.n_supp, 0) AS n_supp
+            FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                  FROM customer GROUP BY 1) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                  FROM supplier GROUP BY 1) s
+            USING (nationkey)
+        """,
+        "string_agg_sorted": """
+            SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   count(*) AS n
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "vector_dim_stats": """
+            SELECT gs AS dim, round(avg(embedding[gs]), 4) AS avg_x,
+                   round(min(embedding[gs]), 4) AS min_x,
+                   round(max(embedding[gs]), 4) AS max_x
+            FROM embeddings, generate_series(1, len(embedding)) t(gs)
+            GROUP BY gs
         """,
         "percentiles": """
             SELECT o_orderpriority,
