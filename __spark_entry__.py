@@ -9,8 +9,9 @@ order-insensitive value hash matches.
 
 Queries marked rows-only (absent from oracle_sql) are the genuinely
 non-SQL-expressible ops: stateful count-or-time sessions, MinHash/LSH
-and SimHash (xxhash64-based), hyperplane-LSH ANN, IVF assignment, and
-the stubbed multimodal featurizer.
+and SimHash (xxhash64-based), and the stubbed multimodal featurizer.
+The ANN family (LSH buckets, IVF assignment/probing) IS oracled: the
+seeded planes/anchors are embedded as SQL array literals.
 """
 
 from __future__ import annotations
@@ -169,15 +170,22 @@ _TABLES = [
 ]
 
 
-def _register_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in _TABLES:
+def _register_views(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> None:
+    for t in only if only is not None else _TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def _shared_sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    import re
+
+    sql = _SHARED_SQL[name]
+    # Register only the tables this SQL references — loading all ten
+    # couples every query to every table's readability.
+    referenced = [t for t in _TABLES if re.search(rf"\b{t}\b", sql)]
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _register_views(spark, sf_dir)
-        return spark.sql(_SHARED_SQL[name])
+        _register_views(spark, sf_dir, only=referenced)
+        return spark.sql(sql)
 
     return run
 
@@ -478,15 +486,18 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN top-k (rows-only: seeded projections)."""
+    """Hyperplane-LSH ANN top-k.  The seeded planes are Python
+    constants, so the oracle embeds them as SQL array literals and
+    DuckDB computes the identical sign-bit buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
-    return sim.ann_topk_lsh(emb, qvec, k=10, n_planes=8, probe_hamming=2)
+    return sim.ann_topk_lsh(emb, qvec, k=10, n_planes=8, probe_hamming=2, round_digits=4)
 
 
 def q_ivf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantization occupancy (rows-only: seeded anchors)."""
+    """IVF coarse-quantization occupancy; seeded anchors embedded in
+    the oracle as literals (dot-product argmax on both engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     return sim.ivf_assign(emb, dim).groupBy("centroid").agg(F.count(F.lit(1)).alias("n"))
@@ -494,11 +505,11 @@ def q_ivf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN top-k: search only the n_probe nearest inverted
-    lists (rows-only: seeded anchors make recall engine-specific)."""
+    lists; anchors embedded in the oracle as literals."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
-    return sim.ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=4)
+    return sim.ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=4, round_digits=4)
 
 
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,7 +624,8 @@ def q_vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.select(F.posexplode("embedding").alias("pos", "x"))
-        .groupBy((F.col("pos") + 1).alias("dim"))
+        .select((F.col("pos") + 1).cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
         .agg(
             F.round(F.avg("x"), 4).alias("avg_x"),
             F.round(F.min("x"), 4).alias("min_x"),
@@ -1040,11 +1052,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name
         """,
         "vector_dim_stats": """
-            SELECT gs AS dim, round(avg(embedding[gs]), 4) AS avg_x,
-                   round(min(embedding[gs]), 4) AS min_x,
-                   round(max(embedding[gs]), 4) AS max_x
-            FROM embeddings, generate_series(1, len(embedding)) t(gs)
-            GROUP BY gs
+            SELECT dim, round(avg(x), 4) AS avg_x,
+                   round(min(x), 4) AS min_x,
+                   round(max(x), 4) AS max_x
+            FROM (
+                SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings
+            )
+            GROUP BY dim
         """,
         "percentiles": """
             SELECT o_orderpriority,
@@ -1055,5 +1071,57 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
     }
+    # ANN oracles: the seeded planes/anchors are Python-generated
+    # deterministic constants — embed them as SQL double-array
+    # literals so DuckDB computes the same buckets / centroid argmax /
+    # top-k.  Both engines do plain double dot products; cosine is
+    # rounded to 4 digits like ann_bruteforce.
+    def _dl(v: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    _EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+    planes = sim.random_hyperplanes(_EMB_DIM, 8, seed=42)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {_dl(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    anchors = sim._anchor_set(_EMB_DIM, 16, seed=7)
+    dots_expr = "[" + ", ".join(f"list_dot_product(emb, {_dl(a)})" for a in anchors) + "]"
+    oracles["ann_lsh"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        b AS (SELECT vec_id, emb, ({bucket_expr}) AS bucket FROM base),
+        q AS (SELECT emb AS qemb, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT b.vec_id, round(list_cosine_similarity(b.emb, q.qemb), 4) AS cosine_sim
+        FROM b, q
+        WHERE bit_count(xor(b.bucket, q.qbucket)) <= 2
+        ORDER BY cosine_sim DESC, b.vec_id
+        LIMIT 10
+    """
+    oracles["ivf_counts"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        scored AS (SELECT vec_id, {dots_expr} AS dots FROM base)
+        SELECT CAST(list_indexof(dots, list_max(dots)) - 1 AS BIGINT) AS centroid,
+               count(*) AS n
+        FROM scored GROUP BY 1
+    """
+    oracles["ann_ivf"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        scored AS (SELECT vec_id, emb, {dots_expr} AS dots FROM base),
+        assigned AS (SELECT vec_id, emb,
+                            list_indexof(dots, list_max(dots)) - 1 AS centroid
+                     FROM scored),
+        q AS (SELECT dots AS qdots, emb AS qemb FROM scored WHERE vec_id = 0),
+        probe AS (
+          SELECT ci - 1 AS centroid FROM (
+            SELECT unnest(qdots) AS s,
+                   unnest(generate_series(1, len(qdots))) AS ci
+            FROM q)
+          ORDER BY s DESC, ci LIMIT 4)
+        SELECT a.vec_id, round(list_cosine_similarity(a.emb, q.qemb), 4) AS cosine_sim
+        FROM assigned a, q
+        WHERE a.centroid IN (SELECT centroid FROM probe)
+        ORDER BY cosine_sim DESC, a.vec_id
+        LIMIT 10
+    """
     oracles.update(_SHARED_SQL)
     return oracles

@@ -39,8 +39,12 @@ def sink_payload_lines(
     if jq_expr is None:
         return df.select(F.col(order_col).alias("_ord"), serialize_events(df).alias("line"))
     produced = jq_produced_values(df, jq_expr, order_col=order_col, prelude=jq_prelude)
+    # Dense (window, index) renumber — see _values_to_events for why
+    # the packed-long form overflows at >=1024 input partitions.
+    from pyspark.sql.window import Window
+
     return produced.select(
-        (F.col("_worder") * F.lit(1 << 20) + F.col("_idx")).alias("_ord"),
+        F.row_number().over(Window.orderBy("_worder", "_idx")).cast("long").alias("_ord"),
         F.col("_val").alias("line"),
     )
 

@@ -77,8 +77,18 @@ def _values_to_events(
     deterministic order column ``_ord`` (window order, then output
     index)."""
     validate_wrap(wrap)
+    # Dense renumber over (window order, output index) rather than the
+    # packed `_worder * 2^20 + _idx` long: _worder derives from
+    # monotonically_increasing_id (partition_id << 33), so the multiply
+    # overflows at >=1024 input partitions, and >2^20 values per window
+    # would collide into the next window's range.  The global window
+    # matches the cost class of _renumber / the ordered sink paths this
+    # column exists to serve (parity ordering is global by definition).
+    from pyspark.sql.window import Window
+
     ordered = produced.withColumn(
-        "_ord", F.col("_worder") * F.lit(1 << 20) + F.col("_idx")
+        "_ord",
+        F.row_number().over(Window.orderBy("_worder", "_idx")).cast("long"),
     )
     if wrap is not None:
         name = wrap if isinstance(wrap, str) else wrap["name"]

@@ -51,6 +51,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # The driver contract may hand us a SparkSession built elsewhere
+    # (without get_spark()'s builder confs). nanosAsLong is
+    # runtime-settable, so set it here — correctness must not depend
+    # on who constructed the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # Integer division: ts/1000 via `/` would be a double divide,

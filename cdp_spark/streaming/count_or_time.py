@@ -91,7 +91,14 @@ def make_count_or_time_fn(max_size: int, max_seconds: float):
                         flush()
             state.update((json.dumps(buffered), first_ms, next_w))
             if buffered and timeout_ms is not None:
-                state.setTimeoutDuration(timeout_ms)
+                # Arm relative to the buffer's FIRST event (src/step.ts:76-87):
+                # a steady sub-max_size trickle must still flush max_seconds
+                # after the window opened, not max_seconds after the last
+                # arrival.  Re-arming with the remaining time is idempotent
+                # for an existing buffer and starts a fresh countdown when a
+                # new buffer just opened.
+                now_ms = int(time.time() * 1000)
+                state.setTimeoutDuration(max(1, first_ms + timeout_ms - now_ms))
 
         if out_rows:
             yield pd.DataFrame(out_rows, columns=["key", "w", "n", "d"])

@@ -51,7 +51,7 @@ def _input_stream(spark: SparkSession, template: PipelineTemplate) -> DataFrame:
         return stream_generator(
             spark,
             name=o.get("name", "_generated"),
-            rows_per_second=int(1.0 / float(o.get("seconds", 1)) or 1),
+            seconds=float(o.get("seconds", 1)),
         )
     raise NotImplementedError(
         f"input form '{form}' has no streaming executor here; brokered "

@@ -21,17 +21,37 @@ from ..events import TRACE_TYPE, WrapDirective, validate_wrap, variants_to_event
 
 
 def stream_generator(
-    spark: SparkSession, name: str = "_generated", rows_per_second: int = 1
+    spark: SparkSession,
+    name: str = "_generated",
+    rows_per_second: int | None = None,
+    seconds: float | None = None,
 ) -> DataFrame:
     """Generator input: emits {n: name, d: <float>} events — the rate
     source gives (timestamp, value); we shape value into a payload.
     The reference emits random floats; we emit value/1000 offsets for
-    determinism (tests care about flow, not the sampled number)."""
+    determinism (tests care about flow, not the sampled number).
+
+    ``seconds`` is the reference's cadence knob (one event every N
+    seconds, src/input/generator.ts:80-128).  Sub-second intervals map
+    to rowsPerSecond; intervals over a second emit at 1 row/s and keep
+    every k-th value (the rate source rejects rowsPerSecond <= 0, so
+    1/seconds must never truncate to zero).
+    """
+    downsample = None
+    if rows_per_second is None:
+        s = 1.0 if seconds is None else float(seconds)
+        if s <= 1.0:
+            rows_per_second = max(1, round(1.0 / s))
+        else:
+            rows_per_second = 1
+            downsample = max(1, round(s))
     rate = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+    if downsample is not None:
+        rate = rate.filter(F.col("value") % downsample == 0)
     return rate.select(
         F.lit(name).alias("n"),
         F.concat(F.lit(""), (F.col("value") / 1000.0).cast("string")).alias("d"),
