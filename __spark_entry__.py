@@ -239,6 +239,28 @@ def q_window_flatmap_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_reduce_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed count-window reduce: the scale-safe form — windows are
+    numbered per user_id, so the row_number sort runs per partition
+    key instead of funneling everything through one task."""
+    ev = load_table(spark, sf_dir, "events")
+    win = tumbling_count_windows(ev, 100, "event_id", partition_by=["user_id"])
+    return win.groupBy("user_id", F.col("_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_window_flatmap_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed sliding window: partitioned by user_id — the form that
+    distributes (global-order flatmap is parity-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(0, 4)
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("sliding_sum")
+    )
+
+
 def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("event_type").alias("n"), F.col("props").alias("d"),
@@ -512,6 +534,48 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=4, round_digits=4)
 
 
+_ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Build the persisted ANN index once per (kind, sf_dir) per
+    process; queries and bench reuse it — the build is the one-time
+    indexing cost, the query is the partition-pruned read."""
+    key = (kind, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        import os
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = os.path.join(tempfile.mkdtemp(prefix=f"cdp_{kind}_"), "idx")
+        if kind == "ivf":
+            sim.ivf_write(emb, path, dim=64)
+        else:
+            sim.lsh_write(emb, path, dim=64)
+        _ANN_INDEX_CACHE[key] = path
+    return _ANN_INDEX_CACHE[key]
+
+
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k against the persisted centroid-partitioned index:
+    the scan reads only the n_probe probed lists (PartitionFilters).
+    Same anchors/seed as ann_ivf, so results are identical."""
+    path = _ensure_ann_index(spark, sf_dir, "ivf")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_topk_indexed(spark, path, qvec, k=10, n_centroids=16, n_probe=4, round_digits=4)
+
+
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k against the persisted bucket-partitioned index:
+    multi-probe buckets enumerated driver-side, scan reads only those
+    partitions.  Same planes/seed as ann_lsh — identical results."""
+    path = _ensure_ann_index(spark, sf_dir, "lsh")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.lsh_topk_indexed(spark, path, qvec, k=10, n_planes=8, probe_hamming=2, round_digits=4)
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
@@ -718,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename_affix": q_rename_affix,
         "window_reduce_agg": q_window_reduce_agg,
         "window_flatmap_slide": q_window_flatmap_slide,
+        "window_reduce_keyed": q_window_reduce_keyed,
+        "window_flatmap_keyed": q_window_flatmap_keyed,
         "dedup_exact_events": q_dedup_exact_events,
         "keep_last_per_window": q_keep_last_per_window,
         "keep_when_filter": q_keep_when_filter,
@@ -754,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "simhash_docs": q_simhash_docs,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "ivf_counts": q_ivf_counts,
         "ann_ivf": q_ann_ivf,
         "multimodal_bytes": q_multimodal_bytes,
@@ -810,6 +878,23 @@ def oracle_sql() -> dict[str, str]:
         "window_flatmap_slide": """
             SELECT event_id,
                    round(sum(value) OVER (ORDER BY event_id
+                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), 2) AS sliding_sum
+            FROM events
+        """,
+        "window_reduce_keyed": """
+            WITH w AS (
+              SELECT user_id,
+                     CAST(floor((row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY event_id) - 1) / 100) AS BIGINT) AS w,
+                     value
+              FROM events)
+            SELECT user_id, w, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM w GROUP BY user_id, w
+        """,
+        "window_flatmap_keyed": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), 2) AS sliding_sum
             FROM events
         """,
@@ -1123,5 +1208,9 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, a.vec_id
         LIMIT 10
     """
+    # Persisted-index variants return identical results (same seeded
+    # planes/anchors) — same oracles.
+    oracles["ann_lsh_indexed"] = oracles["ann_lsh"]
+    oracles["ann_ivf_indexed"] = oracles["ann_ivf"]
     oracles.update(_SHARED_SQL)
     return oracles

@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "pattern_match_composite",
     "window_reduce_agg",
     "window_flatmap_slide",
+    "window_reduce_keyed",
+    "window_flatmap_keyed",
     "dedup_exact_events",
     "keep_when_filter",
     "asof_join",
@@ -57,6 +59,10 @@ BENCH_QUERIES = [
     "simhash_docs",
     "ann_lsh",
     "ann_ivf",
+    # persisted-index reads (build happens once in warmup; the timed
+    # query is the partition-pruned scan — the 100 TB access path)
+    "ann_lsh_indexed",
+    "ann_ivf_indexed",
 ]
 
 
@@ -74,6 +80,9 @@ def main() -> None:
     # these entries automatically.
     for t in ("lineitem", "orders", "customer", "part", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).cache().count()
+    # One-time ANN index builds (indexing cost, not query cost).
+    entrymod._ensure_ann_index(spark, sf_dir, "ivf")
+    entrymod._ensure_ann_index(spark, sf_dir, "lsh")
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
