@@ -160,21 +160,34 @@ def make_expose_action(
     return action
 
 
-def make_broker_action(kind: str, *_args, **_kwargs) -> Callable[[], None]:
-    """send-amqp / send-mqtt / send-redis: broker clients (pika,
-    paho-mqtt, redis) are not installed in this environment; the
-    executors are import-gated.  On a real deployment these are
-    foreachPartition publishers exactly like make_http_action
-    (src/step-functions/send-{amqp,mqtt,redis}.ts)."""
-    module = {"send-amqp": "pika", "send-mqtt": "paho.mqtt", "send-redis": "redis"}[kind]
+def make_broker_action(
+    kind: str,
+    df: DataFrame,
+    options: Optional[dict] = None,
+    pipeline_name: str = "cdp",
+    step_name: str = "step",
+    jq_expr: Optional[str] = None,
+    jq_prelude: Optional[str] = None,
+) -> Callable[[], None]:
+    """send-amqp / send-mqtt / send-redis publisher action.  Framing,
+    routing, and dispatch live in :mod:`cdp_spark.io.brokers`
+    (unit-tested against fake clients); the real client connection is
+    import-gated in ``default_client_factory`` — inject one with
+    ``brokers.set_client_factory``.
+    (src/step-functions/send-{amqp,mqtt,redis}.ts)"""
+    from . import brokers
+
+    opts = options or {}
 
     def action() -> None:
-        try:
-            __import__(module)
-        except ImportError as err:
-            raise NotImplementedError(
-                f"{kind} requires the '{module}' client, not available in this environment"
-            ) from err
-        raise NotImplementedError(f"{kind} publisher not yet implemented")
+        if jq_expr is not None:
+            produced = jq_produced_values(df, jq_expr, prelude=jq_prelude)
+            vals = (
+                row["_val"]
+                for row in produced.orderBy("_worder", "_idx").select("_val").toLocalIterator()
+            )
+            brokers.publish_values(kind, vals, opts, pipeline_name, step_name)
+        else:
+            brokers.publish_events(kind, df, opts, pipeline_name, step_name)
 
     return action

@@ -212,7 +212,15 @@ def _attach_sink(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
     elif fn == "expose-http":
         action = make_expose_action(lines, step.name, responses=int(o.get("responses", 1)))
     else:
-        action = make_broker_action(fn)
+        action = make_broker_action(
+            fn,
+            df,
+            options=o if isinstance(opts, dict) else {"url": opts},
+            pipeline_name=ctx.template.name,
+            step_name=step.name,
+            jq_expr=o.get("jq-expr"),
+            jq_prelude=ctx.template.jq_prelude,
+        )
     ctx.sinks.append((step.name, action))
     return df
 
