@@ -1,0 +1,114 @@
+"""Simulate the driver's CORRECTNESS gate: a BARE SparkSession (none of
+get_spark()'s confs) runs every queries() entry at sf0.01 and compares
+against oracle_sql() via DuckDB — row count, column names, and
+order-insensitive values.  Catches anything that only works on the
+builder's own session (the round-1 failure mode).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import traceback
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if v is None:
+                vals.append(None)
+            elif isinstance(v, bool):
+                vals.append(v)
+            elif isinstance(v, float):
+                vals.append("nan" if math.isnan(v) else round(v, 9))
+            elif isinstance(v, int):
+                vals.append(int(v))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> None:
+    spark = SparkSession.builder.master("local[32]").appName("driver_sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in entrymod._TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results: dict[str, dict] = {}
+    for name in sorted(queries):
+        rec: dict = {}
+        try:
+            sdf = queries[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
+            if name in oracles:
+                res = con.sql(oracles[name])
+                dcols, drows = res.columns, res.fetchall()
+                rec["oracle_rows"] = len(drows)
+                rec["rows_match"] = len(srows) == len(drows)
+                rec["schema_match"] = sorted(scols) == sorted(dcols)
+                ns, nd = normalize(srows, scols), normalize(drows, dcols)
+                rec["hash_match"] = ns == nd
+                if not rec["hash_match"]:
+                    rec["first_diff"] = str(
+                        [(a, b) for a, b in zip(ns, nd) if a != b][:2]
+                    )[:400]
+            else:
+                rec["rows_only"] = True
+        except Exception:
+            rec["err"] = traceback.format_exc()[-600:]
+        results[name] = rec
+        tag = (
+            "OK" if rec.get("hash_match")
+            else "rows-only" if rec.get("rows_only")
+            else "ERR" if "err" in rec
+            else "MISMATCH"
+        )
+        print(f"{name:32s} {tag}", flush=True)
+
+    try:
+        ent = entrymod.entry(spark)
+        print(f"entry() rows: {len(ent.collect())}", flush=True)
+    except Exception:
+        print("entry() ERR:\n" + traceback.format_exc()[-600:], flush=True)
+
+    full = sum(1 for r in results.values() if r.get("hash_match"))
+    errs = {n: r["err"] for n, r in results.items() if "err" in r}
+    mism = {
+        n: r.get("first_diff", "")
+        for n, r in results.items()
+        if r.get("hash_match") is False
+    }
+    print(f"\nTOTAL {len(results)}  hash-match {full}  "
+          f"rows-only {sum(1 for r in results.values() if r.get('rows_only'))}  "
+          f"err {len(errs)}  mismatch {len(mism)}")
+    for n, e in errs.items():
+        print(f"\n== ERR {n} ==\n{e}")
+    for n, d in mism.items():
+        print(f"\n== MISMATCH {n} ==\n{d}")
+    with open("/tmp/driver_sim.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
