@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..events import serialize_events
-from ..operators.transform import jq_produced_values
+from ..operators.transform import jq_produced_values, jsonnet_produced_values
 
 
 def sink_payload_lines(
@@ -32,13 +32,20 @@ def sink_payload_lines(
     order_col: str = "_ord",
     jq_expr: Optional[str] = None,
     jq_prelude: Optional[str] = None,
+    jsonnet_expr: Optional[str] = None,
+    jsonnet_prelude: Optional[str] = None,
 ) -> DataFrame:
     """DataFrame of one output line per emitted value, with an order
-    column: events as NDJSON, or each jq-produced value verbatim when
-    jq_expr is given (src/step-functions/index.ts:35-48)."""
-    if jq_expr is None:
+    column: events as NDJSON, or each jq/jsonnet-produced value
+    verbatim when an expr is given (src/step-functions/index.ts:35-48)."""
+    if jq_expr is None and jsonnet_expr is None:
         return df.select(F.col(order_col).alias("_ord"), serialize_events(df).alias("line"))
-    produced = jq_produced_values(df, jq_expr, order_col=order_col, prelude=jq_prelude)
+    if jsonnet_expr is not None:
+        produced = jsonnet_produced_values(
+            df, jsonnet_expr, order_col=order_col, prelude=jsonnet_prelude
+        )
+    else:
+        produced = jq_produced_values(df, jq_expr, order_col=order_col, prelude=jq_prelude)
     # Dense (window, index) renumber — see _values_to_events for why
     # the packed-long form overflows at >=1024 input partitions.
     from pyspark.sql.window import Window
@@ -168,6 +175,8 @@ def make_broker_action(
     step_name: str = "step",
     jq_expr: Optional[str] = None,
     jq_prelude: Optional[str] = None,
+    jsonnet_expr: Optional[str] = None,
+    jsonnet_prelude: Optional[str] = None,
 ) -> Callable[[], None]:
     """send-amqp / send-mqtt / send-redis publisher action.  Framing,
     routing, and dispatch live in :mod:`cdp_spark.io.brokers`
@@ -180,8 +189,13 @@ def make_broker_action(
     opts = options or {}
 
     def action() -> None:
-        if jq_expr is not None:
-            produced = jq_produced_values(df, jq_expr, prelude=jq_prelude)
+        if jq_expr is not None or jsonnet_expr is not None:
+            if jsonnet_expr is not None:
+                produced = jsonnet_produced_values(
+                    df, jsonnet_expr, prelude=jsonnet_prelude
+                )
+            else:
+                produced = jq_produced_values(df, jq_expr, prelude=jq_prelude)
             vals = (
                 row["_val"]
                 for row in produced.orderBy("_worder", "_idx").select("_val").toLocalIterator()

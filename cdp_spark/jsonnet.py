@@ -1,0 +1,1068 @@
+"""Minimal pure-Python Jsonnet evaluator for the CDP transform contract.
+
+The reference evaluates ``function(events)`` Jsonnet programs over each
+window's event vector (src/step-functions/send-receive-jsonnet.ts:70-97
+feeding stream-jsonnet/main.go:18-70, which binds the vector as a
+top-level argument and emits one compacted JSON value per input).  No
+Jsonnet library ships in this environment, so this module implements
+the language subset those programs actually use:
+
+- literals, strings (``"``, ``'``, verbatim ``@"..."``, ``|||`` blocks)
+- ``local`` bindings (incl. function sugar), ``function(params)`` with
+  default and named arguments, ``if/then/else``, ``error``
+- arrays / objects, array and object comprehensions (``for``/``if``)
+- full operator set (arithmetic, comparison, boolean, bitwise, ``in``,
+  ``+`` as concat/merge, ``%`` as number-mod / string-format)
+- indexing, slicing, field access, and a ~60-function ``std`` library
+
+Deliberately out of scope (raise a parse/runtime error): ``self`` /
+``super`` / ``$``, object field visibility ``::``, ``+:`` merges,
+``import`` / ``importstr``, ``assert``.  These target object-oriented
+template composition, which the event-transform contract doesn't use.
+
+Evaluation is strict (Jsonnet is lazy); observable only for programs
+relying on laziness for termination — recursion guarded by
+``if/then/else`` works because only the taken branch evaluates.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any, Callable, Optional
+
+
+class JsonnetError(Exception):
+    """Base for parse and runtime errors."""
+
+
+class JsonnetParseError(JsonnetError):
+    pass
+
+
+class JsonnetRuntimeError(JsonnetError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+
+_KEYWORDS = {
+    "local", "function", "if", "then", "else", "true", "false", "null",
+    "for", "in", "error", "import", "importstr", "self", "super",
+    "assert", "tailstrict",
+}
+
+_OPS = sorted(
+    [
+        "|||", ":::", "::", "||", "&&", "==", "!=", "<=", ">=", "<<", ">>",
+        "+", "-", "*", "/", "%", "<", ">", "!", "~", "&", "|", "^",
+        ".", "[", "]", "(", ")", "{", "}", ",", ":", ";", "=", "$",
+    ],
+    key=len,
+    reverse=True,
+)
+
+_ESCAPES = {'"': '"', "'": "'", "\\": "\\", "/": "/", "b": "\b",
+            "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
+
+_NUM_RE = re.compile(r"\d+(\.\d+)?([eE][+-]?\d+)?")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _lex(src: str) -> list[tuple[str, Any, int]]:
+    """Tokens: (kind, value, pos); kinds num/str/ident/kw/op/eof."""
+    toks: list[tuple[str, Any, int]] = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in " \t\r\n":
+            i += 1
+            continue
+        if c == "#" or src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            if j < 0:
+                raise JsonnetParseError(f"unterminated comment at {i}")
+            i = j + 2
+            continue
+        if src.startswith("|||", i):
+            # text block: lines until a line whose content is |||,
+            # dedented by the first line's indentation
+            j = src.find("\n", i + 3)
+            if j < 0:
+                raise JsonnetParseError("unterminated ||| block")
+            body_start = j + 1
+            end = src.find("|||", body_start)
+            while end > 0 and src[src.rfind("\n", 0, end) + 1 : end].strip():
+                end = src.find("|||", end + 3)
+            if end < 0:
+                raise JsonnetParseError("unterminated ||| block")
+            lines = src[body_start : src.rfind("\n", 0, end) + 1].split("\n")
+            first = next((ln for ln in lines if ln.strip()), "")
+            indent = len(first) - len(first.lstrip())
+            text = "\n".join(ln[indent:] if len(ln) >= indent else ln for ln in lines[:-1])
+            toks.append(("str", text + "\n", i))
+            i = end + 3
+            continue
+        if c == "@" and i + 1 < n and src[i + 1] in "\"'":
+            q = src[i + 1]
+            j = i + 2
+            out = []
+            while j < n:
+                if src[j] == q:
+                    if j + 1 < n and src[j + 1] == q:  # doubled quote escape
+                        out.append(q)
+                        j += 2
+                        continue
+                    break
+                out.append(src[j])
+                j += 1
+            else:
+                raise JsonnetParseError(f"unterminated verbatim string at {i}")
+            toks.append(("str", "".join(out), i))
+            i = j + 1
+            continue
+        if c in "\"'":
+            j = i + 1
+            out = []
+            while j < n and src[j] != c:
+                if src[j] == "\\":
+                    if j + 1 >= n:
+                        raise JsonnetParseError(f"bad escape at {j}")
+                    e = src[j + 1]
+                    if e == "u":
+                        out.append(chr(int(src[j + 2 : j + 6], 16)))
+                        j += 6
+                        continue
+                    if e not in _ESCAPES:
+                        raise JsonnetParseError(f"bad escape \\{e} at {j}")
+                    out.append(_ESCAPES[e])
+                    j += 2
+                    continue
+                out.append(src[j])
+                j += 1
+            if j >= n:
+                raise JsonnetParseError(f"unterminated string at {i}")
+            toks.append(("str", "".join(out), i))
+            i = j + 1
+            continue
+        m = _NUM_RE.match(src, i)
+        if m and c.isdigit():
+            text = m.group(0)
+            val = float(text)
+            if val.is_integer() and "." not in text and "e" not in text.lower():
+                toks.append(("num", int(text), i))
+            else:
+                toks.append(("num", val, i))
+            i = m.end()
+            continue
+        m = _IDENT_RE.match(src, i)
+        if m:
+            word = m.group(0)
+            toks.append(("kw" if word in _KEYWORDS else "ident", word, i))
+            i = m.end()
+            continue
+        for op in _OPS:
+            if src.startswith(op, i):
+                toks.append(("op", op, i))
+                i += len(op)
+                break
+        else:
+            raise JsonnetParseError(f"unexpected character {c!r} at {i}")
+    toks.append(("eof", None, n))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Parser — AST as tuples; precedence climbing
+
+_BINPREC = {
+    "||": 1, "&&": 2, "|": 3, "^": 4, "&": 5, "==": 6, "!=": 6,
+    "<": 7, ">": 7, "<=": 7, ">=": 7, "in": 7, "<<": 8, ">>": 8,
+    "+": 9, "-": 9, "*": 10, "/": 10, "%": 10,
+}
+
+_UNSUPPORTED = {"self", "super", "import", "importstr", "assert"}
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _lex(src)
+        self.pos = 0
+
+    def peek(self) -> tuple[str, Any, int]:
+        return self.toks[self.pos]
+
+    def next(self) -> tuple[str, Any, int]:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, kind: str, value: Any = None) -> Any:
+        k, v, p = self.next()
+        if k != kind or (value is not None and v != value):
+            raise JsonnetParseError(f"expected {value or kind}, got {v!r} at {p}")
+        return v
+
+    def at_op(self, op: str) -> bool:
+        k, v, _ = self.peek()
+        return k == "op" and v == op
+
+    def eat_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.pos += 1
+            return True
+        return False
+
+    # -- entry
+    def parse(self) -> Any:
+        e = self.expr()
+        k, v, p = self.peek()
+        if k != "eof":
+            raise JsonnetParseError(f"trailing input {v!r} at {p}")
+        return e
+
+    def expr(self, minprec: int = 0) -> Any:
+        left = self.unary()
+        while True:
+            k, v, _ = self.peek()
+            op = v if (k == "op" or (k == "kw" and v == "in")) else None
+            prec = _BINPREC.get(op) if op else None
+            if prec is None or prec < minprec:
+                return left
+            self.next()
+            right = self.expr(prec + 1)
+            left = ("binop", op, left, right)
+
+    def unary(self) -> Any:
+        k, v, _ = self.peek()
+        if k == "op" and v in ("!", "~", "-", "+"):
+            self.next()
+            return ("unop", v, self.unary())
+        return self.postfix(self.primary())
+
+    def postfix(self, e: Any) -> Any:
+        while True:
+            if self.eat_op("."):
+                name = self.expect("ident")
+                e = ("index", e, ("lit", name))
+            elif self.at_op("["):
+                self.next()
+                # index or slice
+                first = None if self.at_op(":") else self.expr()
+                if self.eat_op("]"):
+                    if first is None:
+                        raise JsonnetParseError("empty index")
+                    e = ("index", e, first)
+                    continue
+                self.expect("op", ":")
+                second = None if (self.at_op(":") or self.at_op("]")) else self.expr()
+                third = None
+                if self.eat_op(":"):
+                    third = None if self.at_op("]") else self.expr()
+                self.expect("op", "]")
+                e = ("slice", e, first, second, third)
+            elif self.at_op("("):
+                self.next()
+                args, kwargs = [], []
+                while not self.at_op(")"):
+                    k, v, _ = self.peek()
+                    if (
+                        k == "ident"
+                        and self.toks[self.pos + 1][:2] == ("op", "=")
+                    ):
+                        self.next()
+                        self.next()
+                        kwargs.append((v, self.expr()))
+                    else:
+                        args.append(self.expr())
+                    if not self.eat_op(","):
+                        break
+                self.expect("op", ")")
+                # optional tailstrict marker
+                k, v, _ = self.peek()
+                if k == "kw" and v == "tailstrict":
+                    self.next()
+                e = ("call", e, args, kwargs)
+            else:
+                return e
+
+    def params(self) -> list[tuple[str, Any]]:
+        out = []
+        self.expect("op", "(")
+        while not self.at_op(")"):
+            name = self.expect("ident")
+            default = None
+            if self.eat_op("="):
+                default = self.expr()
+            out.append((name, default))
+            if not self.eat_op(","):
+                break
+        self.expect("op", ")")
+        return out
+
+    def bind(self) -> tuple[str, Any]:
+        name = self.expect("ident")
+        if self.at_op("("):
+            ps = self.params()
+            self.expect("op", "=")
+            return name, ("fn", ps, self.expr())
+        self.expect("op", "=")
+        return name, self.expr()
+
+    def compspecs(self) -> list[tuple[str, ...]]:
+        specs: list[tuple[str, ...]] = []
+        while True:
+            k, v, _ = self.peek()
+            if k == "kw" and v == "for":
+                self.next()
+                var = self.expect("ident")
+                kk, vv, p = self.next()
+                if (kk, vv) != ("kw", "in"):
+                    raise JsonnetParseError(f"expected 'in' at {p}")
+                specs.append(("for", var, self.expr()))
+            elif k == "kw" and v == "if":
+                self.next()
+                specs.append(("if", self.expr()))
+            else:
+                return specs
+
+    def primary(self) -> Any:
+        k, v, p = self.next()
+        if k == "num" or k == "str":
+            return ("lit", v)
+        if k == "ident":
+            return ("var", v)
+        if k == "kw":
+            if v == "true":
+                return ("lit", True)
+            if v == "false":
+                return ("lit", False)
+            if v == "null":
+                return ("lit", None)
+            if v == "local":
+                binds = [self.bind()]
+                while self.eat_op(","):
+                    binds.append(self.bind())
+                self.expect("op", ";")
+                return ("local", binds, self.expr())
+            if v == "function":
+                return ("fn", self.params(), self.expr())
+            if v == "if":
+                cond = self.expr()
+                kk, vv, pp = self.next()
+                if (kk, vv) != ("kw", "then"):
+                    raise JsonnetParseError(f"expected 'then' at {pp}")
+                a = self.expr()
+                k2, v2, _ = self.peek()
+                if k2 == "kw" and v2 == "else":
+                    self.next()
+                    return ("if", cond, a, self.expr())
+                return ("if", cond, a, ("lit", None))
+            if v == "error":
+                return ("error", self.expr())
+            if v in _UNSUPPORTED:
+                raise JsonnetParseError(
+                    f"'{v}' is outside the supported Jsonnet subset "
+                    "(see cdp_spark.jsonnet module docs)"
+                )
+            raise JsonnetParseError(f"unexpected keyword {v!r} at {p}")
+        if k == "op":
+            if v == "(":
+                e = self.expr()
+                self.expect("op", ")")
+                return e
+            if v == "[":
+                if self.eat_op("]"):
+                    return ("array", [])
+                first = self.expr()
+                k2, v2, _ = self.peek()
+                if k2 == "kw" and v2 == "for":
+                    specs = self.compspecs()
+                    self.expect("op", "]")
+                    return ("arrcomp", first, specs)
+                items = [first]
+                while self.eat_op(","):
+                    if self.at_op("]"):
+                        break
+                    items.append(self.expr())
+                self.expect("op", "]")
+                return ("array", items)
+            if v == "{":
+                return self.object_rest()
+            if v == "$":
+                raise JsonnetParseError(
+                    "'$' is outside the supported Jsonnet subset"
+                )
+        raise JsonnetParseError(f"unexpected token {v!r} at {p}")
+
+    def object_rest(self) -> Any:
+        fields: list[tuple[Any, Any]] = []  # (key expr, value expr)
+        locals_: list[tuple[str, Any]] = []
+        if self.eat_op("}"):
+            return ("object", fields, locals_)
+        while True:
+            k, v, p = self.peek()
+            if k == "kw" and v == "local":
+                self.next()
+                locals_.append(self.bind())
+            elif k == "op" and v == "[":
+                self.next()
+                key = self.expr()
+                self.expect("op", "]")
+                k2, v2, _ = self.peek()
+                if k2 == "op" and v2 in (":", "::", ":::"):
+                    self.next()
+                else:
+                    raise JsonnetParseError(f"expected ':' at {p}")
+                val = self.expr()
+                k3, v3, _ = self.peek()
+                if k3 == "kw" and v3 == "for":
+                    specs = self.compspecs()
+                    self.expect("op", "}")
+                    return ("objcomp", key, val, specs, fields, locals_)
+                fields.append((key, val))
+            elif k in ("ident", "str") or (k == "kw" and v not in _UNSUPPORTED):
+                self.next()
+                name = v
+                if k == "ident" and self.at_op("("):
+                    ps = self.params()
+                    self.expect("op", ":")
+                    fields.append((("lit", name), ("fn", ps, self.expr())))
+                else:
+                    k2, v2, _ = self.peek()
+                    if k2 == "op" and v2 in (":", "::", ":::"):
+                        self.next()
+                    else:
+                        raise JsonnetParseError(f"expected ':' after field at {p}")
+                    fields.append((("lit", str(name)), self.expr()))
+            else:
+                raise JsonnetParseError(f"unexpected object token {v!r} at {p}")
+            if not self.eat_op(","):
+                break
+        self.expect("op", "}")
+        return ("object", fields, locals_)
+
+
+def parse(src: str) -> Any:
+    """Parse a Jsonnet snippet to an AST; raises JsonnetParseError
+    (the pipeline-start syntax gate, parity with SnippetToAST in
+    stream-jsonnet/main.go:36-40)."""
+    return _Parser(src).parse()
+
+
+# ---------------------------------------------------------------------------
+# Evaluator
+
+class _Env:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, vars: dict[str, Any], parent: Optional["_Env"]):
+        self.vars = vars
+        self.parent = parent
+
+    def lookup(self, name: str) -> Any:
+        env: Optional[_Env] = self
+        while env is not None:
+            if name in env.vars:
+                return env.vars[name]
+            env = env.parent
+        raise JsonnetRuntimeError(f"unknown variable: {name}")
+
+
+class Closure:
+    __slots__ = ("params", "body", "env")
+
+    def __init__(self, params: list[tuple[str, Any]], body: Any, env: _Env):
+        self.params = params
+        self.body = body
+        self.env = env
+
+
+def _typename(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, Closure) or callable(v):
+        return "function"
+    raise JsonnetRuntimeError(f"unknown value type {type(v)}")
+
+
+def _num_repr(x: Any) -> str:
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    f = float(x)
+    if f.is_integer() and abs(f) < 1e17:
+        return str(int(f))
+    return repr(f)
+
+
+def manifest_json(v: Any, indent: Optional[int] = None) -> str:
+    """Jsonnet-style JSON manifestation: integral numbers render
+    without a decimal point (std.toString(1.0) == "1")."""
+    def conv(x: Any) -> Any:
+        if isinstance(x, float) and x.is_integer() and abs(x) < 1e17:
+            return int(x)
+        if isinstance(x, list):
+            return [conv(i) for i in x]
+        if isinstance(x, dict):
+            return {k: conv(val) for k, val in sorted(x.items())}
+        if isinstance(x, (Closure,)) or callable(x):
+            raise JsonnetRuntimeError("cannot manifest a function")
+        return x
+
+    if indent is None:
+        return json.dumps(conv(v), separators=(",", ":"), ensure_ascii=False)
+    return json.dumps(conv(v), indent=indent, ensure_ascii=False)
+
+
+def _to_string(v: Any) -> str:
+    if isinstance(v, str):
+        return v
+    return manifest_json(v)
+
+
+def _want(v: Any, kind: str, what: str) -> Any:
+    if _typename(v) != kind:
+        raise JsonnetRuntimeError(f"{what}: expected {kind}, got {_typename(v)}")
+    return v
+
+
+def _num(v: Any, what: str = "operand") -> Any:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise JsonnetRuntimeError(f"{what}: expected number, got {_typename(v)}")
+    return v
+
+
+_FMT_RE = re.compile(r"%([-+ #0]*)(\d*)(?:\.(\d+))?([diouxXeEfgGcs%])")
+
+
+def std_format(fmt: str, vals: Any) -> str:
+    if not isinstance(vals, list):
+        vals = [vals]
+    out: list[str] = []
+    i, vi = 0, 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%":
+            out.append(c)
+            i += 1
+            continue
+        m = _FMT_RE.match(fmt, i)
+        if not m:
+            raise JsonnetRuntimeError(f"invalid format spec at {i} in {fmt!r}")
+        i = m.end()
+        conv = m.group(4)
+        if conv == "%":
+            out.append("%")
+            continue
+        if vi >= len(vals):
+            raise JsonnetRuntimeError("not enough format values")
+        v = vals[vi]
+        vi += 1
+        spec = "%" + m.group(1) + m.group(2) + ("." + m.group(3) if m.group(3) else "")
+        if conv == "s":
+            out.append((spec + "s") % _to_string(v))
+        elif conv in "diouxX":
+            out.append((spec + ("d" if conv == "i" else conv)) % int(_num(v)))
+        elif conv in "eEfgG":
+            out.append((spec + conv) % float(_num(v)))
+        elif conv == "c":
+            out.append(v if isinstance(v, str) and len(v) == 1 else chr(int(_num(v))))
+    return "".join(out)
+
+
+def _jsonnet_mod(a: Any, b: Any) -> Any:
+    if isinstance(a, str):
+        return std_format(a, b)
+    a, b = _num(a), _num(b)
+    if b == 0:
+        raise JsonnetRuntimeError("division by zero")
+    r = math.fmod(a, b)
+    if isinstance(a, int) and isinstance(b, int):
+        return int(r)
+    return r
+
+
+def _eq(a: Any, b: Any) -> bool:
+    ta, tb = _typename(a), _typename(b)
+    if ta != tb:
+        return False
+    if ta == "function":
+        raise JsonnetRuntimeError("cannot test equality of functions")
+    if ta == "array":
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if ta == "object":
+        return set(a) == set(b) and all(_eq(a[k], b[k]) for k in a)
+    return a == b
+
+
+def _cmp_ok(a: Any, b: Any, what: str) -> None:
+    ta, tb = _typename(a), _typename(b)
+    if ta != tb or ta not in ("number", "string", "array"):
+        raise JsonnetRuntimeError(f"cannot compare {ta} with {tb} ({what})")
+    if ta == "array":
+        for x, y in zip(a, b):
+            _cmp_ok(x, y, what)
+
+
+class Evaluator:
+    """Evaluate parsed Jsonnet.  One instance per worker; stateless
+    between calls apart from the shared std table."""
+
+    def __init__(self) -> None:
+        self.std = _make_std(self)
+        self.root = _Env({"std": self.std}, None)
+
+    # -- public
+    def eval_ast(self, ast: Any, extra_vars: Optional[dict[str, Any]] = None) -> Any:
+        env = self.root if not extra_vars else _Env(dict(extra_vars), self.root)
+        return self._eval(ast, env)
+
+    def call(self, fn: Any, args: list[Any], kwargs: Optional[dict[str, Any]] = None) -> Any:
+        return self._call_value(fn, args, kwargs or {})
+
+    # -- machinery
+    def _call_value(self, fn: Any, args: list[Any], kwargs: dict[str, Any]) -> Any:
+        if callable(fn) and not isinstance(fn, Closure):
+            return fn(*args, **kwargs)
+        if not isinstance(fn, Closure):
+            raise JsonnetRuntimeError(f"cannot call a {_typename(fn)}")
+        names = [p for p, _ in fn.params]
+        bound: dict[str, Any] = {}
+        if len(args) > len(names):
+            raise JsonnetRuntimeError(
+                f"too many arguments: {len(args)} > {len(names)}"
+            )
+        for name, val in zip(names, args):
+            bound[name] = val
+        for key, val in kwargs.items():
+            if key not in names:
+                raise JsonnetRuntimeError(f"unknown named argument {key!r}")
+            if key in bound:
+                raise JsonnetRuntimeError(f"argument {key!r} bound twice")
+            bound[key] = val
+        env = _Env(bound, fn.env)
+        for name, default in fn.params:
+            if name not in bound:
+                if default is None:
+                    raise JsonnetRuntimeError(f"missing argument {name!r}")
+                bound[name] = self._eval(default, env)
+        return self._eval(fn.body, env)
+
+    def _eval(self, node: Any, env: _Env) -> Any:
+        tag = node[0]
+        if tag == "lit":
+            return node[1]
+        if tag == "var":
+            return env.lookup(node[1])
+        if tag == "array":
+            return [self._eval(e, env) for e in node[1]]
+        if tag == "object":
+            _, fields, locals_ = node
+            oenv = self._bind_locals(locals_, env)
+            out: dict[str, Any] = {}
+            for kexpr, vexpr in fields:
+                key = self._eval(kexpr, oenv)
+                if key is None:
+                    continue  # null computed key -> field omitted
+                out[_want(key, "string", "object key")] = self._eval(vexpr, oenv)
+            return out
+        if tag == "local":
+            return self._eval(node[2], self._bind_locals(node[1], env))
+        if tag == "fn":
+            return Closure(node[1], node[2], env)
+        if tag == "if":
+            cond = self._eval(node[1], env)
+            if not isinstance(cond, bool):
+                raise JsonnetRuntimeError("if condition must be boolean")
+            return self._eval(node[2] if cond else node[3], env)
+        if tag == "error":
+            raise JsonnetRuntimeError(_to_string(self._eval(node[1], env)))
+        if tag == "call":
+            fn = self._eval(node[1], env)
+            args = [self._eval(a, env) for a in node[2]]
+            kwargs = {k: self._eval(v, env) for k, v in node[3]}
+            return self._call_value(fn, args, kwargs)
+        if tag == "index":
+            return self._index(self._eval(node[1], env), self._eval(node[2], env))
+        if tag == "slice":
+            base = self._eval(node[1], env)
+            if not isinstance(base, (list, str)):
+                raise JsonnetRuntimeError(f"cannot slice {_typename(base)}")
+            a = None if node[2] is None else int(_num(self._eval(node[2], env)))
+            b = None if node[3] is None else int(_num(self._eval(node[3], env)))
+            c = None if node[4] is None else int(_num(self._eval(node[4], env)))
+            return base[a:b:c]
+        if tag == "arrcomp":
+            out: list[Any] = []
+            self._comp(node[2], 0, env, lambda e: out.append(self._eval(node[1], e)))
+            return out
+        if tag == "objcomp":
+            _, kexpr, vexpr, specs, fields, locals_ = node
+            res: dict[str, Any] = {}
+            base_env = self._bind_locals(locals_, env)
+
+            def add(e: _Env) -> None:
+                key = self._eval(kexpr, e)
+                if key is None:
+                    return
+                res[_want(key, "string", "object key")] = self._eval(vexpr, e)
+
+            for kexpr2, vexpr2 in fields:
+                key = self._eval(kexpr2, base_env)
+                if key is not None:
+                    res[_want(key, "string", "object key")] = self._eval(vexpr2, base_env)
+            self._comp(specs, 0, base_env, add)
+            return res
+        if tag == "binop":
+            return self._binop(node[1], node[2], node[3], env)
+        if tag == "unop":
+            v = self._eval(node[2], env)
+            op = node[1]
+            if op == "!":
+                return not _want(v, "boolean", "'!'")
+            if op == "-":
+                return -_num(v)
+            if op == "+":
+                return _num(v)
+            if op == "~":
+                return float(~int(_num(v)))
+            raise JsonnetRuntimeError(f"unknown unary {op}")
+        raise JsonnetRuntimeError(f"unknown node {tag}")
+
+    def _bind_locals(self, binds: list[tuple[str, Any]], env: _Env) -> _Env:
+        if not binds:
+            return env
+        vars: dict[str, Any] = {}
+        new_env = _Env(vars, env)
+        # functions close over new_env (mutual recursion); plain values
+        # evaluate in definition order
+        for name, expr in binds:
+            vars[name] = self._eval(expr, new_env)
+        return new_env
+
+    def _comp(self, specs: list[tuple[str, ...]], i: int, env: _Env,
+              emit: Callable[[_Env], None]) -> None:
+        if i == len(specs):
+            emit(env)
+            return
+        spec = specs[i]
+        if spec[0] == "for":
+            _, var, arrexpr = spec
+            arr = self._eval(arrexpr, env)
+            if not isinstance(arr, list):
+                raise JsonnetRuntimeError(
+                    f"comprehension 'in' expects array, got {_typename(arr)}"
+                )
+            for item in arr:
+                self._comp(specs, i + 1, _Env({var: item}, env), emit)
+        else:
+            cond = self._eval(spec[1], env)
+            if not isinstance(cond, bool):
+                raise JsonnetRuntimeError("comprehension 'if' must be boolean")
+            if cond:
+                self._comp(specs, i + 1, env, emit)
+
+    def _index(self, base: Any, idx: Any) -> Any:
+        if isinstance(base, dict):
+            key = _want(idx, "string", "object index")
+            if key not in base:
+                raise JsonnetRuntimeError(f"field does not exist: {key}")
+            return base[key]
+        if isinstance(base, list):
+            i = int(_num(idx, "array index"))
+            if i < 0 or i >= len(base):
+                raise JsonnetRuntimeError(f"array index {i} out of bounds")
+            return base[i]
+        if isinstance(base, str):
+            i = int(_num(idx, "string index"))
+            if i < 0 or i >= len(base):
+                raise JsonnetRuntimeError(f"string index {i} out of bounds")
+            return base[i]
+        raise JsonnetRuntimeError(f"cannot index {_typename(base)}")
+
+    def _binop(self, op: str, lexpr: Any, rexpr: Any, env: _Env) -> Any:
+        if op == "&&":
+            left = self._eval(lexpr, env)
+            if not isinstance(left, bool):
+                raise JsonnetRuntimeError("'&&' expects booleans")
+            if not left:
+                return False
+            return _want(self._eval(rexpr, env), "boolean", "'&&'")
+        if op == "||":
+            left = self._eval(lexpr, env)
+            if not isinstance(left, bool):
+                raise JsonnetRuntimeError("'||' expects booleans")
+            if left:
+                return True
+            return _want(self._eval(rexpr, env), "boolean", "'||'")
+        a = self._eval(lexpr, env)
+        b = self._eval(rexpr, env)
+        if op == "==":
+            return _eq(a, b)
+        if op == "!=":
+            return not _eq(a, b)
+        if op == "in":
+            return _want(a, "string", "'in'") in _want(b, "object", "'in'")
+        if op == "+":
+            if isinstance(a, str) or isinstance(b, str):
+                return _to_string(a) + _to_string(b)
+            if isinstance(a, list) and isinstance(b, list):
+                return a + b
+            if isinstance(a, dict) and isinstance(b, dict):
+                return {**a, **b}
+            return _num(a) + _num(b)
+        if op == "-":
+            return _num(a) - _num(b)
+        if op == "*":
+            return _num(a) * _num(b)
+        if op == "/":
+            if _num(b) == 0:
+                raise JsonnetRuntimeError("division by zero")
+            return _num(a) / _num(b)
+        if op == "%":
+            return _jsonnet_mod(a, b)
+        if op in ("<", "<=", ">", ">="):
+            _cmp_ok(a, b, op)
+            return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+        if op in ("&", "|", "^", "<<", ">>"):
+            x, y = int(_num(a)), int(_num(b))
+            r = {"&": x & y, "|": x | y, "^": x ^ y,
+                 "<<": x << y, ">>": x >> y}[op]
+            return r
+        raise JsonnetRuntimeError(f"unknown operator {op}")
+
+
+# ---------------------------------------------------------------------------
+# std library
+
+def _make_std(ev: Evaluator) -> dict[str, Any]:
+    def call1(f: Any, x: Any) -> Any:
+        return ev.call(f, [x])
+
+    def length(x: Any) -> Any:
+        if isinstance(x, (str, list)):
+            return len(x)
+        if isinstance(x, dict):
+            return len(x)
+        if isinstance(x, Closure):
+            return len(x.params)
+        raise JsonnetRuntimeError(f"std.length of {_typename(x)}")
+
+    def _keyf(keyF: Any) -> Callable[[Any], Any]:
+        if keyF is None:
+            return lambda x: x
+        return lambda x: call1(keyF, x)
+
+    def sort(arr: Any, keyF: Any = None) -> Any:
+        return sorted(arr, key=_keyf(keyF))
+
+    def uniq(arr: Any, keyF: Any = None) -> Any:
+        kf = _keyf(keyF)
+        out: list[Any] = []
+        for x in arr:
+            if not out or not _eq(kf(out[-1]), kf(x)):
+                out.append(x)
+        return out
+
+    def set_(arr: Any, keyF: Any = None) -> Any:
+        return uniq(sort(arr, keyF), keyF)
+
+    def member(arr: Any, x: Any) -> bool:
+        if isinstance(arr, str):
+            return _want(x, "string", "std.member") in arr
+        return any(_eq(v, x) for v in arr)
+
+    def range_(a: Any, b: Any) -> list[Any]:
+        return list(range(int(_num(a)), int(_num(b)) + 1))
+
+    def fold(f: Any, arr: Any, init: Any, left: bool) -> Any:
+        acc = init
+        for x in (arr if left else reversed(arr)):
+            acc = ev.call(f, [acc, x] if left else [x, acc])
+        return acc
+
+    def parse_int(s: Any) -> int:
+        s = _want(s, "string", "std.parseInt")
+        try:
+            return int(s, 10)
+        except ValueError as e:
+            raise JsonnetRuntimeError(f"std.parseInt: {s!r}") from e
+
+    def parse_json(s: Any) -> Any:
+        try:
+            return json.loads(_want(s, "string", "std.parseJson"))
+        except ValueError as e:
+            raise JsonnetRuntimeError(f"std.parseJson: {e}") from e
+
+    def find(value: Any, arr: Any) -> list[int]:
+        return [i for i, v in enumerate(arr) if _eq(v, value)]
+
+    def flatmap(f: Any, arr: Any) -> Any:
+        if isinstance(arr, str):
+            return "".join(call1(f, c) for c in arr)
+        out: list[Any] = []
+        for x in arr:
+            r = call1(f, x)
+            if not isinstance(r, list):
+                raise JsonnetRuntimeError("std.flatMap fn must return arrays")
+            out.extend(r)
+        return out
+
+    std: dict[str, Any] = {
+        "length": length,
+        "type": _typename,
+        "toString": _to_string,
+        "codepoint": lambda s: ord(s),
+        "char": lambda n: chr(int(_num(n))),
+        "substr": lambda s, f, l: s[int(_num(f)) : int(_num(f)) + int(_num(l))],
+        "startsWith": lambda a, b: a.startswith(b),
+        "endsWith": lambda a, b: a.endswith(b),
+        "strReplace": lambda s, frm, to: s.replace(frm, to),
+        "asciiUpper": lambda s: s.upper(),
+        "asciiLower": lambda s: s.lower(),
+        "stringChars": lambda s: list(s),
+        "split": lambda s, c: s.split(c),
+        "splitLimit": lambda s, c, m: s.split(c, int(_num(m)) if m >= 0 else -1),
+        "join": lambda sep, arr: _join(sep, arr),
+        "format": std_format,
+        "map": lambda f, arr: (
+            [call1(f, x) for x in arr]
+            if isinstance(arr, list)
+            else [call1(f, ch) for ch in _want(arr, "array", "std.map")]
+        ),
+        "mapWithIndex": lambda f, arr: [ev.call(f, [i, x]) for i, x in enumerate(arr)],
+        "mapWithKey": lambda f, obj: {k: ev.call(f, [k, v]) for k, v in obj.items()},
+        "filter": lambda f, arr: [x for x in arr if _want(call1(f, x), "boolean", "std.filter")],
+        "filterMap": lambda pf, mf, arr: [call1(mf, x) for x in arr if call1(pf, x)],
+        "flatMap": flatmap,
+        "foldl": lambda f, arr, init: fold(f, arr, init, True),
+        "foldr": lambda f, arr, init: fold(f, arr, init, False),
+        "range": range_,
+        "repeat": lambda what, count: what * int(_num(count)),
+        "slice": lambda x, a, b, step: x[int(_num(a)) : (None if b is None else int(_num(b))) : (None if step is None else int(_num(step)))],
+        "makeArray": lambda n, f: [call1(f, i) for i in range(int(_num(n)))],
+        "count": lambda arr, x: sum(1 for v in arr if _eq(v, x)),
+        "find": find,
+        "member": member,
+        "contains": member,
+        "reverse": lambda arr: list(reversed(arr)),
+        "sort": sort,
+        "uniq": uniq,
+        "set": set_,
+        "setMember": lambda x, arr, keyF=None: member(arr, x),
+        "setUnion": lambda a, b, keyF=None: set_(a + b, keyF),
+        "setInter": lambda a, b, keyF=None: [x for x in set_(a, keyF) if member(b, x)],
+        "setDiff": lambda a, b, keyF=None: [x for x in set_(a, keyF) if not member(b, x)],
+        "sum": lambda arr: sum(_num(x) for x in arr),
+        "avg": lambda arr: sum(_num(x) for x in arr) / len(arr),
+        "all": lambda arr: all(_want(x, "boolean", "std.all") for x in arr),
+        "any": lambda arr: any(_want(x, "boolean", "std.any") for x in arr),
+        "abs": lambda n: abs(_num(n)),
+        "sign": lambda n: 0 if _num(n) == 0 else (1 if n > 0 else -1),
+        "max": lambda a, b: max(_num(a), _num(b)),
+        "min": lambda a, b: min(_num(a), _num(b)),
+        "clamp": lambda x, lo, hi: max(_num(lo), min(_num(x), _num(hi))),
+        "pow": lambda a, b: _num(a) ** _num(b),
+        "exp": lambda n: math.exp(_num(n)),
+        "log": lambda n: math.log(_num(n)),
+        "sqrt": lambda n: math.sqrt(_num(n)),
+        "floor": lambda n: math.floor(_num(n)),
+        "ceil": lambda n: math.ceil(_num(n)),
+        "round": lambda n: round(_num(n)),
+        "mod": _jsonnet_mod,
+        "isString": lambda v: isinstance(v, str),
+        "isNumber": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+        "isBoolean": lambda v: isinstance(v, bool),
+        "isArray": lambda v: isinstance(v, list),
+        "isObject": lambda v: isinstance(v, dict),
+        "isFunction": lambda v: isinstance(v, Closure) or callable(v),
+        "objectHas": lambda o, f: f in _want(o, "object", "std.objectHas"),
+        "objectHasAll": lambda o, f: f in o,
+        "objectFields": lambda o: sorted(o.keys()),
+        "objectFieldsAll": lambda o: sorted(o.keys()),
+        "objectValues": lambda o: [o[k] for k in sorted(o.keys())],
+        "objectKeysValues": lambda o: [
+            {"key": k, "value": o[k]} for k in sorted(o.keys())
+        ],
+        "get": lambda o, f, default=None, inc_hidden=True: o.get(f, default),
+        "prune": lambda v: _prune(v),
+        "parseInt": parse_int,
+        "parseJson": parse_json,
+        "manifestJson": lambda v: manifest_json(v, indent=4),
+        "manifestJsonEx": lambda v, indent, nl="\n", ksep=": ": manifest_json(
+            v, indent=len(indent)
+        ),
+        "manifestJsonMinified": lambda v: manifest_json(v),
+        "escapeStringJson": lambda s: json.dumps(_to_string(s), ensure_ascii=False),
+        "assertEqual": lambda a, b: (
+            True if _eq(a, b)
+            else (_ for _ in ()).throw(
+                JsonnetRuntimeError(f"assertEqual failed: {a!r} != {b!r}")
+            )
+        ),
+        "trace": lambda msg, rest: rest,
+        "pi": math.pi,
+    }
+    return std
+
+
+def _join(sep: Any, arr: Any) -> Any:
+    if isinstance(sep, str):
+        return sep.join(
+            _want(x, "string", "std.join") for x in arr if x is not None
+        )
+    if isinstance(sep, list):
+        out: list[Any] = []
+        first = True
+        for part in arr:
+            if part is None:
+                continue
+            if not first:
+                out.extend(sep)
+            out.extend(_want(part, "array", "std.join"))
+            first = False
+        return out
+    raise JsonnetRuntimeError(f"std.join separator must be string or array")
+
+
+def _prune(v: Any) -> Any:
+    if isinstance(v, dict):
+        out = {k: _prune(x) for k, x in v.items()}
+        return {k: x for k, x in out.items() if x not in (None, [], {})}
+    if isinstance(v, list):
+        return [x for x in (_prune(i) for i in v) if x not in (None, [], {})]
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Snippet API (the shape the transform adapter needs)
+
+def evaluate_snippet(src: str, tla: Optional[list[Any]] = None) -> Any:
+    """Parse + evaluate a snippet.  If the result is a function and
+    ``tla`` is given, call it with those top-level arguments (the
+    stream-jsonnet TLA contract, main.go:43-55)."""
+    return evaluate_ast(parse(src), tla)
+
+
+def evaluate_ast(ast: Any, tla: Optional[list[Any]] = None) -> Any:
+    ev = Evaluator()
+    result = ev.eval_ast(ast)
+    if isinstance(result, Closure) and tla is not None:
+        return ev.call(result, tla)
+    return result

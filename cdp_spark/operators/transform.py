@@ -241,17 +241,70 @@ def send_receive_http(
     return _values_to_events(produced, wrap)
 
 
-def send_receive_jsonnet(*args, **kwargs):  # noqa: ANN002, ANN003
-    """Gated: no jsonnet evaluator (jsonnet/_jsonnet/rjsonnet) is
-    installed in this environment.  The adapter would mirror
-    send_receive_jq: evaluate ``function(events)`` per vector inside
-    mapInPandas (src/step-functions/send-receive-jsonnet.ts:70-97,
-    stream-jsonnet/main.go:18-70)."""
-    try:
-        import _jsonnet  # noqa: F401
-    except ImportError as err:
-        raise NotImplementedError(
-            "send-receive-jsonnet requires a jsonnet evaluator "
-            "(pip install jsonnet) — not available in this environment"
-        ) from err
-    raise NotImplementedError("jsonnet adapter not yet implemented")
+def jsonnet_produced_values(
+    df: DataFrame,
+    jsonnet_expr: str,
+    order_col: str = "_ord",
+    prelude: Optional[str] = None,
+) -> DataFrame:
+    """Evaluate a ``function(events)`` Jsonnet program over each window
+    vector; returns (_worder, _idx, _val JSON-text).  Exactly ONE value
+    per window (_idx == 0): the reference's stream-jsonnet emits one
+    compacted line per input vector (stream-jsonnet/main.go:43-60),
+    unlike jq's zero-or-more stream outputs.  Windows whose evaluation
+    errors produce nothing (main.go:46-52 skips erroring inputs).
+
+    Scale shape: the evaluator is pure Python running inside
+    mapInPandas — per-partition, Arrow-batched, no subprocess.  The
+    program parses once per batch; evaluation cost is proportional to
+    the program, bounded per window.
+    cites src/step-functions/send-receive-jsonnet.ts:70-97.
+    """
+    from ..jsonnet import (
+        Closure,
+        Evaluator,
+        JsonnetError,
+        manifest_json,
+        parse as jsonnet_parse,
+    )
+
+    program = f"{(prelude + chr(10)) if prelude else ''}{jsonnet_expr}"
+    # Fail fast on a bad program (parity: SnippetToAST at pipeline
+    # start, stream-jsonnet/main.go:36-40).
+    jsonnet_parse(program)
+
+    vectors = _collect_vectors(df, order_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ast = jsonnet_parse(program)
+        ev = Evaluator()
+        fn = ev.eval_ast(ast)
+        for pdf in batches:
+            rows = []
+            for worder, vec in zip(pdf["_worder"].tolist(), pdf["_vec"].tolist()):
+                events = json.loads(vec)
+                try:
+                    val = ev.call(fn, [events]) if isinstance(fn, Closure) else fn
+                    rows.append((worder, 0, manifest_json(val)))
+                except JsonnetError:
+                    continue
+            yield pd.DataFrame(rows, columns=["_worder", "_idx", "_val"])
+
+    return vectors.mapInPandas(run, schema="_worder long, _idx long, _val string")
+
+
+def send_receive_jsonnet(
+    df: DataFrame,
+    jsonnet_expr: str,
+    order_col: str = "_ord",
+    prelude: Optional[str] = None,
+    wrap: WrapDirective = None,
+) -> DataFrame:
+    """send-receive-jsonnet: transform event vectors with a
+    ``function(events)`` Jsonnet program and parse the produced values
+    back into events (src/step-functions/send-receive-jsonnet.ts:70-97
+    -> src/io/jsonnet.ts:14-27 -> stream-jsonnet/main.go:18-70).
+    Evaluated by :mod:`cdp_spark.jsonnet` (pure-Python subset — no
+    jsonnet library ships in this environment)."""
+    produced = jsonnet_produced_values(df, jsonnet_expr, order_col, prelude=prelude)
+    return _values_to_events(produced, wrap)

@@ -164,7 +164,12 @@ def _apply_function(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
         )
         out = stamp_old_events(out, ctx.template.name, ctx.signature)
     elif fn == "send-receive-jsonnet":
-        return send_receive_jsonnet()  # gated: raises with guidance
+        expr = opts if isinstance(opts, str) else opts["jsonnet-expr"]
+        wrap = None if isinstance(opts, str) else opts.get("wrap")
+        out = send_receive_jsonnet(
+            df, expr, order_col=ORDER_COL, prelude=ctx.template.jsonnet_prelude, wrap=wrap
+        )
+        out = stamp_old_events(out, ctx.template.name, ctx.signature)
     elif fn == "send-receive-http":
         if isinstance(opts, str):
             target, method, headers, wrap = opts, "POST", None, None
@@ -192,10 +197,13 @@ def _attach_sink(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
     o = opts if isinstance(opts, dict) else {}
     if o.get("jq-expr") is not None and o.get("jsonnet-expr") is not None:
         raise ValueError(f"step '{step.name}': jq-expr and jsonnet-expr are mutually exclusive")
-    if o.get("jsonnet-expr") is not None:
-        send_receive_jsonnet()  # gated: raises with guidance
     lines = sink_payload_lines(
-        df, ORDER_COL, jq_expr=o.get("jq-expr"), jq_prelude=ctx.template.jq_prelude
+        df,
+        ORDER_COL,
+        jq_expr=o.get("jq-expr"),
+        jq_prelude=ctx.template.jq_prelude,
+        jsonnet_expr=o.get("jsonnet-expr"),
+        jsonnet_prelude=ctx.template.jsonnet_prelude,
     )
     if fn == "send-stdout":
         action = make_stdout_action(lines)
@@ -220,6 +228,8 @@ def _attach_sink(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
             step_name=step.name,
             jq_expr=o.get("jq-expr"),
             jq_prelude=ctx.template.jq_prelude,
+            jsonnet_expr=o.get("jsonnet-expr"),
+            jsonnet_prelude=ctx.template.jsonnet_prelude,
         )
     ctx.sinks.append((step.name, action))
     return df
