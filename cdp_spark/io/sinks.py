@@ -151,20 +151,70 @@ def make_http_action(
     return action
 
 
+# expose-http buffers by step name, so tests / embedding apps can query
+# what a pipeline exposed (and serve it with expose.ExposeServer).
+_EXPOSE_BUFFERS: dict[str, "ExposeBuffer"] = {}
+
+
+def get_expose_buffer(step_name: str) -> Optional["ExposeBuffer"]:
+    return _EXPOSE_BUFFERS.get(step_name)
+
+
 def make_expose_action(
-    lines_df: DataFrame, step_name: str, responses: int = 1
+    df: DataFrame,
+    step_name: str,
+    options: Optional[dict] = None,
+    jq_prelude: Optional[str] = None,
+    jsonnet_prelude: Optional[str] = None,
 ) -> Callable[[], None]:
-    """expose-http (src/step-functions/expose-http.ts:165-291) batch
-    analog: materialize the latest N windows as a queryable temp view
-    ``cdp_expose_<step>`` (the 'latest-window view').  The HTTP
-    serving layer is deliberately out of engine scope."""
+    """expose-http (src/step-functions/expose-http.ts:165-291): slide
+    each window (or each jq/jsonnet-produced value) into a fixed-size
+    response ring buffer with ETag + Link-paging semantics
+    (cdp_spark.io.expose).  When a ``port`` option is given, an HTTP
+    server serves the buffer at ``endpoint``; otherwise the buffer is
+    queryable via :func:`get_expose_buffer` (embedding apps own the
+    server lifecycle)."""
+    from .expose import ExposeBuffer, ExposeServer
+
+    o = options or {}
+    responses = int(o.get("responses", 1))
+    jq_expr = o.get("jq-expr")
+    jsonnet_expr = o.get("jsonnet-expr")
 
     def action() -> None:
-        spark = lines_df.sparkSession
-        view = f"cdp_expose_{step_name}".replace("-", "_").replace(".", "_")
-        lines_df.orderBy(F.col("_ord").desc()).limit(responses).createOrReplaceTempView(view)
+        buffer = ExposeBuffer(responses)
+        _EXPOSE_BUFFERS[step_name] = buffer
+        if jq_expr is not None or jsonnet_expr is not None:
+            if jsonnet_expr is not None:
+                produced = jsonnet_produced_values(df, jsonnet_expr, prelude=jsonnet_prelude)
+            else:
+                produced = jq_produced_values(df, jq_expr, prelude=jq_prelude)
+            for row in (
+                produced.orderBy("_worder", "_idx").select("_val").toLocalIterator()
+            ):
+                buffer.register_value(row["_val"])
+        else:
+            from .brokers import _iter_vectors
+
+            for lines, _stamps in _iter_vectors(df):
+                buffer.register_window(lines)
+        if o.get("port") is not None:
+            server = ExposeServer(
+                buffer,
+                endpoint=o.get("endpoint", "/events"),
+                port=int(o["port"]),
+                headers=o.get("headers"),
+            )
+            _EXPOSE_SERVERS[step_name] = server.start()
 
     return action
+
+
+_EXPOSE_SERVERS: dict[str, object] = {}
+
+
+def get_expose_server(step_name: str):
+    return _EXPOSE_SERVERS.get(step_name)
 
 
 def make_broker_action(

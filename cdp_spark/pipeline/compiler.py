@@ -218,7 +218,13 @@ def _attach_sink(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
             lines, target, method=o.get("method", "POST"), headers=o.get("headers")
         )
     elif fn == "expose-http":
-        action = make_expose_action(lines, step.name, responses=int(o.get("responses", 1)))
+        action = make_expose_action(
+            df,
+            step.name,
+            options=o,
+            jq_prelude=ctx.template.jq_prelude,
+            jsonnet_prelude=ctx.template.jsonnet_prelude,
+        )
     else:
         action = make_broker_action(
             fn,
