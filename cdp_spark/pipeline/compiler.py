@@ -284,6 +284,12 @@ def compile_pipeline(
             path = o if isinstance(o, str) else o["path"]
             wrap = None if isinstance(o, str) else o.get("wrap")
             input_df, dead = read_ndjson(spark, path, wrap=wrap)
+        elif template.input_form == "stdin":
+            from ..sources.stdin import read_stdin
+
+            o = template.input_options or {}
+            wrap = o.get("wrap") if isinstance(o, dict) else None
+            input_df, dead = read_stdin(spark, wrap=wrap)
         else:
             raise NotImplementedError(
                 f"input form '{template.input_form}' has no batch executor; "

@@ -64,8 +64,21 @@ def stream_kafka_events(
         raw = reader.load()
     except Exception as e:  # connector jar missing
         raise RuntimeError(_CONNECTOR_HINT) from e
-    lines = raw.select(
-        F.explode(F.split(F.col("value").cast("string"), "\n")).alias("value")
+    return message_bodies_to_events(raw, wrap)
+
+
+def message_bodies_to_events(
+    messages: DataFrame, wrap: WrapDirective = None, value_col: str = "value"
+) -> DataFrame:
+    """Broker message body -> events: split multi-line bodies (one
+    message may carry an NDJSON event vector, the reference's payload
+    framing over amqp/mqtt/redis — src/input/amqp.ts:299-320), drop
+    blank lines, then the shared tolerant line parse.  Factored out of
+    the Kafka reader so the path is testable without a broker: any
+    (streaming or batch) DataFrame with a binary/string ``value``
+    column works — tests drive it with an in-memory stand-in."""
+    lines = messages.select(
+        F.explode(F.split(F.col(value_col).cast("string"), "\n")).alias("value")
     ).filter(F.length(F.trim("value")) > 0)
     return lines_to_events(lines, wrap)
 

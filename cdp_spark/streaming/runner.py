@@ -53,9 +53,21 @@ def _input_stream(spark: SparkSession, template: PipelineTemplate) -> DataFrame:
             name=o.get("name", "_generated"),
             seconds=float(o.get("seconds", 1)),
         )
+    if form == "http":
+        from .http_input import stream_http
+
+        endpoint = opts if isinstance(opts, str) else o.get("endpoint", "/events")
+        stream, _server = stream_http(
+            spark,
+            spool_dir=o.get("spool-dir", "/tmp/cdp_spark_http_spool"),
+            endpoint=endpoint,
+            port=int(o.get("port", 0)) or 0,
+            wrap=o.get("wrap"),
+        )
+        return stream
     raise NotImplementedError(
         f"input form '{form}' has no streaming executor here; brokered "
-        "inputs (amqp/mqtt/redis) map to the Kafka source, http/poll to "
+        "inputs (amqp/mqtt/redis) map to the Kafka source, poll to "
         "an ingest bridge (cdp_spark.streaming.sources module notes)"
     )
 
