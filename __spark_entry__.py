@@ -261,6 +261,56 @@ def q_window_flatmap_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _transform_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events shaped as CDP wire events (n, d JSON payload, t) with
+    count-100 windows, for the jq/jsonnet transform queries."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("n"),
+        F.to_json(F.struct("value")).alias("d"),
+        F.lit(None).cast("array<struct<i double, p string, h string>>").alias("t"),
+        F.col("event_id").cast("long").alias("_ord"),
+    )
+    return tumbling_count_windows(ev, 100, "_ord")
+
+
+def _parse_transform_output(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.col("_ord").alias("w"),
+        F.get_json_object("d", "$.cnt").cast("long").alias("cnt"),
+        F.round(F.get_json_object("d", "$.total").cast("double"), 2).alias("total"),
+    )
+
+
+def q_jq_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """send-receive-jq end-to-end: per count-100 window, a jq program
+    computes {cnt, total} over the event vector; the produced values
+    are parsed back to columns (src/step-functions/send-receive-jq.ts
+    contract).  The oracle recomputes the same windows in SQL."""
+    from cdp_spark.operators.transform import send_receive_jq
+
+    win = _transform_input(spark, sf_dir)
+    out = send_receive_jq(
+        win, "{cnt: length, total: (map(.d.value) | add)}", wrap="win"
+    )
+    return _parse_transform_output(out)
+
+
+def q_jsonnet_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """send-receive-jsonnet end-to-end: the same window stats computed
+    by a function(events) Jsonnet program through the pure-Python
+    evaluator (src/step-functions/send-receive-jsonnet.ts contract)."""
+    from cdp_spark.operators.transform import send_receive_jsonnet
+
+    win = _transform_input(spark, sf_dir)
+    out = send_receive_jsonnet(
+        win,
+        "function(events) {cnt: std.length(events), "
+        "total: std.sum([e.d.value for e in events])}",
+        wrap="win",
+    )
+    return _parse_transform_output(out)
+
+
 def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("event_type").alias("n"), F.col("props").alias("d"),
@@ -784,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_flatmap_slide": q_window_flatmap_slide,
         "window_reduce_keyed": q_window_reduce_keyed,
         "window_flatmap_keyed": q_window_flatmap_keyed,
+        "jq_window_stats": q_jq_window_stats,
+        "jsonnet_window_stats": q_jsonnet_window_stats,
         "dedup_exact_events": q_dedup_exact_events,
         "keep_last_per_window": q_keep_last_per_window,
         "keep_when_filter": q_keep_when_filter,
@@ -897,6 +949,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), 2) AS sliding_sum
             FROM events
+        """,
+        # jq/jsonnet transform queries: w is the 1-based window rank in
+        # (min event_id) order — identical to wid + 1 for count windows.
+        "jq_window_stats": """
+            WITH w AS (
+              SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 100)
+                          AS BIGINT) AS wid, value
+              FROM events)
+            SELECT wid + 1 AS w, count(*) AS cnt, round(sum(value), 2) AS total
+            FROM w GROUP BY wid
+        """,
+        "jsonnet_window_stats": """
+            WITH w AS (
+              SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 100)
+                          AS BIGINT) AS wid, value
+              FROM events)
+            SELECT wid + 1 AS w, count(*) AS cnt, round(sum(value), 2) AS total
+            FROM w GROUP BY wid
         """,
         "dedup_exact_events": """
             SELECT event_id FROM (

@@ -14,7 +14,7 @@ source/sink/window machinery onto Structured Streaming:
 
 from .sources import stream_dead_letters, stream_generator, stream_ndjson_files
 from .count_or_time import streaming_count_or_time
-from .runner import run_pipeline_stream
+from .runner import PipelineRunner, run_pipeline_managed, run_pipeline_stream
 from .poll import PollDataSource, stream_poll
 from .kafka import kafka_event_sink, stream_kafka_events
 
@@ -24,6 +24,8 @@ __all__ = [
     "stream_ndjson_files",
     "streaming_count_or_time",
     "run_pipeline_stream",
+    "run_pipeline_managed",
+    "PipelineRunner",
     "PollDataSource",
     "stream_poll",
     "kafka_event_sink",

@@ -41,7 +41,14 @@ from ..pipeline.template import PipelineTemplate
 from .sources import stream_generator, stream_ndjson_files
 
 
-def _input_stream(spark: SparkSession, template: PipelineTemplate) -> DataFrame:
+def _input_stream(
+    spark: SparkSession,
+    template: PipelineTemplate,
+    closers: Optional[list] = None,
+) -> DataFrame:
+    """Build the template's input stream.  Server-backed inputs append
+    their close() handles to ``closers`` so the managed runner can
+    drain in order (input first, then the query)."""
     form, opts = template.input_form, template.input_options
     o = opts if isinstance(opts, dict) else {}
     if form in ("file", "tail"):
@@ -57,13 +64,15 @@ def _input_stream(spark: SparkSession, template: PipelineTemplate) -> DataFrame:
         from .http_input import stream_http
 
         endpoint = opts if isinstance(opts, str) else o.get("endpoint", "/events")
-        stream, _server = stream_http(
+        stream, server = stream_http(
             spark,
             spool_dir=o.get("spool-dir", "/tmp/cdp_spark_http_spool"),
             endpoint=endpoint,
             port=int(o.get("port", 0)) or 0,
             wrap=o.get("wrap"),
         )
+        if closers is not None:
+            closers.append(server.close)
         return stream
     raise NotImplementedError(
         f"input form '{form}' has no streaming executor here; brokered "
@@ -122,3 +131,104 @@ def run_pipeline_stream(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+class PipelineRunner:
+    """Managed pipeline lifecycle (src/api.ts:318-441).
+
+    Wraps the streaming query with the reference's health/shutdown
+    contract:
+
+    - ``healthy()``: the query is active and every registered health
+      check passes — the healthz document the HTTP layer serves
+      (src/input/http.ts:126-139 checks its processors the same way).
+    - A monitor thread polls health every ``health_interval`` seconds
+      and triggers the ordered drain when a check fails
+      (api.ts:409-421: "draining queues and shutting down").
+    - ``close()``: ordered drain (api.ts:422-431) — stop accepting
+      input (server closers run first), give the query
+      ``drain_timeout`` seconds to process what already arrived, then
+      stop it.  Idempotent.
+    """
+
+    def __init__(
+        self,
+        query: StreamingQuery,
+        input_closers: Optional[list[Callable[[], None]]] = None,
+        health_checks: Optional[list[Callable[[], bool]]] = None,
+        health_interval: float = 0.0,
+    ):
+        import threading
+
+        self.query = query
+        self._input_closers = list(input_closers or [])
+        self._health_checks = list(health_checks or [])
+        self._closed = threading.Event()
+        self._monitor: Optional[threading.Thread] = None
+        if health_interval > 0:
+            def monitor() -> None:
+                while not self._closed.wait(health_interval):
+                    if not self.healthy():
+                        self.close()
+                        return
+
+            self._monitor = threading.Thread(target=monitor, daemon=True)
+            self._monitor.start()
+
+    def healthy(self) -> bool:
+        if self._closed.is_set() or not self.query.isActive:
+            return False
+        try:
+            return all(check() for check in self._health_checks)
+        except Exception:
+            return False
+
+    def close(self, drain_timeout: float = 5.0) -> None:
+        if self._closed.is_set():
+            return
+        self._closed.set()
+        # 1. stop accepting input
+        for closer in self._input_closers:
+            try:
+                closer()
+            except Exception:
+                pass
+        # 2. drain: let in-flight micro-batches finish within the
+        #    timeout (INPUT_DRAIN_TIMEOUT analog, api.ts:423-426)
+        deadline = time.time() + drain_timeout
+        try:
+            while self.query.isActive and time.time() < deadline:
+                progress = self.query.status
+                if not progress.get("isDataAvailable", False) and not progress.get(
+                    "isTriggerActive", False
+                ):
+                    break
+                time.sleep(0.2)
+        except Exception:
+            pass
+        # 3. stop the query
+        try:
+            if self.query.isActive:
+                self.query.stop()
+        except Exception:
+            pass
+
+
+def run_pipeline_managed(
+    template: PipelineTemplate,
+    spark: SparkSession,
+    health_checks: Optional[list[Callable[[], bool]]] = None,
+    health_interval: float = 0.0,
+    **kwargs,
+) -> PipelineRunner:
+    """Start the pipeline from its template input form and return the
+    managed runner (query + ordered-drain close + health monitor)."""
+    closers: list[Callable[[], None]] = []
+    input_stream = _input_stream(spark, template, closers=closers)
+    query = run_pipeline_stream(template, spark=spark, input_stream=input_stream, **kwargs)
+    return PipelineRunner(
+        query,
+        input_closers=closers,
+        health_checks=health_checks,
+        health_interval=health_interval,
+    )
