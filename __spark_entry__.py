@@ -490,6 +490,47 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.exact_dup_clusters(docs, "doc_id", "text")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over a blocking graph —
+    block on (source, lang), link length-adjacent neighbors (the
+    classic blocking+linkage shape; the length predicate stands in
+    for a verified similarity edge, since the synthetic corpus has no
+    organic near-dup chains).  Components come from the O(log n)
+    pointer-jumping operator; the oracle recomputes them with a
+    recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy("n_chars", "doc_id")
+    nbr = docs.select(
+        "doc_id",
+        "n_chars",
+        F.lead("doc_id").over(w).alias("next_id"),
+        F.lead("n_chars").over(w).alias("next_chars"),
+    )
+    edges = nbr.filter(
+        F.col("next_id").isNotNull()
+        & (F.abs(F.col("n_chars") - F.col("next_chars")) <= 2)
+    ).select(F.col("doc_id").alias("src"), F.col("next_id").alias("dst"))
+    return ddp.connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+_SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling via md5 hash bucketing
+    (reproducible across runs/engines; raising a rate keeps every
+    previously-sampled row)."""
+    from cdp_spark.datapipe.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "source", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "source")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.trim("text"), r"\s+")
@@ -860,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_dim_stats": q_vector_dim_stats,
         # LLM-pipeline extensions
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dup_clusters": q_dup_clusters,
+        "stratified_sample": q_stratified_sample,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1068,6 +1111,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE
+            nbr AS (
+              SELECT doc_id, n_chars,
+                     lead(doc_id) OVER w AS next_id,
+                     lead(n_chars) OVER w AS next_chars
+              FROM documents
+              WINDOW w AS (PARTITION BY source, lang ORDER BY n_chars, doc_id)
+            ),
+            edges AS (
+              SELECT doc_id AS s, next_id AS d FROM nbr
+              WHERE next_id IS NOT NULL AND abs(n_chars - next_chars) <= 2
+            ),
+            bidir AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+            reach(id, label) AS (
+              SELECT s, s FROM bidir
+              UNION
+              SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.id
+            )
+            SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE source
+                    WHEN 'src0' THEN 'gggg'
+                    WHEN 'src5' THEN '8000'
+                    WHEN 'src10' THEN '4000'
+                    ELSE '199a'
+                  END
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "simhash_docs",
     "ann_lsh",
     "ann_ivf",
+    "dup_clusters",
+    "stratified_sample",
+    "jq_window_stats",
+    "jsonnet_window_stats",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)
     "ann_lsh_indexed",

@@ -275,3 +275,61 @@ def exact_dup_clusters(df: DataFrame, id_col: str, content_col: str) -> DataFram
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair (or any) edge list:
+    (id, component) where component = the minimum node id reachable.
+    This is the cluster step of large-scale dedup — candidate pairs
+    from MinHash-LSH / exact-hash stars become groups from which one
+    canonical document survives.
+
+    Algorithm: min-label propagation with pointer jumping.  Each
+    round does (a) l(v) <- min(l(v), min over neighbors' labels) and
+    (b) l(v) <- l(l(v)) (hook the label to its label's label).  The
+    jump collapses chains geometrically, so convergence is
+    O(log(diameter)) rounds, not O(diameter) — the property that
+    makes the path-graph worst case survive a 100x scale-up.  Each
+    round costs two shuffled joins plus a groupBy-min; lineage is
+    truncated every round (localCheckpoint — on a cluster, configure
+    a checkpoint dir) so the plan does not grow exponentially.
+    Terminates early when no label changes.
+    """
+    e = edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    e = e.localCheckpoint()
+    labels = (
+        e.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label")
+        )
+        hop = stepped.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        jumped = (
+            stepped.join(hop, stepped["label"] == hop["_lid"], "left")
+            .select("id", F.coalesce("_llabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))

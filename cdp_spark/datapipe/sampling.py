@@ -1,0 +1,63 @@
+"""Deterministic sampling for training-data curation.
+
+Random sampling is unusable in a reproducible data pipeline: re-runs
+must select the same documents, different engines must agree, and a
+sample must be extensible (raising a stratum's rate keeps every
+previously-selected row — the hash threshold just moves).  The
+standard trick is hash-based bucketing: a document is in the sample
+iff a stable content/id hash falls below the stratum's threshold.
+
+All expressions stay JVM-side (md5 + substring comparisons), so the
+sample predicate pushes into the scan stage and costs one pass with
+no shuffle — at 100 TB the sampler is scan-bound, exactly as cheap
+as a filter can be.  MD5 is used (not xxhash64) because it is
+bit-identical across engines, which keeps the operation
+oracle-checkable and portable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket_hex(col: Column, chars: int = 4) -> Column:
+    """First ``chars`` hex digits of md5(col-as-text): a uniform
+    label in [0, 16^chars) that lexicographic string comparison
+    orders numerically (fixed width, lowercase both here and in
+    SQL engines)."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, chars)
+
+
+def rate_to_hex_threshold(rate: float, chars: int = 4) -> str:
+    """Largest hex prefix t such that P(bucket < t) ~= rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    space = 16 ** chars
+    if rate >= 1.0:
+        return "g" * chars  # 'g' > every hex digit -> always true
+    n = min(int(round(rate * space)), space - 1)
+    return format(n, f"0{chars}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    chars: int = 4,
+) -> DataFrame:
+    """Keep each row iff md5-bucket(id) < threshold(stratum): a
+    deterministic per-stratum downsample (e.g. 100% books, 25% web).
+    Same (id, stratum) always makes the same decision — across runs,
+    partitions, and engines."""
+    bucket = hash_bucket_hex(F.col(id_col), chars)
+    threshold = F.lit(rate_to_hex_threshold(default_rate, chars))
+    for value, rate in rates.items():
+        threshold = F.when(
+            F.col(stratum_col) == value, F.lit(rate_to_hex_threshold(rate, chars))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

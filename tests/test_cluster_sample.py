@@ -1,0 +1,112 @@
+"""Connected-components dedup clustering + deterministic stratified
+sampling (training-data curation operators)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe.dedup import connected_components
+from cdp_spark.datapipe.sampling import (
+    hash_bucket_hex,
+    rate_to_hex_threshold,
+    stratified_sample,
+)
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components(df).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_two_components(spark):
+    comp = _components(spark, [(1, 2), (2, 3), (10, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_multi_hop(spark):
+    # path graph 0-1-2-...-40: worst case for plain propagation;
+    # pointer jumping must still converge inside max_iter
+    comp = _components(spark, [(i, i + 1) for i in range(40)])
+    assert set(comp.values()) == {0}
+    assert len(comp) == 41
+
+
+def test_star_and_cycle(spark):
+    comp = _components(spark, [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (9, 7)])
+    assert comp[1] == comp[2] == comp[3] == comp[5] == 1
+    assert comp[7] == comp[8] == comp[9] == 7
+
+
+def test_direction_irrelevant(spark):
+    assert _components(spark, [(2, 1), (3, 2)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_rate_to_hex_threshold():
+    assert rate_to_hex_threshold(0.0) == "0000"
+    assert rate_to_hex_threshold(0.25) == "4000"
+    assert rate_to_hex_threshold(0.5) == "8000"
+    assert rate_to_hex_threshold(1.0) == "gggg"
+    # near-1 rates clamp below the full space instead of wrapping to 0
+    assert rate_to_hex_threshold(0.99999) == "ffff"
+    with pytest.raises(ValueError):
+        rate_to_hex_threshold(1.5)
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, ["web", "books", "wiki"][i % 3]) for i in range(n)],
+        "doc_id long, source string",
+    )
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark)
+    rates = {"books": 1.0, "web": 0.5, "wiki": 0.0}
+    out = stratified_sample(docs, "doc_id", "source", rates)
+    by_source = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_source.get("books") == 133  # all of them (i % 3 == 1 over 0..399)
+    assert by_source.get("wiki") is None  # rate 0
+    web = by_source.get("web", 0)
+    assert 40 <= web <= 94  # ~50% of 133, binomial spread
+    # deterministic: identical selection on rerun
+    again = stratified_sample(docs, "doc_id", "source", rates)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_stratified_sample_extensible(spark):
+    # raising a rate keeps every previously selected row
+    docs = _docs(spark)
+    small = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "doc_id", "source", {"web": 0.2}).collect()
+    }
+    large = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "doc_id", "source", {"web": 0.6}).collect()
+    }
+    assert small <= large
+
+
+def test_default_rate_applies_to_unlisted_strata(spark):
+    docs = _docs(spark, 300)
+    out = stratified_sample(
+        docs, "doc_id", "source", {"books": 0.0}, default_rate=1.0
+    )
+    sources = {r["source"] for r in out.select("source").distinct().collect()}
+    assert sources == {"web", "wiki"}
+
+
+def test_hash_bucket_is_fixed_width_hex(spark):
+    rows = (
+        _docs(spark, 50)
+        .select(hash_bucket_hex(F.col("doc_id")).alias("b"))
+        .collect()
+    )
+    assert all(len(r["b"]) == 4 and all(c in "0123456789abcdef" for c in r["b"]) for r in rows)
