@@ -685,6 +685,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("id", "n_bytes", F.round("mean_byte", 4).alias("mean_byte"))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image resize over binary columns.  The oracle checks
+    the shape contract — exactly one fixed-size (16x16) output row per
+    document regardless of input size; the resampled bytes themselves
+    are unit-tested (deterministic fake decoder, real decode
+    env-gated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("media"))
+    resized = mm.resize_images(media, 16, 16, fake=True)
+    return resized.select(
+        "id", "width", "height", F.length("pixels").cast("int").alias("n_pixels")
+    )
+
+
 def q_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (F.window) — the batch
     face of the streaming watermark+window path.  Epoch-aligned hourly
@@ -921,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
     }
     for name in _SHARED_SQL:
         q[name] = _shared_sql_query(name)
@@ -1142,6 +1157,11 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'src10' THEN '4000'
                     ELSE '199a'
                   END
+        """,
+        "multimodal_resize": """
+            SELECT doc_id AS id, CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height, CAST(256 AS INTEGER) AS n_pixels
+            FROM documents
         """,
         "text_stats": f"""
             SELECT doc_id,

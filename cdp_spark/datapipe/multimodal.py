@@ -109,3 +109,53 @@ def sample_frames(
             F.transform(idx, lambda i: F.substring(b, i * every_n_bytes + 1, every_n_bytes))
         ).alias("frame_idx", "frame"),
     )
+
+
+RESIZED_SCHEMA = "id long, width int, height int, pixels binary"
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "id",
+    media_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize to (width, height) via mapInPandas.  STUB: a real
+    deployment decodes with PIL/opencv inside the same batch loop;
+    with fake=True a deterministic byte resampler (stride-sampled
+    bytes tiled to width*height) exercises the identical plumbing —
+    binary in, fixed-size binary out, one row per image.
+
+    Scale shape: pure map over Arrow batches, no shuffle; output rows
+    are fixed-size (width*height bytes), so downstream partition
+    sizing is predictable regardless of input image sizes — the
+    property that matters when mixing 10 KB thumbnails and 50 MB
+    scans in one table.
+    """
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires PIL/opencv, not present in this "
+                    "environment; pass fake=True for the deterministic "
+                    "byte-resampling stand-in"
+                )
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(blob) if blob is not None else b""
+                if data:
+                    stride = max(1, len(data) // n_out)
+                    sampled = data[::stride][:n_out]
+                    out = (sampled * (n_out // max(1, len(sampled)) + 1))[:n_out]
+                else:
+                    out = bytes(n_out)
+                rows.append((int(mid), width, height, out))
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "pixels"])
+
+    return df.select(F.col(id_col).alias(id_col), F.col(media_col)).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
