@@ -182,8 +182,14 @@ def make_expose_action(
     jsonnet_expr = o.get("jsonnet-expr")
 
     def action() -> None:
-        buffer = ExposeBuffer(responses)
-        _EXPOSE_BUFFERS[step_name] = buffer
+        # The action runs once per batch (streaming: every micro-batch)
+        # — the ring buffer accumulates across runs and the server
+        # binds once, matching the reference's continuously-fed window
+        # buffer (expose-http.ts:179-199).
+        buffer = _EXPOSE_BUFFERS.get(step_name)
+        if buffer is None or buffer.size != responses:
+            buffer = ExposeBuffer(responses)
+            _EXPOSE_BUFFERS[step_name] = buffer
         if jq_expr is not None or jsonnet_expr is not None:
             if jsonnet_expr is not None:
                 produced = jsonnet_produced_values(df, jsonnet_expr, prelude=jsonnet_prelude)
@@ -198,7 +204,7 @@ def make_expose_action(
 
             for lines, _stamps in _iter_vectors(df):
                 buffer.register_window(lines)
-        if o.get("port") is not None:
+        if o.get("port") is not None and step_name not in _EXPOSE_SERVERS:
             server = ExposeServer(
                 buffer,
                 endpoint=o.get("endpoint", "/events"),
@@ -206,6 +212,9 @@ def make_expose_action(
                 headers=o.get("headers"),
             )
             _EXPOSE_SERVERS[step_name] = server.start()
+        elif step_name in _EXPOSE_SERVERS:
+            # rebind the (possibly new) buffer into the live server
+            _EXPOSE_SERVERS[step_name].buffer = buffer
 
     return action
 

@@ -208,3 +208,27 @@ steps:
     buf = get_expose_buffer("prom")
     assert buf.get().body == "m1 1\nm2 2\nm3 3\n"
     assert buf.get().content_type is None
+
+
+def test_expose_buffer_accumulates_across_batches(spark):
+    # the sink action runs once per (micro-)batch: the ring buffer
+    # accumulates windows across runs instead of resetting
+    yaml_text = """
+name: p
+input: {stdin: }
+steps:
+  acc:
+    reduce:
+      expose-http:
+        endpoint: /e
+        responses: 10
+"""
+    t = from_yaml(yaml_text)
+    for batch in ([("a", "1")], [("b", "2")]):
+        r = compile_pipeline(spark, t, input_df=events_input(spark, batch), arrival_ts=1000.0)
+        r.run_sinks()
+    buf = get_expose_buffer("acc")
+    latest = buf.get()
+    assert json.loads(latest.body.strip())["n"] == "b"
+    older = buf.get(latest.link_key)
+    assert json.loads(older.body.strip())["n"] == "a"
