@@ -221,6 +221,19 @@ def q_rename_affix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return renamed.groupBy("n").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape with the native DataFrame unpivot (melt):
+    per-flag measure totals become (flag, measure, value) rows.  The
+    oracle is the equivalent UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return agg.unpivot("l_returnflag", ["qty", "price", "disc"], "measure", "value")
+
+
 def q_window_reduce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     win = tumbling_count_windows(ev, 100, "event_id")
@@ -889,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_flatmap_slide": q_window_flatmap_slide,
         "window_reduce_keyed": q_window_reduce_keyed,
         "window_flatmap_keyed": q_window_flatmap_keyed,
+        "unpivot_measures": q_unpivot_measures,
         "jq_window_stats": q_jq_window_stats,
         "jsonnet_window_stats": q_jsonnet_window_stats,
         "dedup_exact_events": q_dedup_exact_events,
@@ -1007,6 +1021,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), 2) AS sliding_sum
             FROM events
+        """,
+        "unpivot_measures": """
+            WITH agg AS (
+              SELECT l_returnflag,
+                     round(sum(l_quantity), 2) AS qty,
+                     round(sum(l_extendedprice), 2) AS price,
+                     round(sum(l_discount), 2) AS disc
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, 'qty' AS measure, qty AS value FROM agg
+            UNION ALL SELECT l_returnflag, 'price', price FROM agg
+            UNION ALL SELECT l_returnflag, 'disc', disc FROM agg
         """,
         # jq/jsonnet transform queries: w is the 1-based window rank in
         # (min event_id) order — identical to wid + 1 for count windows.

@@ -73,3 +73,44 @@ class PipelineMetrics:
         lines.append("# TYPE cdp_dead_events gauge")
         lines.append(f"cdp_dead_events {self.dead_events}")
         return lines
+
+
+def serve_metrics(metrics: "PipelineMetrics", port: int = 0, endpoint: str = "/metrics"):
+    """Serve the Prometheus text exposition over HTTP — the
+    reference's metrics endpoint (src/metrics.ts:187-228 behind
+    METRICS_EXPOSITION_PORT/PATH, src/conf.ts).  Returns a started
+    server object with ``.port`` and ``.close()``; scrape-ready:
+
+        GET <endpoint> -> text/plain; version=0.0.4
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args: object) -> None:
+            pass
+
+        def do_GET(self) -> None:
+            if self.path.split("?", 1)[0].rstrip("/") != endpoint.rstrip("/"):
+                self.send_error(404)
+                return
+            body = ("\n".join(metrics.as_prometheus_lines()) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+    class _Server:
+        def __init__(self) -> None:
+            self.port = httpd.server_address[1]
+            self._thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+            self._thread.start()
+
+        def close(self) -> None:
+            httpd.shutdown()
+            httpd.server_close()
+
+    return _Server()

@@ -100,3 +100,27 @@ steps:
     assert metrics.step_events_total[("evens", "outgoing")] == 5
     text = "\n".join(metrics.as_prometheus_lines())
     assert 'cdp_step_events_total{step="evens",flow="outgoing"} 5' in text
+
+
+def test_metrics_exposition_endpoint(spark):
+    import urllib.request
+
+    from cdp_spark.metrics import PipelineMetrics, serve_metrics
+
+    metrics = PipelineMetrics()
+    metrics.record("incoming", 7)
+    metrics.record_step("s1", "outgoing", 3)
+    server = serve_metrics(metrics, port=0)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        assert 'cdp_pipeline_events_total{flow="incoming"} 7' in body
+        assert "s1" in body
+        # live: counters observed after start are served on next scrape
+        metrics.record("incoming", 1)
+        with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as r:
+            assert 'flow="incoming"} 8' in r.read().decode()
+    finally:
+        server.close()

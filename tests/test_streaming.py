@@ -197,3 +197,34 @@ def test_kafka_wrapper_gated(spark):
 
     with pytest.raises(ValueError):
         stream_kafka_events(spark, "localhost:9092")  # neither topic nor pattern
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Gap-based session windows in streaming (F.session_window) —
+    the streaming face of the batch session_gap query: events within
+    the gap merge, a gap beyond it opens a new session."""
+    src = tmp_path / "in"
+    src.mkdir()
+    base = 1700000000
+    lines = [
+        json.dumps({"n": "u1", "d": v, "t": [{"i": base + off, "p": "x", "h": "y"}]})
+        for v, off in [(1, 0), (2, 40), (3, 500), (4, 520)]  # gap 60s -> 2 sessions
+    ]
+    (src / "a.ndjson").write_text("\n".join(lines) + "\n")
+    events = stream_ndjson_files(spark, str(src))
+    with_ts = events.withColumn("ts", F.timestamp_seconds(F.element_at("t", -1)["i"]))
+    agg = (
+        with_ts.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "60 seconds").alias("sess"), "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    drain(q)
+    rows = spark.sql(
+        "SELECT cnt, unix_seconds(sess.start) AS s FROM sess_out ORDER BY s"
+    ).collect()
+    assert [r.cnt for r in rows] == [2, 2]
+    assert rows[0].s == base and rows[1].s == base + 500
