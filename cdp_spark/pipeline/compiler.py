@@ -82,6 +82,7 @@ class _Ctx:
     template: PipelineTemplate
     signature: str
     sinks: list[tuple[str, Callable[[], None]]]
+    distributed_sinks: bool = False
 
 
 def _with_order(df: DataFrame) -> DataFrame:
@@ -209,8 +210,15 @@ def _attach_sink(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
         action = make_stdout_action(lines)
     elif fn == "send-file":
         path = opts if isinstance(opts, str) else o["path"]
+        # Per-step `spark-dir` / compile-level distributed_sinks pick
+        # the executor-parallel directory writer; the driver-side
+        # single-file append is the reference-parity default for
+        # local/debug use (exact byte-order append to ONE file).
+        use_dir = bool(o.get("spark-dir")) or (
+            ctx.distributed_sinks and "spark-dir" not in o
+        )
         action = (
-            make_file_dir_action(lines, path) if o.get("spark-dir") else make_file_action(lines, path)
+            make_file_dir_action(lines, path) if use_dir else make_file_action(lines, path)
         )
     elif fn == "send-http":
         target = opts if isinstance(opts, str) else o["target"]
@@ -268,6 +276,7 @@ def compile_pipeline(
     input_df: Optional[DataFrame] = None,
     arrival_ts: Optional[float] = None,
     observe: bool = False,
+    distributed_sinks: bool = False,
 ) -> PipelineResult:
     """Lower the template to DataFrames.  ``input_df`` overrides the
     template's input form (the library/test entry, mirroring how the
@@ -275,7 +284,13 @@ def compile_pipeline(
     __tests__/api.ts:24-56); otherwise batch-supported forms are
     ``file``/``tail`` (NDJSON path with optional wrap)."""
     signature = get_signature(template.raw)
-    ctx = _Ctx(spark=spark, template=template, signature=signature, sinks=[])
+    ctx = _Ctx(
+        spark=spark,
+        template=template,
+        signature=signature,
+        sinks=[],
+        distributed_sinks=distributed_sinks,
+    )
 
     dead = None
     if input_df is None:

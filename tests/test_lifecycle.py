@@ -109,3 +109,81 @@ steps:
     # availableNow query self-terminates -> no longer healthy
     assert not runner.healthy()
     runner.close()
+
+
+def test_reference_exposition_example_end_to_end(spark, tmp_path):
+    """The reference's examples/exposition pipeline (prometheus-style
+    text via jsonnet + expose-http), run as a streaming pipeline on
+    this engine with a live HTTP server — input form swapped from
+    generator to a file drop for determinism."""
+    import urllib.request
+
+    from cdp_spark.io.sinks import get_expose_buffer, get_expose_server
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "m.ndjson").write_text(
+        '{"n":"exposition_example","d":0.4}\n{"n":"exposition_example","d":0.5}\n'
+    )
+    template = from_yaml(
+        f"""
+name: "Event exposition"
+input: {{tail: {src}}}
+jsonnet-prelude: |-
+  local eventPipeline(event) =
+    event.t[std.length(event.t) - 1].p;
+
+  local eventSignature(event) =
+    event.t[std.length(event.t) - 1].h;
+steps:
+  expose for prometheus:
+    window: {{events: 100, seconds: 3600}}
+    flatmap:
+      expose-http:
+        endpoint: /metrics
+        port: 0
+        responses: 100
+        headers:
+          Content-Type: "text/plain; version=0.0.4"
+        jsonnet-expr: |-
+          function(events)
+            "# TYPE " + events[0].n + " gauge\\n" +
+            std.join(
+              "\\n",
+              std.map(
+                function(event)
+                  event.n +
+                  "{{pipeline=\\"" + eventPipeline(event) + "\\"," +
+                  "signature=\\"" + eventSignature(event) + "\\"}} " +
+                  std.toString(event.d),
+                events
+              )
+            ) +
+            "\\n"
+"""
+    )
+    runner = run_pipeline_managed(
+        template, spark, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    try:
+        runner.query.awaitTermination(180)
+    finally:
+        runner.close()
+    server = get_expose_server("expose for prometheus")
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as r:
+            body = r.read().decode()
+            ctype = r.headers["Content-Type"]
+    finally:
+        server.close()
+    assert body.startswith("# TYPE exposition_example gauge\n")
+    # flatmap = sliding windows: the latest response is the truncated
+    # tail [0.5]; the previous (via the ring's link) holds both events
+    lines = body.strip().split("\n")[1:]
+    assert [line.rsplit(" ", 1)[1] for line in lines] == ["0.5"]
+    assert all(line.startswith('exposition_example{pipeline="Event exposition"') for line in lines)
+    assert ctype == "text/plain; version=0.0.4"
+    buf = get_expose_buffer("expose for prometheus")
+    older = buf.get(buf.get().link_key)
+    older_lines = older.body.strip().split("\n")[1:]
+    assert [line.rsplit(" ", 1)[1] for line in older_lines] == ["0.4", "0.5"]

@@ -294,3 +294,35 @@ def test_stdin_input_form_requires_input_df(spark):
     t = from_yaml("{name: p, input: {http: {endpoint: /e}}}")
     with pytest.raises(NotImplementedError, match="streaming"):
         compile_pipeline(spark, t)
+
+
+def test_distributed_sinks_flag_flips_send_file(spark, tmp_path):
+    # compile-level distributed_sinks=True -> directory writer (the
+    # scale default); explicit spark-dir: false still forces the
+    # driver-side parity append
+    out_dir = tmp_path / "outdir"
+    t = from_yaml(
+        f"""
+name: p
+input: {{stdin: }}
+steps:
+  out:
+    reduce:
+      send-file:
+        path: {out_dir}
+"""
+    )
+    df = events_input(spark, [("a", "1"), ("b", "2")])
+    result = compile_pipeline(
+        spark, t, input_df=df, arrival_ts=1000.0, distributed_sinks=True
+    )
+    result.run_sinks()
+    assert out_dir.is_dir()  # executor-written directory, not one file
+    import json as _json
+
+    lines = [
+        _json.loads(line)
+        for f in sorted(out_dir.glob("part-*"))
+        for line in f.read_text().splitlines()
+    ]
+    assert sorted(e["n"] for e in lines) == ["a", "b"]
