@@ -34,6 +34,12 @@ _NATIVE_KEYS = {
     "exclusiveMaximum",
     "minLength",
     "maxLength",
+    "pattern",
+    "anyOf",
+    "allOf",
+    "oneOf",
+    "not",
+    "items",
 }
 
 _TYPE_TO_VARIANT = {
@@ -49,6 +55,13 @@ def _is_native(schema: Any) -> bool:
     if not isinstance(schema, dict):
         return False
     if set(schema.keys()) - _NATIVE_KEYS:
+        return False
+    for key in ("anyOf", "allOf", "oneOf"):
+        if key in schema and not all(_is_native(s) for s in schema[key]):
+            return False
+    if "not" in schema and not _is_native(schema["not"]):
+        return False
+    if "items" in schema and not _is_native(schema["items"]):
         return False
     props = schema.get("properties", {})
     return all(_is_native(v) for v in props.values())
@@ -123,6 +136,35 @@ def _compile_native(v: Column, schema: dict) -> Column:
                 _compile_native(field, sub)
             )
             pred = pred & F.when(is_obj, sub_ok).otherwise(F.lit(True))
+    if "pattern" in schema:
+        # JSON Schema specifies ECMA-262 regexes; RLIKE is Java regex —
+        # identical for the practical subset (classes, anchors,
+        # quantifiers, alternation). Non-strings pass, per the spec.
+        s = F.try_variant_get(v, "$", "string")
+        is_str = F.schema_of_variant(v) == "STRING"
+        pred = pred & F.when(is_str, s.rlike(schema["pattern"])).otherwise(F.lit(True))
+    if "items" in schema and isinstance(schema["items"], dict):
+        arr = F.try_variant_get(v, "$", "array<variant>")
+        sub = schema["items"]
+        pred = pred & F.when(
+            arr.isNotNull(), F.forall(arr, lambda el: _compile_native(el, sub))
+        ).otherwise(F.lit(True))
+    if "allOf" in schema:
+        for sub in schema["allOf"]:
+            pred = pred & _compile_native(v, sub)
+    if "anyOf" in schema:
+        any_ok = F.lit(False)
+        for sub in schema["anyOf"]:
+            any_ok = any_ok | _compile_native(v, sub)
+        pred = pred & any_ok
+    if "oneOf" in schema:
+        matches = sum(
+            (_compile_native(v, sub).cast("int") for sub in schema["oneOf"]),
+            F.lit(0),
+        )
+        pred = pred & (matches == 1)
+    if "not" in schema:
+        pred = pred & ~_compile_native(v, schema["not"])
     return pred
 
 

@@ -183,3 +183,104 @@ def test_keep_when_fallback_matches_native(spark):
     got_fb = sorted(r["rn"] for r in keep_when(df, schema_fallback).collect())
     # 7 fails type:object; {"x":null} still satisfies required:["x"]
     assert got_native == got_fb == [0, 2]
+
+
+def test_keep_when_combinators_native(spark):
+    # anyOf / allOf / oneOf / not are native (pure predicate logic)
+    for schema in (
+        {"anyOf": [{"type": "integer"}, {"type": "string"}]},
+        {"allOf": [{"type": "number"}, {"minimum": 0}]},
+        {"oneOf": [{"type": "number"}, {"minimum": 0}]},
+        {"not": {"type": "string"}},
+    ):
+        _, native = compile_schema_predicate(schema)
+        assert native, schema
+    df = events_df(
+        spark,
+        [
+            (0, "a", "1", None),
+            (1, "a", "1.5", None),
+            (2, "a", '"s"', None),
+            (3, "a", "-2", None),
+            (4, "a", "true", None),
+        ],
+    )
+    assert sorted(
+        r["rn"] for r in keep_when(df, {"anyOf": [{"type": "integer"}, {"type": "string"}]}).collect()
+    ) == [0, 2, 3]
+    assert sorted(
+        r["rn"] for r in keep_when(df, {"allOf": [{"type": "number"}, {"minimum": 0}]}).collect()
+    ) == [0, 1]
+    # oneOf: number XOR (minimum 0): -2 is number but fails min -> one
+    # match; true passes minimum vacuously (non-number) but isn't a
+    # number -> one match; 1/1.5 match both -> excluded
+    assert sorted(
+        r["rn"] for r in keep_when(df, {"oneOf": [{"type": "number"}, {"minimum": 0}]}).collect()
+    ) == [2, 3, 4]
+    assert sorted(r["rn"] for r in keep_when(df, {"not": {"type": "string"}}).collect()) == [
+        0, 1, 3, 4,
+    ]
+
+
+def test_keep_when_pattern_native(spark):
+    schema = {"type": "object", "properties": {"id": {"type": "string", "pattern": "^ev-[0-9]+$"}}}
+    _, native = compile_schema_predicate(schema)
+    assert native
+    df = events_df(
+        spark,
+        [
+            (0, "a", '{"id": "ev-123"}', None),
+            (1, "a", '{"id": "bad"}', None),
+            (2, "a", '{"id": 7}', None),  # fails the sub-schema's type: string
+            (3, "a", '{"other": 1}', None),  # missing: properties vacuous
+        ],
+    )
+    assert sorted(r["rn"] for r in keep_when(df, schema).collect()) == [0, 3]
+
+
+def test_keep_when_items_native(spark):
+    schema = {"type": "array", "items": {"type": "number", "minimum": 0}}
+    _, native = compile_schema_predicate(schema)
+    assert native
+    df = events_df(
+        spark,
+        [
+            (0, "a", "[1, 2.5, 3]", None),
+            (1, "a", "[1, -2]", None),
+            (2, "a", '[1, "x"]', None),
+            (3, "a", "[]", None),
+            (4, "a", "7", None),  # not an array -> fails type
+        ],
+    )
+    assert sorted(r["rn"] for r in keep_when(df, schema).collect()) == [0, 3]
+
+
+def test_keep_when_new_native_keys_match_jsonschema(spark):
+    # cross-check every newly-native construct against the jsonschema
+    # library (the fallback oracle)
+    import jsonschema
+
+    payloads = [
+        "1", "-1", "1.5", '"ev-1"', '"zz"', "true", "null",
+        "[1,2]", "[-1]", '["a"]', "[]",
+        '{"id":"ev-9"}', '{"id":"x"}', '{"id":3}', "{}",
+    ]
+    schemas = [
+        {"anyOf": [{"type": "integer"}, {"type": "string", "pattern": "^ev-"}]},
+        {"allOf": [{"type": "number"}, {"not": {"minimum": 0}}]},
+        {"oneOf": [{"type": "array"}, {"minimum": 0}]},
+        {"items": {"type": "number"}},
+        {"properties": {"id": {"pattern": "^ev-"}}},
+    ]
+    df = events_df(spark, [(i, "a", p, None) for i, p in enumerate(payloads)])
+    import json as _json
+
+    for schema in schemas:
+        _, native = compile_schema_predicate(schema)
+        assert native, schema
+        got = sorted(r["rn"] for r in keep_when(df, schema).collect())
+        validator = jsonschema.Draft7Validator(schema)
+        want = sorted(
+            i for i, p in enumerate(payloads) if validator.is_valid(_json.loads(p))
+        )
+        assert got == want, (schema, got, want)
