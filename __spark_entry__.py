@@ -349,6 +349,21 @@ def q_keep_when_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_when(ev, schema).select("event_id")
 
 
+def q_keep_when_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep-when with schema combinators (anyOf / not / pattern) —
+    compiled natively to JVM predicates, no Python in the plan."""
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed("props", "d")
+    schema = {
+        "type": "object",
+        "anyOf": [
+            {"properties": {"k": {"maximum": 10}}},
+            {"properties": {"k": {"minimum": 90}}},
+        ],
+        "not": {"properties": {"k": {"const": 95}}},
+    }
+    return keep_when(ev, schema).select("event_id")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no native Spark op): for each purchase, the
     timestamp of the user's latest view at-or-before it.  Single
@@ -530,6 +545,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
+
+
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted pretraining mix: 2.5 epochs of src0, 1.0 of src1,
+    0.25 of src2 — whole epochs replicate, the fractional epoch is a
+    deterministic md5 subsample (oracle reproduces it exactly)."""
+    from cdp_spark.datapipe.sampling import dataset_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = dataset_mix(docs, "doc_id", "source", {"src0": 2.5, "src1": 1.0, "src2": 0.25})
+    return mixed.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_events": q_dedup_exact_events,
         "keep_last_per_window": q_keep_last_per_window,
         "keep_when_filter": q_keep_when_filter,
+        "keep_when_combinators": q_keep_when_combinators,
         "asof_join": q_asof_join,
         "count_or_time_sessions": q_count_or_time_sessions,
         "session_gap": q_session_gap,
@@ -931,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
+        "dataset_mix": q_dataset_mix,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1073,6 +1101,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id FROM events
             WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) >= 50
         """,
+        "keep_when_combinators": """
+            SELECT event_id FROM events
+            WHERE ((try_cast(json_extract_string(props, '$.k') AS BIGINT) <= 10
+                    OR try_cast(json_extract_string(props, '$.k') AS BIGINT) >= 90))
+              AND try_cast(json_extract_string(props, '$.k') AS BIGINT) != 95
+        """,
         "asof_join": """
             SELECT p.event_id,
                    (SELECT CAST(epoch_us(max(v.ts)) AS BIGINT) FROM events v
@@ -1187,6 +1221,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, CAST(16 AS INTEGER) AS width,
                    CAST(16 AS INTEGER) AS height, CAST(256 AS INTEGER) AS n_pixels
             FROM documents
+        """,
+        "dataset_mix": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bk
+              FROM documents),
+            n AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END
+                     + CASE WHEN bk < (CASE source WHEN 'src0' THEN '8000'
+                                                   WHEN 'src2' THEN '4000'
+                                                   ELSE '0000' END)
+                            THEN 1 ELSE 0 END AS n_epochs
+              FROM b)
+            SELECT doc_id, source, unnest(generate_series(1, n_epochs)) AS epoch
+            FROM n WHERE n_epochs > 0
         """,
         "text_stats": f"""
             SELECT doc_id,

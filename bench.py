@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "dup_clusters",
     "stratified_sample",
+    "dataset_mix",
     "jq_window_stats",
     "jsonnet_window_stats",
     # persisted-index reads (build happens once in warmup; the timed

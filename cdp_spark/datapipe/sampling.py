@@ -61,3 +61,44 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(rate_to_hex_threshold(rate, chars))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def dataset_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weights: Mapping[str, float],
+    chars: int = 4,
+) -> DataFrame:
+    """Weighted dataset mixing: each stratum appears ``weight`` times
+    in the output (an ``epoch`` column numbers the repetitions) — the
+    standard pretraining-mix operation ("2.3 epochs of books, 0.5 of
+    web").  The integer part replicates whole epochs; the fractional
+    part is a deterministic md5-bucket subsample (same discipline as
+    stratified_sample, so re-runs and engines agree row-for-row).
+
+    Plan shape: explode over a per-row epoch array — a narrow map
+    (no shuffle, no join); output size = sum(weight_s * |stratum_s|)
+    exactly as predicted, which is what capacity planning needs at
+    100 TB.  Strata absent from ``weights`` get weight 0 (dropped).
+    """
+    whole_br = {k: int(w) for k, w in weights.items()}
+    frac_thr = {
+        k: rate_to_hex_threshold(w - int(w), chars) for k, w in weights.items()
+    }
+    bucket = hash_bucket_hex(F.col(id_col), chars)
+
+    whole = F.lit(0)
+    for value, n in whole_br.items():
+        whole = F.when(F.col(stratum_col) == value, F.lit(n)).otherwise(whole)
+    frac = F.lit("0" * chars)
+    for value, thr in frac_thr.items():
+        frac = F.when(F.col(stratum_col) == value, F.lit(thr)).otherwise(frac)
+
+    n_epochs = whole + F.when(bucket < frac, F.lit(1)).otherwise(F.lit(0))
+    # sequence(1, 0) infers a DESCENDING step and yields [1, 0] — gate
+    # zero-epoch rows to an empty array so explode drops them.
+    epochs = F.when(
+        n_epochs >= 1, F.sequence(F.lit(1), n_epochs)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("epoch", F.explode(epochs))

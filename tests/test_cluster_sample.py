@@ -110,3 +110,40 @@ def test_hash_bucket_is_fixed_width_hex(spark):
         .collect()
     )
     assert all(len(r["b"]) == 4 and all(c in "0123456789abcdef" for c in r["b"]) for r in rows)
+
+
+def test_dataset_mix_epochs(spark):
+    from cdp_spark.datapipe.sampling import dataset_mix
+
+    docs = _docs(spark, 300)  # 100 each of web/books/wiki
+    out = dataset_mix(docs, "doc_id", "source", {"books": 2.0, "web": 0.5})
+    counts = {
+        (r["source"], r["epoch"]): r["cnt"]
+        for r in out.groupBy("source", "epoch").agg(F.count("*").alias("cnt")).collect()
+    }
+    # books: exactly 2 full epochs of all 100 docs
+    assert counts[("books", 1)] == 100 and counts[("books", 2)] == 100
+    assert ("books", 3) not in counts
+    # web: one fractional epoch of ~half
+    assert 30 <= counts[("web", 1)] <= 70
+    assert ("web", 2) not in counts
+    # wiki absent from weights -> dropped entirely
+    assert not any(s == "wiki" for s, _ in counts)
+    # deterministic
+    again = dataset_mix(docs, "doc_id", "source", {"books": 2.0, "web": 0.5})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_dataset_mix_fractional_subset_of_full(spark):
+    from cdp_spark.datapipe.sampling import dataset_mix
+
+    docs = _docs(spark, 150)
+    half = {
+        r["doc_id"]
+        for r in dataset_mix(docs, "doc_id", "source", {"web": 0.4}).collect()
+    }
+    more = {
+        r["doc_id"]
+        for r in dataset_mix(docs, "doc_id", "source", {"web": 0.9}).collect()
+    }
+    assert half <= more
