@@ -886,6 +886,67 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    8-gram with the (deterministic doc_id%50==0) eval slice.  Eval
+    grams broadcast; the corpus-side shuffle carries only hit ids."""
+    from cdp_spark.datapipe import curate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return curate.decontaminate(train, eval_set, "doc_id", "text", n=8)
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-64-token context-window chunking — one row per training
+    window with its first token as the alignment anchor."""
+    from cdp_spark.datapipe import curate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return curate.chunk_by_tokens(docs, "doc_id", "text", budget=64)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition fractions (duplicate-word mass and
+    top-word share) per document."""
+    from cdp_spark.datapipe import curate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    rep = curate.repetition_stats(F.col("text"))
+    return docs.withColumn("rep", rep).select(
+        "doc_id",
+        F.col("rep.dup_word_frac").alias("dup_word_frac"),
+        F.col("rep.top_word_frac").alias("top_word_frac"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: deterministic synthetic PII (email + phone
+    derived from doc_id) is appended, redacted, and fingerprinted —
+    pins the redaction regexes cross-engine."""
+    from cdp_spark.datapipe import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    bound = F.element_at(F.transform(F.array(synth), lambda s: F.struct(
+        curate.pii_counts(s).alias("c"),
+        F.md5(curate.redact_pii(s)).alias("fp"),
+    )), 1)
+    return docs.select("doc_id", bound.alias("b")).select(
+        "doc_id",
+        F.col("b.c.n_emails").cast("long").alias("n_emails"),
+        F.col("b.c.n_phones").cast("long").alias("n_phones"),
+        F.col("b.fp").alias("redacted_fp"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles per group (linear interpolation —
     same definition as DuckDB quantile_cont)."""
@@ -975,6 +1036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ivf_counts": q_ivf_counts,
         "ann_ivf": q_ann_ivf,
+        "decontaminate_docs": q_decontaminate_docs,
+        "chunk_tokens": q_chunk_tokens,
+        "doc_repetition": q_doc_repetition,
+        "pii_redact": q_pii_redact,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1332,6 +1397,63 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
             JOIN counts ca ON ca.doc_id = p.id_a
             JOIN counts cb ON cb.doc_id = p.id_b
+        """,
+        "decontaminate_docs": f"""
+            WITH tk AS (
+              SELECT doc_id, {tok} AS toks FROM documents WHERE length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(toks[gs:gs+7], ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 7)) AS gs
+                    FROM tk WHERE len(toks) >= 8)
+            ),
+            eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+            tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0)
+            SELECT tg.doc_id, count(*) AS n_shared
+            FROM tg JOIN eg ON eg.gram = tg.gram
+            GROUP BY tg.doc_id
+        """,
+        "chunk_tokens": f"""
+            WITH tk AS (
+              SELECT doc_id, {tok} AS toks FROM documents WHERE length(trim(text)) > 0
+            ),
+            c AS (
+              SELECT doc_id, len(toks) AS n, toks,
+                     unnest(generate_series(0, CAST(ceil(len(toks) / 64.0) AS INT) - 1)) AS chunk_id
+              FROM tk
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(least(64, n - chunk_id * 64) AS BIGINT) AS n_tokens,
+                   toks[chunk_id * 64 + 1] AS anchor
+            FROM c
+        """,
+        "doc_repetition": f"""
+            WITH tk AS (
+              SELECT doc_id, {tok} AS toks FROM documents WHERE length(trim(text)) > 0
+            ),
+            w AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tk),
+            c AS (SELECT doc_id, n, tok, count(*) AS cnt FROM w GROUP BY doc_id, n, tok)
+            SELECT doc_id,
+                   round(1 - count(*) * 1.0 / n, 6) AS dup_word_frac,
+                   round(max(cnt) * 1.0 / n, 6) AS top_word_frac
+            FROM c GROUP BY doc_id, n
+        """,
+        "pii_redact": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(synth, '\+?1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(
+                         regexp_replace(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                         '\+?1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_fp
+            FROM s
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,172 @@
+"""Training-corpus curation: decontamination, context-window chunking,
+repetition (Gopher-style) stats, PII redaction.
+
+These are the cleaning passes a pretraining pipeline runs between raw
+ingestion and tokenization.  All four are pure DataFrame ops:
+
+- decontamination explodes n-grams on the *training* side only once
+  and probes a broadcast eval-gram set — the shuffle carries
+  (doc_id, gram-hit) pairs, never document text, and the eval side of
+  a real run (benchmark suites, a few MB) always fits in a broadcast.
+- chunking is a per-row explode with arithmetic chunk sizes — linear
+  output amplification (ceil(tokens/budget) rows per doc), no shuffle.
+- repetition stats are per-row array aggregates (O(distinct·tokens)
+  per doc, bounded by document length) — whole-stage codegen, no
+  shuffle.
+- PII redaction is regexp_replace / regexp_count — JVM regex over the
+  scan, no shuffle.
+
+Every operator has an exact DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` so semantics are pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once (lambda vars evaluate once; plain shared
+    subtrees re-evaluate per reference in higher-order paths)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (duplicates kept).
+
+    Documents shorter than ``n`` tokens yield an empty array — they
+    cannot share an n-gram with anything.
+    """
+
+    def build(tk: Column) -> Column:
+        starts = F.when(
+            F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda i: F.array_join(F.slice(tk, i, n), " "))
+
+    return _let(tokens(col), build)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with an
+    evaluation set (the standard pre-training decontamination pass,
+    cf. GPT-3 appendix C / Dolma's decontamination stage).
+
+    Returns (id, n_shared) for contaminated training docs, where
+    ``n_shared`` counts *distinct* shared n-grams.
+
+    Scale shape: the eval side (benchmark suites) is tiny relative to
+    the corpus — its distinct grams are broadcast, so the training
+    scan streams through a broadcast hash semi-probe with a map-side
+    partial count; the only shuffle is the final groupBy on the
+    (already heavily filtered) contaminated ids.
+    """
+    eval_grams = (
+        eval_set.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    # Probe BEFORE dedup: the broadcast join filters ~everything, so
+    # the one shuffle (countDistinct) carries only hits — dedup'ing
+    # the raw exploded grams first would shuffle the whole corpus.
+    hits = train_grams.join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy(id_col).agg(F.count_distinct("gram").alias("n_shared"))
+
+
+def chunk_by_tokens(
+    df: DataFrame, id_col: str, text_col: str, budget: int = 64
+) -> DataFrame:
+    """Split each document into fixed-token-budget context windows.
+
+    Emits one row per chunk: (id, chunk_id, n_tokens, anchor) where
+    ``anchor`` is the chunk's first token (pins the alignment) and the
+    last chunk may be short.  Empty documents produce no rows.
+
+    Pure per-row explode — linear amplification, zero shuffle; at
+    100 TB this runs entirely inside the scan stage.
+    """
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        n_chunks = F.ceil(n / F.lit(float(budget))).cast("int")
+        return F.transform(
+            F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda c: F.struct(
+                c.cast("long").alias("chunk_id"),
+                F.least(F.lit(budget), n - c * budget).cast("long").alias("n_tokens"),
+                F.element_at(tk, c * budget + 1).alias("anchor"),
+            ),
+        )
+
+    chunks = _let(tokens(F.col(text_col)), build)
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_id", "c.n_tokens", "c.anchor"
+    )
+
+
+def repetition_stats(col: Column) -> Column:
+    """Gopher-style within-document repetition signals as a struct:
+
+    - ``dup_word_frac``: 1 - distinct_tokens/total_tokens (mass of
+      repeated words)
+    - ``top_word_frac``: most frequent token's share of all tokens
+
+    (Rahm/Gopher quality filters drop documents whose repetition
+    fractions exceed thresholds; we return the raw fractions so the
+    threshold stays a caller policy.)  O(distinct·tokens) per row —
+    bounded by document length, no shuffle, stays in codegen.
+    """
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        counts = F.transform(
+            F.array_distinct(tk),
+            lambda d: F.size(F.filter(tk, lambda t: t == d)),
+        )
+        return F.struct(
+            F.when(
+                n > 0,
+                F.round(F.lit(1.0) - F.size(F.array_distinct(tk)) / n.cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_word_frac"),
+            F.when(n > 0, F.round(F.array_max(counts) / n.cast("double"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_word_frac"),
+        )
+
+    return _let(tokens(col), build)
+
+
+# PII patterns: the usual cheap lexical scrubbers a corpus pass runs
+# before anything else sees the text.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?1-555-[0-9]{4}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails/phone numbers with typed placeholders.  Pure
+    JVM regex — runs in the scan stage."""
+    out = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-document PII match counts (audit metric)."""
+    return F.struct(
+        F.regexp_count(col, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(col, F.lit(PHONE_RE)).alias("n_phones"),
+    )

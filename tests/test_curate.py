@@ -1,0 +1,67 @@
+"""Curation ops: decontamination, chunking, repetition stats, PII.
+
+Cross-engine parity for these lives in test_oracle (they are oracled
+driver queries); these tests pin the operator-level semantics on
+hand-built rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import curate
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], ["text"])
+    out = df.select(curate.word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert out[0].g == []
+    assert out[1].g == ["a b c", "b c d"]
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "x1 x2 x3 x4 x5")], ["id", "text"]
+    )
+    eval_set = spark.createDataFrame([(9, "zz w1 w2 w3 yy")], ["id", "text"])
+    out = curate.decontaminate(train, eval_set, "id", "text", n=3).collect()
+    assert [(r.id, r.n_shared) for r in out] == [(1, 1)]
+
+
+def test_chunk_by_tokens_sizes_and_anchors(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "solo")], ["id", "text"])
+    rows = sorted(
+        curate.chunk_by_tokens(df, "id", "text", budget=4).collect(),
+        key=lambda r: (r.id, r.chunk_id),
+    )
+    got = [(r.id, r.chunk_id, r.n_tokens, r.anchor) for r in rows]
+    assert got == [
+        (1, 0, 4, "t0"),
+        (1, 1, 4, "t4"),
+        (1, 2, 2, "t8"),
+        (2, 0, 1, "solo"),
+    ]
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame([("a a a b",), ("a b c d",)], ["text"])
+    out = df.select(curate.repetition_stats(F.col("text")).alias("r")).collect()
+    assert out[0].r.dup_word_frac == pytest.approx(0.5)
+    assert out[0].r.top_word_frac == pytest.approx(0.75)
+    assert out[1].r.dup_word_frac == 0.0
+    assert out[1].r.top_word_frac == 0.25
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [("mail bob.smith+x@corp.example.org now call +1-555-0199 twice 1-555-0200",)],
+        ["text"],
+    )
+    out = df.select(
+        curate.redact_pii(F.col("text")).alias("red"),
+        curate.pii_counts(F.col("text")).alias("c"),
+    ).collect()[0]
+    assert out.red == "mail [EMAIL] now call [PHONE] twice [PHONE]"
+    assert (out.c.n_emails, out.c.n_phones) == (1, 2)
