@@ -8,8 +8,9 @@ rounded floats, no raw timestamp outputs) so the driver's
 order-insensitive value hash matches.
 
 Queries marked rows-only (absent from oracle_sql) are the genuinely
-non-SQL-expressible ops: stateful count-or-time sessions, MinHash/LSH
-and SimHash (xxhash64-based), and the stubbed multimodal featurizer.
+non-SQL-expressible ops: MinHash/LSH and SimHash (xxhash64-based) and
+the stubbed multimodal featurizer.  Count-or-time sessions ARE oracled
+(recursive CTE replaying the sequential recurrence).
 The ANN family (LSH buckets, IVF assignment/probing) IS oracled: the
 seeded planes/anchors are embedded as SQL array literals.
 """
@@ -388,9 +389,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_count_or_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-or-time windows per user (20 events / 1h from first) —
     the reference's exact windowing rule, stateful & sequential per
-    key, hence rows-only (no SQL oracle).  Projected to the four
-    needed columns first: Catalyst can't prune through mapInPandas,
-    and the dropped props JSON is most of the row's bytes."""
+    key.  Oracled via a DuckDB recursive CTE that replays the same
+    per-event recurrence (depth = max per-user sequence length).
+    Projected to the four needed columns first: Catalyst can't prune
+    through mapInPandas, and the dropped props JSON is most of the
+    row's bytes."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     win = count_or_time_windows(
         ev, max_size=20, max_seconds=3600.0, ts_col="ts", order_by="event_id",
@@ -1397,6 +1400,35 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
             JOIN counts ca ON ca.doc_id = p.id_a
             JOIN counts cb ON cb.doc_id = p.id_b
+        """,
+        # The count-or-time recurrence (close the running window before
+        # adding an event iff it holds max_size events or the event is
+        # > max_seconds after the window's first) is sequential per
+        # user — replayed exactly by a recursive CTE.  epoch() doubles
+        # equal the Python float-seconds because ts is µs-granular.
+        "count_or_time_sessions": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id, value, epoch(ts) AS t,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events
+            ),
+            rec AS (
+              SELECT user_id, rn, t, value,
+                     CAST(0 AS BIGINT) AS w, 1 AS cnt, t AS first_t
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.rn, s.t, s.value,
+                     CASE WHEN r.cnt >= 20 OR s.t - r.first_t > 3600.0
+                          THEN r.w + 1 ELSE r.w END,
+                     CASE WHEN r.cnt >= 20 OR s.t - r.first_t > 3600.0
+                          THEN 1 ELSE r.cnt + 1 END,
+                     CASE WHEN r.cnt >= 20 OR s.t - r.first_t > 3600.0
+                          THEN s.t ELSE r.first_t END
+              FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+            )
+            SELECT user_id, w, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM rec GROUP BY user_id, w
         """,
         "decontaminate_docs": f"""
             WITH tk AS (
