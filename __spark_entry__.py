@@ -7,10 +7,11 @@ Column names AND types are aligned on both sides (explicit casts,
 rounded floats, no raw timestamp outputs) so the driver's
 order-insensitive value hash matches.
 
-Queries marked rows-only (absent from oracle_sql) are the genuinely
-non-SQL-expressible ops: MinHash/LSH and SimHash (xxhash64-based) and
-the stubbed multimodal featurizer.  Count-or-time sessions ARE oracled
-(recursive CTE replaying the sequential recurrence).
+The only rows-only query (absent from oracle_sql) is the stubbed
+multimodal featurizer.  Count-or-time sessions are oracled via a
+recursive CTE replaying the sequential recurrence; the MinHash-LSH /
+SimHash family is oracled by running it with a cross-engine md5-based
+hash (ddp.md5_hash60) and embedding the permutation constants in SQL.
 The ANN family (LSH buckets, IVF assignment/probing) IS oracled: the
 seeded planes/anchors are embedded as SQL array literals.
 """
@@ -623,21 +624,31 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (rows-only: xxhash64-based)."""
+    """MinHash-LSH near-dup candidates, md5-based cross-engine hash so
+    DuckDB replays the identical signatures/buckets (the library
+    default stays xxhash64 for speed)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ddp.minhash_candidate_pairs(docs, "doc_id", "text", num_perm=32, bands=8)
+    return ddp.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=8, hash_fn=ddp.md5_hash60
+    )
 
 
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified with exact Jaccard (rows-only)."""
+    """LSH candidates verified with exact Jaccard (md5-based hash,
+    oracled end-to-end: candidate generation AND verification)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ddp.verified_near_dups(docs, "doc_id", "text", threshold=0.5, num_perm=32, bands=8)
+    return ddp.verified_near_dups(
+        docs, "doc_id", "text", threshold=0.5, num_perm=32, bands=8,
+        hash_fn=ddp.md5_hash60,
+    )
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: xxhash64-based)."""
+    """SimHash per document (md5-based 60-bit token hash, oracled)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", ddp.simhash64(F.col("text")).alias("simhash"))
+    return docs.select(
+        "doc_id", ddp.simhash64(F.col("text"), hash_fn=ddp.md5_hash60).alias("simhash")
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1605,5 +1616,86 @@ def oracle_sql() -> dict[str, str]:
     # planes/anchors) — same oracles.
     oracles["ann_lsh_indexed"] = oracles["ann_lsh"]
     oracles["ann_ivf_indexed"] = oracles["ann_ivf"]
+
+    # MinHash-LSH / SimHash oracles: the driver queries use the
+    # md5-based 60-bit hash (ddp.md5_hash60) whose exact value DuckDB
+    # reproduces as CAST('0x'||substr(md5(s),1,15) AS BIGINT); the
+    # permutation constants are embedded below, so signatures, band
+    # buckets and candidate pairs replay bit-for-bit in SQL.
+    P = 2147483647  # same Mersenne modulus as cdp_spark.datapipe.dedup
+    perms = ddp._permutation_params(32)
+
+    def h60(e: str) -> str:
+        return f"CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
+
+    mins = ",\n                   ".join(
+        f"min(({a} * x + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n            UNION ALL\n            ".join(
+        "SELECT doc_id, {b} AS band, {bh} AS bucket FROM sig".format(
+            b=b,
+            bh=h60("||','||".join(f"m{b * 4 + j}" for j in range(4))),
+        )
+        for b in range(8)
+    )
+    _mh_cands = f"""
+            tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[gs:gs+2], ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(
+                             1, CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END)) AS gs
+                    FROM tk)
+            ),
+            hx AS (SELECT doc_id, {h60('gram')} % {P} AS x FROM grams),
+            sig AS (SELECT doc_id,
+                   {mins}
+                    FROM hx GROUP BY doc_id),
+            bk AS ({band_selects}),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bk a JOIN bk b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )"""
+    oracles["minhash_pairs"] = f"WITH {_mh_cands}\n            SELECT id_a, id_b FROM pairs"
+    oracles["near_dup_verified"] = f"""
+            WITH {_mh_cands},
+            counts AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY p.id_a, p.id_b
+            ),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     round(coalesce(i.i, 0) * 1.0
+                           / (ca.c + cb.c - coalesce(i.i, 0)), 6) AS jaccard
+              FROM pairs p
+              LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              JOIN counts ca ON ca.doc_id = p.id_a
+              JOIN counts cb ON cb.doc_id = p.id_b
+            )
+            SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+    """
+    votes = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    oracles["simhash_docs"] = f"""
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+            ),
+            hx AS (SELECT doc_id, {h60('tok')} AS h
+                   FROM (SELECT doc_id, unnest(toks) AS tok FROM tk))
+            SELECT doc_id, {votes} AS simhash
+            FROM hx GROUP BY doc_id
+    """
     oracles.update(_SHARED_SQL)
     return oracles

@@ -50,11 +50,27 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
-def shingle_hashes(col: Column, n: int = 3) -> Column:
-    """Shingle set hashed to non-negative longs (xxhash64 & maxLong)."""
+def default_hash64(col: Column) -> Column:
+    """Fast engine-native 64-bit string hash (xxhash64, JVM-side)."""
+    return F.abs(F.xxhash64(col))
+
+
+def md5_hash60(col: Column) -> Column:
+    """Cross-engine 60-bit string hash: the first 15 hex chars of md5
+    as an integer.  DuckDB computes the identical value via
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``, which makes
+    every hash-derived operator (MinHash, LSH buckets, SimHash)
+    oracle-checkable.  ~2-3x slower than xxhash64 but still JVM-side;
+    the library default stays xxhash64 — pass this explicitly where
+    cross-engine reproducibility matters more than raw speed."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingle_hashes(col: Column, n: int = 3, hash_fn=default_hash64) -> Column:
+    """Shingle set hashed to non-negative longs."""
     return F.transform(
         shingles(col, n),
-        lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE),
+        lambda s: hash_fn(s) % F.lit(_MERSENNE),
     )
 
 
@@ -66,7 +82,9 @@ def _permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_perm)]
 
 
-def minhash_signature(col: Column, num_perm: int = 64, n: int = 3, seed: int = 42) -> Column:
+def minhash_signature(
+    col: Column, num_perm: int = 64, n: int = 3, seed: int = 42, hash_fn=default_hash64
+) -> Column:
     """MinHash signature: array<long> of length num_perm.
 
     Single-pass construction: ONE aggregate over the shingle-hash
@@ -79,7 +97,7 @@ def minhash_signature(col: Column, num_perm: int = 64, n: int = 3, seed: int = 4
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
     )
     init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_perm)])
-    hashes = shingle_hashes(col, n)
+    hashes = shingle_hashes(col, n, hash_fn)
     return F.aggregate(
         hashes,
         init,
@@ -89,14 +107,15 @@ def minhash_signature(col: Column, num_perm: int = 64, n: int = 3, seed: int = 4
     )
 
 
-def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
+def lsh_band_keys(signature: Column, bands: int, rows: int, hash_fn=None) -> Column:
     """Band the signature: array of (band_idx, band_hash) structs.
     bands*rows must equal the signature length."""
+    bucket_of = hash_fn if hash_fn is not None else F.xxhash64
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.xxhash64(F.array_join(F.slice(signature, b * rows + 1, rows), ",")).alias(
+            bucket_of(F.array_join(F.slice(signature, b * rows + 1, rows), ",")).alias(
                 "bucket"
             ),
         ),
@@ -122,6 +141,7 @@ def minhash_signatures_df(
     num_perm: int = 64,
     n: int = 3,
     seed: int = 42,
+    hash_fn=default_hash64,
 ) -> DataFrame:
     """(id, signature array<long>) — the zero-shuffle plan: each row
     folds its own shingle-hash array through ``minhash_signature``'s
@@ -136,7 +156,10 @@ def minhash_signatures_df(
     narrow = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
     return (
         narrow.filter(F.size(tokens(F.col("_t"))) > 0)
-        .select("_id", minhash_signature(F.col("_t"), num_perm, n, seed).alias("signature"))
+        .select(
+            "_id",
+            minhash_signature(F.col("_t"), num_perm, n, seed, hash_fn).alias("signature"),
+        )
     )
 
 
@@ -148,6 +171,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     n: int = 3,
     seed: int = 42,
+    hash_fn=default_hash64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH bucket.  Scale shape: explode to (id, band, bucket) — the
@@ -160,9 +184,10 @@ def minhash_candidate_pairs(
     a true duplicate cluster, whose pairs are the answer itself.
     """
     rows = num_perm // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_perm, n, seed).select(
+    bucket_fn = None if hash_fn is default_hash64 else hash_fn
+    sig = minhash_signatures_df(df, id_col, text_col, num_perm, n, seed, hash_fn).select(
         "_id",
-        F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("bk"),
+        F.explode(lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     buckets = (
         sig.groupBy("band", "bucket")
@@ -201,6 +226,7 @@ def verified_near_dups(
     num_perm: int = 64,
     bands: int = 16,
     n: int = 3,
+    hash_fn=default_hash64,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard >= threshold.
     The verify join re-reads only candidate documents (semi-join
@@ -212,7 +238,7 @@ def verified_near_dups(
     re-tokenize both documents several times per candidate pair inside
     the join; carrying the precomputed arrays leaves only cheap
     array_intersect/union arithmetic there."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_perm, bands, n)
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_perm, bands, n, hash_fn=hash_fn)
     docs_sh = df.select(
         F.col(id_col).alias("_vid"), shingles(F.col(text_col), n).alias("_sh")
     )
@@ -236,16 +262,20 @@ def verified_near_dups(
 _SIMHASH_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
 
 
-def simhash64(col: Column) -> Column:
+def simhash64(col: Column, hash_fn=None) -> Column:
     """64-bit SimHash over whitespace tokens: for each bit, sum +1/-1
     across token hashes, take the sign.
 
     Single-pass: one aggregate over the token-hash array carries all
     64 bit counters (zip_with against a constant mask array), then a
     final fold ORs the positive-counter masks together.  Evaluating
-    the token pipeline per bit would be a 64x re-evaluation."""
+    the token pipeline per bit would be a 64x re-evaluation.
+
+    With ``hash_fn=md5_hash60`` the hash has only 60 useful bits (the
+    top 4 always vote -1 → 0) — accepted for cross-engine parity."""
     tk = tokens(col)
-    hashes = F.transform(tk, lambda t: F.xxhash64(t))
+    token_hash = hash_fn if hash_fn is not None else F.xxhash64
+    hashes = F.transform(tk, lambda t: token_hash(t))
     masks = F.array(*[F.lit(m).cast("long") for m in _SIMHASH_MASKS])
     init = F.array(*[F.lit(0).cast("long") for _ in _SIMHASH_MASKS])
     votes = F.aggregate(
