@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "dup_clusters",
     "stratified_sample",
     "dataset_mix",
+    "decontaminate_docs",
+    "chunk_tokens",
+    "doc_repetition",
+    "pii_redact",
     "jq_window_stats",
     "jsonnet_window_stats",
     # persisted-index reads (build happens once in warmup; the timed
