@@ -151,6 +151,26 @@ def repetition_stats(col: Column) -> Column:
     return _let(tokens(col), build)
 
 
+def filter_contaminated(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """The pipeline form of decontamination: return ``train`` minus
+    every document sharing an ``n``-gram with the eval set (left-anti
+    join against the contaminated-id set — ids only move in the
+    shuffle, never text).
+
+    Streaming: apply per micro-batch via ``foreachBatch`` (see
+    ``cdp_spark.streaming.curate_stream``) — the eval side is static,
+    so each batch runs the same broadcast probe.
+    """
+    bad = decontaminate(train, eval_set, id_col, text_col, n).select(id_col)
+    return train.join(bad, id_col, "left_anti")
+
+
 # PII patterns: the usual cheap lexical scrubbers a corpus pass runs
 # before anything else sees the text.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

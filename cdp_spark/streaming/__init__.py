@@ -17,6 +17,7 @@ from .count_or_time import streaming_count_or_time
 from .runner import PipelineRunner, run_pipeline_managed, run_pipeline_stream
 from .poll import PollDataSource, stream_poll
 from .kafka import kafka_event_sink, stream_kafka_events
+from .curate import curate_stream
 
 __all__ = [
     "stream_dead_letters",
@@ -30,4 +31,5 @@ __all__ = [
     "stream_poll",
     "kafka_event_sink",
     "stream_kafka_events",
+    "curate_stream",
 ]
