@@ -961,6 +961,24 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: per source, docs in doc_id order
+    packed into 512-token bins (the corpus→training-sequence pass).
+    Sequential per source; oracled by a recursive CTE replaying the
+    same accumulate-or-advance recurrence."""
+    from cdp_spark.datapipe import curate
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("source", "doc_id", txt.token_count(F.col("text")).alias("w"))
+    )
+    packed = curate.pack_greedy(
+        docs, "w", budget=512, partition_by=["source"], order_by="doc_id"
+    )
+    return packed.select("source", "doc_id", "bin")
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles per group (linear interpolation —
     same definition as DuckDB quantile_cont)."""
@@ -1051,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_counts": q_ivf_counts,
         "ann_ivf": q_ann_ivf,
         "decontaminate_docs": q_decontaminate_docs,
+        "pack_documents": q_pack_documents,
         "chunk_tokens": q_chunk_tokens,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
@@ -1440,6 +1459,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, w, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM rec GROUP BY user_id, w
+        """,
+        "pack_documents": r"""
+            WITH RECURSIVE seq AS (
+              SELECT source, doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS w,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            rec AS (
+              SELECT source, doc_id, rn, CAST(0 AS BIGINT) AS bin, w AS acc
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.source, s.doc_id, s.rn,
+                     CASE WHEN r.acc + s.w > 512 THEN r.bin + 1 ELSE r.bin END,
+                     CASE WHEN r.acc + s.w > 512 THEN s.w ELSE r.acc + s.w END
+              FROM rec r JOIN seq s ON s.source = r.source AND s.rn = r.rn + 1
+            )
+            SELECT source, doc_id, bin FROM rec
         """,
         "decontaminate_docs": f"""
             WITH tk AS (

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "dataset_mix",
     "decontaminate_docs",
+    "pack_documents",
     "chunk_tokens",
     "doc_repetition",
     "pii_redact",

@@ -22,6 +22,8 @@ Every operator has an exact DuckDB-SQL twin in
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,6 +117,67 @@ def chunk_by_tokens(
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_id", "c.n_tokens", "c.anchor"
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    partition_by: Sequence[str],
+    order_by: str,
+) -> DataFrame:
+    """Greedy sequence packing: within each ``partition_by`` group,
+    walking rows in ``order_by`` order, accumulate ``weight_col``
+    (e.g. token counts) into bins; a row that would push the running
+    bin past ``budget`` starts the next bin.  Oversized single rows
+    get a bin of their own.  Adds a ``bin`` (long) column.
+
+    This is the packing pass that turns a curated corpus into
+    fixed-token training sequences.  The recurrence is sequential per
+    group (each bin boundary depends on the previous), so the plan is
+    the count-or-time shape: hash repartition on the group keys +
+    sort within partitions + ONE mapInPandas pass with carry-over
+    state across Arrow batches — one Python round-trip per partition.
+    Groups are independent → scales with group count; weights are
+    precomputed Columns so Python only runs the scalar recurrence.
+    """
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    keys = list(partition_by)
+    if not keys:
+        raise ValueError("pack_greedy needs partition keys (per-group packing)")
+    schema = T.StructType(list(df.schema.fields) + [T.StructField("bin", T.LongType())])
+    out_cols = [f.name for f in schema.fields]
+
+    def assign(batches):
+        state_key = object()
+        bin_id, acc = 0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ws = pdf[weight_col].astype("int64").to_numpy().tolist()
+            if len(keys) == 1:
+                kvals = pdf[keys[0]].to_numpy().tolist()
+            else:
+                kvals = list(zip(*[pdf[k].to_numpy().tolist() for k in keys]))
+            bins = []
+            for i, w in enumerate(ws):
+                if kvals[i] != state_key:
+                    state_key = kvals[i]
+                    bin_id, acc = 0, 0
+                if acc > 0 and acc + w > budget:
+                    bin_id += 1
+                    acc = 0
+                acc += w
+                bins.append(bin_id)
+            pdf = pdf.copy()
+            pdf["bin"] = pd.Series(bins, dtype="int64", index=pdf.index)
+            yield pdf[out_cols]
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    arranged = df.repartition(parallelism, *keys).sortWithinPartitions(*keys, order_by)
+    return arranged.mapInPandas(assign, schema=schema)
 
 
 def repetition_stats(col: Column) -> Column:

@@ -54,6 +54,25 @@ def test_repetition_stats_values(spark):
     assert out[1].r.top_word_frac == 0.25
 
 
+def test_pack_greedy_bins(spark):
+    rows = [
+        ("s1", 1, 100),
+        ("s1", 2, 300),   # 100+300=400 <= 512 → bin 0
+        ("s1", 3, 200),   # 400+200 > 512 → bin 1
+        ("s1", 4, 600),   # oversize → own bin 2
+        ("s1", 5, 10),    # 600+10 > 512 → bin 3
+        ("s2", 1, 512),   # fresh group → bin 0
+        ("s2", 2, 1),     # 512+1 > 512 → bin 1
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "w"])
+    out = curate.pack_greedy(df, "w", 512, ["source"], "doc_id")
+    got = {(r.source, r.doc_id): r.bin for r in out.collect()}
+    assert got == {
+        ("s1", 1): 0, ("s1", 2): 0, ("s1", 3): 1, ("s1", 4): 2, ("s1", 5): 3,
+        ("s2", 1): 0, ("s2", 2): 1,
+    }
+
+
 def test_redact_pii_and_counts(spark):
     df = spark.createDataFrame(
         [("mail bob.smith+x@corp.example.org now call +1-555-0199 twice 1-555-0200",)],
