@@ -7,11 +7,13 @@ Column names AND types are aligned on both sides (explicit casts,
 rounded floats, no raw timestamp outputs) so the driver's
 order-insensitive value hash matches.
 
-The only rows-only query (absent from oracle_sql) is the stubbed
-multimodal featurizer.  Count-or-time sessions are oracled via a
-recursive CTE replaying the sequential recurrence; the MinHash-LSH /
-SimHash family is oracled by running it with a cross-engine md5-based
-hash (ddp.md5_hash60) and embedding the permutation constants in SQL.
+Every query is oracled.  The sequential recurrences (count-or-time
+sessions, greedy packing) replay as recursive CTEs; the MinHash-LSH /
+SimHash family runs a cross-engine md5-based hash (ddp.md5_hash60)
+with the permutation constants embedded in SQL; the multimodal
+featurizer's deterministic byte-stat stand-in is recomputed from
+ASCII code points (the real media decode stays env-gated and is NOT
+claimed as implemented).
 The ANN family (LSH buckets, IVF assignment/probing) IS oracled: the
 seeded planes/anchors are embedded as SQL array literals.
 """
@@ -731,7 +733,11 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed media featurizer over binary columns (rows-only)."""
+    """Media featurizer over binary columns — the deterministic
+    byte-statistics stand-in (real decode stays env-gated behind
+    fake=False).  Oracled: the testdata text is ASCII, so DuckDB
+    recomputes the byte stats from per-char code points, verifying
+    the whole mapInPandas plumbing end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("media"))
     feats = mm.extract_features(media, fake=True)
@@ -1459,6 +1465,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, w, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM rec GROUP BY user_id, w
+        """,
+        # The fake featurizer's byte stats over UTF-8 text: the corpus
+        # is ASCII (checked), so byte i == code point of char i.
+        "multimodal_features": """
+            WITH ch AS (
+              SELECT doc_id, ascii(substr(text, i, 1)) AS v
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text))) AS i
+                    FROM documents)
+            )
+            SELECT doc_id AS id, count(*) AS n_bytes,
+                   round(sum(v) * 1.0 / count(*), 4) AS mean_byte
+            FROM ch GROUP BY doc_id
         """,
         "pack_documents": r"""
             WITH RECURSIVE seq AS (
