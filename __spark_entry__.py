@@ -696,6 +696,8 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
         path = os.path.join(tempfile.mkdtemp(prefix=f"cdp_{kind}_"), "idx")
         if kind == "ivf":
             sim.ivf_write(emb, path, dim=64)
+        elif kind == "ivfpq":
+            sim.ivf_pq_write(emb, path, dim=64)
         else:
             sim.lsh_write(emb, path, dim=64)
         _ANN_INDEX_CACHE[key] = path
@@ -720,6 +722,34 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return sim.lsh_topk_indexed(spark, path, qvec, k=10, n_planes=8, probe_hamming=2, round_digits=4)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: vectors ranked by codebook
+    lookups only.  Codebooks are seeded Python constants embedded in
+    the oracle; the ADC lookup table derives from the query row in
+    both engines, so distances are bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.pq_topk(emb, qvec, k=10, n_sub=8, n_codes=16, round_digits=6)
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse-probe 4 of 16 inverted lists, ADC-rank the
+    survivors — the billion-scale ANN index shape (FAISS IVF-PQ) as
+    DataFrame ops."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_pq_topk(emb, qvec, k=10, n_centroids=16, n_probe=4, round_digits=6)
+
+
+def q_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ against the persisted index: partition-pruned scan of
+    (id, codes) only — embeddings are never read at query time."""
+    path = _ensure_ann_index(spark, sf_dir, "ivfpq")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_pq_topk_indexed(spark, path, qvec, k=10, n_centroids=16, n_probe=4, round_digits=6)
 
 
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_indexed": q_ann_lsh_indexed,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_pq": q_ann_pq,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_ivf_pq_indexed": q_ann_ivf_pq_indexed,
         "ivf_counts": q_ivf_counts,
         "ann_ivf": q_ann_ivf,
         "decontaminate_docs": q_decontaminate_docs,
@@ -1738,6 +1771,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
     """
+    # PQ / IVF-PQ oracles: seeded codebooks embedded as unrolled
+    # arithmetic.  Distances fold left-to-right in both engines
+    # (Spark's aggregate from 0.0, SQL's left-assoc +), so code
+    # assignments and ADC sums are bit-identical; the ADC lookup
+    # table derives from the vec_id=0 row inside the SQL itself.
+    _cbs = sim.pq_codebooks(64, 8, 16, seed=11)
+    _dsub = 8
+
+    def _sq(vec: str, s: int, code: list[float]) -> str:
+        return " + ".join(
+            f"({vec}[{s * _dsub + j + 1}] - ({c!r}))*({vec}[{s * _dsub + j + 1}] - ({c!r}))"
+            for j, c in enumerate(code)
+        )
+
+    dlists = ",\n                 ".join(
+        "[" + ", ".join(_sq("emb", s, code) for code in cb) + f"] AS d{s}"
+        for s, cb in enumerate(_cbs)
+    )
+    code_sel = ", ".join(
+        f"list_indexof(d{s}, list_min(d{s})) - 1 AS c{s}" for s in range(8)
+    )
+    qluts = ",\n                 ".join(
+        "[" + ", ".join(_sq("qemb", s, code) for code in cb) + f"] AS l{s}"
+        for s, cb in enumerate(_cbs)
+    )
+    adc_sum = " + ".join(f"(qlut.l{s})[c.c{s} + 1]" for s in range(8))
+    oracles["ann_pq"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        dists AS (SELECT vec_id,
+                 {dlists}
+                  FROM base),
+        codes AS (SELECT vec_id, {code_sel} FROM dists),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0),
+        qlut AS (SELECT
+                 {qluts}
+                  FROM q)
+        SELECT c.vec_id, round({adc_sum}, 6) AS adc_dist
+        FROM codes c, qlut
+        ORDER BY adc_dist, c.vec_id
+        LIMIT 10
+    """
+    oracles["ann_ivf_pq"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        scored AS (SELECT vec_id, emb, {dots_expr} AS dots FROM base),
+        assigned AS (SELECT vec_id, emb,
+                            list_indexof(dots, list_max(dots)) - 1 AS centroid
+                     FROM scored),
+        qrow AS (SELECT dots AS qdots, emb AS qemb FROM scored WHERE vec_id = 0),
+        probe AS (
+          SELECT ci - 1 AS centroid FROM (
+            SELECT unnest(qdots) AS s,
+                   unnest(generate_series(1, len(qdots))) AS ci
+            FROM qrow)
+          ORDER BY s DESC, ci LIMIT 4),
+        dists AS (SELECT vec_id,
+                 {dlists}
+                  FROM assigned
+                  WHERE centroid IN (SELECT centroid FROM probe)),
+        codes AS (SELECT vec_id, {code_sel} FROM dists),
+        qlut AS (SELECT
+                 {qluts}
+                  FROM (SELECT qemb FROM qrow) q)
+        SELECT c.vec_id, round({adc_sum}, 6) AS adc_dist
+        FROM codes c, qlut
+        ORDER BY adc_dist, c.vec_id
+        LIMIT 10
+    """
+    oracles["ann_ivf_pq_indexed"] = oracles["ann_ivf_pq"]
+
     votes = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
         f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     # query is the partition-pruned scan — the 100 TB access path)
     "ann_lsh_indexed",
     "ann_ivf_indexed",
+    "ann_pq",
+    "ann_ivf_pq_indexed",
 ]
 
 
@@ -93,6 +95,7 @@ def main() -> None:
     # One-time ANN index builds (indexing cost, not query cost).
     entrymod._ensure_ann_index(spark, sf_dir, "ivf")
     entrymod._ensure_ann_index(spark, sf_dir, "lsh")
+    entrymod._ensure_ann_index(spark, sf_dir, "ivfpq")
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

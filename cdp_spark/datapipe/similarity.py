@@ -229,6 +229,241 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ): the FAISS-style compression layer.  Each
+# vector is split into n_sub subvectors; each subvector is replaced by
+# the index of its nearest codebook entry — dim floats become n_sub
+# small ints.  Queries never touch the original vectors: an
+# asymmetric-distance (ADC) lookup table built driver-side turns
+# ranking into n_sub array lookups + adds per row.  At 100 TB this is
+# the difference between scanning 256-byte embeddings and 8-byte
+# codes — combine with IVF partition pruning (ivf_pq_topk) for the
+# standard IVF-PQ index shape.
+
+
+def pq_codebooks(
+    dim: int, n_sub: int = 8, n_codes: int = 16, seed: int = 11
+) -> list[list[list[float]]]:
+    """Deterministic per-subvector codebooks (a real deployment trains
+    them with k-means; seeded gaussians keep this dependency-free and
+    oracle-reproducible).  codebooks[s][c] has length dim // n_sub."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    rnd = random.Random(seed)
+    d_sub = dim // n_sub
+    return [
+        [[rnd.gauss(0.0, 1.0) for _ in range(d_sub)] for _ in range(n_codes)]
+        for _ in range(n_sub)
+    ]
+
+
+def _sq_l2(sub: Column, code: list[float]) -> Column:
+    """Squared L2 distance between a subvector Column and a literal
+    code, folded left-to-right (the same order DuckDB's unrolled
+    oracle sum uses, so distances are bit-identical cross-engine)."""
+    code_col = F.array(*[F.lit(float(x)) for x in code])
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            code_col,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode_col(vec_col: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ codes as array<int>: per subvector, the argmin-distance
+    codebook index (ties -> lowest index).  Each subvector slice is
+    let-bound so the interpreted distance expressions share one
+    evaluation of it."""
+    d_sub = len(codebooks[0][0])
+
+    def make_argmin(cb):
+        # single-param lambda: F.transform treats a two-param function
+        # as an (element, index) lambda and would bind cb to the index
+        def argmin(bound_sub: Column) -> Column:
+            scored = F.array(
+                *[
+                    F.struct(
+                        _sq_l2(bound_sub, code).alias("d"),
+                        F.lit(i).cast("int").alias("i"),
+                    )
+                    for i, code in enumerate(cb)
+                ]
+            )
+            return F.array_min(scored)["i"]
+
+        return argmin
+
+    parts = []
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(vec_col, s * d_sub + 1, d_sub)
+        parts.append(F.element_at(F.transform(F.array(sub), make_argmin(cb)), 1))
+    return F.array(*parts)
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    cbs = pq_codebooks(dim, n_sub, n_codes, seed)
+    return df.withColumn("codes", pq_encode_col(F.col(vec_col), cbs))
+
+
+def _adc_lut(
+    query_vector: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    d_sub = len(codebooks[0][0])
+    lut = []
+    for s, cb in enumerate(codebooks):
+        qs = query_vector[s * d_sub : (s + 1) * d_sub]
+        lut.append(
+            [sum((q - c) * (q - c) for q, c in zip(qs, code)) for code in cb]
+        )
+    return lut
+
+
+def adc_distance(codes_col: Column, lut: list[list[float]]) -> Column:
+    """Asymmetric distance: sum over subvectors of the per-code lookup
+    table entry — n_sub array accesses + adds per row, no vector
+    math."""
+    lut_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+    )
+    terms = F.zip_with(codes_col, lut_col, lambda c, row: F.element_at(row, c + 1))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k by PQ/ADC distance (ascending; ties on id).
+    Encoding happens inline here — the persisted path stores `codes`
+    once (ivf_pq_write) and queries touch codes only."""
+    cbs = pq_codebooks(len(query_vector), n_sub, n_codes, seed)
+    codes = pq_encode_col(F.col(vec_col), cbs)
+    adc = adc_distance(codes, _adc_lut(query_vector, cbs))
+    return (
+        df.select(F.col(id_col), F.round(adc, round_digits).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_seed: int = 7,
+    pq_seed: int = 11,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: coarse-probe the nearest inverted lists, then rank the
+    survivors by ADC over their PQ codes — the standard billion-scale
+    ANN index expressed as DataFrame ops.  With the table written
+    partitioned-by-centroid carrying codes only (ivf_pq_write), a
+    query reads n_probe/n_centroids of the files at ~n_sub bytes per
+    vector."""
+    dim = len(query_vector)
+    anchors = _anchor_set(dim, n_centroids, ivf_seed)
+    qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
+    probe = sorted(
+        range(n_centroids),
+        key=lambda i: -sum(a * b for a, b in zip(anchors[i], query_vector)) / qn,
+    )[:n_probe]
+    assigned = ivf_assign(df, dim, n_centroids, id_col, vec_col, ivf_seed)
+    pruned = assigned.filter(F.col("centroid").isin(*[int(i) for i in probe]))
+    cbs = pq_codebooks(dim, n_sub, n_codes, pq_seed)
+    adc = adc_distance(pq_encode_col(F.col(vec_col), cbs), _adc_lut(query_vector, cbs))
+    return (
+        pruned.select(F.col(id_col), F.round(adc, round_digits).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_pq_write(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_seed: int = 7,
+    pq_seed: int = 11,
+) -> None:
+    """Build the IVF-PQ index: centroid assignment + PQ codes, written
+    partitioned by centroid WITHOUT the embedding column — the read
+    side scans ids+codes only (the 100 TB IO win)."""
+    assigned = ivf_assign(df, dim, n_centroids, id_col, vec_col, ivf_seed)
+    cbs = pq_codebooks(dim, n_sub, n_codes, pq_seed)
+    coded = assigned.withColumn("codes", pq_encode_col(F.col(vec_col), cbs))
+    coded.select(id_col, "centroid", "codes").write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(path)
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    query_vector: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    ivf_seed: int = 7,
+    pq_seed: int = 11,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: partition-pruned scan of the
+    probed lists' (id, codes) rows, ADC ranking — no embeddings read
+    anywhere.  Same seeds as ivf_pq_write, so results equal
+    :func:`ivf_pq_topk` over the original table."""
+    dim = len(query_vector)
+    anchors = _anchor_set(dim, n_centroids, ivf_seed)
+    qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
+    probe = [
+        int(i)
+        for i in sorted(
+            range(n_centroids),
+            key=lambda i: -sum(a * b for a, b in zip(anchors[i], query_vector)) / qn,
+        )[:n_probe]
+    ]
+    cbs = pq_codebooks(dim, n_sub, n_codes, pq_seed)
+    pruned = spark.read.parquet(path).filter(F.col("centroid").isin(*probe))
+    adc = adc_distance(F.col("codes"), _adc_lut(query_vector, cbs))
+    return (
+        pruned.select(F.col(id_col), F.round(adc, round_digits).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persisted indexes: the 100 TB path.  Assignment/bucketing is a
 # one-time build cost; queries read back partition-pruned — the scan
 # touches only the probed lists' files, which is what makes either
