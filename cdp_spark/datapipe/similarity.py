@@ -463,6 +463,20 @@ def ivf_pq_topk_indexed(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "vec_id") -> float:
+    """|approx ∩ exact| / |exact| over the id column — the standard
+    ANN quality metric.  Both inputs are top-k results (small); the
+    intersection is a broadcast semi-join, the counts are driver-side
+    scalars.  Use it to tune n_probe / probe_hamming / codebook sizes
+    against a brute-force sample instead of guessing."""
+    exact_ids = exact.select(id_col).distinct()
+    n_exact = exact_ids.count()
+    if n_exact == 0:
+        return 0.0
+    hit = approx.select(id_col).distinct().join(F.broadcast(exact_ids), id_col, "left_semi").count()
+    return hit / n_exact
+
+
 # ---------------------------------------------------------------------------
 # Persisted indexes: the 100 TB path.  Assignment/bucketing is a
 # one-time build cost; queries read back partition-pruned — the scan

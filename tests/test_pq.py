@@ -41,6 +41,20 @@ def test_pq_self_query_achieves_min_adc(spark):
     assert best.adc_dist == top[0].adc_dist
 
 
+def test_recall_at_k_against_bruteforce(spark):
+    """Sanity: each approximation recovers a reasonable share of the
+    exact top-10 on the test embeddings (thresholds are loose — the
+    point is the measurement harness, not a tuning claim)."""
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = sim.cosine_topk(emb, qvec, k=10)
+    assert sim.recall_at_k(exact, exact) == 1.0
+    pq = sim.pq_topk(emb, qvec, k=10)
+    ivf = sim.ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=4)
+    assert sim.recall_at_k(ivf, exact) >= 0.3
+    assert sim.recall_at_k(pq, exact) >= 0.1
+
+
 def test_ivf_pq_indexed_equals_inline(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
