@@ -256,11 +256,10 @@ def pq_codebooks(
     ]
 
 
-def _sq_l2(sub: Column, code: list[float]) -> Column:
-    """Squared L2 distance between a subvector Column and a literal
-    code, folded left-to-right (the same order DuckDB's unrolled
-    oracle sum uses, so distances are bit-identical cross-engine)."""
-    code_col = F.array(*[F.lit(float(x)) for x in code])
+def _sq_l2(sub: Column, code_col: Column) -> Column:
+    """Squared L2 distance between two array Columns, folded
+    left-to-right (the same order DuckDB's unrolled oracle sum uses,
+    so distances are bit-identical cross-engine)."""
     return F.aggregate(
         F.zip_with(
             sub,
@@ -280,17 +279,28 @@ def pq_encode_col(vec_col: Column, codebooks: list[list[list[float]]]) -> Column
     d_sub = len(codebooks[0][0])
 
     def make_argmin(cb):
-        # single-param lambda: F.transform treats a two-param function
-        # as an (element, index) lambda and would bind cb to the index
+        # One transform over a codebook-literal struct array: all 16
+        # distances evaluate inside a single higher-order expression
+        # instead of 16 independently-planned aggregates (the chained
+        # form pays per-aggregate interpreted-projection setup; same
+        # lesson as lsh_bucket).  Single-param lambda: F.transform
+        # treats a two-param function as an (element, index) lambda.
+        cb_col = F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("i"),
+                    F.array(*[F.lit(float(x)) for x in code]).alias("c"),
+                )
+                for i, code in enumerate(cb)
+            ]
+        )
+
         def argmin(bound_sub: Column) -> Column:
-            scored = F.array(
-                *[
-                    F.struct(
-                        _sq_l2(bound_sub, code).alias("d"),
-                        F.lit(i).cast("int").alias("i"),
-                    )
-                    for i, code in enumerate(cb)
-                ]
+            scored = F.transform(
+                cb_col,
+                lambda st: F.struct(
+                    _sq_l2(bound_sub, st["c"]).alias("d"), st["i"].alias("i")
+                ),
             )
             return F.array_min(scored)["i"]
 
