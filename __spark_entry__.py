@@ -997,6 +997,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary with occurrence and document
+    frequencies (the BPE/vocab-training counting pass)."""
+    from cdp_spark.datapipe import curate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return curate.vocabulary(docs, "doc_id", "text", top_k=50)
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: per source, docs in doc_id order
     packed into 512-token bins (the corpus→training-sequence pass).
@@ -1109,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_documents": q_pack_documents,
+        "vocabulary": q_vocabulary,
         "chunk_tokens": q_chunk_tokens,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
@@ -1511,6 +1521,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, count(*) AS n_bytes,
                    round(sum(v) * 1.0 / count(*), 4) AS mean_byte
             FROM ch GROUP BY doc_id
+        """,
+        "vocabulary": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({tok}) AS token
+              FROM documents WHERE length(trim(text)) > 0
+            )
+            SELECT token, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM w GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 50
         """,
         "pack_documents": r"""
             WITH RECURSIVE seq AS (

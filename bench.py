@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dataset_mix",
     "decontaminate_docs",
     "pack_documents",
+    "vocabulary",
     "chunk_tokens",
     "doc_repetition",
     "pii_redact",

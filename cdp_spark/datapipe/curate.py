@@ -180,6 +180,28 @@ def pack_greedy(
     return arranged.mapInPandas(assign, schema=schema)
 
 
+def vocabulary(
+    df: DataFrame, id_col: str, text_col: str, top_k: int | None = None
+) -> DataFrame:
+    """Corpus vocabulary: (token, n_occurrences, n_docs), most
+    frequent first (ties: token asc) — the counting pass that feeds
+    BPE/vocab training.
+
+    Plan: explode tokens → one groupBy(token) with map-side partial
+    aggregation — Zipf distribution means hot tokens combine heavily
+    map-side; the optional top_k is a TakeOrdered, not a full sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("_doc").alias("n_docs"),
+    )
+    out = counts.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return out.limit(top_k) if top_k else out
+
+
 def repetition_stats(col: Column) -> Column:
     """Gopher-style within-document repetition signals as a struct:
 
