@@ -997,6 +997,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-4-gram spans shared by >= 2 documents (boilerplate /
+    repeated-content detection)."""
+    from cdp_spark.datapipe import curate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return curate.repeated_spans(docs, "doc_id", "text", n=4, min_docs=2)
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus vocabulary with occurrence and document
     frequencies (the BPE/vocab-training counting pass)."""
@@ -1119,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "pack_documents": q_pack_documents,
         "vocabulary": q_vocabulary,
+        "boilerplate_spans": q_boilerplate_spans,
         "chunk_tokens": q_chunk_tokens,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
@@ -1521,6 +1531,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, count(*) AS n_bytes,
                    round(sum(v) * 1.0 / count(*), 4) AS mean_byte
             FROM ch GROUP BY doc_id
+        """,
+        "boilerplate_spans": f"""
+            WITH tk AS (
+              SELECT doc_id, {tok} AS toks FROM documents WHERE length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[gs:gs+3], ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 3)) AS gs
+                    FROM tk WHERE len(toks) >= 4)
+            )
+            SELECT gram, count(DISTINCT doc_id) AS n_docs
+            FROM grams GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, gram
         """,
         "vocabulary": f"""
             WITH w AS (

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "pack_documents",
     "vocabulary",
+    "boilerplate_spans",
     "chunk_tokens",
     "doc_repetition",
     "pii_redact",

@@ -180,6 +180,32 @@ def pack_greedy(
     return arranged.mapInPandas(assign, schema=schema)
 
 
+def repeated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 6, min_docs: int = 3
+) -> DataFrame:
+    """Boilerplate detection: word ``n``-gram spans occurring in at
+    least ``min_docs`` distinct documents — the repeated headers /
+    footers / license blocks a cleaning pass strips before training
+    (cf. "Deduplicating Training Data Makes Language Models Better").
+
+    Returns (gram, n_docs), most-shared first (ties: gram asc).
+    Plan: explode distinct per-doc grams → one groupBy(gram) with
+    map-side combine; the min_docs filter happens in the aggregate
+    (HAVING), so only genuinely repeated spans survive the shuffle
+    output.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("_doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("gram"))
+    )
+
+
 def vocabulary(
     df: DataFrame, id_col: str, text_col: str, top_k: int | None = None
 ) -> DataFrame:
