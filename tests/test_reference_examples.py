@@ -1,0 +1,140 @@
+"""The reference's OWN example pipelines, run unmodified through our
+YAML front-end — direct evidence that a user of the reference can
+switch engines.  (The exposition example already runs in
+test_jsonnet/test_lifecycle; these cover the jq-transform examples.)
+
+The YAML files are read from the reference checkout as fixtures;
+tests skip if it is absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdp_spark.pipeline import compile_pipeline, from_yaml
+
+EXAMPLES = "/root/reference/examples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(EXAMPLES), reason="reference examples not available"
+)
+
+
+def _events_input(spark, rows):
+    """rows: (n, d_json_text_or_None)"""
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(rows)], "rn long, n string, d string"
+    )
+    return df.select(
+        "n",
+        "d",
+        F.lit(None).cast("array<struct<i double, p string, h string>>").alias("t"),
+        F.col("rn").cast("long").alias("_ord"),
+    )
+
+
+def test_basic_jq_transformations_pipeline(spark):
+    """examples/basic-jq-transformations: duplicate each event with a
+    '.given' suffix, plus a '.healthy' copy when the payload is
+    non-null; one branch drops everything but healthy events."""
+    yaml_text = open(f"{EXAMPLES}/basic-jq-transformations/pipeline.yaml").read()
+    template = from_yaml(yaml_text)
+
+    # the example's own test events, expanded the way the NDJSON
+    # reader does (one event per object, arrays yield one per element)
+    raw = open(f"{EXAMPLES}/basic-jq-transformations/test-events.ndjson").read()
+    events = []
+    for line in raw.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        v = json.loads(line)
+        for e in v if isinstance(v, list) else [v]:
+            if isinstance(e, dict) and "n" in e:
+                d = e.get("d")
+                events.append(
+                    (e["n"], None if d is None else json.dumps(d, separators=(",", ":")))
+                )
+
+    result = compile_pipeline(spark, template, input_df=_events_input(spark, events))
+    # jq emits an explicit d:null for payload-less events; our event
+    # model stores that as JSON-text 'null' (absent d is SQL NULL) —
+    # same meaning, normalize for comparison
+    norm = lambda d: None if d in (None, "null") else d  # noqa: E731
+    got = [(r["n"], norm(r["d"])) for r in result.output.collect()]
+
+    # reference semantics, simulated: every event gains '.given'; the
+    # ones with a payload also gain '.healthy'.  Terminal steps are
+    # show-only-healthy (filtered to #.healthy) and show-all-names (a
+    # pass-through sink), so the pipeline output is their union.
+    key = lambda t: (t[0], t[1] or "")  # noqa: E731
+    given = [(n + ".given", d) for n, d in events]
+    healthy = [(n + ".healthy", d) for n, d in events if d is not None]
+    expected = sorted((given + healthy) + healthy, key=key)
+    assert sorted(got, key=key) == expected
+
+
+def test_prometheus_post_processing_parse_and_square(spark):
+    """examples/prometheus-post-processing: the federate-text parse
+    step (capture/from_entries jq) and the metric-squaring step run
+    unmodified; we inject raw metric lines the way the wrapped poll
+    input would."""
+    yaml_text = open(f"{EXAMPLES}/prometheus-post-processing/pipeline.yaml").read()
+    template = from_yaml(yaml_text)
+
+    lines = [
+        "# TYPE prometheus_http_requests_total counter",
+        'prometheus_http_requests_total{code="200",job="prometheus",instance="i1"} 42',
+        'prometheus_http_requests_total{code="302",job="prometheus",instance="i1"} 3',
+        "metric_without_labels 7",
+        "",
+    ]
+    # poll with wrap {name: _, raw: true} emits one event per line,
+    # named '_', payload = the raw line as a JSON string
+    rows = [("_", json.dumps(line)) for line in lines]
+
+    result = compile_pipeline(spark, template, input_df=_events_input(spark, rows))
+    out = [(r["n"], json.loads(r["d"])) for r in result.output.collect() if r["d"]]
+
+    # terminal steps: print (parsed events, pass-through sink) and
+    # push (squared events, pass-through sink)
+    parsed = {
+        (n, d["v"], json.dumps(d["l"], sort_keys=True)) for n, d in out if d["v"] in (42, 3, 7)
+    }
+    squared = {
+        (n, d["v"], json.dumps(d["l"], sort_keys=True)) for n, d in out if d["v"] in (1764, 9, 49)
+    }
+    assert parsed == {
+        ("prometheus_http_requests_total", 42, '{"code": "200"}'),
+        ("prometheus_http_requests_total", 3, '{"code": "302"}'),
+        ("metric_without_labels", 7, "null"),
+    }
+    assert squared == {
+        ("prometheus_http_requests_total", 1764, '{"code": "200"}'),
+        ("prometheus_http_requests_total", 9, '{"code": "302"}'),
+        ("metric_without_labels", 49, "null"),
+    }
+
+
+def test_composition_debug_formatter(spark):
+    """examples/composition: the shared debug step's jq formatter
+    (name, payload-or-placeholder, trace hop join) over our stamped
+    events — the program every pipeline in that example uses."""
+    import yaml
+
+    doc = yaml.safe_load(open(f"{EXAMPLES}/composition/pipeline-first.yaml").read())
+    # keep only the debug step: 'forward' appends to /shared/events,
+    # which doesn't exist here (deployment glue, not semantics)
+    doc["steps"].pop("forward")
+    template = from_yaml(yaml.safe_dump(doc))
+
+    rows = [("ev.one", '"hello"'), ("ev.two", None)]
+    result = compile_pipeline(
+        spark, template, input_df=_events_input(spark, rows), arrival_ts=1000.0
+    )
+    got = sorted((r["n"], r["d"]) for r in result.output.collect())
+    assert got == [("ev.one", '"hello"'), ("ev.two", None)]
