@@ -120,6 +120,43 @@ def test_prometheus_post_processing_parse_and_square(spark):
     }
 
 
+def test_stress_test_primality_pipeline(spark):
+    """examples/stress-test: the jq-prelude (mulmod/expmod), pattern
+    routing, chained count-or-time windows, wrap directives and
+    fan-in all run unmodified; expectation simulated with exact
+    integer arithmetic (the prelude exists to keep jq's doubles
+    exact — small inputs keep both sides exact)."""
+    yaml_text = open(f"{EXAMPLES}/stress-test/pipeline.yaml").read()
+    template = from_yaml(yaml_text)
+
+    nums = list(range(3, 120))
+    rows = (
+        # generator shape: most events named not.multiple.of.three
+        [("not.multiple.of.three", str(n)) for n in nums]
+        # routing check: these are dropped by match/drop "not.#"
+        + [("mutiple.of.three", "999983")]
+        # keep-when check: non-numeric payloads never enter the chain
+        + [("not.multiple.of.three", '"not a number"')]
+    )
+    result = compile_pipeline(
+        spark, template, input_df=_events_input(spark, rows), arrival_ts=1000.0
+    )
+    got = sorted(
+        (r["n"], int(json.loads(r["d"]))) for r in result.output.collect()
+    )
+
+    survivors = [n for n in nums if n % 2 and n % 5 and n % 7]
+    expected = sorted(
+        [("candidate.fermat.31", n) for n in survivors if pow(31, n - 1, n) == 1]
+        + [("candidate.fermat.73", n) for n in survivors if pow(73, n - 1, n) == 1]
+    )
+    assert got == expected
+    # sanity: real primes survive the Fermat test (except the base
+    # itself — a ≡ 0 mod n when n == a, so 31 can't certify 31)
+    primes = {n for n in survivors if all(n % k for k in range(2, n))}
+    assert primes - {31} <= {n for f, n in got if f == "candidate.fermat.31"}
+
+
 def test_composition_debug_formatter(spark):
     """examples/composition: the shared debug step's jq formatter
     (name, payload-or-placeholder, trace hop join) over our stamped
