@@ -183,15 +183,36 @@ def send_receive_http(
     max_retries: int = 4,
     backoff_factor: float = 1.0,
     timeout: float = 60.0,
+    jq_expr: Optional[str] = None,
+    jq_prelude: Optional[str] = None,
+    jsonnet_expr: Optional[str] = None,
+    jsonnet_prelude: Optional[str] = None,
 ) -> DataFrame:
     """POST each window vector as NDJSON to ``target``; the response
     body (NDJSON of values) becomes the new events.  Errors (network,
     non-2xx after retries) produce an empty vector, matching
     src/step-functions/send-receive-http.ts:96-143.
+
+    With ``jq_expr`` / ``jsonnet_expr`` the vector is first piped
+    through the program and each produced value is sent as ONE
+    request whose body is the JSON-encoded value (the reference's
+    optional pre-transform, send-receive-http.ts:104-121 — e.g. the
+    external-processing example posts ``map(.d)`` as a single JSON
+    array instead of NDJSON).
     """
     import requests  # gated: available in this env, but optional
 
     validate_wrap(wrap)
+    if jq_expr is not None and jsonnet_expr is not None:
+        raise ValueError("jq-expr and jsonnet-expr are mutually exclusive")
+    if jq_expr is not None or jsonnet_expr is not None:
+        if jq_expr is not None:
+            produced = jq_produced_values(df, jq_expr, order_col, jq_prelude)
+        else:
+            produced = jsonnet_produced_values(df, jsonnet_expr, order_col, jsonnet_prelude)
+        return _http_per_value(
+            produced, target, method, headers, wrap, max_retries, backoff_factor, timeout
+        )
     vectors = _collect_vectors(df, order_col)
     hdrs = {"Content-Type": "application/x-ndjson", **(headers or {})}
 
@@ -239,6 +260,86 @@ def send_receive_http(
 
     produced = vectors.mapInPandas(call, schema="_worder long, _idx long, _val string")
     return _values_to_events(produced, wrap)
+
+
+def _http_per_value(
+    produced: DataFrame,
+    target: str,
+    method: str,
+    headers: Optional[dict[str, str]],
+    wrap: WrapDirective,
+    max_retries: int,
+    backoff_factor: float,
+    timeout: float,
+) -> DataFrame:
+    """One HTTP request per pre-transformed value: body = the value's
+    JSON text; each response line becomes a produced value.  Output
+    order is (window, value idx, response line), densely renumbered
+    before the shared value→event path."""
+    import requests
+
+    hdrs = {"Content-Type": "application/json", **(headers or {})}
+
+    def call(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        session = requests.Session()
+        for pdf in batches:
+            rows = []
+            for worder, idx, val in zip(
+                pdf["_worder"].tolist(), pdf["_idx"].tolist(), pdf["_val"].tolist()
+            ):
+                text = None
+                for attempt in range(max_retries + 1):
+                    try:
+                        resp = session.request(
+                            method, target, data=val.encode(), headers=hdrs, timeout=timeout
+                        )
+                        if resp.status_code >= 500 and attempt < max_retries:
+                            time.sleep(backoff_factor * (2**attempt))
+                            continue
+                        if 200 <= resp.status_code < 300:
+                            text = resp.text
+                        break
+                    except requests.RequestException:
+                        if attempt < max_retries:
+                            time.sleep(backoff_factor * (2**attempt))
+                        else:
+                            break
+                if text is None:
+                    continue
+                line_no = 0
+                for line in text.splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        out_val = json.loads(line)
+                    except ValueError:
+                        continue
+                    rows.append(
+                        (
+                            worder,
+                            idx,
+                            line_no,
+                            json.dumps(out_val, separators=(",", ":"), ensure_ascii=False),
+                        )
+                    )
+                    line_no += 1
+            yield pd.DataFrame(rows, columns=["_worder", "_idx", "_line", "_val"])
+
+    raw = produced.mapInPandas(
+        call, schema="_worder long, _idx long, _line long, _val string"
+    )
+    # Dense renumber (same rationale as _values_to_events): fold the
+    # three-level order into the (_worder, _idx) contract it expects.
+    from pyspark.sql.window import Window
+
+    renumbered = raw.withColumn(
+        "_idx2",
+        F.row_number().over(Window.partitionBy("_worder").orderBy("_idx", "_line")).cast("long"),
+    ).select("_worder", F.col("_idx2").alias("_idx"), "_val")
+    return _values_to_events(renumbered, wrap)
 
 
 def jsonnet_produced_values(

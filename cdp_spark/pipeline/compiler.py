@@ -173,14 +173,20 @@ def _apply_function(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
         out = stamp_old_events(out, ctx.template.name, ctx.signature)
     elif fn == "send-receive-http":
         if isinstance(opts, str):
-            target, method, headers, wrap = opts, "POST", None, None
+            o2: dict = {"target": opts}
         else:
-            target = opts["target"]
-            method = opts.get("method", "POST")
-            headers = opts.get("headers")
-            wrap = opts.get("wrap")
+            o2 = opts
         out = send_receive_http(
-            df, target, order_col=ORDER_COL, method=method, headers=headers, wrap=wrap
+            df,
+            o2["target"],
+            order_col=ORDER_COL,
+            method=o2.get("method", "POST"),
+            headers=o2.get("headers"),
+            wrap=o2.get("wrap"),
+            jq_expr=o2.get("jq-expr"),
+            jq_prelude=ctx.template.jq_prelude,
+            jsonnet_expr=o2.get("jsonnet-expr"),
+            jsonnet_prelude=ctx.template.jsonnet_prelude,
         )
         out = stamp_old_events(out, ctx.template.name, ctx.signature)
     elif fn.startswith("send-") or fn == "expose-http":

@@ -157,6 +157,80 @@ def test_stress_test_primality_pipeline(spark):
     assert primes - {31} <= {n for f, n in got if f == "candidate.fermat.31"}
 
 
+def test_external_processing_pipeline(spark, capsys):
+    """examples/external-processing: keep-when numeric filter, jq
+    re-shaping, the send-receive-http jq-expr pre-transform (one
+    request per produced value, body = JSON array of payloads), and
+    the x-keyed jq merge — against two local stub 'rooter'/'siner'
+    services."""
+    import math
+    import threading
+    import yaml
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def make_service(key, fn):
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                vals = json.loads(body)  # [{x: v}, ...] — the map(.d) array
+                # NDJSON response: one value per line -> one event each
+                out = "\n".join(
+                    json.dumps({**v, key: fn(v["x"])}) for v in vals
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.end_headers()
+                self.wfile.write(out)
+
+            def log_message(self, *a):  # noqa: N802
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    rooter = make_service("sqrt", lambda x: round(math.sqrt(x), 6))
+    siner = make_service("sin", lambda x: round(math.sin(x), 6))
+    try:
+        doc = yaml.safe_load(open(f"{EXAMPLES}/external-processing/pipeline.yaml").read())
+        doc["steps"]["square root"]["reduce"]["send-receive-http"]["target"] = (
+            f"http://127.0.0.1:{rooter.server_address[1]}/calculate"
+        )
+        doc["steps"]["sine"]["reduce"]["send-receive-http"]["target"] = (
+            f"http://127.0.0.1:{siner.server_address[1]}/calculate"
+        )
+        template = from_yaml(yaml.safe_dump(doc))
+
+        nums = [1.0, 4.0, 9.0]
+        rows = [("_", json.dumps(n)) for n in nums]  # stdin wrap: _
+        result = compile_pipeline(
+            spark, template, input_df=_events_input(spark, rows), arrival_ts=1000.0
+        )
+        got = [(r["n"], json.loads(r["d"])) for r in result.output.collect() if r["d"]]
+        # the merge step is a stdout SINK: its jq-expr output is the
+        # printed side-channel, the stream forwards events unchanged
+        result.run_sinks()
+        sink_lines = [
+            json.loads(line)
+            for line in capsys.readouterr().out.splitlines()
+            if line.strip().startswith("{")
+        ]
+    finally:
+        rooter.shutdown()
+        siner.shutdown()
+
+    # merge prints objects carrying both service results for one x
+    merged = [d for d in sink_lines if isinstance(d, dict) and "sqrt" in d and "sin" in d]
+    assert merged, sink_lines
+    for d in merged:
+        assert d["sqrt"] == round(math.sqrt(d["x"]), 6)
+        assert d["sin"] == round(math.sin(d["x"]), 6)
+    # and each branch produced wrapped response events for every x
+    sqrts = {d["x"] for n, d in got if n == "square-root" and isinstance(d, dict)}
+    sins = {d["x"] for n, d in got if n == "sine" and isinstance(d, dict)}
+    assert sqrts == sins == set(nums)
+
+
 def test_composition_debug_formatter(spark):
     """examples/composition: the shared debug step's jq formatter
     (name, payload-or-placeholder, trace hop join) over our stamped
