@@ -46,13 +46,31 @@ def sink_payload_lines(
         )
     else:
         produced = jq_produced_values(df, jq_expr, order_col=order_col, prelude=jq_prelude)
+
+    # Reference rule for every expr-sink (send-stdout.ts:75-78,
+    # send-file.ts:95-98, http-client.ts sendThing): STRING values are
+    # emitted raw, everything else compact-JSON.  _val is JSON text,
+    # so unquote string values here.
+    @F.pandas_udf("string")
+    def raw_line(vals):  # noqa: ANN001
+        import pandas as pd  # noqa: F401
+
+        def conv(t):
+            try:
+                v = json.loads(t)
+            except ValueError:
+                return t
+            return v if isinstance(v, str) else t
+
+        return vals.map(conv)
+
     # Dense (window, index) renumber — see _values_to_events for why
     # the packed-long form overflows at >=1024 input partitions.
     from pyspark.sql.window import Window
 
     return produced.select(
         F.row_number().over(Window.orderBy("_worder", "_idx")).cast("long").alias("_ord"),
-        F.col("_val").alias("line"),
+        raw_line(F.col("_val")).alias("line"),
     )
 
 
@@ -145,6 +163,53 @@ def make_http_action(
                 if len(buf) >= batch_size:
                     flush()
             flush()
+
+        lines_df.select("line").foreachPartition(send_partition)
+
+    return action
+
+
+def make_http_value_action(
+    lines_df: DataFrame,
+    target: str,
+    method: str = "POST",
+    headers: Optional[dict[str, str]] = None,
+    max_retries: int = 4,
+    backoff_factor: float = 1.0,
+    timeout: float = 60.0,
+) -> Callable[[], None]:
+    """send-http with a jq/jsonnet expr: ONE request per produced
+    value, body = the value itself (raw for strings — already
+    unquoted by sink_payload_lines — compact JSON otherwise), no
+    implicit Content-Type (http-client.ts sendThing:111-124).  This
+    is how e.g. the filebeat-opensearch example assembles a single
+    _bulk NDJSON body per window."""
+
+    def action() -> None:
+        hdrs = dict(headers or {})
+
+        def send_partition(rows) -> None:  # noqa: ANN001
+            import time
+
+            import requests
+
+            session = requests.Session()
+            for row in rows:
+                body = row["line"].encode()
+                for attempt in range(max_retries + 1):
+                    try:
+                        resp = session.request(
+                            method, target, data=body, headers=hdrs, timeout=timeout
+                        )
+                        if resp.status_code >= 500 and attempt < max_retries:
+                            time.sleep(backoff_factor * (2**attempt))
+                            continue
+                        break
+                    except requests.RequestException:
+                        if attempt < max_retries:
+                            time.sleep(backoff_factor * (2**attempt))
+                        else:
+                            break
 
         lines_df.select("line").foreachPartition(send_partition)
 

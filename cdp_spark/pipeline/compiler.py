@@ -47,6 +47,7 @@ from ..io.sinks import (
     make_file_action,
     make_file_dir_action,
     make_http_action,
+    make_http_value_action,
     make_stdout_action,
     sink_payload_lines,
 )
@@ -228,9 +229,15 @@ def _attach_sink(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
         )
     elif fn == "send-http":
         target = opts if isinstance(opts, str) else o["target"]
-        action = make_http_action(
-            lines, target, method=o.get("method", "POST"), headers=o.get("headers")
-        )
+        if o.get("jq-expr") is not None or o.get("jsonnet-expr") is not None:
+            # one request per produced value, raw string bodies
+            action = make_http_value_action(
+                lines, target, method=o.get("method", "POST"), headers=o.get("headers")
+            )
+        else:
+            action = make_http_action(
+                lines, target, method=o.get("method", "POST"), headers=o.get("headers")
+            )
     elif fn == "expose-http":
         action = make_expose_action(
             df,

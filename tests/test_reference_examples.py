@@ -231,6 +231,58 @@ def test_external_processing_pipeline(spark, capsys):
     assert sqrts == sins == set(nums)
 
 
+def test_filebeat_opensearch_bulk_sink(spark):
+    """examples/filebeat-opensearch: the send-http sink's jq-expr
+    builds ONE OpenSearch _bulk NDJSON body per window (a jq STRING,
+    which must be posted raw — one request per produced value)."""
+    import threading
+    import yaml
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            received.append((self.path, body.decode()))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        doc = yaml.safe_load(open(f"{EXAMPLES}/filebeat-opensearch/pipeline.yaml").read())
+        doc["steps"]["send to opensearch"]["reduce"]["send-http"]["target"] = (
+            f"http://127.0.0.1:{srv.server_address[1]}/events/_bulk"
+        )
+        template = from_yaml(yaml.safe_dump(doc))
+
+        # tail with wrap {name: nginx, raw: true}: one event per raw
+        # log line, d = the line as a JSON string
+        lines = ['1.2.3.4 - - "GET / HTTP/1.1" 200', '5.6.7.8 - - "POST /x HTTP/1.1" 503']
+        rows = [("nginx", json.dumps(line)) for line in lines]
+        result = compile_pipeline(
+            spark, template, input_df=_events_input(spark, rows), arrival_ts=1000.0
+        )
+        result.run_sinks()
+    finally:
+        srv.shutdown()
+
+    assert len(received) == 1  # one window -> one jq string -> ONE request
+    path, body = received[0]
+    assert path == "/events/_bulk"
+    # raw NDJSON bulk body: action line, then the event, per event
+    body_lines = [json.loads(l) for l in body.strip().splitlines()]
+    assert body_lines[0] == {"index": {}} and body_lines[2] == {"index": {}}
+    assert body_lines[1]["n"] == "nginx" and body_lines[1]["d"] == lines[0]
+    assert body_lines[3]["d"] == lines[1]
+    assert body.endswith("\n")
+
+
 def test_composition_debug_formatter(spark):
     """examples/composition: the shared debug step's jq formatter
     (name, payload-or-placeholder, trace hop join) over our stamped
