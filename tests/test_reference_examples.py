@@ -283,6 +283,79 @@ def test_filebeat_opensearch_bulk_sink(spark):
     assert body.endswith("\n")
 
 
+def test_persistence_with_hasura_pipeline(spark):
+    """examples/persistence-with-hasura: the full persist → query-back
+    → combine loop against a stub GraphQL engine.  Exercises jq
+    routing with wrap, trace timestamps (.t[-1].i | todate), per-value
+    JSON request bodies, and the send-receive-http jq-expr path."""
+    import threading
+    import yaml
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    store: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers.get("Content-Length", 0))))
+            op = body.get("operationName")
+            if op == "persistEvents":
+                store.extend(body["variables"]["events"])
+                out = {"data": {"insert_event": {"returning": []}}}
+            else:  # getComplementary
+                v = body["variables"]
+
+                def latest(name):
+                    hits = [e for e in store if e["name"] == name and e["timestamp"] <= v["upTo"]]
+                    return (
+                        [{"id": 1, "name": name, "data": hits[-1]["data"], "timestamp": hits[-1]["timestamp"]}]
+                        if hits
+                        else []
+                    )
+
+                out = {"data": {"x": latest(v["x"]), "y": latest(v["y"])}}
+            payload = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        doc = yaml.safe_load(
+            open(f"{EXAMPLES}/persistence-with-hasura/pipeline.yaml").read()
+        )
+        url = f"http://127.0.0.1:{srv.server_address[1]}/v1/graphql"
+        doc["steps"]["persist input"]["reduce"]["send-http"]["target"] = url
+        doc["steps"]["assemble pair"]["reduce"]["send-receive-http"]["target"] = url
+        doc["steps"]["persist result"]["reduce"]["send-http"]["target"] = url
+        template = from_yaml(yaml.safe_dump(doc))
+
+        # generator shape: n=_generated, d=float in [0,1); >=0.95 -> y
+        vals = [0.5, 0.2, 0.96, 0.7]
+        rows = [("_generated", json.dumps(v)) for v in vals]
+        result = compile_pipeline(
+            spark, template, input_df=_events_input(spark, rows), arrival_ts=1000.0
+        )
+        # batch analog of the reference's concurrent:1 ordering:
+        # persist first, then collecting the output runs the
+        # query-back transform against the populated store
+        result.run_sinks()
+        got = [(r["n"], r["d"]) for r in result.output.collect()]
+    finally:
+        srv.shutdown()
+
+    xs = [e["data"] for e in store if e["name"] == "x"]
+    ys = [e["data"] for e in store if e["name"] == "y"]
+    assert sorted(xs) == [0.2, 0.5, 0.7] and ys == [0.96]
+    sums = [json.loads(d) for n, d in got if n == "x-plus-y"]
+    assert sums, got
+    assert all(s == xs[-1] + ys[-1] for s in sums)
+
+
 def test_composition_debug_formatter(spark):
     """examples/composition: the shared debug step's jq formatter
     (name, payload-or-placeholder, trace hop join) over our stamped
