@@ -82,6 +82,27 @@ def _permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_perm)]
 
 
+def signature_from_shingles(
+    sh: Column, num_perm: int = 64, seed: int = 42, hash_fn=default_hash64
+) -> Column:
+    """MinHash signature from a precomputed shingle array — lets a
+    caller that also needs the shingles (e.g. the verify join) pay
+    the tokenize/shingle cost once."""
+    params = _permutation_params(num_perm, seed)
+    consts = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
+    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_perm)])
+    hashes = F.transform(sh, lambda s: hash_fn(s) % F.lit(_MERSENNE))
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % F.lit(_MERSENNE))
+        ),
+    )
+
+
 def minhash_signature(
     col: Column, num_perm: int = 64, n: int = 3, seed: int = 42, hash_fn=default_hash64
 ) -> Column:
@@ -92,19 +113,7 @@ def minhash_signature(
     the shingle pipeline is evaluated once per row, not once per
     permutation (num_perm-fold re-evaluation would dominate at scale).
     """
-    params = _permutation_params(num_perm, seed)
-    consts = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
-    )
-    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_perm)])
-    hashes = shingle_hashes(col, n, hash_fn)
-    return F.aggregate(
-        hashes,
-        init,
-        lambda acc, x: F.zip_with(
-            acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % F.lit(_MERSENNE))
-        ),
-    )
+    return signature_from_shingles(shingles(col, n), num_perm, seed, hash_fn)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows: int, hash_fn=None) -> Column:
@@ -185,7 +194,21 @@ def minhash_candidate_pairs(
     """
     rows = num_perm // bands
     bucket_fn = None if hash_fn is default_hash64 else hash_fn
-    sig = minhash_signatures_df(df, id_col, text_col, num_perm, n, seed, hash_fn).select(
+    return candidate_pairs_from_signatures(
+        minhash_signatures_df(df, id_col, text_col, num_perm, n, seed, hash_fn),
+        bands,
+        rows,
+        bucket_fn,
+    )
+
+
+def candidate_pairs_from_signatures(
+    sig_df: DataFrame, bands: int, rows: int, bucket_fn=None
+) -> DataFrame:
+    """LSH banding + bucket pairing over a precomputed (_id, signature)
+    frame — the shared tail of minhash_candidate_pairs, split out so
+    verified_near_dups can reuse one signature projection."""
+    sig = sig_df.select(
         "_id",
         F.explode(lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
@@ -237,11 +260,31 @@ def verified_near_dups(
     the join condition, so a jaccard-on-text formulation would
     re-tokenize both documents several times per candidate pair inside
     the join; carrying the precomputed arrays leaves only cheap
-    array_intersect/union arithmetic there."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_perm, bands, n, hash_fn=hash_fn)
-    docs_sh = df.select(
-        F.col(id_col).alias("_vid"), shingles(F.col(text_col), n).alias("_sh")
+    array_intersect/union arithmetic there.
+
+    The (id, shingles, signature) projection is computed ONCE and
+    persisted: candidate generation and the verify join are separate
+    plan branches, so without materialization each would re-run the
+    tokenize/shingle/hash pipeline (the r2 bench regression — 2x the
+    md5 work).  The persisted payload is ids + shingle/signature
+    arrays only, never the documents; MEMORY_AND_DISK spills cleanly
+    at scale."""
+    from pyspark import StorageLevel
+
+    base = _ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).filter(F.size(tokens(F.col("_t"))) > 0)
+    enriched = base.select(
+        "_id", shingles(F.col("_t"), n).alias("_sh")
+    ).select(
+        "_id", "_sh", signature_from_shingles(F.col("_sh"), num_perm, 42, hash_fn).alias("signature")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = num_perm // bands
+    bucket_fn = None if hash_fn is default_hash64 else hash_fn
+    cands = candidate_pairs_from_signatures(
+        enriched.select("_id", "signature"), bands, rows, bucket_fn
     )
+    docs_sh = enriched.select(F.col("_id").alias("_vid"), F.col("_sh"))
     joined = (
         cands.join(
             docs_sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
@@ -325,11 +368,16 @@ def connected_components(
     jump collapses chains geometrically, so convergence is
     O(log(diameter)) rounds, not O(diameter) — the property that
     makes the path-graph worst case survive a 100x scale-up.  Each
-    round costs two shuffled joins plus a groupBy-min; lineage is
-    truncated every round (localCheckpoint — on a cluster, configure
-    a checkpoint dir) so the plan does not grow exponentially.
-    Terminates early when no label changes.
+    round costs two shuffled joins plus a groupBy-min; from round 3 on
+    lineage is truncated (localCheckpoint — on a cluster, configure a
+    checkpoint dir) so the plan does not grow exponentially, and the
+    convergence signal rides the SAME job as an ``observe`` metric
+    (sum of changed labels) instead of a separate join+count job —
+    the r2 bench showed per-round job overhead dominating this loop.
+    Terminates when no label changes.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     e = e.localCheckpoint()
@@ -343,30 +391,29 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
         )
         stepped = labels.join(nbr, "id", "left").select(
-            "id", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label")
+            "id",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
         hop = stepped.select(
             F.col("id").alias("_lid"), F.col("label").alias("_llabel")
         )
-        jumped = (
-            stepped.join(hop, stepped["label"] == hop["_lid"], "left")
-            .select("id", F.coalesce("_llabel", "label").alias("label"))
-            .localCheckpoint()
+        jumped = stepped.join(hop, stepped["label"] == hop["_lid"], "left").select(
+            "id", F.coalesce("_llabel", "label").alias("label"), "_old"
         )
-        # Convergence check costs one extra job; pointer jumping
-        # halves chain length per round, so skip the check on the
-        # first rounds (a component of >2 nodes can't be done yet)
-        # and then test every other round.
-        if it >= 2 and it % 2 == 0:
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = jumped
-            if changed == 0:
-                break
-        else:
-            labels = jumped
+        if it < 2:
+            # A >2-node component can't have converged yet: stay fully
+            # lazy (no checkpoint job) — two rounds of extra plan depth
+            # are cheaper than two eager materializations.
+            labels = jumped.drop("_old")
+            continue
+        obs = Observation()
+        observed = jumped.observe(
+            obs, F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed")
+        )
+        # localCheckpoint is eager: this one job both truncates lineage
+        # and populates the convergence metric.
+        labels = observed.drop("_old").localCheckpoint()
+        if obs.get["changed"] == 0:
+            break
     return labels.select("id", F.col("label").alias("component"))

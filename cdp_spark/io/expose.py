@@ -81,7 +81,11 @@ class ExposeBuffer:
         with self._lock:
             index = (self._current + 1) % self.size
             previous = self._keys[index]
-            if previous is not None:
+            # Only drop the evicted slot's mapping when it still points
+            # here: a duplicate body buffered later re-maps the same
+            # ETag to a newer slot, and that live mapping must survive
+            # (otherwise a key still advertised via Link 404s).
+            if previous is not None and self._index.get(previous) == index:
                 self._index.pop(previous, None)
             self._keys[index] = key
             self._index[key] = index

@@ -81,15 +81,13 @@ def _values_to_events(
     # packed `_worder * 2^20 + _idx` long: _worder derives from
     # monotonically_increasing_id (partition_id << 33), so the multiply
     # overflows at >=1024 input partitions, and >2^20 values per window
-    # would collide into the next window's range.  The global window
-    # matches the cost class of _renumber / the ordered sink paths this
-    # column exists to serve (parity ordering is global by definition).
-    from pyspark.sql.window import Window
+    # would collide into the next window's range.  global_dense_index
+    # is the distributed form of that row_number — range partition +
+    # local index + offset join — so the parity ordering column no
+    # longer forces a single-partition exchange.
+    from ..windows import global_dense_index
 
-    ordered = produced.withColumn(
-        "_ord",
-        F.row_number().over(Window.orderBy("_worder", "_idx")).cast("long"),
-    )
+    ordered = global_dense_index(produced, ["_worder", "_idx"], "_ord")
     if wrap is not None:
         name = wrap if isinstance(wrap, str) else wrap["name"]
         return ordered.select(
@@ -377,9 +375,13 @@ def jsonnet_produced_values(
     vectors = _collect_vectors(df, order_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import logging
+
         ast = jsonnet_parse(program)
         ev = Evaluator()
         fn = ev.eval_ast(ast)
+        dropped = 0
+        last_err: Optional[str] = None
         for pdf in batches:
             rows = []
             for worder, vec in zip(pdf["_worder"].tolist(), pdf["_vec"].tolist()):
@@ -387,9 +389,20 @@ def jsonnet_produced_values(
                 try:
                     val = ev.call(fn, [events]) if isinstance(fn, Closure) else fn
                     rows.append((worder, 0, manifest_json(val)))
-                except JsonnetError:
-                    continue
+                except JsonnetError as exc:
+                    # Parity: erroring windows are skipped silently by
+                    # stream-jsonnet (main.go:46-52) — but say so, with
+                    # a count, so a strict-vs-lazy divergence of this
+                    # evaluator is visible instead of a silent drop.
+                    dropped += 1
+                    last_err = str(exc)
             yield pd.DataFrame(rows, columns=["_worder", "_idx", "_val"])
+        if dropped:
+            logging.getLogger("cdp_spark.jsonnet").warning(
+                "jsonnet transform dropped %d window(s); last error: %s",
+                dropped,
+                last_err,
+            )
 
     return vectors.mapInPandas(run, schema="_worder long, _idx long, _val string")
 

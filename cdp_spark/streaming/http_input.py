@@ -19,6 +19,9 @@ Backpressure: the reference flips 503 while its internal queue is
 saturated (src/backpressure.ts).  Here the analog signal is the spool
 backlog — requests are refused once ``max_backlog_files`` spooled
 files await pickup, which bounds spool growth when the stream stalls.
+The stream deletes files it has committed (file-source
+``cleanSource=delete``), so the backlog gauge is pending work, not a
+cumulative counter — a drained pipeline accepts new POSTs forever.
 """
 
 from __future__ import annotations
@@ -55,6 +58,7 @@ class HttpIngestServer:
         self.endpoint = endpoint if endpoint.startswith("/") else "/" + endpoint
         self.max_backlog_files = max_backlog_files
         self.received = 0
+        self._seq_lock = threading.Lock()
         self._healthy = healthy if healthy is not None else (lambda: True)
         server = self
 
@@ -98,8 +102,14 @@ class HttpIngestServer:
 
     def _spool(self, body: bytes) -> None:
         """One request -> one file, atomic rename so the file stream
-        never reads a partial write."""
-        name = f"{self.received:012d}-{uuid.uuid4().hex}.ndjson"
+        never reads a partial write.  The sequence number is taken
+        under a lock: ThreadingHTTPServer handles POSTs concurrently,
+        and an unguarded counter could hand two requests the same
+        ordering prefix (and drop increments)."""
+        with self._seq_lock:
+            seq = self.received
+            self.received += 1
+        name = f"{seq:012d}-{uuid.uuid4().hex}.ndjson"
         tmp = os.path.join(self.spool_dir, "." + name + ".tmp")
         final = os.path.join(self.spool_dir, name)
         with open(tmp, "wb") as f:
@@ -107,9 +117,12 @@ class HttpIngestServer:
                 body += b"\n"
             f.write(body)
         os.rename(tmp, final)
-        self.received += 1
 
     def backlog(self) -> int:
+        """Files awaiting pickup.  Valid as a pending gauge because the
+        consuming stream runs with cleanSource=delete (committed files
+        leave the directory); archived/compacted spool layouts would
+        need a stream-progress gauge instead."""
         return sum(
             1 for n in os.listdir(self.spool_dir) if not n.startswith(".")
         )
@@ -145,6 +158,10 @@ def stream_http(
         max_backlog_files=max_backlog_files,
     ).start()
     stream = stream_ndjson_files(
-        spark, spool_dir, wrap=wrap, max_files_per_trigger=max_files_per_trigger
+        spark,
+        spool_dir,
+        wrap=wrap,
+        max_files_per_trigger=max_files_per_trigger,
+        clean_source="delete",
     )
     return stream, server

@@ -29,6 +29,7 @@ observed counters accumulate into the reference's counter families.
 
 from __future__ import annotations
 
+import tempfile
 import time
 from typing import Callable, Optional
 
@@ -64,9 +65,13 @@ def _input_stream(
         from .http_input import stream_http
 
         endpoint = opts if isinstance(opts, str) else o.get("endpoint", "/events")
+        # Default to a per-run unique spool: a fixed shared directory
+        # would replay files left by a previous run into a fresh
+        # checkpoint (and count them toward the 503 backlog gate).
+        spool = o.get("spool-dir") or tempfile.mkdtemp(prefix="cdp_spark_http_spool_")
         stream, server = stream_http(
             spark,
-            spool_dir=o.get("spool-dir", "/tmp/cdp_spark_http_spool"),
+            spool_dir=spool,
             endpoint=endpoint,
             port=int(o.get("port", 0)) or 0,
             wrap=o.get("wrap"),

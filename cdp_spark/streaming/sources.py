@@ -102,14 +102,22 @@ def stream_ndjson_files(
     path: str,
     wrap: WrapDirective = None,
     max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
 ) -> DataFrame:
     """Tail analog: follow a directory of NDJSON files.  Tolerant
     parsing matches the batch reader: invalid lines are dropped (the
     streaming dead-letter pattern is a second query over the same
-    source filtering `_reason IS NOT NULL`)."""
+    source filtering `_reason IS NOT NULL`).
+
+    ``clean_source``: Spark file-source cleanup of processed files —
+    "delete" or "archive" (spool-style inputs pass "delete" so the
+    directory holds only pending work; a tailed log directory owned
+    by someone else must leave it unset)."""
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
     return lines_to_events(reader.load(path), wrap)
 
 

@@ -48,6 +48,60 @@ def with_arrival_order(
     )
 
 
+def global_dense_index(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "_ord"
+) -> DataFrame:
+    """Distributed ``row_number() OVER (ORDER BY order_cols)`` (1-based)
+    for UNIQUE keys, without the single-partition exchange.
+
+    Shape: range-partition on the keys (partitions are globally
+    ordered), one mapInPandas pass stamps each row with its partition
+    id and a local running index, the per-partition counts (one row
+    per partition — tiny at any scale) get cumulative offsets via a
+    triangular broadcast join, and the global index is offset + local.
+    The range exchange is reused between the count branch and the main
+    branch; determinism follows from sortWithinPartitions + key
+    uniqueness.  This is the zipWithIndex pattern expressed on
+    DataFrames — the ordered-output path that survives result sizes
+    where one global sort task would not."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    for reserved in ("_gdi_pid", "_gdi_lidx", "_gdi_off"):
+        if reserved in df.columns:
+            raise ValueError(f"column {reserved} is reserved")
+    part = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    schema = StructType(
+        list(part.schema)
+        + [StructField("_gdi_pid", LongType()), StructField("_gdi_lidx", LongType())]
+    )
+
+    def index_partition(batches):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_gdi_pid"] = pid
+            pdf["_gdi_lidx"] = list(range(i, i + len(pdf)))
+            i += len(pdf)
+            yield pdf
+
+    indexed = part.mapInPandas(index_partition, schema=schema)
+    counts = indexed.groupBy("_gdi_pid").agg(F.count(F.lit(1)).alias("_gdi_n"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._gdi_pid") < F.col("a._gdi_pid"), "left")
+        .groupBy(F.col("a._gdi_pid").alias("_gdi_pid"))
+        .agg(F.coalesce(F.sum("b._gdi_n"), F.lit(0)).alias("_gdi_off"))
+    )
+    return (
+        indexed.join(F.broadcast(offsets), "_gdi_pid")
+        .withColumn(out_col, (F.col("_gdi_off") + F.col("_gdi_lidx") + 1).cast("long"))
+        .drop("_gdi_pid", "_gdi_lidx", "_gdi_off")
+    )
+
+
 def tumbling_count_windows(
     df: DataFrame,
     max_size: int,
