@@ -331,8 +331,12 @@ def _transform_input(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _parse_transform_output(out: DataFrame) -> DataFrame:
+    # _ord is the transform's lazy struct order column; the dense
+    # window rank the oracle expects is one row_number over it (a few
+    # hundred one-row-per-window aggregates — the single-partition
+    # window is on post-aggregation data, not events).
     return out.select(
-        F.col("_ord").alias("w"),
+        F.row_number().over(Window.partitionBy().orderBy("_ord")).cast("long").alias("w"),
         F.get_json_object("d", "$.cnt").cast("long").alias("cnt"),
         F.round(F.get_json_object("d", "$.total").cast("double"), 2).alias("total"),
     )
@@ -986,12 +990,17 @@ def q_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     brk = F.when(gap_us > 1800 * 1_000_000, 1).otherwise(0)
     sess = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # sum emitted as integer hundredths: the exact decimal sum never
+    # touches double formatting, so the driver's value hash has no
+    # float serialization boundary (the r02/r03 red row).
     return (
         ev.withColumn("sess", sess)
         .groupBy("user_id", "sess")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            stable_sum("value").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")) * 100, 0)
+            .cast("long")
+            .alias("sum_value_c"),
         )
     )
 
@@ -1150,17 +1159,61 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# New queries added in round 4 — one dict so the rotation arithmetic in
+# queries() stays readable; populated at the end of the module once the
+# new query functions exist.
+_ROUND4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate checks the FIRST 50 dict
-    # entries only.  Round 2 left 25 queries without a CORRECTNESS row, so
-    # round 3 puts exactly those 25 first (plus this round's new queries),
-    # followed by the 50 that are already driver-green from r02 (those stay
-    # regression-guarded by scripts/driver_sim.py + tests/test_oracle.py).
+    # entries only.  Round-4 rotation: the 27 queries whose only green row
+    # is from r02 go first, then session_gap (r03's one red row, now
+    # hash-proofed with an integer output), then this round's new queries,
+    # filled to 50 with queries first checked in r03.  The tail is entirely
+    # r03-checked, so after r04 no query's newest CORRECTNESS row is older
+    # than one round (everything also stays regression-guarded every round
+    # by scripts/driver_sim.py + tests/test_oracle.py at sf0.001).
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- r02-unchecked: relational _SHARED_SQL family (10) ---
+    # --- stale-from-r02 (27): must land in the first 50 ---
+    q.update(
+        {
+            "agg_rollup": q_agg_rollup,
+            "agg_cube": q_agg_cube,
+            "topk_per_group": q_topk_per_group,
+            "set_ops": q_set_ops,
+            "percentiles": q_percentiles,
+            "regexp_extract_parts": q_regexp_extract_parts,
+            "join_full_outer": q_join_full_outer,
+            "string_agg_sorted": q_string_agg_sorted,
+            "vector_dim_stats": q_vector_dim_stats,
+            "dedup_exact_docs": q_dedup_exact_docs,
+            "dup_clusters": q_dup_clusters,
+            "stratified_sample": q_stratified_sample,
+            "dataset_mix": q_dataset_mix,
+            "text_stats": q_text_stats,
+            "lang_id": q_lang_id,
+            "quality_score": q_quality_score,
+            "token_count_by_source": q_token_count_by_source,
+            "fingerprint_docs": q_fingerprint_docs,
+            "ann_bruteforce": q_ann_bruteforce,
+            "minhash_pairs": q_minhash_pairs,
+            "near_dup_verified": q_near_dup_verified,
+            "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+            "embedding_cosine_pairs": q_embedding_cosine_pairs,
+            "simhash_docs": q_simhash_docs,
+            "ann_lsh": q_ann_lsh,
+            "ann_lsh_indexed": q_ann_lsh_indexed,
+            "ann_ivf_indexed": q_ann_ivf_indexed,
+        }
+    )
+    # --- r03's red row, re-verified after the integer-output fix ---
+    q["session_gap"] = q_session_gap
+    # --- new in round 4 ---
+    q.update(_ROUND4_QUERIES)
+    # --- fill to 50 with r03-first-time-checked queries ---
     for name in _SHARED_SQL:
         q[name] = _shared_sql_query(name)
-    # --- r02-unchecked: ANN PQ / IVF family (5) ---
     q.update(
         {
             "ann_pq": q_ann_pq,
@@ -1168,11 +1221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_pq_indexed": q_ann_ivf_pq_indexed,
             "ivf_counts": q_ivf_counts,
             "ann_ivf": q_ann_ivf,
-        }
-    )
-    # --- r02-unchecked: curation family (7) ---
-    q.update(
-        {
             "decontaminate_docs": q_decontaminate_docs,
             "pack_documents": q_pack_documents,
             "vocabulary": q_vocabulary,
@@ -1180,79 +1228,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_tokens": q_chunk_tokens,
             "doc_repetition": q_doc_repetition,
             "pii_redact": q_pii_redact,
-        }
-    )
-    # --- r02-unchecked: multimodal (3) ---
-    q.update(
-        {
             "multimodal_bytes": q_multimodal_bytes,
             "multimodal_features": q_multimodal_features,
             "multimodal_resize": q_multimodal_resize,
-        }
-    )
-    # --- new in round 3 ---
-    q.update(
-        {
             "jq_window_stats_keyed": q_jq_window_stats_keyed,
             "jsonnet_window_stats_keyed": q_jsonnet_window_stats_keyed,
         }
     )
-    # --- r02 driver-green (first 50 of the r02 contract) ---
+    # --- tail: double-green (r02+r03) CDP-semantics + relational core ---
     q.update(
         {
-        # CDP semantics
-        "pattern_match_drop": q_pattern_match_drop,
-        "pattern_match_composite": q_pattern_match_composite,
-        "rename_affix": q_rename_affix,
-        "window_reduce_agg": q_window_reduce_agg,
-        "window_flatmap_slide": q_window_flatmap_slide,
-        "window_reduce_keyed": q_window_reduce_keyed,
-        "window_flatmap_keyed": q_window_flatmap_keyed,
-        "unpivot_measures": q_unpivot_measures,
-        "jq_window_stats": q_jq_window_stats,
-        "jsonnet_window_stats": q_jsonnet_window_stats,
-        "dedup_exact_events": q_dedup_exact_events,
-        "keep_last_per_window": q_keep_last_per_window,
-        "keep_when_filter": q_keep_when_filter,
-        "keep_when_combinators": q_keep_when_combinators,
-        "asof_join": q_asof_join,
-        "count_or_time_sessions": q_count_or_time_sessions,
-        "session_gap": q_session_gap,
-        "time_window_agg": q_time_window_agg,
-        "json_extract_props": q_json_extract_props,
-        # relational superset
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "top_customers": q_top_customers,
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
-        "agg_rollup": q_agg_rollup,
-        "agg_cube": q_agg_cube,
-        "topk_per_group": q_topk_per_group,
-        "set_ops": q_set_ops,
-        "percentiles": q_percentiles,
-        "regexp_extract_parts": q_regexp_extract_parts,
-        "join_full_outer": q_join_full_outer,
-        "string_agg_sorted": q_string_agg_sorted,
-        "vector_dim_stats": q_vector_dim_stats,
-        # LLM-pipeline extensions
-        "dedup_exact_docs": q_dedup_exact_docs,
-        "dup_clusters": q_dup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "dataset_mix": q_dataset_mix,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count_by_source": q_token_count_by_source,
-        "fingerprint_docs": q_fingerprint_docs,
-        "ann_bruteforce": q_ann_bruteforce,
-        "minhash_pairs": q_minhash_pairs,
-        "near_dup_verified": q_near_dup_verified,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "simhash_docs": q_simhash_docs,
-        "ann_lsh": q_ann_lsh,
-        "ann_lsh_indexed": q_ann_lsh_indexed,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
+            "pattern_match_drop": q_pattern_match_drop,
+            "pattern_match_composite": q_pattern_match_composite,
+            "rename_affix": q_rename_affix,
+            "window_reduce_agg": q_window_reduce_agg,
+            "window_flatmap_slide": q_window_flatmap_slide,
+            "window_reduce_keyed": q_window_reduce_keyed,
+            "window_flatmap_keyed": q_window_flatmap_keyed,
+            "unpivot_measures": q_unpivot_measures,
+            "jq_window_stats": q_jq_window_stats,
+            "jsonnet_window_stats": q_jsonnet_window_stats,
+            "dedup_exact_events": q_dedup_exact_events,
+            "keep_last_per_window": q_keep_last_per_window,
+            "keep_when_filter": q_keep_when_filter,
+            "keep_when_combinators": q_keep_when_combinators,
+            "asof_join": q_asof_join,
+            "count_or_time_sessions": q_count_or_time_sessions,
+            "time_window_agg": q_time_window_agg,
+            "json_extract_props": q_json_extract_props,
+            "q3_shipping_priority": q_q3_shipping_priority,
+            "top_customers": q_top_customers,
+            "join_semi": q_join_semi,
+            "join_anti": q_join_anti,
         }
     )
     return q
@@ -1602,7 +1609,8 @@ def oracle_sql() -> dict[str, str]:
                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
               FROM d)
-            SELECT user_id, sess, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+            SELECT user_id, sess, count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(28,6))) * 100, 0) AS BIGINT) AS sum_value_c
             FROM s GROUP BY user_id, sess
         """,
         "ngram_jaccard_pairs": f"""

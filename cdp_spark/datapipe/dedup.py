@@ -263,14 +263,15 @@ def verified_near_dups(
     array_intersect/union arithmetic there.
 
     The (id, shingles, signature) projection is computed ONCE and
-    persisted: candidate generation and the verify join are separate
-    plan branches, so without materialization each would re-run the
-    tokenize/shingle/hash pipeline (the r2 bench regression — 2x the
-    md5 work).  The persisted payload is ids + shingle/signature
-    arrays only, never the documents; MEMORY_AND_DISK spills cleanly
-    at scale."""
-    from pyspark import StorageLevel
-
+    materialized via an eager localCheckpoint: candidate generation
+    and the verify join are separate plan branches, so without
+    materialization each would re-run the tokenize/shingle/hash
+    pipeline (the r2 bench regression — 2x the md5 work).  A plain
+    ``persist`` here leaked — the cache manager pins cached plans for
+    the SparkSession lifetime across repeated calls — whereas
+    checkpoint blocks are released by the ContextCleaner once the
+    returned DataFrame is garbage-collected.  The materialized payload
+    is ids + shingle/signature arrays only, never the documents."""
     base = _ensure_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     ).filter(F.size(tokens(F.col("_t"))) > 0)
@@ -278,7 +279,7 @@ def verified_near_dups(
         "_id", shingles(F.col("_t"), n).alias("_sh")
     ).select(
         "_id", "_sh", signature_from_shingles(F.col("_sh"), num_perm, 42, hash_fn).alias("signature")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     rows = num_perm // bands
     bucket_fn = None if hash_fn is default_hash64 else hash_fn
     cands = candidate_pairs_from_signatures(
@@ -367,14 +368,20 @@ def connected_components(
     (b) l(v) <- l(l(v)) (hook the label to its label's label).  The
     jump collapses chains geometrically, so convergence is
     O(log(diameter)) rounds, not O(diameter) — the property that
-    makes the path-graph worst case survive a 100x scale-up.  Each
-    round costs two shuffled joins plus a groupBy-min; from round 3 on
-    lineage is truncated (localCheckpoint — on a cluster, configure a
-    checkpoint dir) so the plan does not grow exponentially, and the
-    convergence signal rides the SAME job as an ``observe`` metric
-    (sum of changed labels) instead of a separate join+count job —
-    the r2 bench showed per-round job overhead dominating this loop.
-    Terminates when no label changes.
+    makes the path-graph worst case survive a 100x scale-up.
+
+    Every round is eagerly checkpointed (localCheckpoint — on a
+    cluster, configure a checkpoint dir), so each job is exactly one
+    round: two shuffled joins plus a groupBy-min over cached blocks.
+    Staying lazy between rounds looks cheaper (fewer jobs) but is not:
+    a round references its input in two plan branches (the neighbor
+    aggregate and the label join) and ``stepped`` in two more (the
+    pointer-jump self-join), so an unmaterialized round's work re-runs
+    ~4x per downstream round — the r3 bench regression was exactly
+    this blowup on the two lazy warm-up rounds.  The convergence
+    signal rides the SAME job as an ``observe`` metric (sum of changed
+    labels, coalesced to 0 for empty inputs) instead of a separate
+    join+count job.  Terminates when no label changes.
     """
     from pyspark.sql import Observation
 
@@ -401,19 +408,16 @@ def connected_components(
         jumped = stepped.join(hop, stepped["label"] == hop["_lid"], "left").select(
             "id", F.coalesce("_llabel", "label").alias("label"), "_old"
         )
-        if it < 2:
-            # A >2-node component can't have converged yet: stay fully
-            # lazy (no checkpoint job) — two rounds of extra plan depth
-            # are cheaper than two eager materializations.
-            labels = jumped.drop("_old")
-            continue
         obs = Observation()
         observed = jumped.observe(
-            obs, F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed")
+            obs,
+            F.coalesce(
+                F.sum((F.col("label") != F.col("_old")).cast("long")), F.lit(0)
+            ).alias("changed"),
         )
         # localCheckpoint is eager: this one job both truncates lineage
         # and populates the convergence metric.
         labels = observed.drop("_old").localCheckpoint()
-        if obs.get["changed"] == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select("id", F.col("label").alias("component"))

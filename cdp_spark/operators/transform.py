@@ -77,17 +77,18 @@ def _values_to_events(
     deterministic order column ``_ord`` (window order, then output
     index)."""
     validate_wrap(wrap)
-    # Dense renumber over (window order, output index) rather than the
-    # packed `_worder * 2^20 + _idx` long: _worder derives from
-    # monotonically_increasing_id (partition_id << 33), so the multiply
-    # overflows at >=1024 input partitions, and >2^20 values per window
-    # would collide into the next window's range.  global_dense_index
-    # is the distributed form of that row_number — range partition +
-    # local index + offset join — so the parity ordering column no
-    # longer forces a single-partition exchange.
-    from ..windows import global_dense_index
-
-    ordered = global_dense_index(produced, ["_worder", "_idx"], "_ord")
+    # The order column is the lexicographic struct (window order,
+    # output index) — NOT a packed `_worder * 2^20 + _idx` long
+    # (overflows: _worder derives from monotonically_increasing_id,
+    # partition_id << 33) and NOT an eager dense renumber (executing
+    # the plan at build time breaks the sink-before-output ordering
+    # contract, and a lazy two-branch renumber re-runs the jq/jsonnet
+    # subprocess and double-fires observed metrics — the r3
+    # regression).  Struct _ord is plan-only: zero extra stages, total
+    # order, unique.  Consumers needing a dense long derive it with
+    # one row_number over this column (the pipeline compiler's
+    # _renumber already does exactly that).
+    ordered = produced.withColumn("_ord", F.struct("_worder", "_idx"))
     if wrap is not None:
         name = wrap if isinstance(wrap, str) else wrap["name"]
         return ordered.select(

@@ -49,19 +49,30 @@ def with_arrival_order(
 
 
 def global_dense_index(
-    df: DataFrame, order_cols: Sequence[str], out_col: str = "_ord"
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "_ord",
+    small_threshold: int = 1 << 16,
 ) -> DataFrame:
     """Distributed ``row_number() OVER (ORDER BY order_cols)`` (1-based)
     for UNIQUE keys, without the single-partition exchange.
 
-    Shape: range-partition on the keys (partitions are globally
-    ordered), one mapInPandas pass stamps each row with its partition
-    id and a local running index, the per-partition counts (one row
-    per partition — tiny at any scale) get cumulative offsets via a
-    triangular broadcast join, and the global index is offset + local.
-    The range exchange is reused between the count branch and the main
-    branch; determinism follows from sortWithinPartitions + key
-    uniqueness.  This is the zipWithIndex pattern expressed on
+    The input plan is materialized eagerly (localCheckpoint) before
+    anything else touches it: both ``repartitionByRange``'s range
+    sampling and the partition-count pass would otherwise re-execute
+    upstream — which double-runs side-effecting stages (jq/jsonnet
+    subprocesses) and double-fires observed CollectMetrics counters.
+    After the checkpoint every downstream pass reads cached blocks.
+
+    Small inputs (``<= small_threshold`` rows, known exactly from the
+    checkpoint) take a zero-shuffle path: coalesce(1) + an in-partition
+    stamp.  Large inputs range-partition on the keys (partitions are
+    globally ordered), one mapInPandas pass stamps each row with its
+    partition id and a local running index, and the per-partition
+    counts — one row per partition, fetched to the driver exactly as
+    RDD.zipWithIndex does — become cumulative offsets broadcast back
+    into a tiny join.  Determinism follows from sortWithinPartitions +
+    key uniqueness.  This is the zipWithIndex pattern expressed on
     DataFrames — the ordered-output path that survives result sizes
     where one global sort task would not."""
     from pyspark import TaskContext
@@ -70,9 +81,11 @@ def global_dense_index(
     for reserved in ("_gdi_pid", "_gdi_lidx", "_gdi_off"):
         if reserved in df.columns:
             raise ValueError(f"column {reserved} is reserved")
-    part = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    df = df.localCheckpoint(eager=True)
+    n = df.count()  # cached blocks — a metadata-cheap job
+
     schema = StructType(
-        list(part.schema)
+        list(df.schema)
         + [StructField("_gdi_pid", LongType()), StructField("_gdi_lidx", LongType())]
     )
 
@@ -87,16 +100,29 @@ def global_dense_index(
             i += len(pdf)
             yield pdf
 
+    if n <= small_threshold:
+        # No range sampling, no shuffle, no offsets join: one narrow
+        # coalesce and a single stamping pass.
+        part = df.coalesce(1).sortWithinPartitions(*order_cols)
+        return (
+            part.mapInPandas(index_partition, schema=schema)
+            .withColumn(out_col, (F.col("_gdi_lidx") + 1).cast("long"))
+            .drop("_gdi_pid", "_gdi_lidx")
+        )
+
+    part = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     indexed = part.mapInPandas(index_partition, schema=schema)
-    counts = indexed.groupBy("_gdi_pid").agg(F.count(F.lit(1)).alias("_gdi_n"))
-    offsets = (
-        counts.alias("a")
-        .join(counts.alias("b"), F.col("b._gdi_pid") < F.col("a._gdi_pid"), "left")
-        .groupBy(F.col("a._gdi_pid").alias("_gdi_pid"))
-        .agg(F.coalesce(F.sum("b._gdi_n"), F.lit(0)).alias("_gdi_off"))
+    counts = sorted(
+        (r["_gdi_pid"], r["_gdi_n"])
+        for r in indexed.groupBy("_gdi_pid").agg(F.count(F.lit(1)).alias("_gdi_n")).collect()
     )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = df.sparkSession.createDataFrame(offsets, "_gdi_pid long, _gdi_off long")
     return (
-        indexed.join(F.broadcast(offsets), "_gdi_pid")
+        indexed.join(F.broadcast(off_df), "_gdi_pid")
         .withColumn(out_col, (F.col("_gdi_off") + F.col("_gdi_lidx") + 1).cast("long"))
         .drop("_gdi_pid", "_gdi_lidx", "_gdi_off")
     )
