@@ -1164,18 +1164,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # new query functions exist.
 _ROUND4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+# New queries added in round 5 — same pattern: populated at the end of
+# the module, spliced into the first-50 window by queries().
+_ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate checks the FIRST 50 dict
-    # entries only.  Round-4 rotation: the 27 queries whose only green row
-    # is from r02 go first, then session_gap (r03's one red row, now
-    # hash-proofed with an integer output), then this round's new queries,
-    # filled to 50 with queries first checked in r03.  The tail is entirely
-    # r03-checked, so after r04 no query's newest CORRECTNESS row is older
-    # than one round (everything also stays regression-guarded every round
-    # by scripts/driver_sim.py + tests/test_oracle.py at sf0.001).
+    # entries only.  Round-5 rotation: the 27 queries whose newest green row
+    # is r03 go first, then session_gap (red in r02-r04; root cause found in
+    # r05: the oracle's windowed sum(INTEGER) returned HUGEINT which
+    # pandas/arrow serializes as float64/decimal128 -- now CAST to BIGINT),
+    # then this round's new queries, filled to 50 with r04-checked ones.
+    # The tail is entirely r04-checked, so after r05 no query's newest
+    # CORRECTNESS row is older than one round (everything also stays
+    # regression-guarded every round by scripts/driver_sim.py +
+    # tests/test_oracle.py at sf0.001).
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # --- stale-from-r02 (27): must land in the first 50 ---
+    # --- stale-from-r03 (27): must land in the first 50 ---
+    q.update(
+        {
+            "multimodal_bytes": q_multimodal_bytes,
+            "multimodal_features": q_multimodal_features,
+            "multimodal_resize": q_multimodal_resize,
+            "jq_window_stats_keyed": q_jq_window_stats_keyed,
+            "jsonnet_window_stats_keyed": q_jsonnet_window_stats_keyed,
+            "pattern_match_drop": q_pattern_match_drop,
+            "pattern_match_composite": q_pattern_match_composite,
+            "rename_affix": q_rename_affix,
+            "window_reduce_agg": q_window_reduce_agg,
+            "window_flatmap_slide": q_window_flatmap_slide,
+            "window_reduce_keyed": q_window_reduce_keyed,
+            "window_flatmap_keyed": q_window_flatmap_keyed,
+            "unpivot_measures": q_unpivot_measures,
+            "jq_window_stats": q_jq_window_stats,
+            "jsonnet_window_stats": q_jsonnet_window_stats,
+            "dedup_exact_events": q_dedup_exact_events,
+            "keep_last_per_window": q_keep_last_per_window,
+            "keep_when_filter": q_keep_when_filter,
+            "keep_when_combinators": q_keep_when_combinators,
+            "asof_join": q_asof_join,
+            "count_or_time_sessions": q_count_or_time_sessions,
+            "time_window_agg": q_time_window_agg,
+            "json_extract_props": q_json_extract_props,
+            "q3_shipping_priority": q_q3_shipping_priority,
+            "top_customers": q_top_customers,
+            "join_semi": q_join_semi,
+            "join_anti": q_join_anti,
+        }
+    )
+    # --- r02-r04's one red row, re-verified after the HUGEINT oracle fix ---
+    q["session_gap"] = q_session_gap
+    # --- new in round 5 ---
+    q.update(_ROUND5_QUERIES)
+    # --- fill to 50 with r04-checked queries ---
+    q.update(_ROUND4_QUERIES)
     q.update(
         {
             "agg_rollup": q_agg_rollup,
@@ -1207,11 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_ivf_indexed": q_ann_ivf_indexed,
         }
     )
-    # --- r03's red row, re-verified after the integer-output fix ---
-    q["session_gap"] = q_session_gap
-    # --- new in round 4 ---
-    q.update(_ROUND4_QUERIES)
-    # --- fill to 50 with r03-first-time-checked queries ---
+    # --- tail: r04-checked relational/ANN/curation queries ---
     for name in _SHARED_SQL:
         q[name] = _shared_sql_query(name)
     q.update(
@@ -1228,38 +1267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_tokens": q_chunk_tokens,
             "doc_repetition": q_doc_repetition,
             "pii_redact": q_pii_redact,
-            "multimodal_bytes": q_multimodal_bytes,
-            "multimodal_features": q_multimodal_features,
-            "multimodal_resize": q_multimodal_resize,
-            "jq_window_stats_keyed": q_jq_window_stats_keyed,
-            "jsonnet_window_stats_keyed": q_jsonnet_window_stats_keyed,
-        }
-    )
-    # --- tail: double-green (r02+r03) CDP-semantics + relational core ---
-    q.update(
-        {
-            "pattern_match_drop": q_pattern_match_drop,
-            "pattern_match_composite": q_pattern_match_composite,
-            "rename_affix": q_rename_affix,
-            "window_reduce_agg": q_window_reduce_agg,
-            "window_flatmap_slide": q_window_flatmap_slide,
-            "window_reduce_keyed": q_window_reduce_keyed,
-            "window_flatmap_keyed": q_window_flatmap_keyed,
-            "unpivot_measures": q_unpivot_measures,
-            "jq_window_stats": q_jq_window_stats,
-            "jsonnet_window_stats": q_jsonnet_window_stats,
-            "dedup_exact_events": q_dedup_exact_events,
-            "keep_last_per_window": q_keep_last_per_window,
-            "keep_when_filter": q_keep_when_filter,
-            "keep_when_combinators": q_keep_when_combinators,
-            "asof_join": q_asof_join,
-            "count_or_time_sessions": q_count_or_time_sessions,
-            "time_window_agg": q_time_window_agg,
-            "json_extract_props": q_json_extract_props,
-            "q3_shipping_priority": q_q3_shipping_priority,
-            "top_customers": q_top_customers,
-            "join_semi": q_join_semi,
-            "join_anti": q_join_anti,
         }
     )
     return q
@@ -1605,9 +1612,12 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS brk
               FROM events),
             s AS (
+              -- CAST: DuckDB sum(INTEGER) is HUGEINT, which serializes as
+              -- float64/decimal128 through pandas/arrow while Spark emits
+              -- int64 -- the r02-r04 hash-mismatch column.
               SELECT user_id, value,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
               FROM d)
             SELECT user_id, sess, count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(28,6))) * 100, 0) AS BIGINT) AS sum_value_c

@@ -68,6 +68,25 @@ def main() -> None:
                 rec["schema_match"] = sorted(scols) == sorted(dcols)
                 ns, nd = normalize(srows, scols), normalize(drows, dcols)
                 rec["hash_match"] = ns == nd
+                # The real driver may serialize via pandas/arrow, where
+                # DuckDB HUGEINT/DECIMAL become float64/decimal128 while
+                # Spark emits int64 — values "match" under fetchall but
+                # hash differently (the r02-r04 session_gap red row).
+                # Flag any type that doesn't survive that boundary.
+                risky = [
+                    (c, str(t))
+                    for c, t in zip(res.columns, res.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")
+                    or str(t).startswith("DECIMAL")
+                ]
+                risky += [
+                    (f.name, f.dataType.simpleString())
+                    for f in sdf.schema.fields
+                    if f.dataType.simpleString().startswith("decimal")
+                ]
+                if risky:
+                    rec["hash_match"] = False
+                    rec["first_diff"] = f"driver-unsafe output types: {risky}"
                 if not rec["hash_match"]:
                     rec["first_diff"] = str(
                         [(a, b) for a, b in zip(ns, nd) if a != b][:2]
