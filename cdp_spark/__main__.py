@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
 
             result = compile_pipeline(spark, template)
             result.run_sinks()
+            from cdp_spark.dead_letter import ship_dead_letters
+
+            ship_dead_letters(result.dead_letters)
             out = result.output
             for row in (
                 out.select(serialize_events(out).alias("line"), "_ord")

@@ -36,6 +36,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from ..dead_letter import ship_dead_letters
 from ..metrics import PipelineMetrics
 from ..pipeline.compiler import compile_pipeline
 from ..pipeline.template import PipelineTemplate
@@ -127,6 +128,9 @@ def run_pipeline_stream(
             result.output.count()
         if metrics is not None:
             metrics.update_from(result)
+        # Forward dead letters when DEAD_LETTER_TARGET is configured
+        # (src/dead-letter.ts:19-32); no-op otherwise.
+        ship_dead_letters(result.dead_letters)
 
     writer = input_stream.writeStream.foreachBatch(process_batch)
     if checkpoint_dir is not None:
