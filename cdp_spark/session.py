@@ -49,16 +49,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     reader produces, so oracle comparisons stay bit-identical.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # The driver contract may hand us a SparkSession built elsewhere
-    # (without get_spark()'s builder confs). nanosAsLong is
-    # runtime-settable, so set it here — correctness must not depend
-    # on who constructed the session.
+    # (without get_spark()'s builder confs). nanosAsLong and the
+    # session timezone are runtime-settable, so set them here —
+    # correctness must not depend on who constructed the session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # Integer division: ts/1000 via `/` would be a double divide,
         # which is lossy at 1e18 (±1 us errors).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Timezone-naive parquet timestamps read as TIMESTAMP_NTZ, which
+    # unix_micros/window/etc. reject.  Cast to TIMESTAMP_LTZ: with the
+    # UTC session timezone set above the wall-clock values are
+    # identical to DuckDB's naive read of the same file.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
