@@ -14,15 +14,26 @@ the language subset those programs actually use:
 - full operator set (arithmetic, comparison, boolean, bitwise, ``in``,
   ``+`` as concat/merge, ``%`` as number-mod / string-format)
 - indexing, slicing, field access, and a ~60-function ``std`` library
+- object orientation: ``self``, ``$``, ``super``, hidden fields
+  (``::`` / ``:::``), ``+:`` field merges, object-level and
+  expression-level ``assert``.  Objects retain their field
+  expressions, so inheritance (``base + {override}``) re-evaluates
+  fields with late-bound ``self``/``$`` exactly like go-jsonnet —
+  ``{a: self.x, x: 1} + {x: 2}`` manifests ``{a: 2, x: 2}``.
 
-Deliberately out of scope (raise a parse/runtime error): ``self`` /
-``super`` / ``$``, object field visibility ``::``, ``+:`` merges,
-``import`` / ``importstr``, ``assert``.  These target object-oriented
-template composition, which the event-transform contract doesn't use.
+Deliberately out of scope (raise a parse/runtime error): ``import`` /
+``importstr`` (no file-system contract in the transform sandbox).
 
 Evaluation is strict (Jsonnet is lazy); observable only for programs
 relying on laziness for termination — recursion guarded by
-``if/then/else`` works because only the taken branch evaluates.
+``if/then/else`` works because only the taken branch evaluates, and
+object fields are resolved on demand (memoized) within a literal, so
+field order and ``self`` cycles guarded by ``if`` behave correctly.
+Known strictness gaps: an object literal whose fields reference
+``super`` must appear syntactically as the right operand of ``+``
+(storing it in a ``local`` first fails — go-jsonnet defers the field
+bodies, we do not), and object ``local``s that reference ``self``
+re-evaluate per field access.
 """
 
 from __future__ import annotations
@@ -187,7 +198,7 @@ _BINPREC = {
     "+": 9, "-": 9, "*": 10, "/": 10, "%": 10,
 }
 
-_UNSUPPORTED = {"self", "super", "import", "importstr", "assert"}
+_UNSUPPORTED = {"import", "importstr"}
 
 
 class _Parser:
@@ -366,6 +377,23 @@ class _Parser:
                 return ("if", cond, a, ("lit", None))
             if v == "error":
                 return ("error", self.expr())
+            if v == "self":
+                return ("self",)
+            if v == "super":
+                # super is only legal indexed (super.f / super[e]) or
+                # as the RHS of `in`; bare form is resolved in _binop.
+                if self.eat_op("."):
+                    return ("superindex", ("lit", self.expect("ident")))
+                if self.eat_op("["):
+                    e = self.expr()
+                    self.expect("op", "]")
+                    return ("superindex", e)
+                return ("super",)
+            if v == "assert":
+                cond = self.expr()
+                msg = self.expr() if self.eat_op(":") else None
+                self.expect("op", ";")
+                return ("assert", cond, msg, self.expr())
             if v in _UNSUPPORTED:
                 raise JsonnetParseError(
                     f"'{v}' is outside the supported Jsonnet subset "
@@ -396,57 +424,67 @@ class _Parser:
             if v == "{":
                 return self.object_rest()
             if v == "$":
-                raise JsonnetParseError(
-                    "'$' is outside the supported Jsonnet subset"
-                )
+                return ("dollar",)
         raise JsonnetParseError(f"unexpected token {v!r} at {p}")
 
+    def _field_sep(self, pos: int) -> tuple[str, bool]:
+        """Parse ``[+] : | :: | :::`` after a field name; returns the
+        separator (visibility) and whether ``+:`` merge was used."""
+        plus = self.eat_op("+")
+        k, v, p = self.peek()
+        if k == "op" and v in (":", "::", ":::"):
+            self.next()
+            return v, plus
+        raise JsonnetParseError(f"expected ':' after field at {pos}")
+
     def object_rest(self) -> Any:
-        fields: list[tuple[Any, Any]] = []  # (key expr, value expr)
+        # fields: (key expr, value expr, sep ":"|"::"|":::", plus)
+        fields: list[tuple[Any, Any, str, bool]] = []
         locals_: list[tuple[str, Any]] = []
+        asserts: list[tuple[Any, Any]] = []  # (cond expr, msg expr|None)
         if self.eat_op("}"):
-            return ("object", fields, locals_)
+            return ("object", fields, locals_, asserts)
         while True:
             k, v, p = self.peek()
             if k == "kw" and v == "local":
                 self.next()
                 locals_.append(self.bind())
+            elif k == "kw" and v == "assert":
+                self.next()
+                cond = self.expr()
+                msg = self.expr() if self.eat_op(":") else None
+                asserts.append((cond, msg))
             elif k == "op" and v == "[":
                 self.next()
                 key = self.expr()
                 self.expect("op", "]")
-                k2, v2, _ = self.peek()
-                if k2 == "op" and v2 in (":", "::", ":::"):
-                    self.next()
-                else:
-                    raise JsonnetParseError(f"expected ':' at {p}")
+                sep, plus = self._field_sep(p)
                 val = self.expr()
                 k3, v3, _ = self.peek()
                 if k3 == "kw" and v3 == "for":
                     specs = self.compspecs()
                     self.expect("op", "}")
                     return ("objcomp", key, val, specs, fields, locals_)
-                fields.append((key, val))
-            elif k in ("ident", "str") or (k == "kw" and v not in _UNSUPPORTED):
+                fields.append((key, val, sep, plus))
+            elif k in ("ident", "str") or (
+                k == "kw" and v not in _UNSUPPORTED
+                and v not in ("self", "super", "local", "assert")
+            ):
                 self.next()
                 name = v
                 if k == "ident" and self.at_op("("):
                     ps = self.params()
-                    self.expect("op", ":")
-                    fields.append((("lit", name), ("fn", ps, self.expr())))
+                    sep, plus = self._field_sep(p)
+                    fields.append((("lit", name), ("fn", ps, self.expr()), sep, plus))
                 else:
-                    k2, v2, _ = self.peek()
-                    if k2 == "op" and v2 in (":", "::", ":::"):
-                        self.next()
-                    else:
-                        raise JsonnetParseError(f"expected ':' after field at {p}")
-                    fields.append((("lit", str(name)), self.expr()))
+                    sep, plus = self._field_sep(p)
+                    fields.append((("lit", str(name)), self.expr(), sep, plus))
             else:
                 raise JsonnetParseError(f"unexpected object token {v!r} at {p}")
             if not self.eat_op(","):
                 break
         self.expect("op", "}")
-        return ("object", fields, locals_)
+        return ("object", fields, locals_, asserts)
 
 
 def parse(src: str) -> Any:
@@ -482,6 +520,60 @@ class Closure:
         self.params = params
         self.body = body
         self.env = env
+
+
+def _env_has(env: Optional[_Env], name: str) -> bool:
+    while env is not None:
+        if name in env.vars:
+            return True
+        env = env.parent
+    return False
+
+
+class _Layer:
+    """One object literal's contribution to a (possibly inherited)
+    object: field expressions, object-locals, asserts, and the lexical
+    env they were written in.  ``root`` marks literals with no
+    enclosing object — their fields late-bind ``$`` to the final
+    merged object (go-jsonnet's outermost-self rule)."""
+
+    __slots__ = ("fields", "locals", "env", "asserts", "root")
+
+    def __init__(self, fields: dict, locals_: list, env: _Env,
+                 asserts: list, root: bool):
+        self.fields = fields  # name -> (vexpr, sep, plus)
+        self.locals = locals_
+        self.env = env
+        self.asserts = asserts
+        self.root = root
+
+
+class _Super:
+    """Binding target for ``super`` while a field of ``obj``'s layer
+    ``idx`` evaluates: lookups resolve in layers strictly below."""
+
+    __slots__ = ("obj", "idx")
+
+    def __init__(self, obj: "JObj", idx: int):
+        self.obj = obj
+        self.idx = idx
+
+
+class JObj(dict):
+    """A Jsonnet object: a plain dict of its VISIBLE, forced fields
+    (so manifestation, equality, and the std library see exactly the
+    manifested value) that also retains its layered field expressions
+    for ``self``/``super``/``$`` late binding and ``+`` inheritance,
+    plus a ``hidden`` dict for ``::`` fields."""
+
+    __slots__ = ("layers", "hidden", "_cache", "_forcing")
+
+    def __init__(self, layers: list[_Layer]):
+        super().__init__()
+        self.layers = layers
+        self.hidden: dict[str, Any] = {}
+        self._cache: dict[str, Any] = {}
+        self._forcing: set = set()
 
 
 def _typename(v: Any) -> str:
@@ -673,15 +765,32 @@ class Evaluator:
         if tag == "array":
             return [self._eval(e, env) for e in node[1]]
         if tag == "object":
-            _, fields, locals_ = node
-            oenv = self._bind_locals(locals_, env)
-            out: dict[str, Any] = {}
-            for kexpr, vexpr in fields:
-                key = self._eval(kexpr, oenv)
-                if key is None:
-                    continue  # null computed key -> field omitted
-                out[_want(key, "string", "object key")] = self._eval(vexpr, oenv)
-            return out
+            _, fields, locals_, asserts = node
+            obj = JObj([self._make_layer(fields, locals_, asserts, env)])
+            self._force_object(obj)
+            return obj
+        if tag == "self":
+            return env.lookup("self")
+        if tag == "dollar":
+            if not _env_has(env, "$"):
+                raise JsonnetRuntimeError("no top-level object ('$' outside an object)")
+            return env.lookup("$")
+        if tag == "super":
+            raise JsonnetRuntimeError(
+                "'super' is only valid as super.f, super[e], or e in super"
+            )
+        if tag == "superindex":
+            if not _env_has(env, "super"):
+                raise JsonnetRuntimeError("attempt to use super when there is no super class")
+            sup = env.lookup("super")
+            name = _want(self._eval(node[1], env), "string", "super index")
+            return self._obj_get(sup.obj, name, upto=sup.idx)
+        if tag == "assert":
+            _, cond, msg, rest = node
+            if self._eval(cond, env) is not True:
+                text = "assertion failed" if msg is None else _to_string(self._eval(msg, env))
+                raise JsonnetRuntimeError(text)
+            return self._eval(rest, env)
         if tag == "local":
             return self._eval(node[2], self._bind_locals(node[1], env))
         if tag == "fn":
@@ -723,7 +832,9 @@ class Evaluator:
                     return
                 res[_want(key, "string", "object key")] = self._eval(vexpr, e)
 
-            for kexpr2, vexpr2 in fields:
+            for kexpr2, vexpr2, sep2, _plus2 in fields:
+                if sep2 == "::":
+                    continue  # hidden static field in a comprehension: not manifested
                 key = self._eval(kexpr2, base_env)
                 if key is not None:
                     res[_want(key, "string", "object key")] = self._eval(vexpr2, base_env)
@@ -756,6 +867,121 @@ class Evaluator:
             vars[name] = self._eval(expr, new_env)
         return new_env
 
+    # -- object orientation (self / $ / super / :: / +:)
+
+    def _make_layer(self, fields: list, locals_: list, asserts: list,
+                    env: _Env) -> _Layer:
+        """Evaluate field NAMES now (Jsonnet computes keys eagerly,
+        without self in scope); keep field bodies as expressions."""
+        if any(k[0] != "lit" for k, _v, _s, _p in fields):
+            keyenv = self._bind_locals(locals_, env)
+        else:
+            keyenv = env
+        fmap: dict[str, tuple] = {}
+        for kexpr, vexpr, sep, plus in fields:
+            key = self._eval(kexpr, keyenv) if kexpr[0] != "lit" else kexpr[1]
+            if key is None:
+                continue  # null computed key -> field omitted
+            fmap[_want(key, "string", "object key")] = (vexpr, sep, plus)
+        return _Layer(fmap, locals_, env, asserts, root=not _env_has(env, "$"))
+
+    def _field_env(self, obj: "JObj", idx: int) -> _Env:
+        layer = obj.layers[idx]
+        vars: dict[str, Any] = {"self": obj, "super": _Super(obj, idx)}
+        if layer.root:
+            vars["$"] = obj
+        return self._bind_locals(layer.locals, _Env(vars, layer.env))
+
+    def _obj_get(self, obj: "JObj", name: str, upto: Optional[int] = None) -> Any:
+        """Resolve field ``name`` against the topmost defining layer
+        below ``upto`` (None = whole object), late-binding self/$ to
+        the full object and super to the layers beneath."""
+        limit = len(obj.layers) if upto is None else upto
+        idxs = [i for i in range(limit) if name in obj.layers[i].fields]
+        if not idxs:
+            where = "super" if upto is not None else "object"
+            raise JsonnetRuntimeError(f"field does not exist in {where}: {name}")
+        if upto is None and name in obj._cache:
+            return obj._cache[name]
+        i = idxs[-1]
+        if (name, i) in obj._forcing:
+            raise JsonnetRuntimeError(f"cyclic object field reference: {name}")
+        vexpr, _sep, plus = obj.layers[i].fields[name]
+        obj._forcing.add((name, i))
+        try:
+            # ``h+: e`` desugars to ``h: super[h] + e`` (jsonnet spec),
+            # so an object-literal e inherits FROM THE BASE FIELD —
+            # build its layer unforced exactly like binop +.
+            if plus and len(idxs) > 1:
+                baseval = self._obj_get(obj, name, upto=i)
+                if vexpr[0] == "object" and isinstance(baseval, dict):
+                    val = self._merge_with_literal(
+                        baseval, vexpr, self._field_env(obj, i))
+                else:
+                    val = self._plus_values(
+                        baseval, self._eval(vexpr, self._field_env(obj, i)))
+            else:
+                val = self._eval(vexpr, self._field_env(obj, i))
+        finally:
+            obj._forcing.discard((name, i))
+        if upto is None:
+            obj._cache[name] = val
+        return val
+
+    def _force_object(self, obj: "JObj") -> "JObj":
+        # visibility: ':' inherits the base field's visibility,
+        # '::' forces hidden, ':::' forces visible (go-jsonnet rules)
+        vis: dict[str, Optional[bool]] = {}
+        for layer in obj.layers:
+            for name, (_v, sep, _p) in layer.fields.items():
+                if sep == "::":
+                    vis[name] = True
+                elif sep == ":::":
+                    vis[name] = False
+                elif name not in vis:
+                    vis[name] = False
+        for name in sorted(vis):
+            val = self._obj_get(obj, name)
+            if vis[name]:
+                obj.hidden[name] = val
+            else:
+                dict.__setitem__(obj, name, val)
+        for i, layer in enumerate(obj.layers):
+            for cond, msg in layer.asserts:
+                env = self._field_env(obj, i)
+                if self._eval(cond, env) is not True:
+                    text = ("object assertion failed" if msg is None
+                            else _to_string(self._eval(msg, env)))
+                    raise JsonnetRuntimeError(text)
+        return obj
+
+    @staticmethod
+    def _layers_of(v: dict) -> list[_Layer]:
+        if isinstance(v, JObj):
+            return v.layers
+        # plain dict (e.g. parsed event data): a value layer
+        fmap = {k: (("lit", val), ":", False) for k, val in v.items()}
+        return [_Layer(fmap, [], _Env({}, None), [], root=False)]
+
+    def _merge_objects(self, a: dict, b: dict) -> "JObj":
+        return self._force_object(JObj(self._layers_of(a) + self._layers_of(b)))
+
+    def _merge_with_literal(self, a: dict, objnode: Any, env: _Env) -> "JObj":
+        """``a + {literal}``: build the literal's layer WITHOUT forcing
+        it standalone, so its fields may reference super."""
+        _, fields, locals_, asserts = objnode
+        layer = self._make_layer(fields, locals_, asserts, env)
+        return self._force_object(JObj(self._layers_of(a) + [layer]))
+
+    def _plus_values(self, a: Any, b: Any) -> Any:
+        if isinstance(a, str) or isinstance(b, str):
+            return _to_string(a) + _to_string(b)
+        if isinstance(a, list) and isinstance(b, list):
+            return a + b
+        if isinstance(a, dict) and isinstance(b, dict):
+            return self._merge_objects(a, b)
+        return _num(a) + _num(b)
+
     def _comp(self, specs: list[tuple[str, ...]], i: int, env: _Env,
               emit: Callable[[_Env], None]) -> None:
         if i == len(specs):
@@ -779,11 +1005,16 @@ class Evaluator:
                 self._comp(specs, i + 1, env, emit)
 
     def _index(self, base: Any, idx: Any) -> Any:
+        if isinstance(base, JObj):
+            # resolve through the layers (memoized): the object may be
+            # mid-force, so dict storage can lag behind (self.x before
+            # x's slot is populated)
+            return self._obj_get(base, _want(idx, "string", "object index"))
         if isinstance(base, dict):
             key = _want(idx, "string", "object index")
-            if key not in base:
-                raise JsonnetRuntimeError(f"field does not exist: {key}")
-            return base[key]
+            if key in base:
+                return base[key]
+            raise JsonnetRuntimeError(f"field does not exist: {key}")
         if isinstance(base, list):
             i = int(_num(idx, "array index"))
             if i < 0 or i >= len(base):
@@ -811,22 +1042,32 @@ class Evaluator:
             if left:
                 return True
             return _want(self._eval(rexpr, env), "boolean", "'||'")
-        a = self._eval(lexpr, env)
-        b = self._eval(rexpr, env)
+        if op == "in" and rexpr == ("super",):
+            if not _env_has(env, "super"):
+                raise JsonnetRuntimeError("attempt to use super when there is no super class")
+            sup = env.lookup("super")
+            name = _want(self._eval(lexpr, env), "string", "'in'")
+            return any(name in sup.obj.layers[i].fields for i in range(sup.idx))
+        if op == "+" and rexpr[0] == "object":
+            # Defer the object-literal RHS: its fields may reference
+            # super, which only exists once merged onto the LHS.
+            a = self._eval(lexpr, env)
+            if isinstance(a, dict):
+                return self._merge_with_literal(a, rexpr, env)
+            b = self._eval(rexpr, env)
+        else:
+            a = self._eval(lexpr, env)
+            b = self._eval(rexpr, env)
         if op == "==":
             return _eq(a, b)
         if op == "!=":
             return not _eq(a, b)
         if op == "in":
-            return _want(a, "string", "'in'") in _want(b, "object", "'in'")
+            key = _want(a, "string", "'in'")
+            obj = _want(b, "object", "'in'")
+            return key in obj or key in getattr(obj, "hidden", {})
         if op == "+":
-            if isinstance(a, str) or isinstance(b, str):
-                return _to_string(a) + _to_string(b)
-            if isinstance(a, list) and isinstance(b, list):
-                return a + b
-            if isinstance(a, dict) and isinstance(b, dict):
-                return {**a, **b}
-            return _num(a) + _num(b)
+            return self._plus_values(a, b)
         if op == "-":
             return _num(a) - _num(b)
         if op == "*":
@@ -993,9 +1234,9 @@ def _make_std(ev: Evaluator) -> dict[str, Any]:
         "isObject": lambda v: isinstance(v, dict),
         "isFunction": lambda v: isinstance(v, Closure) or callable(v),
         "objectHas": lambda o, f: f in _want(o, "object", "std.objectHas"),
-        "objectHasAll": lambda o, f: f in o,
+        "objectHasAll": lambda o, f: f in o or f in getattr(o, "hidden", {}),
         "objectFields": lambda o: sorted(o.keys()),
-        "objectFieldsAll": lambda o: sorted(o.keys()),
+        "objectFieldsAll": lambda o: sorted(set(o.keys()) | set(getattr(o, "hidden", {}).keys())),
         "objectValues": lambda o: [o[k] for k in sorted(o.keys())],
         "objectKeysValues": lambda o: [
             {"key": k, "value": o[k]} for k in sorted(o.keys())

@@ -172,14 +172,25 @@ def test_manifest_json_jsonnet_number_style():
         "function(",  # syntax
         "local x = ; x",
         "[1, 2",
-        "self.a",  # unsupported subset, rejected at parse
-        "import 'x.jsonnet'",
-        "$.a",
+        "import 'x.jsonnet'",  # unsupported subset, rejected at parse
     ],
 )
 def test_parse_errors(src):
     with pytest.raises(JsonnetParseError):
         parse(src)
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        "self.a",  # self outside any object
+        "$.a",  # $ outside any object
+        "{a: super.a}",  # super with no super class
+    ],
+)
+def test_oo_outside_object_errors(src):
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet(src)
 
 
 @pytest.mark.parametrize(
@@ -379,3 +390,78 @@ steps:
     assert lines == ["2", "1"]
     # pass-through preserved
     assert [n for n, _ in got] == ["a", "b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# Object orientation: self / $ / super / :: / +: / assert
+# (expected values checked against go-jsonnet semantics, the engine
+# the reference embeds: stream-jsonnet/main.go:18-70)
+
+@pytest.mark.parametrize(
+    ("src", "want"),
+    [
+        # self, order-independent field resolution
+        ("{a: 1, b: self.a + 1}", {"a": 1, "b": 2}),
+        ("{b: self.a + 1, a: 1}", {"a": 1, "b": 2}),
+        # $ reaches the root from nested literals
+        ("{a: {b: $.c}, c: 5}", {"a": {"b": 5}, "c": 5}),
+        ("{top: 1} + {a: {b: $.top}}", {"top": 1, "a": {"b": 1}}),
+        # hidden fields: accessible via self/index, absent from output
+        ("{f:: 3, g: self.f * 2}", {"g": 6}),
+        ("{sq(x):: x * x, y: self.sq(4)}", {"y": 16}),
+        ("{f:: 1} + {g: self.f}", {"g": 1}),
+        # visibility override rules (':' inherits, ':::' unhides)
+        ("{f:: 1} + {f: 2}", {}),
+        ("{f:: 1} + {f::: 2}", {"f": 2}),
+        # inheritance with super
+        ("{a: 1} + {a: super.a + 10}", {"a": 11}),
+        ("({a: 1} + {b: super.a + 1}) + {c: super.b + 1}",
+         {"a": 1, "b": 2, "c": 3}),
+        # late-bound self through a merge (the canonical laziness test)
+        ("{name: self.x, x: 1} + {x: 2}", {"name": 2, "x": 2}),
+        ("local base = {x: 1, y: self.x + 1}; base + {x: 10}",
+         {"x": 10, "y": 11}),
+        # +: field-level merge
+        ("{arr: [1]} + {arr+: [2]}", {"arr": [1, 2]}),
+        ("{o: {a: 1}} + {o+: {b: 2}}", {"o": {"a": 1, "b": 2}}),
+        ("{s: 'a'} + {s+: 'b'}", {"s": "ab"}),
+        # h+: e desugars to h: super[h] + e, so super inside the
+        # override binds to the BASE FIELD value (jsonnet spec 4.4)
+        ("{o: {a: 1}} + {o+: {b: super.a + 1}}", {"o": {"a": 1, "b": 2}}),
+        ("{o: {a: 1}} + {o+: {a: super.a * 10}}", {"o": {"a": 10}}),
+        # e in super
+        ("{x: 1} + {y: if 'x' in super then super.x else 0}",
+         {"x": 1, "y": 1}),
+        # asserts
+        ("assert 1 < 2; 5", 5),
+        ("{a: 1, assert self.a == 1}", {"a": 1}),
+        # method recursion through self with guard
+        ("{fact(k):: if k <= 1 then 1 else k * self.fact(k - 1), "
+         "out: self.fact(4)}", {"out": 24}),
+    ],
+)
+def test_object_orientation(src, want):
+    assert evaluate_snippet(src) == want
+
+
+def test_object_orientation_std_visibility():
+    assert evaluate_snippet("std.objectFields({a: 1, b:: 2})") == ["a"]
+    assert evaluate_snippet("std.objectFieldsAll({a: 1, b:: 2})") == ["a", "b"]
+    assert evaluate_snippet("std.objectHas({b:: 2}, 'b')") is False
+    assert evaluate_snippet("std.objectHasAll({b:: 2}, 'b')") is True
+    # hidden fields never manifest
+    assert json.loads(evaluate_snippet("std.manifestJsonEx({a: 1, h:: 2}, '')")) == {"a": 1}
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        "{a: self.b, b: self.a}",  # field cycle
+        "{assert false : 'nope'}",  # failing object assert
+        "assert false; 1",  # failing expression assert
+        "{a: super.a} + {b: 1}",  # super in the LHS literal: no base
+    ],
+)
+def test_object_orientation_errors(src):
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet(src)
