@@ -33,6 +33,43 @@ class PipelineMetrics:
     step_events_total: dict[tuple[str, str], int] = field(default_factory=dict)
     dead_events: int = 0
     batches: int = 0
+    # Load gauges (src/metrics.ts:46-117): computed at scrape time
+    # from registered watchers, mirroring prom-client's collect()
+    # callbacks.  Sources register what "queued" means for them (the
+    # HTTP input's spool backlog, a broker consumer's lag, ...);
+    # backpressure is true when any watcher trips.
+    _queue_watchers: list = field(default_factory=list)
+    _backpressure_watchers: list = field(default_factory=list)
+
+    def register_queue_watcher(self, fn) -> None:
+        """``fn() -> int``: a component's current queued-event count
+        (reference: sumQueues over all tracked queues,
+        src/metrics.ts:41-66)."""
+        self._queue_watchers.append(fn)
+
+    def register_backpressure_watcher(self, fn) -> None:
+        """``fn() -> bool``: True when this component wants ingestion
+        paused (reference: sequenceWatchers -> BackpressureSignal,
+        src/metrics.ts:80-160)."""
+        self._backpressure_watchers.append(fn)
+
+    def queued_events(self) -> int:
+        total = 0
+        for fn in self._queue_watchers:
+            try:
+                total += int(fn())
+            except Exception:
+                pass  # a dying component must not break the scrape
+        return total
+
+    def backpressure(self) -> bool:
+        for fn in self._backpressure_watchers:
+            try:
+                if fn():
+                    return True
+            except Exception:
+                pass
+        return False
 
     def record(self, flow: str, count: int) -> None:
         self.pipeline_events_total[flow] = (
@@ -72,6 +109,10 @@ class PipelineMetrics:
             )
         lines.append("# TYPE cdp_dead_events gauge")
         lines.append(f"cdp_dead_events {self.dead_events}")
+        lines.append("# TYPE cdp_queued_events gauge")
+        lines.append(f"cdp_queued_events {self.queued_events()}")
+        lines.append("# TYPE cdp_backpressure gauge")
+        lines.append(f"cdp_backpressure {1 if self.backpressure() else 0}")
         return lines
 
 

@@ -47,6 +47,7 @@ def _input_stream(
     spark: SparkSession,
     template: PipelineTemplate,
     closers: Optional[list] = None,
+    metrics: Optional[PipelineMetrics] = None,
 ) -> DataFrame:
     """Build the template's input stream.  Server-backed inputs append
     their close() handles to ``closers`` so the managed runner can
@@ -79,6 +80,15 @@ def _input_stream(
         )
         if closers is not None:
             closers.append(server.close)
+        if metrics is not None:
+            # The spool backlog is this input's queued work, and the
+            # 503 gate is its backpressure signal — the same numbers
+            # the reference exports as queued_events / backpressure
+            # gauges (src/metrics.ts:46-117).
+            metrics.register_queue_watcher(server.backlog)
+            metrics.register_backpressure_watcher(
+                lambda: server.backlog() >= server.max_backlog_files
+            )
         return stream
     raise NotImplementedError(
         f"input form '{form}' has no streaming executor here; brokered "
@@ -107,7 +117,7 @@ def run_pipeline_stream(
     if input_stream is None:
         if spark is None:
             raise ValueError("need spark or input_stream")
-        input_stream = _input_stream(spark, template)
+        input_stream = _input_stream(spark, template, metrics=metrics)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # One wall-clock read per micro-batch = the reference's
@@ -233,7 +243,9 @@ def run_pipeline_managed(
     """Start the pipeline from its template input form and return the
     managed runner (query + ordered-drain close + health monitor)."""
     closers: list[Callable[[], None]] = []
-    input_stream = _input_stream(spark, template, closers=closers)
+    input_stream = _input_stream(
+        spark, template, closers=closers, metrics=kwargs.get("metrics")
+    )
     query = run_pipeline_stream(template, spark=spark, input_stream=input_stream, **kwargs)
     return PipelineRunner(
         query,

@@ -124,3 +124,68 @@ def test_metrics_exposition_endpoint(spark):
             assert 'flow="incoming"} 8' in r.read().decode()
     finally:
         server.close()
+
+
+def test_load_gauges_from_watchers():
+    """queued_events / backpressure gauges (src/metrics.ts:46-117):
+    computed at scrape time from registered component watchers."""
+    metrics = PipelineMetrics()
+    text = "\n".join(metrics.as_prometheus_lines())
+    assert "cdp_queued_events 0" in text
+    assert "cdp_backpressure 0" in text
+
+    depth = {"n": 3}
+    metrics.register_queue_watcher(lambda: depth["n"])
+    metrics.register_queue_watcher(lambda: 2)
+    metrics.register_backpressure_watcher(lambda: depth["n"] >= 5)
+    text = "\n".join(metrics.as_prometheus_lines())
+    assert "cdp_queued_events 5" in text
+    assert "cdp_backpressure 0" in text
+
+    depth["n"] = 7  # trips the watcher -> gauge flips on next scrape
+    text = "\n".join(metrics.as_prometheus_lines())
+    assert "cdp_queued_events 9" in text
+    assert "cdp_backpressure 1" in text
+
+    # a dying component must not break the scrape
+    def boom() -> int:
+        raise RuntimeError("gone")
+
+    metrics.register_queue_watcher(boom)
+    metrics.register_backpressure_watcher(boom)
+    text = "\n".join(metrics.as_prometheus_lines())
+    assert "cdp_queued_events 9" in text
+
+
+def test_http_input_registers_load_watchers(spark, tmp_path):
+    """The managed runner wires the HTTP input's spool backlog into
+    the queued_events gauge and its 503 gate into backpressure."""
+    import urllib.request
+
+    from cdp_spark.pipeline import from_yaml
+    from cdp_spark.streaming.runner import run_pipeline_managed
+
+    template = from_yaml(
+        """
+name: gauges
+input:
+  http:
+    endpoint: /events
+steps: {}
+"""
+    )
+    metrics = PipelineMetrics()
+    runner = run_pipeline_managed(
+        template,
+        spark,
+        metrics=metrics,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=3600,  # no batch churn needed; we probe the gauge
+    )
+    try:
+        assert len(metrics._queue_watchers) == 1
+        assert len(metrics._backpressure_watchers) == 1
+        assert metrics.queued_events() == 0
+        assert metrics.backpressure() is False
+    finally:
+        runner.close(drain_timeout=0.5)
