@@ -1159,14 +1159,73 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events — one exchange on user_id
+    (cohort week via window min), then a (cohort, offset) aggregate."""
+    from cdp_spark.datapipe import analytics
+
+    return analytics.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order view→click→purchase funnel: stage times stack as
+    conditional window mins on ONE user_id exchange; the global count
+    aggregate sees one row per user."""
+    from cdp_spark.datapipe import analytics
+
+    return analytics.funnel(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram — codegen bin arithmetic, one
+    map-side-partial aggregation."""
+    from cdp_spark.datapipe import analytics
+
+    return analytics.value_histogram(load_table(spark, sf_dir, "events"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf×(N/df) — rational
+    idf keeps the score bit-stable cross-engine (libm ln is not)."""
+    from cdp_spark.datapipe import analytics
+
+    return analytics.top_terms_per_doc(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the k-means/IVF reduce step as
+    a plain (label, dim) aggregate with the order-stable mean."""
+    from cdp_spark.datapipe import analytics
+
+    return analytics.embedding_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: top-100 customers + cumulative share of
+    global revenue; TopK before the bounded cumulative window."""
+    from cdp_spark.datapipe import analytics
+
+    return analytics.pareto_top_customers(load_table(spark, sf_dir, "orders"))
+
+
 # New queries added in round 4 — one dict so the rotation arithmetic in
 # queries() stays readable; populated at the end of the module once the
 # new query functions exist.
 _ROUND4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-# New queries added in round 5 — same pattern: populated at the end of
-# the module, spliced into the first-50 window by queries().
-_ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+# New queries added in round 5, spliced into the first-50 window by
+# queries(): event analytics (cohort retention, ordered funnel,
+# histogram, Pareto) + corpus analytics (tf-idf terms, centroids).
+_ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cohort_retention": q_cohort_retention,
+    "funnel_steps": q_funnel_steps,
+    "value_histogram": q_value_histogram,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "embedding_centroids": q_embedding_centroids,
+    "pareto_customers": q_pareto_customers,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2062,6 +2121,98 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT doc_id, unnest(toks) AS tok FROM tk))
             SELECT doc_id, {votes} AS simhash
             FROM hx GROUP BY doc_id
+    """
+    oracles["cohort_retention"] = """
+        WITH wk AS (
+          SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        c AS (
+          SELECT user_id, wk,
+                 min(wk) OVER (PARTITION BY user_id) AS cohort_week
+          FROM wk),
+        d AS (
+          SELECT DISTINCT CAST(cohort_week AS DATE) AS cohort_week,
+                 CAST(datediff('day', CAST(cohort_week AS DATE), CAST(wk AS DATE)) / 7 AS BIGINT) AS week_offset,
+                 user_id
+          FROM c)
+        SELECT cohort_week, week_offset, count(*) AS n_users
+        FROM d GROUP BY cohort_week, week_offset
+    """
+    oracles["funnel_steps"] = """
+        WITH s0 AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (
+          SELECT e.user_id, min(e.ts) AS t1 FROM events e
+          JOIN s0 ON e.user_id = s0.user_id
+          WHERE e.event_type = 'click' AND e.ts > s0.t0
+          GROUP BY e.user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+          GROUP BY e.user_id)
+        SELECT '1:view' AS step, (SELECT count(*) FROM s0) AS n_users
+        UNION ALL
+        SELECT '2:click', (SELECT count(*) FROM s1)
+        UNION ALL
+        SELECT '3:purchase', (SELECT count(*) FROM s2)
+    """
+    oracles["value_histogram"] = """
+        SELECT CAST(floor(value / 25.0) * 25.0 AS DOUBLE) AS bin_start,
+               count(*) AS n_events,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    """
+    oracles["tfidf_top_terms"] = """
+        WITH toks AS (
+          SELECT doc, term FROM (
+            SELECT doc_id AS doc,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents
+              WHERE length(trim(text)) > 0),
+        scored AS (
+          SELECT doc, term, tf,
+                 round(CAST(tf * n_docs AS DOUBLE) / df, 4) AS score
+          FROM tf JOIN dfc USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc AS doc_id, term, tf, score,
+                 row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS rank
+          FROM scored)
+        SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 3
+    """
+    oracles["embedding_centroids"] = """
+        SELECT label, dim,
+               round(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(x), 6) AS avg_x,
+               count(*) AS n
+        FROM (
+            SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    """
+    oracles["pareto_customers"] = """
+        WITH by_cust AS (
+          SELECT o_custkey AS custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+          FROM orders GROUP BY o_custkey),
+        tot AS (SELECT sum(CAST(o_totalprice AS DECIMAL(28,6))) AS total_rev
+                FROM orders),
+        topn AS (SELECT custkey, rev FROM by_cust
+                 ORDER BY rev DESC, custkey LIMIT 100)
+        SELECT custkey,
+               CAST(round(rev, 2) AS DOUBLE) AS revenue,
+               round(CAST(sum(rev) OVER (ORDER BY rev DESC, custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / CAST(total_rev AS DOUBLE), 6) AS cum_share
+        FROM topn CROSS JOIN tot
     """
     oracles.update(_SHARED_SQL)
     return oracles

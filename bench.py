@@ -71,6 +71,13 @@ BENCH_QUERIES = [
     "pii_redact",
     "jq_window_stats",
     "jsonnet_window_stats",
+    # analytics (round 5)
+    "cohort_retention",
+    "funnel_steps",
+    "value_histogram",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "pareto_customers",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)
     "ann_lsh_indexed",

@@ -1,0 +1,265 @@
+"""Event/corpus analytics operators: cohort retention, funnels,
+histograms, tf-idf top terms, embedding centroids, Pareto revenue.
+
+These are the standing analytics a CDP-style event pipeline feeds
+(the reference's own examples aggregate event windows into exactly
+these shapes — counts per cohort/step/bucket; src/api.ts pipelines
+ending in send-* sinks), expressed as whole-stage-codegen DataFrame
+plans sized for the 100 TB tier:
+
+- one logical shuffle per aggregation key, partial aggregation
+  map-side everywhere (groupBy on keyed columns only);
+- window passes share a single exchange per partitioning key
+  (funnel stage times stack on one ``partitionBy(user_id)`` sort);
+- global orderings only ever happen AFTER reduction to a bounded
+  row set (Pareto takes a TopK limit before its cumulative window);
+- float outputs ride the decimal(28,6) order-stable fold from
+  ``__spark_entry__`` twins so results are bit-stable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _stable_avg(col: Column, scale: int = 4) -> Column:
+    """Order-stable rounded mean (exact decimal fold, one double
+    division): partition-order independent, so equal on any engine."""
+    return F.round(
+        F.sum(col.cast("decimal(28,6)")).cast("double") / F.count(col), scale
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event; for each (cohort week, week offset) the count of
+    distinct users active that week.
+
+    Scale shape: the cohort week is a ``min() OVER (PARTITION BY
+    user)`` window — it reuses the single hash exchange on the user
+    key instead of a groupBy + self-join (which would shuffle the
+    events table twice).  The distinct + final count aggregate on
+    (cohort, offset) with map-side partials.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    with_cohort = events.select(
+        F.col(user_col).alias("user"),
+        week.alias("wk"),
+    ).withColumn("cohort_week", F.min("wk").over(Window.partitionBy("user")))
+    return (
+        with_cohort.select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            F.col("user"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: for each step k, the number of users whose
+    first step-k event occurs AFTER their qualifying step-(k-1) event
+    (strict event-order semantics, not mere presence).
+
+    Scale shape: every stage time is a conditional ``min() OVER
+    (PARTITION BY user)``; Catalyst stacks all the Window operators on
+    ONE exchange + sort of the events table, then the per-user stage
+    vector collapses via distinct + a tiny global aggregate whose
+    input is one row per user.
+    """
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev: Column | None = None
+    stage_cols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        c = F.min(F.when(cond, F.col(ts_col))).over(w)
+        name = f"_t{i}"
+        df = df.withColumn(name, c)
+        prev = F.col(name)
+        stage_cols.append(name)
+    per_user = df.select(user_col, *stage_cols).distinct()
+    counts = per_user.agg(
+        *[
+            F.count(F.col(c)).alias(f"n{i}")
+            for i, c in enumerate(stage_cols)
+        ]
+    )
+    # unpivot the single row of stage counts into (step, n_users)
+    stack = ", ".join(
+        f"'{i + 1}:{step}', n{i}" for i, step in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step, n_users)"
+    )
+
+
+def value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    width: float = 25.0,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: one row per occupied
+    bin with count and exact min/max.  Single map-side-partial
+    aggregation; bin id is codegen arithmetic, no shuffle beyond the
+    groupBy."""
+    bin_id = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            (F.col("bin") * F.lit(width)).cast("double").alias("bin_start"),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def top_terms_per_doc(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document, scored by tf × (N/df)
+    — tf-idf with a rational idf (N/df instead of ln(N/df)): the
+    ranking is identical (ln is monotone) and the score is pure
+    integer arithmetic in doubles, hence bit-stable across engines
+    (libm ln() is not guaranteed identically rounded).
+
+    Scale shape: explode → tf aggregate (shuffle on (doc, term)), df
+    derived FROM the tf frame (no second pass over text), N folded in
+    as a broadcast scalar, top-k via row_number over the doc key.
+    Stop-word df skew lands in an aggregate, not a join, so AQE's
+    skew handling is not needed.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.where(F.length(F.trim(text_col)) > 0).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.col("n_docs") / F.col("df"), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            "term",
+            "tf",
+            "score",
+            "rank",
+        )
+    )
+
+
+def embedding_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one row per (label,
+    dimension) with the order-stable mean — the reduce step of
+    k-means / IVF training expressed as a plain aggregate.
+
+    Scale shape: posexplode multiplies rows by the dimension count but
+    every value lands in a map-side partial sum; the single shuffle
+    carries only (label, dim, partial) — the same shape as
+    ``vector_dim_stats``, proven at the 100 TB tier by bucketing on
+    the (small) label space.
+    """
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim0", "x"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        _stable_avg(F.col("x"), 6).alias("avg_x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def pareto_top_customers(
+    orders: DataFrame,
+    top: int = 100,
+    cust_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Revenue concentration: the top-N customers by exact total
+    spend, with each customer's cumulative share of GLOBAL revenue.
+
+    Scale shape: orders collapse to one row per customer (shuffle with
+    map-side partials), then a TopK ``orderBy().limit(top)`` — Spark
+    plans TakeOrderedAndProject, never a full global sort — and only
+    the bounded top-N rows pass through the single-partition
+    cumulative window.  The grand total rides along as a broadcast
+    scalar."""
+    by_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
+        F.sum(F.col(amount_col).cast("decimal(28,6)")).alias("rev")
+    )
+    total = orders.agg(
+        F.sum(F.col(amount_col).cast("decimal(28,6)")).alias("total_rev")
+    )
+    topn = by_cust.orderBy(F.col("rev").desc(), F.col("custkey")).limit(top)
+    w = (
+        Window.orderBy(F.col("rev").desc(), F.col("custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        topn.crossJoin(F.broadcast(total))
+        .withColumn("cum_rev", F.sum("rev").over(w))
+        .select(
+            "custkey",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
