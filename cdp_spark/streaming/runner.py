@@ -90,10 +90,22 @@ def _input_stream(
                 lambda: server.backlog() >= server.max_backlog_files
             )
         return stream
+    if form in ("amqp", "mqtt", "redis"):
+        from .consumers import stream_broker
+
+        stream, consumer = stream_broker(spark, form, opts)
+        if closers is not None:
+            closers.append(consumer.close)
+        if metrics is not None:
+            spool = consumer.spool
+            metrics.register_queue_watcher(spool.backlog)
+            metrics.register_backpressure_watcher(
+                lambda: not spool.accepting()
+            )
+        return stream
     raise NotImplementedError(
-        f"input form '{form}' has no streaming executor here; brokered "
-        "inputs (amqp/mqtt/redis) map to the Kafka source, poll to "
-        "an ingest bridge (cdp_spark.streaming.sources module notes)"
+        f"input form '{form}' has no streaming executor here; poll maps "
+        "to an ingest bridge (cdp_spark.streaming.sources module notes)"
     )
 
 
