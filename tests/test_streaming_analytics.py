@@ -1,0 +1,131 @@
+"""Event-time watermarked aggregation: tumbling windows and session
+windows over a file stream, including the late-data drop contract."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cdp_spark.streaming.analytics import (
+    stream_session_windows,
+    stream_time_window_agg,
+)
+
+
+def _write_batch(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name("." + path.name + ".tmp")
+    tmp.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    tmp.rename(path)
+
+
+def _read_stream(spark, src_dir):
+    # one file per micro-batch so the watermark advances between
+    # batches exactly like a live source
+    return (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+
+
+def _run_available_now(df, spark, name, ckpt):
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_event_time_windows_with_late_drop(spark, tmp_path):
+    src = tmp_path / "src"
+    # batch 1: two users across two hours
+    _write_batch(
+        src / "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 00:05:00", "value": 1.0},
+            {"user_id": 1, "ts": "2024-01-01 00:45:00", "value": 2.0},
+            {"user_id": 2, "ts": "2024-01-01 01:10:00", "value": 4.0},
+        ],
+    )
+    # batch 2: an in-watermark late event (01:05 merges into the hour-1
+    # window even though 01:10 was already seen) and a hopelessly late
+    # event (hours behind the watermark: Spark's guarantee is one-sided
+    # — it MAY aggregate or drop it; it must never corrupt live windows)
+    _write_batch(
+        src / "b2.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 01:20:00", "value": 8.0},
+            {"user_id": 2, "ts": "2024-01-01 01:05:00", "value": 16.0},
+            {"user_id": 1, "ts": "2023-12-31 20:00:00", "value": 999.0},
+        ],
+    )
+    # batch 3: a sentinel far in the future advances the watermark
+    # past every window of interest (append mode only emits a window
+    # once the watermark passes its end)
+    _write_batch(
+        src / "b3.json",
+        [{"user_id": 99, "ts": "2024-01-01 09:00:00", "value": 0.0}],
+    )
+    out = stream_time_window_agg(
+        _read_stream(spark, src), window="1 hour", watermark="10 minutes",
+        keys=["user_id"],
+    )
+    table = _run_available_now(out, spark, "tumbling_e2e", tmp_path / "c1")
+    rows = {
+        (str(r["window_start"]), r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in table.collect()
+        if r["user_id"] != 99
+    }
+    assert rows[("2024-01-01 00:00:00", 1)] == (2, 3.0)
+    assert rows[("2024-01-01 01:00:00", 1)] == (1, 8.0)
+    # the in-watermark late 01:05 event merged into user 2's window
+    assert rows[("2024-01-01 01:00:00", 2)] == (2, 20.0)
+    # beyond-watermark data must never leak into live windows; if the
+    # engine chose to aggregate it, it forms its own late window
+    late = {k: v for k, v in rows.items() if k[0].startswith("2023")}
+    assert set(late.values()) <= {(1, 999.0)}
+    # append mode: every (window, user) emitted exactly once
+    assert len(rows) == len(set(rows))
+
+
+def test_session_windows_gap_semantics(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batch(
+        src / "b1.json",
+        [
+            # user 1: two events 10 min apart (one session), then a
+            # 40-min silence breaks the session
+            {"user_id": 1, "ts": "2024-01-01 00:00:00", "value": 1.0},
+            {"user_id": 1, "ts": "2024-01-01 00:10:00", "value": 2.0},
+            {"user_id": 1, "ts": "2024-01-01 00:50:00", "value": 4.0},
+            # user 2: single event
+            {"user_id": 2, "ts": "2024-01-01 00:00:00", "value": 8.0},
+        ],
+    )
+    # sentinel batch: advances the watermark so every session above
+    # closes and gets emitted
+    _write_batch(
+        src / "b2.json",
+        [{"user_id": 99, "ts": "2024-01-01 06:00:00", "value": 0.0}],
+    )
+    out = stream_session_windows(
+        _read_stream(spark, src), gap="30 minutes", watermark="5 minutes"
+    )
+    table = _run_available_now(out, spark, "sessions_e2e", tmp_path / "c2")
+    rows = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+        for r in table.collect()
+        if r["user_id"] != 99
+    )
+    assert rows == [
+        (1, "2024-01-01 00:00:00", 2, 3.0),
+        (1, "2024-01-01 00:50:00", 1, 4.0),
+        (2, "2024-01-01 00:00:00", 1, 8.0),
+    ]
