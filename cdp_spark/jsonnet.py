@@ -21,8 +21,11 @@ the language subset those programs actually use:
   fields with late-bound ``self``/``$`` exactly like go-jsonnet —
   ``{a: self.x, x: 1} + {x: 2}`` manifests ``{a: 2, x: 2}``.
 
-Deliberately out of scope (raise a parse/runtime error): ``import`` /
-``importstr`` (no file-system contract in the transform sandbox).
+``import`` / ``importstr`` resolve through an injectable importer
+(``Evaluator(importer=...)`` / ``evaluate_snippet(importer=...)``;
+:func:`file_importer` gives the reference VM's FileImporter behavior).
+Without an importer configured they raise a runtime error — the
+distributed transform sandbox has no implicit file-system contract.
 
 Evaluation is strict (Jsonnet is lazy); observable only for programs
 relying on laziness for termination — recursion guarded by
@@ -197,9 +200,6 @@ _BINPREC = {
     "<": 7, ">": 7, "<=": 7, ">=": 7, "in": 7, "<<": 8, ">>": 8,
     "+": 9, "-": 9, "*": 10, "/": 10, "%": 10,
 }
-
-_UNSUPPORTED = {"import", "importstr"}
-
 
 class _Parser:
     def __init__(self, src: str):
@@ -394,11 +394,13 @@ class _Parser:
                 msg = self.expr() if self.eat_op(":") else None
                 self.expect("op", ";")
                 return ("assert", cond, msg, self.expr())
-            if v in _UNSUPPORTED:
-                raise JsonnetParseError(
-                    f"'{v}' is outside the supported Jsonnet subset "
-                    "(see cdp_spark.jsonnet module docs)"
-                )
+            if v in ("import", "importstr"):
+                k2, v2, p2 = self.next()
+                if k2 != "str":
+                    raise JsonnetParseError(
+                        f"{v} path must be a string literal at {p2}"
+                    )
+                return (v, v2)
             raise JsonnetParseError(f"unexpected keyword {v!r} at {p}")
         if k == "op":
             if v == "(":
@@ -467,8 +469,9 @@ class _Parser:
                     return ("objcomp", key, val, specs, fields, locals_)
                 fields.append((key, val, sep, plus))
             elif k in ("ident", "str") or (
-                k == "kw" and v not in _UNSUPPORTED
-                and v not in ("self", "super", "local", "assert")
+                k == "kw"
+                and v not in ("self", "super", "local", "assert",
+                              "import", "importstr")
             ):
                 self.next()
                 name = v
@@ -714,11 +717,37 @@ def _cmp_ok(a: Any, b: Any, what: str) -> None:
 
 class Evaluator:
     """Evaluate parsed Jsonnet.  One instance per worker; stateless
-    between calls apart from the shared std table."""
+    between calls apart from the shared std table and import cache.
 
-    def __init__(self) -> None:
+    ``importer``: ``path -> source text`` for import/importstr (the
+    go-jsonnet VM the reference embeds uses a FileImporter by default;
+    pass :func:`file_importer` for that behavior).  None -> imports
+    raise at runtime."""
+
+    def __init__(self, importer: Optional[Callable[[str], str]] = None) -> None:
         self.std = _make_std(self)
         self.root = _Env({"std": self.std}, None)
+        self.importer = importer
+        self._import_cache: dict[tuple[str, bool], Any] = {}
+
+    def _import(self, path: str, as_code: bool) -> Any:
+        key = (path, as_code)
+        if key in self._import_cache:
+            return self._import_cache[key]
+        if self.importer is None:
+            raise JsonnetRuntimeError(
+                f"cannot {'import' if as_code else 'importstr'} {path!r}: "
+                "no importer configured (Evaluator(importer=...))"
+            )
+        try:
+            src = self.importer(path)
+        except OSError as err:
+            raise JsonnetRuntimeError(f"import failed: {path}: {err}") from err
+        # imports evaluate once per VM in a clean environment (jsonnet
+        # imports are closed expressions), then memoize
+        val = self._eval(parse(src), self.root) if as_code else src
+        self._import_cache[key] = val
+        return val
 
     # -- public
     def eval_ast(self, ast: Any, extra_vars: Optional[dict[str, Any]] = None) -> Any:
@@ -791,6 +820,10 @@ class Evaluator:
                 text = "assertion failed" if msg is None else _to_string(self._eval(msg, env))
                 raise JsonnetRuntimeError(text)
             return self._eval(rest, env)
+        if tag == "import":
+            return self._import(node[1], as_code=True)
+        if tag == "importstr":
+            return self._import(node[1], as_code=False)
         if tag == "local":
             return self._eval(node[2], self._bind_locals(node[1], env))
         if tag == "fn":
@@ -1294,15 +1327,37 @@ def _prune(v: Any) -> Any:
 # ---------------------------------------------------------------------------
 # Snippet API (the shape the transform adapter needs)
 
-def evaluate_snippet(src: str, tla: Optional[list[Any]] = None) -> Any:
+def file_importer(base_dir: str = ".") -> Callable[[str], str]:
+    """The go-jsonnet FileImporter behavior the reference's VM ships
+    with (stream-jsonnet/main.go:41 MakeVM): resolve import paths
+    against ``base_dir`` on the local filesystem.  Wire explicitly —
+    executors only see files the deployment distributed to them."""
+    import os
+
+    def _import(path: str) -> str:
+        with open(os.path.join(base_dir, path), "r", encoding="utf-8") as f:
+            return f.read()
+
+    return _import
+
+
+def evaluate_snippet(
+    src: str,
+    tla: Optional[list[Any]] = None,
+    importer: Optional[Callable[[str], str]] = None,
+) -> Any:
     """Parse + evaluate a snippet.  If the result is a function and
     ``tla`` is given, call it with those top-level arguments (the
     stream-jsonnet TLA contract, main.go:43-55)."""
-    return evaluate_ast(parse(src), tla)
+    return evaluate_ast(parse(src), tla, importer=importer)
 
 
-def evaluate_ast(ast: Any, tla: Optional[list[Any]] = None) -> Any:
-    ev = Evaluator()
+def evaluate_ast(
+    ast: Any,
+    tla: Optional[list[Any]] = None,
+    importer: Optional[Callable[[str], str]] = None,
+) -> Any:
+    ev = Evaluator(importer=importer)
     result = ev.eval_ast(ast)
     if isinstance(result, Closure) and tla is not None:
         return ev.call(result, tla)

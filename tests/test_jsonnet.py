@@ -172,7 +172,7 @@ def test_manifest_json_jsonnet_number_style():
         "function(",  # syntax
         "local x = ; x",
         "[1, 2",
-        "import 'x.jsonnet'",  # unsupported subset, rejected at parse
+        "import foo",  # import path must be a string literal
     ],
 )
 def test_parse_errors(src):
@@ -465,3 +465,41 @@ def test_object_orientation_std_visibility():
 def test_object_orientation_errors(src):
     with pytest.raises(JsonnetRuntimeError):
         evaluate_snippet(src)
+
+
+# ---------------------------------------------------------------------------
+# import / importstr via the injectable importer seam (the reference's
+# go-jsonnet VM ships a FileImporter: stream-jsonnet/main.go:41 MakeVM)
+
+
+def test_import_code_and_str(tmp_path):
+    from cdp_spark.jsonnet import file_importer
+
+    (tmp_path / "lib.libsonnet").write_text("{ double(x):: x * 2, K: 7 }")
+    (tmp_path / "msg.txt").write_text("hello")
+    imp = file_importer(str(tmp_path))
+    assert (
+        evaluate_snippet(
+            "local lib = import 'lib.libsonnet'; lib.double(21) + lib.K",
+            importer=imp,
+        )
+        == 49
+    )
+    assert evaluate_snippet("importstr 'msg.txt'", importer=imp) == "hello"
+    # an imported object participates in inheritance like any other
+    assert evaluate_snippet(
+        "(import 'lib.libsonnet') + {K: super.K + 1}", importer=imp
+    ) == {"K": 8}
+
+
+def test_import_requires_importer_and_literal_path(tmp_path):
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet("import 'x.libsonnet'")  # no importer wired
+    with pytest.raises(JsonnetParseError):
+        parse("import foo")  # path must be a string literal
+    from cdp_spark.jsonnet import file_importer
+
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet(
+            "import 'missing.libsonnet'", importer=file_importer(str(tmp_path))
+        )
