@@ -150,11 +150,14 @@ def top_terms_per_doc(
     integer arithmetic in doubles, hence bit-stable across engines
     (libm ln() is not guaranteed identically rounded).
 
-    Scale shape: explode → tf aggregate (shuffle on (doc, term)), df
-    derived FROM the tf frame (no second pass over text), N folded in
-    as a broadcast scalar, top-k via row_number over the doc key.
-    Stop-word df skew lands in an aggregate, not a join, so AQE's
-    skew handling is not needed.
+    Scale shape: ONE explode + tf aggregate (shuffle on (doc, term));
+    df is a window count over the tf frame partitioned by term — a
+    groupBy + join-back would evaluate the whole explode subplan twice
+    (Catalyst does not reuse that exchange) and shuffle once more.  N
+    folds in as a broadcast scalar, top-k via row_number over the doc
+    key (WindowGroupLimit prunes to k per partition before the
+    exchange).  Stop-word df skew lands in a window aggregate, not a
+    join, so AQE's skew handling is not needed.
     """
     toks = docs.select(
         F.col(id_col).alias("doc"),
@@ -163,12 +166,13 @@ def top_terms_per_doc(
         ).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.where(F.length(F.trim(text_col)) > 0).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     scored = (
-        tf.join(df_counts, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc",
