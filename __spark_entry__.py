@@ -1202,6 +1202,14 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.embedding_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1h/30min event-time windows — overlapping-window
+    semantics (each event in 2 buckets), one codegen aggregate."""
+    from cdp_spark.datapipe import analytics
+
+    return analytics.hopping_window_agg(load_table(spark, sf_dir, "events"))
+
+
 def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration: top-100 customers + cumulative share of
     global revenue; TopK before the bounded cumulative window."""
@@ -1225,6 +1233,7 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_centroids": q_embedding_centroids,
     "pareto_customers": q_pareto_customers,
+    "hopping_window_agg": q_hopping_window_agg,
 }
 
 
@@ -2197,6 +2206,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         )
         GROUP BY label, dim
+    """
+    oracles["hopping_window_agg"] = """
+        WITH ex AS (
+          SELECT ts, value,
+                 time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS wstart
+          FROM events, (SELECT unnest([0, 1]) AS k)
+          WHERE ts IS NOT NULL
+            AND ts < time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' + INTERVAL '1 hour'
+        )
+        SELECT wstart AS window_start, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+        FROM ex GROUP BY wstart
     """
     oracles["pareto_customers"] = """
         WITH by_cust AS (

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "embedding_centroids",
     "pareto_customers",
+    "hopping_window_agg",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)
     "ann_lsh_indexed",

@@ -228,6 +228,35 @@ def embedding_centroids(
     )
 
 
+def hopping_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Overlapping (hopping) event-time windows: each event lands in
+    window/slide buckets (``F.window`` with a slide duration — Spark
+    expands the window list per row inside codegen, no UDF).  One
+    aggregate with map-side partials; the row multiplication factor is
+    window/slide (2 here), constant per event at any scale."""
+    return (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col(value_col).cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def pareto_top_customers(
     orders: DataFrame,
     top: int = 100,

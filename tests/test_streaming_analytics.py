@@ -13,11 +13,22 @@ from cdp_spark.streaming.analytics import (
 )
 
 
+_MTIME_SEQ = [1_700_000_000]
+
+
 def _write_batch(path, rows):
+    import os
+
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_name("." + path.name + ".tmp")
     tmp.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
     tmp.rename(path)
+    # Spark's file source orders files by modification time; files
+    # written back-to-back can collide on the same mtime and then
+    # process in arbitrary order (the sentinel racing ahead of the
+    # data batches). Force strictly increasing mtimes.
+    _MTIME_SEQ[0] += 10
+    os.utime(path, (_MTIME_SEQ[0], _MTIME_SEQ[0]))
 
 
 def _read_stream(spark, src_dir):
