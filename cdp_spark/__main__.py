@@ -79,13 +79,32 @@ def main(argv: list[str] | None = None) -> int:
 
         from cdp_spark.streaming import run_pipeline_managed
 
-        runner = run_pipeline_managed(template, spark)
+        # Prometheus exposition behind the reference's env contract
+        # (src/conf.ts:190-208): port defaults to 8001, empty
+        # METRICS_EXPOSITION_PATH disables serving.
+        import os
+
+        from cdp_spark.metrics import PipelineMetrics, serve_metrics
+
+        metrics = PipelineMetrics()
+        endpoint = os.environ.get("METRICS_EXPOSITION_PATH", "/metrics")
+        mserver = None
+        if endpoint:
+            mserver = serve_metrics(
+                metrics,
+                port=int(os.environ.get("METRICS_EXPOSITION_PORT", "8001")),
+                endpoint=endpoint,
+            )
+
+        runner = run_pipeline_managed(template, spark, metrics=metrics)
         for sig in (signal.SIGINT, signal.SIGTERM):
             signal.signal(sig, lambda *_: runner.close())
         try:
             runner.query.awaitTermination()
         finally:
             runner.close()
+            if mserver is not None:
+                mserver.close()
         return 0
     finally:
         spark.stop()
