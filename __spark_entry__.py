@@ -20,6 +20,8 @@ seeded planes/anchors are embedded as SQL array literals.
 
 from __future__ import annotations
 
+import datetime
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1202,6 +1204,82 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.embedding_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+def _run_stream_to_table(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Drive a streaming aggregation over the events table with
+    Trigger.AvailableNow and return the materialized result.
+
+    The events (+ a far-future sentinel row) are staged as JSON and
+    read back as a file stream; the sentinel pushes the final
+    watermark past every real window, and the no-data micro-batch
+    that follows flushes them all in append mode — so the result is
+    complete and deterministic, and the driver can value-hash it
+    against a batch oracle.  This is the real Structured Streaming
+    path (state store, watermark, append semantics), not a batch
+    re-expression."""
+    import tempfile
+    import uuid
+
+    # Stage as epoch MICROS: the JSON timestamp writer truncates to
+    # milliseconds, which would shift session bounds off the oracle.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, int(datetime.datetime(2100, 1, 1).timestamp() * 1_000_000), 0.0)],
+        "user_id long, ts_us long, value double",
+    )
+    src = tempfile.mkdtemp(prefix="cdp_stream_src_")
+    ev.unionByName(sentinel).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value double")
+        .json(src)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+    )
+    name = "stream_q_" + uuid.uuid4().hex[:12]
+    query = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdp_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).where(F.col("user_id") >= 0)
+
+
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling event-time windows (watermark +
+    state store + append mode) driven to completion with AvailableNow
+    — the driver value-hashes the streamed result against the batch
+    oracle, proving the streaming path computes the same answer."""
+    from cdp_spark.streaming.analytics import stream_time_window_agg
+
+    return _run_stream_to_table(
+        spark,
+        sf_dir,
+        lambda s: stream_time_window_agg(
+            s, window="1 hour", watermark="10 minutes", keys=["user_id"]
+        ),
+    )
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming gap-based session windows — the streaming
+    twin of session_gap, driver-checked against the same recursive
+    gap-break construction in DuckDB (session bounds: min ts and
+    last ts + gap)."""
+    from cdp_spark.streaming.analytics import stream_session_windows
+
+    return _run_stream_to_table(
+        spark,
+        sf_dir,
+        lambda s: stream_session_windows(s, gap="30 minutes", watermark="10 minutes"),
+    )
+
+
 def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping 1h/30min event-time windows — overlapping-window
     semantics (each event in 2 buckets), one codegen aggregate."""
@@ -1234,6 +1312,8 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "pareto_customers": q_pareto_customers,
     "hopping_window_agg": q_hopping_window_agg,
+    "stream_tumbling_agg": q_stream_tumbling_agg,
+    "stream_session_windows": q_stream_session_windows,
 }
 
 
@@ -2206,6 +2286,34 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         )
         GROUP BY label, dim
+    """
+    oracles["stream_tumbling_agg"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               user_id,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """
+    oracles["stream_session_windows"] = """
+        WITH d AS (
+          SELECT user_id, value, ts, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (
+          SELECT user_id, value, ts,
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+          FROM d)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sess
     """
     oracles["hopping_window_agg"] = """
         WITH ex AS (
