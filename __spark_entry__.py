@@ -1320,14 +1320,16 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver gate checks the FIRST 50 dict
     # entries only.  Round-5 rotation: the 27 queries whose newest green row
-    # is r03 go first, then session_gap (red in r02-r04; root cause found in
-    # r05: the oracle's windowed sum(INTEGER) returned HUGEINT which
-    # pandas/arrow serializes as float64/decimal128 -- now CAST to BIGINT),
-    # then this round's new queries, filled to 50 with r04-checked ones.
-    # The tail is entirely r04-checked, so after r05 no query's newest
-    # CORRECTNESS row is older than one round (everything also stays
-    # regression-guarded every round by scripts/driver_sim.py +
-    # tests/test_oracle.py at sf0.001).
+    # is r03 go first, then session_gap (red in r02-r04; two root causes
+    # fixed in r05: the oracle's windowed sum(INTEGER) returned HUGEINT
+    # which serializes as float64/decimal128 -- now CAST to BIGINT -- and
+    # the regenerated testdata switched ts to TIMESTAMP_NTZ, normalized in
+    # load_table), then the 9 new r05 queries (analytics, hopping window,
+    # the two AvailableNow streaming queries), then the four
+    # timestamp-reading relational queries (the ts encoding change makes
+    # their r04 rows stale), filled to 50 with r04-green ones.  Everything
+    # stays regression-guarded every round by scripts/driver_sim.py +
+    # tests/test_oracle.py at sf0.001.
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # --- stale-from-r03 (27): must land in the first 50 ---
     q.update(
@@ -1365,10 +1367,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["session_gap"] = q_session_gap
     # --- new in round 5 ---
     q.update(_ROUND5_QUERIES)
-    # --- fill to 50 with r04-checked queries ---
+    # --- fill to 50 with r04-checked queries; timestamp-reading
+    # relational queries lead (the r05 testdata regeneration changed
+    # the ts parquet encoding, so these deserve fresh driver rows) ---
     q.update(_ROUND4_QUERIES)
     q.update(
         {
+            "q1_pricing_summary": _shared_sql_query("q1_pricing_summary"),
+            "q5_local_supplier": _shared_sql_query("q5_local_supplier"),
+            "range_join_events": _shared_sql_query("range_join_events"),
+            "window_running_funcs": _shared_sql_query("window_running_funcs"),
             "agg_rollup": q_agg_rollup,
             "agg_cube": q_agg_cube,
             "topk_per_group": q_topk_per_group,
