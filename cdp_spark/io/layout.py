@@ -1,0 +1,75 @@
+"""Table layout for the 100 TB tier: time-partitioned parquet with
+partition-pruned reads.
+
+A single 100 TB events table is only queryable if scans touch the
+slice they need.  Hive-style time partitioning (``.../p_date=2024-01-05/``)
+makes Catalyst prune at PLANNING time: a filter on the partition
+column becomes ``PartitionFilters`` in the scan — unmatched
+directories are never listed, never opened, never read.  This is the
+difference between "reads 3 days" and "reads 3 years".
+
+Layout rules encoded here:
+
+- partition on a DERIVED low-cardinality column (date, not raw
+  timestamp — one directory per microsecond is the classic
+  anti-pattern), keep the raw column in the data;
+- order within files by the partition column's natural sort key so
+  parquet min/max row-group stats stay tight for range predicates on
+  the raw timestamp (pushed as ``PushedFilters``);
+- pruning composes with everything else in this repo: the pruned
+  DataFrame is a normal input to the pipeline compiler, the dedup /
+  analytics operators, and the ANN index readers (which use the same
+  mechanism — their bucket id IS a partition column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    partition_col: str = "p_date",
+    files_per_partition: int = 1,
+) -> None:
+    """Write ``df`` as parquet partitioned by the DATE of ``ts_col``.
+
+    ``repartition(partition_col)`` co-locates each partition's rows
+    before the write so every directory gets ``files_per_partition``
+    files instead of one small file per input task — the small-files
+    problem is the other half of layout design.  Within each file,
+    rows sort by the raw timestamp for tight row-group stats.
+    """
+    (
+        df.withColumn(partition_col, F.to_date(F.col(ts_col)))
+        .repartition(files_per_partition, F.col(partition_col))
+        .sortWithinPartitions(partition_col, ts_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_time_partitioned(
+    spark: SparkSession,
+    path: str,
+) -> DataFrame:
+    """Read a time-partitioned table; filters on the partition column
+    (or on expressions Catalyst can reduce to it) prune directories at
+    planning time."""
+    return spark.read.parquet(path)
+
+
+def partition_filters_of(df: DataFrame) -> str:
+    """The PartitionFilters the physical scan will apply — assert on
+    this in tests: a pruned plan names the partition predicate here,
+    an unpruned plan has an empty list and reads the world."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            start = line.index("PartitionFilters")
+            return line[start:].split("], ", 1)[0] + "]"
+    return ""
