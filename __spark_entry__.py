@@ -1280,6 +1280,15 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs from LSH buckets (equi-join on
+    bucket, never all-pairs) with the exact rounded-cosine filter.
+    Threshold 0.3 because the synthetic embeddings are near-orthogonal
+    (real duplicate corpora use ~0.9)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, dim=64, threshold=0.3)
+
+
 def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping 1h/30min event-time windows — overlapping-window
     semantics (each event in 2 buckets), one codegen aggregate."""
@@ -1314,6 +1323,7 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hopping_window_agg": q_hopping_window_agg,
     "stream_tumbling_agg": q_stream_tumbling_agg,
     "stream_session_windows": q_stream_session_windows,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 
@@ -2029,6 +2039,14 @@ def oracle_sql() -> dict[str, str]:
     )
     anchors = sim._anchor_set(_EMB_DIM, 16, seed=7)
     dots_expr = "[" + ", ".join(f"list_dot_product(emb, {_dl(a)})" for a in anchors) + "]"
+    oracles["embedding_near_dup"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        b AS (SELECT vec_id, emb, ({bucket_expr}) AS bucket FROM base)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_cosine_similarity(a.emb, c.emb), 4) AS cosine_sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE round(list_cosine_similarity(a.emb, c.emb), 4) >= 0.3
+    """
     oracles["ann_lsh"] = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         b AS (SELECT vec_id, emb, ({bucket_expr}) AS bucket FROM base),

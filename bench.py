@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "embedding_centroids",
     "pareto_customers",
     "hopping_window_agg",
+    "embedding_near_dup",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)
     "ann_lsh_indexed",

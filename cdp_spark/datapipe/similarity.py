@@ -111,6 +111,49 @@ def lsh_bucketed(
     return df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS via LSH bucketing — the
+    all-pairs-free dedup path: candidates come from an equi-join on
+    the hyperplane bucket (shuffle carries (id, bucket, vector); pair
+    count is bounded by bucket occupancy, not n²), then the exact
+    cosine filters to ``>= threshold``.
+
+    The filter applies to the ROUNDED cosine so the boundary is
+    deterministic cross-engine.  Threshold is domain-specific: ~0.9
+    for real duplicate corpora; the synthetic test embeddings are
+    near-orthogonal so their tail sits around 0.3-0.45.  Recall is
+    the LSH bucket recall — multi-band (run with several seeds and
+    union) buys more, exactly like the MinHash band trade-off.
+    """
+    b = lsh_bucketed(df, dim, id_col, vec_col, n_planes, seed).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
+    )
+    left = b.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    right = b.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vector: list[float],
