@@ -1280,6 +1280,14 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users — sliding COUNT(DISTINCT)
+    via contribution explode over the distinct (user, day) frame."""
+    from cdp_spark.datapipe import analytics
+
+    return analytics.rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs from LSH buckets (equi-join on
     bucket, never all-pairs) with the exact rounded-cosine filter.
@@ -1324,6 +1332,7 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_agg": q_stream_tumbling_agg,
     "stream_session_windows": q_stream_session_windows,
     "embedding_near_dup": q_embedding_near_dup,
+    "rolling_active_users": q_rolling_active_users,
 }
 
 
@@ -2039,6 +2048,16 @@ def oracle_sql() -> dict[str, str]:
     )
     anchors = sim._anchor_set(_EMB_DIM, 16, seed=7)
     dots_expr = "[" + ", ".join(f"list_dot_product(emb, {_dl(a)})" for a in anchors) + "]"
+    oracles["rolling_active_users"] = """
+        WITH activity AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+          FROM events WHERE ts IS NOT NULL),
+        contrib AS (
+          SELECT DISTINCT u, CAST(day + k * INTERVAL '1 day' AS DATE) AS report_day
+          FROM activity, (SELECT unnest(generate_series(0, 6)) AS k))
+        SELECT report_day, count(*) AS active_users
+        FROM contrib GROUP BY report_day
+    """
     oracles["embedding_near_dup"] = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         b AS (SELECT vec_id, emb, ({bucket_expr}) AS bucket FROM base)

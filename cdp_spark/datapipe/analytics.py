@@ -228,6 +228,49 @@ def embedding_centroids(
     )
 
 
+def rolling_active_users(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """N-day rolling distinct active users per day — the sliding
+    COUNT(DISTINCT) that naive window functions cannot do at scale
+    (count_distinct over a RANGE frame keeps every row in state).
+
+    Contribution-explode shape: collapse to distinct (user, day)
+    first (the small frame — one shuffle over activity, heavily
+    combined map-side), then each activity day contributes to the N
+    report days that include it (explode ×N of the SMALL frame, not
+    the event log), distinct again, count per day.  Total shuffle
+    volume is N × distinct-activity, independent of raw event count.
+    Report days with no window activity are absent (standard
+    semantics; left-join a calendar to densify)."""
+    activity = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .where(F.col("day").isNotNull())
+        .distinct()
+    )
+    contributions = activity.select(
+        "user",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), days - 1),
+            )
+        ).alias("report_day"),
+    )
+    # a user active on several days inside one window must count once
+    return (
+        contributions.distinct()
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
 def hopping_window_agg(
     events: DataFrame,
     window: str = "1 hour",
