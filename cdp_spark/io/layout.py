@@ -37,15 +37,33 @@ def write_time_partitioned(
 ) -> None:
     """Write ``df`` as parquet partitioned by the DATE of ``ts_col``.
 
-    ``repartition(partition_col)`` co-locates each partition's rows
-    before the write so every directory gets ``files_per_partition``
-    files instead of one small file per input task — the small-files
-    problem is the other half of layout design.  Within each file,
-    rows sort by the raw timestamp for tight row-group stats.
+    Repartitioning on ``(p_date, hash(ts) % files_per_partition)``
+    spreads each directory's rows over up to ``files_per_partition``
+    write tasks: parallelism scales with the NUMBER OF DATES (at
+    100 TB, thousands of concurrent writers), and the file-count knob
+    genuinely splits within a directory (files per directory =
+    distinct tasks holding that date, capped at
+    ``files_per_partition``).  A plain
+    ``repartition(n, partition_col)`` would do neither — ``n`` is the
+    TOTAL shuffle-partition count (``n=1`` funnels the whole dataset
+    through one serial write task), and each date hashes to a single
+    task, so directories never get more than one file.
+
+    The shuffle-partition count is pinned explicitly (session
+    ``spark.sql.shuffle.partitions``) because AQE coalesces
+    column-only repartitions by data size — at small volume it would
+    merge everything back into one task, silently disabling the knob;
+    explicit user counts are exempt from coalescing.  Within each
+    file, rows sort by the raw timestamp for tight row-group stats.
     """
+    num_tasks = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     (
         df.withColumn(partition_col, F.to_date(F.col(ts_col)))
-        .repartition(files_per_partition, F.col(partition_col))
+        .repartition(
+            num_tasks,
+            F.col(partition_col),
+            F.pmod(F.xxhash64(F.col(ts_col)), F.lit(files_per_partition)),
+        )
         .sortWithinPartitions(partition_col, ts_col)
         .write.mode("overwrite")
         .partitionBy(partition_col)

@@ -53,6 +53,33 @@ def test_pruning_composes_with_range_predicates(spark, tmp_path):
     assert sliced.count() == expected
 
 
+def test_files_per_partition_splits_within_directories(spark, tmp_path):
+    """files_per_partition=N must split directories into up to N files
+    with write parallelism scaling by date (dates x N hash slots), not
+    N TOTAL shuffle partitions with one file per date — the pre-fix
+    behavior was 1 file per directory regardless of the knob."""
+    import glob
+    import os
+
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_split")
+    write_time_partitioned(ev, path, files_per_partition=3)
+
+    date_dirs = sorted(glob.glob(os.path.join(path, "p_date=*")))
+    assert date_dirs, "no partition directories written"
+    counts = {
+        d: len(glob.glob(os.path.join(d, "*.parquet"))) for d in date_dirs
+    }
+    # hash-slot cap: never more than N files per directory
+    assert all(1 <= c <= 3 for c in counts.values()), counts
+    # the knob actually splits: directories average >1 file (3 hash
+    # slots over >=32 pinned shuffle partitions rarely all collide)
+    assert sum(counts.values()) > len(counts), counts
+
+    table = read_time_partitioned(spark, path)
+    assert table.count() == ev.count()
+
+
 def test_unfiltered_read_has_no_partition_filters(spark, tmp_path):
     ev = load_table(spark, SF, "events").limit(100)
     path = str(tmp_path / "events_by_date")
