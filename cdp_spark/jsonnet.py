@@ -23,26 +23,32 @@ the language subset those programs actually use:
 
 ``import`` / ``importstr`` resolve through an injectable importer
 (``Evaluator(importer=...)`` / ``evaluate_snippet(importer=...)``;
-:func:`file_importer` gives the reference VM's FileImporter behavior).
-Without an importer configured they raise a runtime error — the
-distributed transform sandbox has no implicit file-system contract.
+:func:`file_importer` gives the reference VM's FileImporter behavior:
+transitive imports resolve against the importing file's directory and
+the cache keys on the resolved absolute path).  Without an importer
+configured they raise a runtime error — the distributed transform
+sandbox has no implicit file-system contract.
 
-Evaluation is strict (Jsonnet is lazy); observable only for programs
-relying on laziness for termination — recursion guarded by
-``if/then/else`` works because only the taken branch evaluates, and
-object fields are resolved on demand (memoized) within a literal, so
-field order and ``self`` cycles guarded by ``if`` behave correctly.
-Known strictness gaps: an object literal whose fields reference
-``super`` must appear syntactically as the right operand of ``+``
-(storing it in a ``local`` first fails — go-jsonnet defers the field
-bodies, we do not), and object ``local``s that reference ``self``
-re-evaluate per field access.
+Evaluation is LAZY like go-jsonnet: ``local`` bindings are thunks (an
+unused erroring binding never evaluates; value bindings may reference
+later siblings; guarded recursion terminates), and objects defer all
+field evaluation until OBSERVED — manifestation/iteration forces the
+visible fields, ``.f`` access forces the asserts plus that field only,
+and hidden (``::``) fields only ever force on explicit access, so the
+``{required:: error 'override me'} + {required: x}`` abstract-base
+idiom and ``{a: error 'x'} + {a: 1}`` overrides behave exactly as in
+go-jsonnet.  Remaining strictness gaps: function-call arguments
+evaluate eagerly (observable only for erroring-and-unused arguments),
+and object ``local``s that reference ``self`` re-evaluate per field
+access.
 """
 
 from __future__ import annotations
 
+import inspect
 import json
 import math
+import os
 import re
 from typing import Any, Callable, Optional
 
@@ -57,6 +63,11 @@ class JsonnetParseError(JsonnetError):
 
 class JsonnetRuntimeError(JsonnetError):
     pass
+
+
+# Env key carrying the importing file's directory (not a legal jsonnet
+# identifier, so user programs can never shadow it).
+_IMPORT_DIR = "//import_dir"
 
 
 # ---------------------------------------------------------------------------
@@ -525,6 +536,33 @@ class Closure:
         self.env = env
 
 
+class _Thunk:
+    """A lazily evaluated ``local`` binding (go-jsonnet semantics: an
+    unused erroring binding never evaluates; value bindings may
+    reference later siblings).  Forced at variable lookup, memoized,
+    cycle-checked."""
+
+    __slots__ = ("ev", "expr", "env", "state", "value")
+
+    def __init__(self, ev: "Evaluator", expr: Any, env: _Env):
+        self.ev = ev
+        self.expr = expr
+        self.env = env
+        self.state = 0  # 0 unforced, 1 forcing, 2 done
+        self.value: Any = None
+
+    def force(self) -> Any:
+        if self.state == 2:
+            return self.value
+        if self.state == 1:
+            raise JsonnetRuntimeError("recursive local binding")
+        self.state = 1
+        self.value = self.ev._eval(self.expr, self.env)
+        self.state = 2
+        self.expr = self.env = None  # free the AST + env chain
+        return self.value
+
+
 def _env_has(env: Optional[_Env], name: str) -> bool:
     while env is not None:
         if name in env.vars:
@@ -563,20 +601,84 @@ class _Super:
 
 
 class JObj(dict):
-    """A Jsonnet object: a plain dict of its VISIBLE, forced fields
-    (so manifestation, equality, and the std library see exactly the
-    manifested value) that also retains its layered field expressions
-    for ``self``/``super``/``$`` late binding and ``+`` inheritance,
-    plus a ``hidden`` dict for ``::`` fields."""
+    """A Jsonnet object: retains its layered field expressions for
+    ``self``/``super``/``$`` late binding and ``+`` inheritance, plus a
+    ``hidden`` name set for ``::`` fields.
 
-    __slots__ = ("layers", "hidden", "_cache", "_forcing")
+    Construction is LAZY (go-jsonnet semantics): no field evaluates
+    until the object is OBSERVED — manifested, compared, iterated,
+    indexed, or passed to a std function.  The dict interface is the
+    observation membrane: every read-side dict method forces the
+    visible fields first (after which the plain-dict storage holds
+    exactly the manifested value, so equality / json paths see real
+    data).  Merging (``+``) concatenates layers WITHOUT observing, so
+    ``{a: error 'x'} + {a: 1}`` never evaluates the overridden body,
+    and hidden fields are never forced unless accessed — the
+    ``{required:: error 'override me'} + {required: x}`` abstract-base
+    idiom works."""
 
-    def __init__(self, layers: list[_Layer]):
+    __slots__ = ("layers", "hidden", "_cache", "_forcing", "_ev", "_forced",
+                 "_asserted")
+
+    def __init__(self, layers: list[_Layer], ev: "Evaluator"):
         super().__init__()
         self.layers = layers
-        self.hidden: dict[str, Any] = {}
+        self.hidden: set[str] = set()
         self._cache: dict[str, Any] = {}
         self._forcing: set = set()
+        self._ev = ev
+        self._forced = False
+        self._asserted = False
+
+    def _ensure(self) -> None:
+        if not self._forced:
+            self._ev._force_object(self)
+
+    # -- observation membrane: force-on-read dict interface
+    def __getitem__(self, name: str) -> Any:
+        self._ensure()
+        if dict.__contains__(self, name):
+            return dict.__getitem__(self, name)
+        # mid-force access (a field body observing self through the
+        # dict interface): resolve through the layers like _index
+        return self._ev._obj_get(self, name)
+
+    def get(self, name: str, default: Any = None) -> Any:
+        self._ensure()
+        return dict.get(self, name, default)
+
+    def __contains__(self, name: object) -> bool:
+        self._ensure()
+        return dict.__contains__(self, name)
+
+    def __iter__(self):
+        self._ensure()
+        return dict.__iter__(self)
+
+    def __len__(self) -> int:
+        self._ensure()
+        return dict.__len__(self)
+
+    def keys(self):
+        self._ensure()
+        return dict.keys(self)
+
+    def values(self):
+        self._ensure()
+        return dict.values(self)
+
+    def items(self):
+        self._ensure()
+        return dict.items(self)
+
+    def __eq__(self, other: object) -> bool:
+        self._ensure()
+        if isinstance(other, JObj):
+            other._ensure()
+        return dict.__eq__(self, other)
+
+    def __ne__(self, other: object) -> bool:
+        return not self.__eq__(other)
 
 
 def _typename(v: Any) -> str:
@@ -724,30 +826,61 @@ class Evaluator:
     pass :func:`file_importer` for that behavior).  None -> imports
     raise at runtime."""
 
-    def __init__(self, importer: Optional[Callable[[str], str]] = None) -> None:
+    def __init__(self, importer: Optional[Callable[..., Any]] = None) -> None:
         self.std = _make_std(self)
         self.root = _Env({"std": self.std}, None)
         self.importer = importer
         self._import_cache: dict[tuple[str, bool], Any] = {}
+        if importer is None:
+            self._importer_arity = 0
+        else:
+            try:
+                self._importer_arity = len(
+                    inspect.signature(importer).parameters
+                )
+            except (TypeError, ValueError):
+                self._importer_arity = 1
 
-    def _import(self, path: str, as_code: bool) -> Any:
-        key = (path, as_code)
-        if key in self._import_cache:
-            return self._import_cache[key]
+    def _import(self, path: str, as_code: bool, from_dir: Optional[str]) -> Any:
         if self.importer is None:
             raise JsonnetRuntimeError(
                 f"cannot {'import' if as_code else 'importstr'} {path!r}: "
                 "no importer configured (Evaluator(importer=...))"
             )
         try:
-            src = self.importer(path)
+            if self._importer_arity >= 2:
+                # (path, from_dir) -> (resolved_key, source): the cache
+                # keys on the RESOLVED path, so two spellings of one
+                # file share an entry
+                resolved, src = self.importer(path, from_dir)
+            else:  # legacy path -> source callables key on the literal
+                resolved, src = path, self.importer(path)
         except OSError as err:
             raise JsonnetRuntimeError(f"import failed: {path}: {err}") from err
-        # imports evaluate once per VM in a clean environment (jsonnet
-        # imports are closed expressions), then memoize
-        val = self._eval(parse(src), self.root) if as_code else src
+        key = (resolved, as_code)
+        if key in self._import_cache:
+            return self._import_cache[key]
+        # Imports evaluate once per VM in a clean environment (jsonnet
+        # imports are closed expressions), then memoize.  The imported
+        # file's directory rides in the ENV (not evaluator state):
+        # laziness means its thunked imports may force long after this
+        # frame returns, and they must still resolve relative to the
+        # importing file (go-jsonnet FileImporter).
+        if as_code:
+            env = _Env({_IMPORT_DIR: os.path.dirname(resolved) or None}, self.root)
+            val = self._eval(parse(src), env)
+        else:
+            val = src
         self._import_cache[key] = val
         return val
+
+    @staticmethod
+    def _import_dir_of(env: Optional[_Env]) -> Optional[str]:
+        while env is not None:
+            if _IMPORT_DIR in env.vars:
+                return env.vars[_IMPORT_DIR]
+            env = env.parent
+        return None
 
     # -- public
     def eval_ast(self, ast: Any, extra_vars: Optional[dict[str, Any]] = None) -> Any:
@@ -790,14 +923,15 @@ class Evaluator:
         if tag == "lit":
             return node[1]
         if tag == "var":
-            return env.lookup(node[1])
+            val = env.lookup(node[1])
+            return val.force() if isinstance(val, _Thunk) else val
         if tag == "array":
             return [self._eval(e, env) for e in node[1]]
         if tag == "object":
+            # LAZY: no field evaluates until the object is observed
+            # (manifested / indexed / iterated / compared)
             _, fields, locals_, asserts = node
-            obj = JObj([self._make_layer(fields, locals_, asserts, env)])
-            self._force_object(obj)
-            return obj
+            return JObj([self._make_layer(fields, locals_, asserts, env)], self)
         if tag == "self":
             return env.lookup("self")
         if tag == "dollar":
@@ -821,9 +955,9 @@ class Evaluator:
                 raise JsonnetRuntimeError(text)
             return self._eval(rest, env)
         if tag == "import":
-            return self._import(node[1], as_code=True)
+            return self._import(node[1], True, self._import_dir_of(env))
         if tag == "importstr":
-            return self._import(node[1], as_code=False)
+            return self._import(node[1], False, self._import_dir_of(env))
         if tag == "local":
             return self._eval(node[2], self._bind_locals(node[1], env))
         if tag == "fn":
@@ -894,10 +1028,15 @@ class Evaluator:
             return env
         vars: dict[str, Any] = {}
         new_env = _Env(vars, env)
-        # functions close over new_env (mutual recursion); plain values
-        # evaluate in definition order
+        # every binding closes over new_env (mutual recursion among
+        # functions AND values); non-function values are thunked so an
+        # unused erroring binding never evaluates and siblings may
+        # reference each other in any order (go-jsonnet laziness)
         for name, expr in binds:
-            vars[name] = self._eval(expr, new_env)
+            if expr[0] == "fn":  # fast path: no thunk allocation
+                vars[name] = Closure(expr[1], expr[2], new_env)
+            else:
+                vars[name] = _Thunk(self, expr, new_env)
         return new_env
 
     # -- object orientation (self / $ / super / :: / +:)
@@ -962,6 +1101,15 @@ class Evaluator:
         return val
 
     def _force_object(self, obj: "JObj") -> "JObj":
+        """Force the VISIBLE fields into the dict storage (first
+        observation).  Hidden (``::``) fields are recorded by name only
+        and evaluate on access through the layers — never here — so the
+        ``{required:: error 'override me'}`` abstract-base idiom holds.
+        Object asserts (all layers') run first, like go-jsonnet runs
+        them on any field access or manifestation."""
+        if obj._forced:
+            return obj
+        obj._forced = True  # reentrancy: a field body may observe self
         # visibility: ':' inherits the base field's visibility,
         # '::' forces hidden, ':::' forces visible (go-jsonnet rules)
         vis: dict[str, Optional[bool]] = {}
@@ -973,12 +1121,20 @@ class Evaluator:
                     vis[name] = False
                 elif name not in vis:
                     vis[name] = False
+        obj.hidden = {name for name, h in vis.items() if h}
+        self._run_asserts(obj)
         for name in sorted(vis):
-            val = self._obj_get(obj, name)
-            if vis[name]:
-                obj.hidden[name] = val
-            else:
-                dict.__setitem__(obj, name, val)
+            if not vis[name]:
+                dict.__setitem__(obj, name, self._obj_get(obj, name))
+        return obj
+
+    def _run_asserts(self, obj: "JObj") -> None:
+        """Run every layer's object asserts once — triggered by any
+        field access or manifestation (go-jsonnet), NOT construction,
+        so an unobserved failing object never raises."""
+        if obj._asserted:
+            return
+        obj._asserted = True  # set first: asserts may access self
         for i, layer in enumerate(obj.layers):
             for cond, msg in layer.asserts:
                 env = self._field_env(obj, i)
@@ -986,7 +1142,6 @@ class Evaluator:
                     text = ("object assertion failed" if msg is None
                             else _to_string(self._eval(msg, env)))
                     raise JsonnetRuntimeError(text)
-        return obj
 
     @staticmethod
     def _layers_of(v: dict) -> list[_Layer]:
@@ -997,14 +1152,15 @@ class Evaluator:
         return [_Layer(fmap, [], _Env({}, None), [], root=False)]
 
     def _merge_objects(self, a: dict, b: dict) -> "JObj":
-        return self._force_object(JObj(self._layers_of(a) + self._layers_of(b)))
+        # merging only concatenates layers — observation forces later
+        return JObj(self._layers_of(a) + self._layers_of(b), self)
 
     def _merge_with_literal(self, a: dict, objnode: Any, env: _Env) -> "JObj":
         """``a + {literal}``: build the literal's layer WITHOUT forcing
         it standalone, so its fields may reference super."""
         _, fields, locals_, asserts = objnode
         layer = self._make_layer(fields, locals_, asserts, env)
-        return self._force_object(JObj(self._layers_of(a) + [layer]))
+        return JObj(self._layers_of(a) + [layer], self)
 
     def _plus_values(self, a: Any, b: Any) -> Any:
         if isinstance(a, str) or isinstance(b, str):
@@ -1039,9 +1195,12 @@ class Evaluator:
 
     def _index(self, base: Any, idx: Any) -> Any:
         if isinstance(base, JObj):
-            # resolve through the layers (memoized): the object may be
+            # field access forces the asserts + THAT field only
+            # (go-jsonnet: {a: error 'x', b: 1}.b is 1); resolve
+            # through the layers (memoized) — the object may be
             # mid-force, so dict storage can lag behind (self.x before
             # x's slot is populated)
+            self._run_asserts(base)
             return self._obj_get(base, _want(idx, "string", "object index"))
         if isinstance(base, dict):
             key = _want(idx, "string", "object index")
@@ -1269,7 +1428,7 @@ def _make_std(ev: Evaluator) -> dict[str, Any]:
         "objectHas": lambda o, f: f in _want(o, "object", "std.objectHas"),
         "objectHasAll": lambda o, f: f in o or f in getattr(o, "hidden", {}),
         "objectFields": lambda o: sorted(o.keys()),
-        "objectFieldsAll": lambda o: sorted(set(o.keys()) | set(getattr(o, "hidden", {}).keys())),
+        "objectFieldsAll": lambda o: sorted(set(o.keys()) | set(getattr(o, "hidden", ()))),
         "objectValues": lambda o: [o[k] for k in sorted(o.keys())],
         "objectKeysValues": lambda o: [
             {"key": k, "value": o[k]} for k in sorted(o.keys())
@@ -1327,16 +1486,23 @@ def _prune(v: Any) -> Any:
 # ---------------------------------------------------------------------------
 # Snippet API (the shape the transform adapter needs)
 
-def file_importer(base_dir: str = ".") -> Callable[[str], str]:
+def file_importer(base_dir: str = ".") -> Callable[[str, Optional[str]], tuple[str, str]]:
     """The go-jsonnet FileImporter behavior the reference's VM ships
-    with (stream-jsonnet/main.go:41 MakeVM): resolve import paths
-    against ``base_dir`` on the local filesystem.  Wire explicitly —
-    executors only see files the deployment distributed to them."""
-    import os
+    with (stream-jsonnet/main.go:41 MakeVM): the top-level program's
+    imports resolve against ``base_dir``; TRANSITIVE imports resolve
+    against the IMPORTING file's directory (so a lib in a subdirectory
+    importing its sibling works), and the VM caches on the resolved
+    absolute path rather than the literal import string.  Wire
+    explicitly — executors only see files the deployment distributed
+    to them."""
 
-    def _import(path: str) -> str:
-        with open(os.path.join(base_dir, path), "r", encoding="utf-8") as f:
-            return f.read()
+    def _import(path: str, from_dir: Optional[str] = None) -> tuple[str, str]:
+        root = from_dir if from_dir else base_dir
+        resolved = (
+            path if os.path.isabs(path) else os.path.normpath(os.path.join(root, path))
+        )
+        with open(resolved, "r", encoding="utf-8") as f:
+            return os.path.abspath(resolved), f.read()
 
     return _import
 
@@ -1352,13 +1518,27 @@ def evaluate_snippet(
     return evaluate_ast(parse(src), tla, importer=importer)
 
 
+def _deep_force(v: Any) -> Any:
+    """Force every visible field reachable from ``v`` — what jsonnet's
+    output manifestation does.  Hidden fields stay lazy (go-jsonnet
+    never manifests them either)."""
+    if isinstance(v, JObj):
+        v._ensure()
+        for k in dict.keys(v):
+            _deep_force(dict.__getitem__(v, k))
+    elif isinstance(v, list):
+        for x in v:
+            _deep_force(x)
+    return v
+
+
 def evaluate_ast(
     ast: Any,
     tla: Optional[list[Any]] = None,
-    importer: Optional[Callable[[str], str]] = None,
+    importer: Optional[Callable[..., Any]] = None,
 ) -> Any:
     ev = Evaluator(importer=importer)
     result = ev.eval_ast(ast)
     if isinstance(result, Closure) and tla is not None:
-        return ev.call(result, tla)
-    return result
+        return _deep_force(ev.call(result, tla))
+    return _deep_force(result)

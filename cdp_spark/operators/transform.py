@@ -14,8 +14,11 @@ external program/service; its output becomes the new events.
   events; request errors yield an empty vector.  Partition-level
   batched HTTP with retry/backoff (src/io/http-client.ts:28-56) —
   this is the external-model-inference hook.
-- send-receive-jsonnet: gated — no jsonnet evaluator in this
-  environment (would follow the jq adapter shape exactly).
+- send-receive-jsonnet (src/step-functions/send-receive-jsonnet.ts:70-97
+  -> stream-jsonnet/main.go:18-70): same adapter shape as jq, but the
+  ``function(events)`` program runs in-process on each executor via
+  :mod:`cdp_spark.jsonnet` (pure-Python lazy evaluator — no subprocess,
+  no jsonnet library dependency).
 
 Output values are parsed back into events with the shared
 variants_to_events (old-event semantics; wrap directive supported),
@@ -393,8 +396,8 @@ def jsonnet_produced_values(
                 except JsonnetError as exc:
                     # Parity: erroring windows are skipped silently by
                     # stream-jsonnet (main.go:46-52) — but say so, with
-                    # a count, so a strict-vs-lazy divergence of this
-                    # evaluator is visible instead of a silent drop.
+                    # a count, so a program bug is visible instead of
+                    # a silent drop.
                     dropped += 1
                     last_err = str(exc)
             yield pd.DataFrame(rows, columns=["_worder", "_idx", "_val"])

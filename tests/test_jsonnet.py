@@ -503,3 +503,117 @@ def test_import_requires_importer_and_literal_path(tmp_path):
         evaluate_snippet(
             "import 'missing.libsonnet'", importer=file_importer(str(tmp_path))
         )
+
+
+# ---------------------------------------------------------------------------
+# laziness (go-jsonnet semantics): thunked locals, deferred object
+# fields, lazy hidden fields, assert-on-access
+
+
+def test_unused_erroring_local_never_evaluates():
+    assert evaluate_snippet("local boom = error 'never'; 42") == 42
+    # ...including in function bodies and nested locals
+    assert (
+        evaluate_snippet(
+            "local f = function(x) local bad = error 'no'; x + 1; f(1)"
+        )
+        == 2
+    )
+
+
+def test_guarded_recursion_in_locals():
+    # function self-recursion guarded by if/then/else
+    assert (
+        evaluate_snippet(
+            "local f = function(x) if x == 0 then 1 else x * f(x - 1); f(5)"
+        )
+        == 120
+    )
+    # value bindings may reference later siblings (lazy, order-free)
+    assert evaluate_snippet("local a = b + 1, b = 2; a") == 3
+    # a genuinely cyclic VALUE binding is an error, not a hang
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet("local a = b, b = a; a")
+
+
+def test_hidden_abstract_base_idiom():
+    # the go-jsonnet abstract-base pattern: an erroring hidden field
+    # overridden before anything forces it
+    assert evaluate_snippet(
+        "({required:: error 'override me'} + {required: 3}).required"
+    ) == 3
+    # hidden fields are not manifested, so the base alone is fine...
+    assert evaluate_snippet("{required:: error 'override me'}") == {}
+    # ...until the erroring hidden field itself is accessed
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet("{required:: error 'override me'}.required")
+
+
+def test_overridden_erroring_field_never_evaluates():
+    assert evaluate_snippet("({a: error 'boom'} + {a: 1}).a") == 1
+    assert evaluate_snippet("{a: error 'boom'} + {a: 1}") == {"a": 1}
+    # a standalone-evaluated LHS stored in a local first works too
+    assert evaluate_snippet(
+        "local base = {a: error 'boom'}; (base + {a: 2}).a"
+    ) == 2
+
+
+def test_super_literal_via_local_binding():
+    # pre-laziness gap: an object literal referencing super had to be
+    # the syntactic right operand of '+'; a thunked local defers the
+    # field bodies so this now matches go-jsonnet
+    assert evaluate_snippet(
+        "local o = {a: super.a + 1}; {a: 1} + o"
+    ) == {"a": 2}
+
+
+def test_field_access_forces_only_that_field():
+    assert evaluate_snippet("{a: error 'x', b: 1}.b") == 1
+    # but asserts run on ANY field access
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet("{assert false, b: 1}.b")
+    # and manifesting the whole object still forces every visible field
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet("{a: error 'x', b: 1}")
+
+
+def test_unobserved_object_never_raises():
+    assert evaluate_snippet("local o = {assert false, a: error 'x'}; 7") == 7
+
+
+def test_transitive_import_resolves_relative_to_importing_file(tmp_path):
+    from cdp_spark.jsonnet import file_importer
+
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "sibling.libsonnet").write_text("{w: 10}")
+    (sub / "lib.libsonnet").write_text(
+        "local s = import 'sibling.libsonnet'; {v: s.w + 1}"
+    )
+    # top-level resolves against base_dir; lib's import of its sibling
+    # resolves against sub/, not base_dir
+    assert evaluate_snippet(
+        "(import 'sub/lib.libsonnet').v", importer=file_importer(str(tmp_path))
+    ) == 11
+
+
+def test_import_cache_keys_on_resolved_path(tmp_path):
+    from cdp_spark.jsonnet import Evaluator, parse as jparse
+
+    (tmp_path / "lib.libsonnet").write_text("{k: 1}")
+    reads: list[str] = []
+
+    def importer(path, from_dir=None):
+        import os
+
+        root = from_dir if from_dir else str(tmp_path)
+        resolved = os.path.abspath(os.path.normpath(os.path.join(root, path)))
+        reads.append(resolved)
+        with open(resolved, encoding="utf-8") as fh:
+            return resolved, fh.read()
+
+    ev = Evaluator(importer=importer)
+    src = "(import 'lib.libsonnet').k + (import './sub/../lib.libsonnet').k"
+    assert ev.eval_ast(jparse(src)) == 2
+    # two spellings, one resolved path -> a single cached evaluation
+    assert len(set(reads)) == 1
