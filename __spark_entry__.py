@@ -1312,6 +1312,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(emb, dim=64, threshold=0.3)
 
 
+def q_embedding_near_dup_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band LSH near-dup pairs (union of 17 four-plane bands):
+    id-only candidate join, norms precomputed, vectors fetched only
+    for survivors.  r=4/b=17 gives recall ~0.92 of the brute-force
+    cosine>=0.3 pairs on the near-orthogonal synthetic embeddings
+    (asserted in tests/test_similarity_multiband.py); real duplicate
+    corpora at threshold 0.9 use the cheap r=8/b=8 defaults."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs_multiband(
+        emb, dim=64, threshold=0.3, n_planes=4, n_bands=17
+    )
+
+
 def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping 1h/30min event-time windows — overlapping-window
     semantics (each event in 2 buckets), one codegen aggregate."""
@@ -1346,10 +1359,11 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_users": q_rolling_active_users,
 }
 
-# New queries added in round 6 — populated at the end of the module once
-# the new query functions exist; spliced into the first-50 window right
+# New queries added in round 6 — spliced into the first-50 window right
 # after the 38 r04-stale leaders.
-_ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_near_dup_multiband": q_embedding_near_dup_multiband,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2094,6 +2108,35 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(a.emb, c.emb), 4) AS cosine_sim
         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         WHERE round(list_cosine_similarity(a.emb, c.emb), 4) >= 0.3
+    """
+    # multiband: 17 bands x 4 planes, seeds 42 + 97*b (mirrors
+    # similarity.embedding_near_dup_pairs_multiband with the driver
+    # query's parameters)
+    band_selects = []
+    for b in range(17):
+        bplanes = sim.random_hyperplanes(_EMB_DIM, 4, seed=42 + 97 * b)
+        bexpr = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {_dl(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(bplanes)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({bexpr}) AS bucket FROM base"
+        )
+    bands_union = "\n        UNION ALL\n        ".join(band_selects)
+    oracles["embedding_near_dup_multiband"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        tagged AS ({bands_union}),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM tagged a
+          JOIN tagged c ON a.band = c.band AND a.bucket = c.bucket
+                        AND a.vec_id < c.vec_id)
+        SELECT p.id_a, p.id_b,
+               round(list_cosine_similarity(x.emb, y.emb), 4) AS cosine_sim
+        FROM pairs p
+        JOIN base x ON p.id_a = x.vec_id
+        JOIN base y ON p.id_b = y.vec_id
+        WHERE round(list_cosine_similarity(x.emb, y.emb), 4) >= 0.3
     """
     oracles["ann_lsh"] = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "pareto_customers",
     "hopping_window_agg",
     "embedding_near_dup",
+    "embedding_near_dup_multiband",
     "rolling_active_users",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)
