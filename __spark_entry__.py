@@ -1312,6 +1312,26 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(emb, dim=64, threshold=0.3)
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming exact dedup — ``dropDuplicatesWithinWatermark``
+    over (user_id, hour bucket), driven to completion with AvailableNow
+    through the staged-JSON harness and value-hashed against the batch
+    DISTINCT oracle.  Completes the streaming trio (tumbling agg,
+    session windows, dedup); state is per-key and watermark-evicted,
+    the 100 TB dedup-on-ingest path."""
+    return _run_stream_to_table(
+        spark,
+        sf_dir,
+        lambda s: (
+            s.where(F.col("ts").isNotNull())
+            .withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+            .withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark(["user_id", "hour_ts"])
+            .select("user_id", "hour_ts")
+        ),
+    )
+
+
 def q_embedding_near_dup_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band LSH near-dup pairs (union of 17 four-plane bands):
     id-only candidate join, norms precomputed, vectors fetched only
@@ -1363,6 +1383,7 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # after the 38 r04-stale leaders.
 _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_multiband": q_embedding_near_dup_multiband,
+    "stream_dedup_events": q_stream_dedup_events,
 }
 
 
@@ -2403,6 +2424,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         )
         GROUP BY label, dim
+    """
+    oracles["stream_dedup_events"] = """
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_ts
+        FROM events WHERE ts IS NOT NULL
     """
     oracles["stream_tumbling_agg"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

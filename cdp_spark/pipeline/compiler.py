@@ -262,7 +262,20 @@ def _attach_sink(ctx: _Ctx, step: StepDef, df: DataFrame) -> DataFrame:
     return df
 
 
-def compile_step(ctx: _Ctx, step: StepDef, source: DataFrame) -> DataFrame:
+def compile_step(
+    ctx: _Ctx, step: StepDef, source: DataFrame, prewindowed: bool = False
+) -> DataFrame:
+    if prewindowed:
+        # The streaming runner already filtered the pattern and
+        # assembled count-or-time windows with Spark-managed state —
+        # source carries WINDOW_COL/ORDER_COL in flush order.
+        windowed, passed = source, None
+        out = _apply_function(ctx, step, windowed)
+        if WINDOW_COL in out.columns or _window_is_multi(step) or step.function_name.startswith(
+            "send-receive"
+        ):
+            out = _renumber(out)
+        return out.select("n", "d", "t", ORDER_COL)
     if step.pattern is not None:
         pred = pattern_to_column(step.pattern, "n")
         matched = source.filter(pred)
@@ -290,12 +303,20 @@ def compile_pipeline(
     arrival_ts: Optional[float] = None,
     observe: bool = False,
     distributed_sinks: bool = False,
+    applied_steps: Optional[set] = None,
+    prewindowed_step: Optional[str] = None,
 ) -> PipelineResult:
     """Lower the template to DataFrames.  ``input_df`` overrides the
     template's input form (the library/test entry, mirroring how the
     reference tests drive pipelines with synthetic channels,
     __tests__/api.ts:24-56); otherwise batch-supported forms are
-    ``file``/``tail`` (NDJSON path with optional wrap)."""
+    ``file``/``tail`` (NDJSON path with optional wrap).
+
+    ``applied_steps`` / ``prewindowed_step`` support the stateful
+    streaming runner: steps the runner already applied stream-side
+    (pattern filters, renames) pass input through unchanged, and the
+    named windowed step consumes the WINDOW_COL/ORDER_COL already on
+    ``input_df`` instead of re-windowing within the micro-batch."""
     signature = get_signature(template.raw)
     ctx = _Ctx(
         spark=spark,
@@ -348,6 +369,14 @@ def compile_pipeline(
         progressed = False
         for step in list(remaining):
             if all(dep == INPUT_ALIAS or dep in outputs for dep in step.after):
+                if applied_steps and step.name in applied_steps:
+                    # already executed stream-side by the runner:
+                    # identity pass-through of the (filtered, renamed)
+                    # input
+                    outputs[step.name] = _observe(step.name, stamped)
+                    remaining.remove(step)
+                    progressed = True
+                    continue
                 sources = [
                     stamped if dep == INPUT_ALIAS else outputs[dep] for dep in step.after
                 ]
@@ -355,7 +384,10 @@ def compile_pipeline(
                 for extra in sources[1:]:
                     source = source.unionByName(extra)
                 outputs[step.name] = _observe(
-                    step.name, compile_step(ctx, step, source)
+                    step.name,
+                    compile_step(
+                        ctx, step, source, prewindowed=step.name == prewindowed_step
+                    ),
                 )
                 remaining.remove(step)
                 progressed = True

@@ -40,6 +40,20 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# Meta variant for the DAG runner: adds the within-window flush index
+# ``i`` (so downstream rebuilds arrival order as (w, i)) and the
+# serialized trace column so events survive the state round-trip whole.
+OUTPUT_SCHEMA_META = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("n", T.StringType()),
+        T.StructField("d", T.StringType()),
+        T.StructField("t_json", T.StringType()),
+    ]
+)
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("buffered", T.StringType()),  # JSON [[n, d], ...]
@@ -49,10 +63,15 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def make_count_or_time_fn(max_size: int, max_seconds: float):
+def make_count_or_time_fn(max_size: int, max_seconds: float, with_meta: bool = False):
     """Build the applyInPandasWithState function (factored out so
-    batch tests can exercise the state-machine logic directly)."""
+    batch tests can exercise the state-machine logic directly).
+    ``with_meta`` emits OUTPUT_SCHEMA_META rows (flush index + trace
+    passthrough) for the DAG runner."""
     timeout_ms = int(max_seconds * 1000) if max_seconds > 0 else None
+    columns = (
+        ["key", "w", "i", "n", "d", "t_json"] if with_meta else ["key", "w", "n", "d"]
+    )
 
     def fn(
         key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -64,14 +83,18 @@ def make_count_or_time_fn(max_size: int, max_seconds: float):
         else:
             buffered, first_ms, next_w = [], 0, 0
 
-        out_rows: list[tuple[str, int, str, str]] = []
+        out_rows: list[tuple] = []
         k = key[0]
 
         def flush() -> None:
             nonlocal buffered, next_w
             if buffered:
-                for n, d in buffered:
-                    out_rows.append((k, next_w, n, d))
+                if with_meta:
+                    for i, (n, d, tj) in enumerate(buffered):
+                        out_rows.append((k, next_w, i, n, d, tj))
+                else:
+                    for n, d in buffered:
+                        out_rows.append((k, next_w, n, d))
                 next_w += 1
                 buffered = []
 
@@ -83,10 +106,19 @@ def make_count_or_time_fn(max_size: int, max_seconds: float):
             # No new timeout until the next event arrives.
         else:
             for pdf in pdfs:
-                for n, d in zip(pdf["n"], pdf["d"]):
+                if with_meta:
+                    rows_iter = zip(pdf["n"], pdf["d"], pdf["t_json"])
+                else:
+                    rows_iter = zip(pdf["n"], pdf["d"])
+                for row in rows_iter:
+                    n, d = row[0], row[1]
                     if not buffered:
                         first_ms = int(time.time() * 1000)
-                    buffered.append([n, None if d is None else str(d)])
+                    entry = [n, None if d is None else str(d)]
+                    if with_meta:
+                        tj = row[2]
+                        entry.append(None if tj is None else str(tj))
+                    buffered.append(entry)
                     if len(buffered) >= max_size:
                         flush()
             state.update((json.dumps(buffered), first_ms, next_w))
@@ -101,7 +133,7 @@ def make_count_or_time_fn(max_size: int, max_seconds: float):
                 state.setTimeoutDuration(max(1, first_ms + timeout_ms - now_ms))
 
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=["key", "w", "n", "d"])
+            yield pd.DataFrame(out_rows, columns=columns)
 
     return fn
 
@@ -121,6 +153,37 @@ def streaming_count_or_time(
     return keyed.applyInPandasWithState(
         make_count_or_time_fn(max_size, max_seconds),
         outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_count_or_time_meta(
+    events: DataFrame,
+    max_size: int,
+    max_seconds: float,
+    key_expr=None,
+) -> DataFrame:
+    """The DAG-runner variant: rows carry the within-window flush
+    index and the serialized trace, so the per-batch compiler can
+    rebuild full (n, d, t, _w, _ord) events from flushed windows.
+
+    ``key_expr`` defaults to a single shared buffer — exact parity
+    with the reference's per-step vector assembly (src/step.ts:70-151
+    buffers ONE vector per step, not per event name).  A single key
+    serializes the stateful task; pass a real key expression for the
+    keyed scale twin, exactly like the batch windower's keyed variants.
+    """
+    from pyspark.sql import functions as F
+
+    key = key_expr if key_expr is not None else F.lit("")
+    keyed = events.select(
+        key.alias("key"), "n", "d", F.to_json("t").alias("t_json")
+    ).groupBy("key")
+    return keyed.applyInPandasWithState(
+        make_count_or_time_fn(max_size, max_seconds, with_meta=True),
+        outputStructType=OUTPUT_SCHEMA_META,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

@@ -13,13 +13,24 @@ Semantics vs the reference:
   stamps every event in one poll with a single wall-clock read
   (``arrivalTimestamp`` box, src/event.ts:198-206); here every event
   in a micro-batch gets the trigger's wall-clock read.
-- Step windows assemble *within* a micro-batch.  A count window whose
-  buffer spans a trigger boundary flushes at the boundary (as if the
-  reference's time limit fired at the trigger interval).  For exact
-  cross-batch count-or-time state, use
-  :func:`cdp_spark.streaming.streaming_count_or_time` — the stateful
-  operator — on a single step's stream; the per-batch runner trades
-  that state for running the *whole DAG* including sinks.
+- With ``stateful_windows=True`` (the default) under a CONTINUOUS
+  trigger, a pipeline whose first windowed step is a count-or-time
+  ``reduce`` reachable from the input through pattern filters and
+  renames runs that window as the REAL stateful operator
+  (:func:`cdp_spark.streaming.streaming_count_or_time`,
+  ``applyInPandasWithState``): buffers span micro-batches exactly
+  like the reference's per-step vectors span polls
+  (src/step.ts:70-151) — a 100-event window fed 40+40+20 across
+  three triggers flushes ONCE, in the third.  The runner lowers the
+  pre-window steps onto the stream, lets Spark manage the buffer
+  state + the max_seconds processing-time timer, and compiles the
+  REST of the DAG per micro-batch over the flushed windows.
+- For shapes the stateful prefix can't cover (window mid-fan-in,
+  ``match/pass`` bypass before the window, ``flatmap`` sliding
+  windows), step windows assemble *within* a micro-batch: a count
+  window whose buffer spans a trigger boundary flushes at the
+  boundary (as if the reference's time limit fired at the trigger
+  interval).
 - Backpressure / queueing are Spark's (trigger intervals, source rate
   limits) — not reimplemented (SURVEY §2.5).
 
@@ -109,6 +120,59 @@ def _input_stream(
     )
 
 
+def _stateful_window_plan(template: PipelineTemplate):
+    """If the template's first windowed step can run as the stateful
+    streaming operator, return ``(pre_steps, windowed_step)``.
+
+    Requirements (everything else falls back to per-batch windows):
+    the windowed step is a count-or-time ``reduce`` (the stateful
+    operator's semantics; ``flatmap`` slides by one), reachable from
+    the input through a single-dependency chain of stream-safe steps
+    (``match/drop`` + ``rename`` — plain filters and column ops), no
+    ``match/pass`` bypass on the way, and nothing else consumes the
+    raw input (the stream past the operator carries flushed windows,
+    not raw events)."""
+    from ..pipeline.compiler import INPUT_ALIAS
+
+    by_name = {s.name: s for s in template.steps}
+    windowed = [
+        s for s in template.steps if s.window_events > 1 or s.window_seconds > 0
+    ]
+    if not windowed:
+        return None
+    win = windowed[0]
+    if win.function_mode != "reduce":
+        return None
+    if win.pattern is not None and win.pattern_mode == "pass":
+        return None
+    chain: list = []
+    cur = win
+    while True:
+        if len(cur.after) != 1:
+            return None
+        dep = cur.after[0]
+        if dep == INPUT_ALIAS:
+            break
+        st = by_name.get(dep)
+        if st is None:
+            return None
+        if st.window_events > 1 or st.window_seconds > 0:
+            return None
+        if st.pattern is not None and st.pattern_mode == "pass":
+            return None
+        if st.function_name != "rename":
+            return None
+        chain.append(st)
+        cur = st
+    pre = list(reversed(chain))
+    head = pre[0].name if pre else win.name
+    if any(
+        INPUT_ALIAS in s.after and s.name != head for s in template.steps
+    ):
+        return None
+    return pre, win
+
+
 def run_pipeline_stream(
     template: PipelineTemplate,
     spark: Optional[SparkSession] = None,
@@ -118,6 +182,7 @@ def run_pipeline_stream(
     checkpoint_dir: Optional[str] = None,
     trigger_seconds: Optional[float] = None,
     available_now: bool = False,
+    stateful_windows: bool = True,
 ) -> StreamingQuery:
     """Start the pipeline as a streaming query and return it.
 
@@ -125,22 +190,83 @@ def run_pipeline_stream(
     entry point, like ``input_df`` in batch).  ``on_batch`` receives
     each micro-batch's terminal output (already trace-stamped); sinks
     declared in the template run every batch regardless.
+
+    ``stateful_windows``: run the first eligible count-or-time window
+    as the cross-batch stateful operator (see module notes); pass
+    False to force per-batch window assembly for every step.
     """
     if input_stream is None:
         if spark is None:
             raise ValueError("need spark or input_stream")
         input_stream = _input_stream(spark, template, metrics=metrics)
 
+    # AvailableNow runs to completion and stops: per-batch assembly IS
+    # the reference's close-truncation there (the final trigger flushes
+    # everything), while the stateful operator would strand its last
+    # partial buffer in the state store.  Cross-batch state therefore
+    # engages only for continuous triggers.
+    plan = (
+        _stateful_window_plan(template)
+        if stateful_windows and not available_now
+        else None
+    )
+    applied: Optional[set] = None
+    prewindowed: Optional[str] = None
+    if plan is not None:
+        from pyspark.sql import functions as F
+
+        from ..operators import rename as rename_op
+        from ..patterns import pattern_to_column
+        from .count_or_time import streaming_count_or_time_meta
+
+        pre_steps, win = plan
+        stream = input_stream
+        for st in pre_steps:
+            if st.pattern is not None:
+                stream = stream.filter(pattern_to_column(st.pattern, "n"))
+            o = st.function_options or {}
+            o = o if isinstance(o, dict) else {}
+            stream = rename_op(
+                stream,
+                replace=o.get("replace"),
+                prepend=o.get("prepend"),
+                append=o.get("append"),
+            )
+        if win.pattern is not None:
+            stream = stream.filter(pattern_to_column(win.pattern, "n"))
+        input_stream = streaming_count_or_time_meta(
+            stream, win.window_events, win.window_seconds
+        )
+        applied = {st.name for st in pre_steps}
+        prewindowed = win.name
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # One wall-clock read per micro-batch = the reference's
         # batch-shared arrivalTimestamp (src/event.ts:198-206).
         arrival = time.time()
+        if prewindowed is not None:
+            from pyspark.sql import functions as F
+
+            from ..events import TRACE_TYPE
+            from ..pipeline.compiler import ORDER_COL, WINDOW_COL
+
+            # rebuild (n, d, t, _w, _ord) from the flushed rows; flush
+            # order = (window id, index within window)
+            batch_df = batch_df.select(
+                "n",
+                "d",
+                F.from_json("t_json", TRACE_TYPE).alias("t"),
+                F.col("w").alias(WINDOW_COL),
+                (F.col("w") * F.lit(1 << 32) + F.col("i")).alias(ORDER_COL),
+            )
         result = compile_pipeline(
             batch_df.sparkSession,
             template,
             input_df=batch_df,
             arrival_ts=arrival,
             observe=metrics is not None,
+            applied_steps=applied,
+            prewindowed_step=prewindowed,
         )
         result.run_sinks()
         if on_batch is not None:

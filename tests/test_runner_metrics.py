@@ -189,3 +189,119 @@ steps: {}
         assert metrics.backpressure() is False
     finally:
         runner.close(drain_timeout=0.5)
+
+
+STATEFUL_PIPELINE = """
+name: stateful-window
+input:
+  tail: {path: "%s"}
+steps:
+  route:
+    match/drop: "metric.#"
+    flatmap:
+      rename: {prepend: seen.}
+  totals:
+    after: [route]
+    window: {events: 100, seconds: 3600}
+    reduce:
+      send-receive-jq: "[{n: \\"total\\", d: (map(.d | tonumber) | add)}]"
+"""
+
+
+def test_stateful_window_spans_micro_batches(spark, tmp_path):
+    """VERDICT r5 item 5: a 100-event count window fed 40+40+20 over
+    three micro-batches (maxFilesPerTrigger=1) must buffer ACROSS the
+    trigger boundaries via applyInPandasWithState and flush exactly
+    once — not three partial flushes at the boundaries."""
+    import time as _time
+
+    from cdp_spark.streaming.sources import stream_ndjson_files
+
+    src = tmp_path / "in"
+    src.mkdir()
+    vals = list(range(100))
+    for fname, chunk in (("a.ndjson", vals[:40]), ("b.ndjson", vals[40:80]),
+                         ("c.ndjson", vals[80:])):
+        (src / fname).write_text(
+            "\n".join(
+                json.dumps({"n": "metric.cpu", "d": v}) for v in chunk
+            )
+            + "\n"
+            + json.dumps({"n": "other.ev", "d": 999})
+            + "\n"
+        )
+    template = from_yaml(STATEFUL_PIPELINE % src)
+
+    batches = []
+    stream = stream_ndjson_files(spark, str(src), max_files_per_trigger=1)
+    q = run_pipeline_stream(
+        template,
+        spark=spark,
+        input_stream=stream,
+        on_batch=lambda df, epoch: batches.append(
+            [(r.n, r.d) for r in df.orderBy("_ord").collect()]
+        ),
+        trigger_seconds=0.2,
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            flat = [ev for b in batches for ev in b]
+            if flat:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    flat = [ev for b in batches for ev in b]
+    # exactly ONE flush: one total event over all 100 matching events
+    # (0+...+99 = 4950); the three 'other.ev' events were routed away
+    assert flat == [("total", "4950")]
+    # and it took more than one micro-batch to get there: earlier
+    # batches produced no output while the buffer accumulated
+    assert len(batches) >= 2
+    assert all(not b for b in batches[:-1]) or sum(1 for b in batches if b) == 1
+
+
+def test_stateful_window_plan_detection():
+    """Plan detection: eligible shapes opt in, ineligible fall back."""
+    from cdp_spark.streaming.runner import _stateful_window_plan
+
+    t = from_yaml(STATEFUL_PIPELINE % "/tmp/x")
+    plan = _stateful_window_plan(t)
+    assert plan is not None
+    pre, win = plan
+    assert [s.name for s in pre] == ["route"] and win.name == "totals"
+
+    # flatmap (sliding) windows are not count-or-time: no plan
+    t2 = from_yaml(
+        """
+name: slide
+input:
+  tail: {path: "/tmp/x"}
+steps:
+  s:
+    window: {events: 10, seconds: 60}
+    flatmap:
+      rename: {prepend: p.}
+"""
+    )
+    assert _stateful_window_plan(t2) is None
+
+    # a second consumer of the raw input: no plan
+    t3 = from_yaml(
+        """
+name: fanout
+input:
+  tail: {path: "/tmp/x"}
+steps:
+  w:
+    window: {events: 10, seconds: 60}
+    reduce:
+      send-receive-jq: "[.[0]]"
+  other:
+    flatmap:
+      rename: {prepend: p.}
+"""
+    )
+    assert _stateful_window_plan(t3) is None
