@@ -219,7 +219,39 @@ def default_client_factory(kind: str, options: dict) -> Any:
         except ImportError as err:
             raise NotImplementedError("send-amqp requires the 'pika' client library") from err
         conn = pika.BlockingConnection(pika.URLParameters(options["url"]))
-        return conn.channel()
+        channel = conn.channel()
+
+        class _PikaChannel:  # pragma: no cover — needs a live broker
+            """Adapt the seam's dict-shaped publish properties to
+            pika.BasicProperties (the injectable-fake contract stays a
+            plain dict so tests never need pika installed)."""
+
+            def exchange_declare(self, exchange, exchange_type, **declare):
+                channel.exchange_declare(
+                    exchange=exchange, exchange_type=exchange_type, **declare
+                )
+
+            def basic_publish(self, exchange, routing_key, body, properties):
+                p = properties or {}
+                props = pika.BasicProperties(
+                    content_type=p.get("content_type"),
+                    timestamp=(
+                        int(p["timestamp"]) if p.get("timestamp") is not None else None
+                    ),
+                    expiration=(
+                        str(p["expiration"]) if p.get("expiration") is not None else None
+                    ),
+                    priority=p.get("priority"),
+                    delivery_mode=2 if p.get("persistent") else None,
+                )
+                channel.basic_publish(
+                    exchange=exchange,
+                    routing_key=routing_key,
+                    body=body,
+                    properties=props,
+                )
+
+        return _PikaChannel()
     if kind == "send-mqtt":
         try:
             import paho.mqtt.client as mqtt  # type: ignore[import-not-found]
@@ -227,9 +259,23 @@ def default_client_factory(kind: str, options: dict) -> Any:
             raise NotImplementedError(
                 "send-mqtt requires the 'paho-mqtt' client library"
             ) from err
+        from urllib.parse import urlparse
+
+        url = options["url"]
+        parsed = urlparse(url if "//" in url else f"mqtt://{url}")
         client = mqtt.Client()
-        client.connect_from_url(options["url"])  # pragma: no cover
-        return client
+        client.connect(parsed.hostname or "localhost", parsed.port or 1883)  # pragma: no cover
+        client.loop_start()  # pragma: no cover — background network thread
+
+        class _PahoClient:  # pragma: no cover — needs a live broker
+            """paho's v3 publish() takes no properties argument; the
+            content-type rides only on MQTT v5.  Drop it here rather
+            than upgrading the protocol under the caller."""
+
+            def publish(self, topic, payload, qos=0, properties=None):
+                client.publish(topic, payload, qos=qos)
+
+        return _PahoClient()
     raise ValueError(f"unknown broker sink '{kind}'")
 
 
