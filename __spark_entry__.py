@@ -1312,6 +1312,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(emb, dim=64, threshold=0.3)
 
 
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 fixed iterations, seeded
+    init shared with the IVF anchors): assignment is a codegen argmin
+    against centroid literals, the mean update shuffles only k*dim
+    partial sums.  Oracle unrolls both iterations as DuckDB CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_lloyd(emb, dim=64, k=8, iters=2, seed=7)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-scored unigram LM quality (mean token log-prob per
+    document) — the cheap perplexity proxy for training-data triage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.unigram_logprob(docs)
+
+
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming exact dedup — ``dropDuplicatesWithinWatermark``
     over (user_id, hour bucket), driven to completion with AvailableNow
@@ -1384,6 +1400,8 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_multiband": q_embedding_near_dup_multiband,
     "stream_dedup_events": q_stream_dedup_events,
+    "kmeans_centroids": q_kmeans_centroids,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 
@@ -2424,6 +2442,79 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         )
         GROUP BY label, dim
+    """
+    # k-means: seeded init literals + BOTH Lloyd iterations unrolled as
+    # CTEs (assign by squared-L2 argmin with first-centroid tie-break,
+    # per-dim mean via parallel unnest, empty clusters keep the prior
+    # centroid via the right join against the init table)
+    km_init = sim._anchor_set(_EMB_DIM, 8, seed=7)
+    km_init_rows = ", ".join(
+        f"({cid}, {_dl(c)}::DOUBLE[])" for cid, c in enumerate(km_init)
+    )
+
+    km_d1 = "[" + ", ".join(
+        f"list_sum(list_transform(list_zip(emb, {_dl(c)}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        for c in km_init
+    ) + "]"
+    oracles["kmeans_centroids"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        init(cid, c) AS (VALUES {km_init_rows}),
+        a1 AS (
+          SELECT vec_id, emb,
+                 list_indexof({km_d1}, list_min({km_d1})) - 1 AS cid
+          FROM base),
+        m1 AS (
+          SELECT cid, j, avg(x) AS m
+          FROM (SELECT cid, unnest(emb) AS x,
+                       unnest(generate_series(1, 64)) AS j FROM a1)
+          GROUP BY cid, j),
+        c1 AS (
+          SELECT i.cid,
+                 CASE WHEN count(m.m) = 0 THEN i.c
+                      ELSE list(m.m ORDER BY m.j) END AS c
+          FROM init i LEFT JOIN m1 m ON i.cid = m.cid
+          GROUP BY i.cid, i.c),
+        d2 AS (
+          SELECT b.vec_id, b.emb, c.cid,
+                 list_sum(list_transform(list_zip(b.emb, c.c),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+          FROM base b CROSS JOIN c1 c),
+        a2 AS (
+          SELECT vec_id, emb, cid
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d2)
+          WHERE rn = 1),
+        m2 AS (
+          SELECT cid, j, avg(x) AS m
+          FROM (SELECT cid, unnest(emb) AS x,
+                       unnest(generate_series(1, 64)) AS j FROM a2)
+          GROUP BY cid, j),
+        c2 AS (
+          SELECT i.cid,
+                 CASE WHEN count(m.m) = 0 THEN i.c
+                      ELSE list(m.m ORDER BY m.j) END AS c
+          FROM init i LEFT JOIN m2 m ON i.cid = m.cid
+          GROUP BY i.cid, i.c),
+        n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+        SELECT CAST(c2.cid AS BIGINT) AS centroid,
+               CAST(coalesce(n2.n, 0) AS BIGINT) AS n,
+               round(c2.c[1], 4) AS c0,
+               round(c2.c[2], 4) AS c1
+        FROM c2 LEFT JOIN n2 ON c2.cid = n2.cid
+    """
+    oracles["unigram_logprob"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0),
+        freqs AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freqs)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(avg(ln(c / t)), 4) AS avg_logprob
+        FROM toks JOIN freqs USING (tok), total
+        GROUP BY doc_id
     """
     oracles["stream_dedup_events"] = """
         SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_ts

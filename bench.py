@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "hopping_window_agg",
     "embedding_near_dup",
     "embedding_near_dup_multiband",
+    "kmeans_centroids",
+    "unigram_logprob",
     "rolling_active_users",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)

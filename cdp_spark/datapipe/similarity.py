@@ -271,6 +271,88 @@ def embedding_near_dup_pairs_multiband(
     )
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Fixed-iteration distributed Lloyd's k-means over an embedding
+    column — the coarse-quantizer TRAINING step the anchor-based IVF
+    readers skip.
+
+    Scale shape: per iteration, assignment is a per-row argmin against
+    the centroid array embedded as a literal (no shuffle, whole-stage
+    codegen), and the mean update is ``posexplode`` → ``groupBy
+    (centroid, dim)`` with map-side partial aggregation — the only
+    shuffle carries k*dim partial sums per partition.  Centroids live
+    driver-side between iterations (k*dim floats — model state, not
+    data; the 100 TB input never collects).
+
+    Deterministic: seeded unit-norm init (the IVF anchor generator),
+    fixed iteration count, squared-L2 argmin with ties broken by the
+    first (lowest) centroid id, empty clusters keep their previous
+    centroid.  Output: centroid id, member count of the final
+    assignment, and the final centroid's first two dims (rounded) —
+    enough to value-check the whole fit without hashing 64 doubles.
+    """
+    cents = _anchor_set(dim, k, seed)
+    assigned = None
+    for _ in range(iters):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("cid"),
+        )
+        means = (
+            assigned.select("cid", F.posexplode("_v").alias("j", "x"))
+            .groupBy("cid", "j")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for row in means:
+            by_cid.setdefault(int(row.cid), {})[int(row.j)] = float(row.m)
+        cents = [
+            [by_cid[cid][j] for j in range(dim)] if cid in by_cid else cents[cid]
+            for cid in range(k)
+        ]
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    spark = df.sparkSession
+    cent_rows = [
+        (cid, round(c[0], round_digits), round(c[1], round_digits))
+        for cid, c in enumerate(cents)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cid int, c0 double, c1 double")
+    return (
+        counts.join(F.broadcast(cent_df), "cid", "right")
+        .select(
+            F.col("cid").cast("long").alias("centroid"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            "c0",
+            "c1",
+        )
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vector: list[float],

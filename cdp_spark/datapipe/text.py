@@ -116,3 +116,42 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
         starts, lambda i: F.xxhash64(F.array_join(F.slice(tk, i, window), " "))
     )
     return F.array_min(grams)
+
+
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                    round_digits: int = 4):
+    """Corpus self-scored unigram LM quality — the cheap perplexity
+    proxy training-data pipelines use before any neural scorer: build
+    the corpus unigram distribution in ONE aggregation, then score
+    every document by its mean token log-probability.  Gibberish and
+    rare-vocabulary documents surface at the bottom; boilerplate
+    floats to the top.
+
+    Scale shape: tokenize once (JVM split, no UDF), one shuffle to
+    count the vocabulary, one shuffle to join tokens back to their
+    frequencies (token-keyed equi-join — the vocabulary is Zipf-small
+    relative to the corpus, and AQE broadcast-converts it when it
+    fits), one grouped mean per document.  The corpus-total row is a
+    broadcast cross join, never a global window.
+
+    Output: (doc_id, n_tokens, avg_logprob) — documents with no
+    tokens are absent (nothing to score).
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freqs.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(freqs, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c") / F.col("t"))), round_digits
+            ).alias("avg_logprob"),
+        )
+    )

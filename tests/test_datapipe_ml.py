@@ -1,0 +1,71 @@
+"""Distributed k-means (Lloyd, fixed iterations) + corpus unigram
+log-prob quality — determinism, shape, and semantic sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import similarity as sim
+from cdp_spark.datapipe import text as txt
+from cdp_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_partitions_every_vector(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = sim.kmeans_lloyd(emb, dim=64, k=8, iters=2, seed=7).collect()
+    assert len(out) == 8
+    assert sum(r.n for r in out) == emb.count()
+    # deterministic: same seed + same data -> identical fit
+    again = sim.kmeans_lloyd(emb, dim=64, k=8, iters=2, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_kmeans_iterations_tighten_assignments(spark):
+    """One Lloyd iteration from random unit anchors must not LOSE
+    members to the fallback path: every centroid id appears, counts
+    are non-negative, and iter-2 centroids differ from the seeded
+    init (the update actually ran)."""
+    emb = load_table(spark, SF, "embeddings")
+    out = {r.centroid: r for r in sim.kmeans_lloyd(emb, dim=64, k=8, iters=2, seed=7).collect()}
+    assert set(out) == set(range(8))
+    init = sim._anchor_set(64, 8, seed=7)
+    moved = sum(
+        1
+        for cid, r in out.items()
+        if r.n > 0 and (round(init[cid][0], 4), round(init[cid][1], 4)) != (r.c0, r.c1)
+    )
+    assert moved >= 1
+
+
+def test_unigram_logprob_scores_rarity(spark):
+    docs = load_table(spark, SF, "documents")
+    out = txt.unigram_logprob(docs)
+    rows = out.collect()
+    # every non-empty document scored, probabilities are log-scale
+    n_docs = docs.where(F.length(F.trim("text")) > 0).count()
+    assert len(rows) == n_docs
+    assert all(r.avg_logprob < 0 for r in rows)
+    # n_tokens agrees with the shared tokenizer
+    tc = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", txt.token_count(F.lower(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert all(tc[r.doc_id] == r.n_tokens for r in rows)
+
+
+def test_unigram_logprob_rare_vocab_scores_lower(spark):
+    """A document made of corpus-unique tokens must score strictly
+    lower than one made of the corpus's own (frequent) vocabulary."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").union(
+        load_table(spark, SF, "documents")
+        .sparkSession.createDataFrame(
+            [(100001, "zzqx1 zzqx2 zzqx3"), (100002, "the the the the")],
+            "doc_id long, text string",
+        )
+    )
+    out = {r.doc_id: r.avg_logprob for r in txt.unigram_logprob(docs).collect()}
+    assert out[100001] < out[100002]
