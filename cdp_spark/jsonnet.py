@@ -37,10 +37,10 @@ visible fields, ``.f`` access forces the asserts plus that field only,
 and hidden (``::``) fields only ever force on explicit access, so the
 ``{required:: error 'override me'} + {required: x}`` abstract-base
 idiom and ``{a: error 'x'} + {a: 1}`` overrides behave exactly as in
-go-jsonnet.  Remaining strictness gaps: function-call arguments
-evaluate eagerly (observable only for erroring-and-unused arguments),
-and object ``local``s that reference ``self`` re-evaluate per field
-access.
+go-jsonnet.  Function-call arguments are lazy too (``tailstrict``
+opts back into eager, as specified).  Remaining gap: object
+``local``s that reference ``self`` re-evaluate per field access
+(memoization only, never a semantic difference).
 """
 
 from __future__ import annotations
@@ -306,11 +306,14 @@ class _Parser:
                     if not self.eat_op(","):
                         break
                 self.expect("op", ")")
-                # optional tailstrict marker
+                # optional tailstrict marker: recorded so the
+                # evaluator forces those args eagerly (its purpose)
+                tail = False
                 k, v, _ = self.peek()
                 if k == "kw" and v == "tailstrict":
                     self.next()
-                e = ("call", e, args, kwargs)
+                    tail = True
+                e = ("call", e, args, kwargs, tail)
             else:
                 return e
 
@@ -971,8 +974,19 @@ class Evaluator:
             raise JsonnetRuntimeError(_to_string(self._eval(node[1], env)))
         if tag == "call":
             fn = self._eval(node[1], env)
-            args = [self._eval(a, env) for a in node[2]]
-            kwargs = {k: self._eval(v, env) for k, v in node[3]}
+            tailstrict = node[4] if len(node) > 4 else False
+            if isinstance(fn, Closure) and not tailstrict:
+                # lazy arguments (go-jsonnet): an erroring-but-unused
+                # argument never evaluates; param lookups force the
+                # thunk once.  Builtins take real values (they're
+                # Python), and `tailstrict` opts back into eager.
+                args: list[Any] = [_Thunk(self, a, env) for a in node[2]]
+                kwargs: dict[str, Any] = {
+                    k: _Thunk(self, v, env) for k, v in node[3]
+                }
+            else:
+                args = [self._eval(a, env) for a in node[2]]
+                kwargs = {k: self._eval(v, env) for k, v in node[3]}
             return self._call_value(fn, args, kwargs)
         if tag == "index":
             return self._index(self._eval(node[1], env), self._eval(node[2], env))

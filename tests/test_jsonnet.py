@@ -617,3 +617,26 @@ def test_import_cache_keys_on_resolved_path(tmp_path):
     assert ev.eval_ast(jparse(src)) == 2
     # two spellings, one resolved path -> a single cached evaluation
     assert len(set(reads)) == 1
+
+
+def test_lazy_call_arguments():
+    # an erroring-but-unused argument never evaluates...
+    assert evaluate_snippet(
+        "local f = function(a, b) a; f(1, error 'never')"
+    ) == 1
+    # ...but a USED erroring argument still raises
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet("local f = function(a, b) a + b; f(1, error 'boom')")
+    # used-twice arguments evaluate once (memoized thunk): count via
+    # a side-effect-free construction — deep recursion would blow the
+    # stack if re-evaluated exponentially
+    assert evaluate_snippet(
+        "local dbl = function(x) x + x;"
+        "local f = function(n, v) if n == 0 then v else f(n - 1, dbl(v));"
+        "f(40, 1)"
+    ) == 2 ** 40
+    # tailstrict forces arguments eagerly (spec behavior)
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet(
+            "local f = function(a, b) a; f(1, error 'eager') tailstrict"
+        )
