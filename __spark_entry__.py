@@ -1328,6 +1328,16 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.unigram_logprob(docs)
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over TRAINED (k-means) lists: the full train -> assign ->
+    probe loop; the oracle re-trains identically in SQL (unrolled
+    Lloyd CTEs) and probes the same 4 lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf_kmeans(
+        emb, dim=64, query_id=0, k=10, n_centroids=8, iters=2, n_probe=4, seed=7
+    )
+
+
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming exact dedup — ``dropDuplicatesWithinWatermark``
     over (user_id, hour bucket), driven to completion with AvailableNow
@@ -1402,6 +1412,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_events": q_stream_dedup_events,
     "kmeans_centroids": q_kmeans_centroids,
     "unigram_logprob": q_unigram_logprob,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
 }
 
 
@@ -2456,8 +2467,10 @@ def oracle_sql() -> dict[str, str]:
         f"list_sum(list_transform(list_zip(emb, {_dl(c)}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
         for c in km_init
     ) + "]"
-    oracles["kmeans_centroids"] = f"""
-        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    # shared Lloyd-training prefix (through final centroids c2 and the
+    # final assignment a3) — used by BOTH kmeans_centroids and the
+    # trained-IVF ANN oracle
+    km_prefix = f"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         init(cid, c) AS (VALUES {km_init_rows}),
         a1 AS (
           SELECT vec_id, emb,
@@ -2496,12 +2509,41 @@ def oracle_sql() -> dict[str, str]:
                       ELSE list(m.m ORDER BY m.j) END AS c
           FROM init i LEFT JOIN m2 m ON i.cid = m.cid
           GROUP BY i.cid, i.c),
-        n2 AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+        d3 AS (
+          SELECT b.vec_id, c.cid,
+                 list_sum(list_transform(list_zip(b.emb, c.c),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+          FROM base b CROSS JOIN c2 c),
+        a3 AS (
+          SELECT vec_id, cid
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d3)
+          WHERE rn = 1)"""
+    oracles["kmeans_centroids"] = f"""
+        WITH {km_prefix},
+        n3 AS (SELECT cid, count(*) AS n FROM a3 GROUP BY cid)
         SELECT CAST(c2.cid AS BIGINT) AS centroid,
-               CAST(coalesce(n2.n, 0) AS BIGINT) AS n,
+               CAST(coalesce(n3.n, 0) AS BIGINT) AS n,
                round(c2.c[1], 4) AS c0,
                round(c2.c[2], 4) AS c1
-        FROM c2 LEFT JOIN n2 ON c2.cid = n2.cid
+        FROM c2 LEFT JOIN n3 ON c2.cid = n3.cid
+    """
+    oracles["ann_ivf_kmeans"] = f"""
+        WITH {km_prefix},
+        q AS (SELECT emb AS qemb FROM base WHERE vec_id = 0),
+        pd AS (
+          SELECT c.cid,
+                 list_sum(list_transform(list_zip(q.qemb, c.c),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+          FROM c2 c, q),
+        probe AS (SELECT cid FROM pd ORDER BY dist, cid LIMIT 4)
+        SELECT a3.vec_id,
+               round(list_cosine_similarity(b.emb, q.qemb), 4) AS cosine_sim
+        FROM a3 JOIN base b USING (vec_id), q
+        WHERE a3.cid IN (SELECT cid FROM probe)
+        ORDER BY cosine_sim DESC, a3.vec_id
+        LIMIT 10
     """
     oracles["unigram_logprob"] = r"""
         WITH toks AS (

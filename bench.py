@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "embedding_near_dup_multiband",
     "kmeans_centroids",
     "unigram_logprob",
+    "ann_ivf_kmeans",
     "rolling_active_users",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)

