@@ -1328,6 +1328,26 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.unigram_logprob(docs)
 
 
+def q_stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the canonical streaming ETL join:
+    the event stream joins a BROADCAST static dimension (customer)
+    per micro-batch, stateless, no watermark needed.  At 100 TB the
+    dimension re-broadcasts per batch while the stream side never
+    shuffles; value-hashed against the plain batch join oracle."""
+
+    def build(s: DataFrame) -> DataFrame:
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        return s.join(F.broadcast(dim), "user_id").select(
+            "user_id", "value", "name", "mktsegment"
+        )
+
+    return _run_stream_to_table(spark, sf_dir, build)
+
+
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over TRAINED (k-means) lists: the full train -> assign ->
     probe loop; the oracle re-trains identically in SQL (unrolled
@@ -1413,6 +1433,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_centroids": q_kmeans_centroids,
     "unigram_logprob": q_unigram_logprob,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "stream_enrich_events": q_stream_enrich_events,
 }
 
 
@@ -2561,6 +2582,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_dedup_events"] = """
         SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_ts
         FROM events WHERE ts IS NOT NULL
+    """
+    oracles["stream_enrich_events"] = """
+        SELECT e.user_id, e.value, c.c_name AS name,
+               c.c_mktsegment AS mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
     """
     oracles["stream_tumbling_agg"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

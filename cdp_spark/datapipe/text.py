@@ -127,31 +127,35 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
     rare-vocabulary documents surface at the bottom; boilerplate
     floats to the top.
 
-    Scale shape: tokenize once (JVM split, no UDF), one shuffle to
-    count the vocabulary, one shuffle to join tokens back to their
-    frequencies (token-keyed equi-join — the vocabulary is Zipf-small
-    relative to the corpus, and AQE broadcast-converts it when it
-    fits), one grouped mean per document.  The corpus-total row is a
-    broadcast cross join, never a global window.
+    Scale shape: tokenize twice (JVM split, no UDF) — once to count
+    the vocabulary, once for the scoring join (token-keyed equi-join;
+    the vocabulary is Zipf-small relative to the corpus, and AQE
+    broadcast-converts it when it fits) — then one grouped mean per
+    document.  The corpus token TOTAL is one scalar: computed at
+    build time from a `sum(size(tokens))` scan (no explode) and
+    embedded as a literal, the same driver-side-model-state pattern
+    as the k-means centroids — NOT a third pass over the exploded
+    tokens, and never a global window.
 
     Output: (doc_id, n_tokens, avg_logprob) — documents with no
     tokens are absent (nothing to score).
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
+    total = float(
+        df.agg(F.sum(F.size(tokens(F.lower(F.col(text_col)))))).first()[0] or 0
+    )
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = freqs.agg(F.sum("c").alias("t"))
     return (
         toks.join(freqs, "tok")
-        .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                F.avg(F.log(F.col("c") / F.col("t"))), round_digits
+                F.avg(F.log(F.col("c") / F.lit(total))), round_digits
             ).alias("avg_logprob"),
         )
     )

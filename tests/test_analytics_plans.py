@@ -51,3 +51,41 @@ def test_hopping_window_is_single_aggregate(spark):
     plan = _plan(entry.q_hopping_window_agg(spark, SF))
     assert plan.count("Exchange") == 1  # one shuffle for the groupBy
     assert "partial_count" in plan  # map-side partials before it
+
+
+def test_unigram_logprob_has_no_global_window(spark):
+    """The corpus total must be a broadcast scalar cross join, never a
+    Window.partitionBy() over the whole token frame."""
+    plan = _plan(entry.q_unigram_logprob(spark, SF))
+    assert "Window [" not in plan
+    # the corpus total is a build-time literal, NOT a third pass over
+    # the exploded tokens: exactly two explodes (vocabulary + scoring)
+    # and no broadcast-nested-loop cross join for a scalar
+    assert plan.count("Generate explode") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The returned fit: counts aggregate one shuffle on cid; the
+    argmin assignment itself is a codegen projection (no exchange
+    between scan and the partial aggregation)."""
+    plan = _plan(entry.q_kmeans_centroids(spark, SF))
+    # counts + the broadcast of the centroid frame; per-dim mean
+    # updates already ran at build time (model state), so the SERVED
+    # plan has exactly one hash exchange (the cid count)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_trained_ivf_probe_filters_before_scoring(spark):
+    plan = _plan(entry.q_ann_ivf_kmeans(spark, SF))
+    # probe filter is a pushable IN over the assignment's cid column,
+    # and the top-k is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_multiband_exchanges_never_carry_vectors(spark):
+    plan = _plan(entry.q_embedding_near_dup_multiband(spark, SF))
+    exchanges = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert exchanges, "expected shuffles for the candidate join"
+    assert not any("embedding" in ln for ln in exchanges), exchanges
