@@ -228,3 +228,57 @@ def test_streaming_session_window(spark, tmp_path):
     ).collect()
     assert [r.cnt for r in rows] == [2, 2]
     assert rows[0].s == base and rows[1].s == base + 500
+
+
+def test_streaming_count_or_time_meta_keyed_spans_batches(spark, tmp_path):
+    """The keyed scale twin of the DAG runner's stateful window: two
+    keys buffer independently across micro-batches (maxFilesPerTrigger
+    =1), each flushing when ITS count fills — with flush order (w, i)
+    and traces carried through the state round-trip."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cdp_spark.streaming.count_or_time import streaming_count_or_time_meta
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # 3 files x (2 of key a + 1 of key b): key a fills its 4-window in
+    # file 2, key b (3 events total) never fills a 4-window
+    for i, fname in enumerate(("a.ndjson", "b.ndjson", "c.ndjson")):
+        lines = [
+            json.dumps({"n": "ka", "d": i * 2}),
+            json.dumps({"n": "ka", "d": i * 2 + 1}),
+            json.dumps({"n": "kb", "d": 100 + i}),
+        ]
+        (src / fname).write_text("\n".join(lines) + "\n")
+
+    events = stream_ndjson_files(spark, str(src), max_files_per_trigger=1)
+    flushed = streaming_count_or_time_meta(
+        events, max_size=4, max_seconds=3600, key_expr=F.col("n")
+    )
+    q = (
+        flushed.writeStream.format("memory").queryName("cot_meta_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    # Poll the SINK, not query termination: the pending 3600s
+    # processing-time timer for key b's partial buffer keeps the
+    # availableNow trigger alive long after the full window flushed.
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        if spark.sql("SELECT * FROM cot_meta_out").count() >= 4:
+            break
+        _time.sleep(1)
+    q.stop()
+
+    rows = spark.sql(
+        "SELECT key, w, i, n, d FROM cot_meta_out ORDER BY key, w, i"
+    ).collect()
+    # key a flushed exactly one full 4-window; key b (3 events) never
+    # filled.  File ingestion order is not deterministic under load,
+    # so assert the window SHAPE, not which four of ka's six events
+    # arrived first.
+    assert all(r.key == "ka" for r in rows)
+    assert [(r.w, r.i) for r in rows] == [(0, 0), (0, 1), (0, 2), (0, 3)]
+    ds = {r.d for r in rows}
+    assert len(ds) == 4 and ds <= {"0", "1", "2", "3", "4", "5"}
