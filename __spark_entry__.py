@@ -790,6 +790,8 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
             sim.ivf_write(emb, path, dim=64)
         elif kind == "ivfpq":
             sim.ivf_pq_write(emb, path, dim=64)
+        elif kind == "ivfkm":
+            sim.ivf_kmeans_write(emb, path, dim=64, n_centroids=8, iters=2, seed=7)
         else:
             sim.lsh_write(emb, path, dim=64)
         _ANN_INDEX_CACHE[key] = path
@@ -804,6 +806,18 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return sim.ivf_topk_indexed(spark, path, qvec, k=10, n_centroids=16, n_probe=4, round_digits=4)
+
+
+def q_ann_ivf_kmeans_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF top-k against the persisted index: Lloyd's runs
+    once at build, the query loads the centroid artifact, and the
+    scan reads only the 4 probed lists (PartitionFilters).  Same
+    training parameters as ann_ivf_kmeans — identical results, so
+    they share the oracle SQL."""
+    path = _ensure_ann_index(spark, sf_dir, "ivfkm")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_kmeans_topk_indexed(spark, path, qvec, k=10, n_probe=4, round_digits=4)
 
 
 def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1433,6 +1447,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_centroids": q_kmeans_centroids,
     "unigram_logprob": q_unigram_logprob,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "ann_ivf_kmeans_indexed": q_ann_ivf_kmeans_indexed,
     "stream_enrich_events": q_stream_enrich_events,
 }
 
@@ -2566,6 +2581,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, a3.vec_id
         LIMIT 10
     """
+    # the persisted-index twin trains identically -> same result set
+    oracles["ann_ivf_kmeans_indexed"] = oracles["ann_ivf_kmeans"]
     oracles["unigram_logprob"] = r"""
         WITH toks AS (
           SELECT doc_id,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "kmeans_centroids",
     "unigram_logprob",
     "ann_ivf_kmeans",
+    "ann_ivf_kmeans_indexed",
     "rolling_active_users",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)
@@ -114,6 +115,7 @@ def main() -> None:
     entrymod._ensure_ann_index(spark, sf_dir, "ivf")
     entrymod._ensure_ann_index(spark, sf_dir, "lsh")
     entrymod._ensure_ann_index(spark, sf_dir, "ivfpq")
+    entrymod._ensure_ann_index(spark, sf_dir, "ivfkm")
 
     qs = entrymod.queries()
     # Median of 3 warm runs per query (VERDICT r5 "next round" #2): a

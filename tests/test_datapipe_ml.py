@@ -91,3 +91,22 @@ def test_trained_ivf_matches_bruteforce_topk_better_than_it_must(spark):
     assert ivf[0] == 0 and brute[0] == 0
     overlap = len(set(ivf) & set(brute))
     assert overlap >= 5, f"trained-IVF recall too low: {overlap}/10"
+
+
+def test_trained_ivf_index_prunes_partitions_and_matches_direct(spark, tmp_path):
+    """The persisted trained-IVF index read must (a) show
+    PartitionFilters on the trained list id in the executed plan and
+    (b) return exactly the direct train->probe query's rows."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfkm")
+    sim.ivf_kmeans_write(emb, path, dim=64, n_centroids=8, iters=2, seed=7)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    indexed = sim.ivf_kmeans_topk_indexed(spark, path, qvec, k=10, n_probe=4)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan.split("PartitionFilters")[1][:120]
+
+    direct = sim.ann_topk_ivf_kmeans(
+        emb, dim=64, query_id=0, k=10, n_centroids=8, iters=2, n_probe=4
+    )
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in direct.collect()]
