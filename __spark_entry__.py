@@ -641,6 +641,19 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup curation — the query a training-data
+    pipeline actually ships: blocking edges -> connected components
+    -> keep one canonical document per cluster (minimum doc_id) ->
+    the surviving corpus.  Composes q_dup_clusters with
+    ddp.near_dedup_survivors; never-linked documents pass through."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = q_dup_clusters(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    return ddp.near_dedup_survivors(docs, "doc_id", comp).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1449,6 +1462,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "ann_ivf_kmeans_indexed": q_ann_ivf_kmeans_indexed,
     "stream_enrich_events": q_stream_enrich_events,
+    "near_dedup_corpus": q_near_dedup_corpus,
 }
 
 
@@ -1825,6 +1839,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.id
             )
             SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+        """,
+        "near_dedup_corpus": """
+            WITH RECURSIVE
+            nbr AS (
+              SELECT doc_id, n_chars,
+                     lead(doc_id) OVER w AS next_id,
+                     lead(n_chars) OVER w AS next_chars
+              FROM documents
+              WINDOW w AS (PARTITION BY source, lang ORDER BY n_chars, doc_id)
+            ),
+            edges AS (
+              SELECT doc_id AS s, next_id AS d FROM nbr
+              WHERE next_id IS NOT NULL AND abs(n_chars - next_chars) <= 2
+            ),
+            bidir AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+            reach(id, label) AS (
+              SELECT s, s FROM bidir
+              UNION
+              SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.id
+            ),
+            comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.id <> c.component
+            )
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM documents

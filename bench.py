@@ -12,6 +12,7 @@ the numbers.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -62,6 +63,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "dup_clusters",
+    "near_dedup_corpus",
     "stratified_sample",
     "dataset_mix",
     "decontaminate_docs",
@@ -123,20 +125,38 @@ def main() -> None:
     # r4/r5 both burned a judge adjudication pass on 2-3x cold-start
     # outliers (dup_clusters 7.9s recorded vs 2.4s warm).  The median is
     # robust to one GC/compile hiccup; total = sum of medians.
+    #
+    # Runs are PASS-MAJOR (run the whole list, then repeat), not
+    # query-major: this VM's noise arrives in multi-second bursts, and
+    # back-to-back samples of one query all land inside the same burst
+    # (r5 recorded dup_clusters at 7.9s this way, and an r6 query-major
+    # pass recorded near_dup_verified at [6.9, 13.0, 6.5] vs ~2.0s solo
+    # — every sample hot, median useless).  Interleaved, a burst taints
+    # one sample each of several queries, which the per-query median
+    # rejects.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for r in range(runs):
+        # Drain deferred cleanup OUTSIDE the timed region: dropping the
+        # py4j refs lets the ContextCleaner release checkpoint/shuffle
+        # blocks accumulated by the previous pass, instead of that work
+        # landing inside some victim query's samples.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+        print(f"# pass {r + 1}/{runs} done", file=sys.stderr, flush=True)
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        samples: list[float] = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        dt = sorted(samples)[len(samples) // 2]
+        s = samples[name]
+        dt = sorted(s)[len(s) // 2]
         timings[name] = round(dt, 3)
         total += dt
         print(
-            f"# {name}: median {dt:.3f}s of {[round(s, 3) for s in samples]}",
+            f"# {name}: median {dt:.3f}s of {[round(x, 3) for x in s]}",
             file=sys.stderr,
             flush=True,
         )

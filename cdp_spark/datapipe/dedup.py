@@ -339,6 +339,28 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def near_dedup_survivors(
+    df: DataFrame, id_col: str, components: DataFrame
+) -> DataFrame:
+    """The curation step that consumes :func:`connected_components`:
+    filter a corpus to its canonical rows after near-dedup.  From
+    each duplicate cluster exactly one row survives — the MINIMUM id,
+    which is the row whose id equals its component label (the label
+    is the minimum reachable id by construction) — and rows that were
+    never linked into any cluster pass through untouched.
+
+    Scale shape: the drop list is ``components`` minus its
+    representatives — (id,) pairs only, a near-dup-density fraction
+    of the corpus — so the ``left_anti`` join broadcasts at 100 TB
+    (duplicate pairs are rare relative to rows) and the corpus itself
+    is never shuffled.
+    """
+    drop = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def exact_dup_clusters(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per distinct
     content with the surviving (minimum) id and the duplicate count."""

@@ -147,3 +147,19 @@ def test_dataset_mix_fractional_subset_of_full(spark):
         for r in dataset_mix(docs, "doc_id", "source", {"web": 0.9}).collect()
     }
     assert half <= more
+
+
+def test_near_dedup_survivors_keeps_one_per_cluster(spark):
+    from cdp_spark.datapipe.dedup import near_dedup_survivors
+
+    # corpus 1..8; clusters {1,2,3} and {5,6}; 4,7,8 never linked
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 9)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    comp = connected_components(edges)
+    out = near_dedup_survivors(docs, "doc_id", comp)
+    assert {r["doc_id"] for r in out.collect()} == {1, 4, 5, 7, 8}
+    # idempotent: re-running dedup over the survivors changes nothing
+    again = near_dedup_survivors(out, "doc_id", comp)
+    assert again.count() == out.count()
