@@ -1405,6 +1405,96 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_keyed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED cross-batch count-or-time windows as a driver query — the
+    scale twin of the DAG runner's stateful window
+    (cdp_spark/streaming/count_or_time.py, reference semantics
+    src/step.ts:70-151) with one buffer per event name instead of one
+    global buffer.
+
+    Determinism design: rows inside a micro-batch reach a state group
+    in shuffle order, so per-WINDOW contents are not reproducible —
+    but per-KEY totals are.  Each key's event count is first trimmed
+    to an exact multiple of the window size (drop the row_number tail
+    per event_type, same rule in the oracle), so every window flushes
+    FULL and the result aggregates order-insensitively per key:
+    window count, event count, min/max flushed window size (both must
+    equal the window size — a per-batch assembler splitting buffers at
+    the 8 staged-file trigger boundaries would flush partials and
+    fail exactly here), and a decimal-summed total.  The stream runs
+    applyInPandasWithState over 8 single-file micro-batches with
+    AvailableNow; state spans triggers, nothing is batch-aligned."""
+    import tempfile
+    import uuid
+
+    from cdp_spark.events import TRACE_TYPE
+    from cdp_spark.streaming.count_or_time import streaming_count_or_time_meta
+
+    ms = 64
+    ev = load_table(spark, sf_dir, "events")
+    wk = Window.partitionBy("event_type").orderBy("event_id")
+    ranked = ev.select(
+        "event_id",
+        F.col("event_type").alias("n"),
+        "value",
+        F.row_number().over(wk).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("_cnt"),
+    )
+    kept = ranked.filter(
+        F.col("_rn") <= (F.col("_cnt") / ms).cast("long") * F.lit(ms)
+    )
+    src = tempfile.mkdtemp(prefix="cdp_kw_src_")
+    kept.select("n", "value").repartition(8).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("n string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            "n",
+            F.col("value").cast("string").alias("d"),
+            F.lit(None).cast(TRACE_TYPE).alias("t"),
+        )
+    )
+    flushed = streaming_count_or_time_meta(stream, ms, 0, key_expr=F.col("n"))
+    ckpt = tempfile.mkdtemp(prefix="cdp_kw_ck_")
+    name = "stream_kw_" + uuid.uuid4().hex[:12]
+    query = (
+        flushed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                f"AvailableNow stream {name} still running after 300s "
+                f"(checkpoint {ckpt}); refusing to read a partial result"
+            )
+    finally:
+        if query.isActive:
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    per_w = (
+        spark.table(name)
+        .groupBy("key", "w")
+        .agg(
+            F.count(F.lit(1)).alias("wn"),
+            F.sum(F.col("d").cast("decimal(28,6)")).alias("ws"),
+        )
+    )
+    return per_w.groupBy(F.col("key").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("wn").alias("n_events"),
+        F.min("wn").alias("min_window_size"),
+        F.max("wn").alias("max_window_size"),
+        F.round(F.sum("ws"), 2).cast("double").alias("total_value"),
+    )
+
+
 def q_embedding_near_dup_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band LSH near-dup pairs (union of 17 four-plane bands):
     id-only candidate join, norms precomputed, vectors fetched only
@@ -1463,6 +1553,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_kmeans_indexed": q_ann_ivf_kmeans_indexed,
     "stream_enrich_events": q_stream_enrich_events,
     "near_dedup_corpus": q_near_dedup_corpus,
+    "stream_keyed_windows": q_stream_keyed_windows,
 }
 
 
@@ -1839,6 +1930,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.id
             )
             SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id
+        """,
+        "stream_keyed_windows": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS cnt
+              FROM events
+            ),
+            kept AS (SELECT * FROM ranked WHERE rn <= (cnt // 64) * 64)
+            SELECT event_type,
+                   count(*) // 64 AS n_windows,
+                   count(*) AS n_events,
+                   CAST(64 AS BIGINT) AS min_window_size,
+                   CAST(64 AS BIGINT) AS max_window_size,
+                   CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+            FROM kept GROUP BY event_type
         """,
         "near_dedup_corpus": """
             WITH RECURSIVE

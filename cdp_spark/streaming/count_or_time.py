@@ -138,6 +138,20 @@ def make_count_or_time_fn(max_size: int, max_seconds: float, with_meta: bool = F
     return fn
 
 
+def _timeout_conf(max_seconds: float) -> str:
+    """Pure count windows (max_seconds <= 0) must use NoTimeout: a
+    stateful operator registered with ProcessingTimeTimeout makes the
+    engine keep scheduling (empty) micro-batches to service potential
+    timers, so a Trigger.AvailableNow query NEVER terminates even
+    after the source is exhausted.  Timers only exist when a time
+    bound was actually requested."""
+    return (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if max_seconds > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_count_or_time(
     events: DataFrame,
     max_size: int,
@@ -155,7 +169,7 @@ def streaming_count_or_time(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=_timeout_conf(max_seconds),
     )
 
 
@@ -186,5 +200,5 @@ def streaming_count_or_time_meta(
         outputStructType=OUTPUT_SCHEMA_META,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=_timeout_conf(max_seconds),
     )

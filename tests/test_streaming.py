@@ -282,3 +282,38 @@ def test_streaming_count_or_time_meta_keyed_spans_batches(spark, tmp_path):
     assert [(r.w, r.i) for r in rows] == [(0, 0), (0, 1), (0, 2), (0, 3)]
     ds = {r.d for r in rows}
     assert len(ds) == 4 and ds <= {"0", "1", "2", "3", "4", "5"}
+
+
+def test_streaming_count_only_terminates_under_available_now(spark, tmp_path):
+    """max_seconds=0 (pure count windows) must register NoTimeout:
+    with ProcessingTimeTimeout the engine keeps scheduling empty
+    micro-batches to service potential timers and an AvailableNow
+    query NEVER terminates (the r6 stream_keyed_windows hang)."""
+    import json as _json
+
+    from cdp_spark.streaming.count_or_time import streaming_count_or_time_meta
+
+    src = tmp_path / "cot_src"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"f{i}.ndjson", "w") as f:
+            for j in range(8):
+                f.write(_json.dumps({"n": "ka" if j % 2 else "kb", "d": str(j)}) + "\n")
+
+    events = stream_ndjson_files(spark, str(src), max_files_per_trigger=1)
+    flushed = streaming_count_or_time_meta(
+        events, max_size=4, max_seconds=0, key_expr=F.col("n")
+    )
+    q = (
+        flushed.writeStream.format("memory").queryName("cot_term_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "AvailableNow count-window stream hung"
+    rows = spark.sql("SELECT key, w, i FROM cot_term_out").collect()
+    # 24 events, 12 per key, window size 4 -> each key flushes 3 FULL
+    # windows; nothing strands in state because counts divide evenly.
+    assert len(rows) == 24
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.key, set()).add(r.w)
+    assert per_key == {"ka": {0, 1, 2}, "kb": {0, 1, 2}}
