@@ -98,6 +98,52 @@ def stable_avg(col, scale: int = 4):
 # Relational SQL shared verbatim by Spark and DuckDB (dialect-common
 # subset, explicit casts for type alignment).
 _SHARED_SQL: dict[str, str] = {
+    # q2-style correlated scalar subquery (Catalyst decorrelates it
+    # into an aggregate + join — no per-row re-execution)
+    "min_cost_supplier": """
+        SELECT l.l_partkey AS partkey, s.s_name AS supp_name,
+               CAST(l.l_extendedprice AS DOUBLE) AS min_price
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """,
+    # q18-style IN-subquery with HAVING over the fact table
+    "large_orders": """
+        SELECT c_name, o_orderkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(28,6)), 2) AS DOUBLE) AS total_price,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 250)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, o_orderkey, o_totalprice
+    """,
+    # q4-style EXISTS (semi-join) with a date-range filter
+    "order_priority_exists": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    # q22-style NOT EXISTS (anti-join) + uncorrelated scalar subquery:
+    # above-average-balance customers with no order since mid-2000
+    "rich_inactive_customers": """
+        SELECT c_nationkey AS nationkey, count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+            FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        GROUP BY c_nationkey
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {_ssum('l_quantity')} AS sum_qty,

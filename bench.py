@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "avg_subquery_join",
     "range_join_events",
     "percentiles",
+    "min_cost_supplier",
+    "large_orders",
+    "order_priority_exists",
+    "rich_inactive_customers",
     # CDP semantics
     "pattern_match_composite",
     "window_reduce_agg",
