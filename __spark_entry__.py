@@ -700,6 +700,24 @@ def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users over events — an APPROXIMATE answer
+    that is still exactly oracle-checkable, because every primitive
+    (md5-based hash, bin()-length rank, decimal harmonic sum) is
+    engine-reproducible (cdp_spark/datapipe/sketches.py).  The
+    reference has no sketches (SURVEY §2.6) — declared superset
+    capability.  Output also carries the exact count for an at-a-
+    glance accuracy read."""
+    from cdp_spark.datapipe import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    est = sk.hll_estimate(ev, "user_id", p=8)
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        "n_registers", "hll_estimate", "n_exact"
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1600,6 +1618,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich_events": q_stream_enrich_events,
     "near_dedup_corpus": q_near_dedup_corpus,
     "stream_keyed_windows": q_stream_keyed_windows,
+    "hll_distinct_users": q_hll_distinct_users,
 }
 
 
@@ -2853,6 +2872,13 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                      / CAST(total_rev AS DOUBLE), 6) AS cum_share
         FROM topn CROSS JOIN tot
+    """
+    from cdp_spark.datapipe.sketches import hll_oracle_sql
+
+    oracles["hll_distinct_users"] = f"""
+        WITH est AS ({hll_oracle_sql("events", "user_id", 8)}),
+        ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+        SELECT est.n_registers, est.hll_estimate, ex.n_exact FROM est, ex
     """
     oracles.update(_SHARED_SQL)
     return oracles

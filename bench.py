@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "lang_id",
     "token_count_by_source",
     "fingerprint_docs",
+    "hll_distinct_users",
     "ann_bruteforce",
     "minhash_pairs",
     "near_dup_verified",

@@ -1,0 +1,158 @@
+"""Distributed cardinality sketching — HyperLogLog, cross-engine
+reproducible.
+
+Spark ships approx_count_distinct (HLL++), but its sketch internals
+are engine-specific, so the result cannot be verified by an
+independent engine.  This module builds the classic Flajolet et al.
+HyperLogLog from deterministic primitives BOTH Spark and DuckDB
+implement identically, which makes the *approximate* answer exactly
+oracle-checkable:
+
+- the 60-bit md5-based hash (`ddp.md5_hash60` — DuckDB computes the
+  identical value via ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``),
+- register index = low ``p`` hash bits, rank from the remaining
+  ``60-p`` bits via ``length(bin(x))`` (integer-exact on both engines,
+  unlike floating ``log2``),
+- the harmonic sum accumulated in DECIMAL(38,30): ranks are clamped to
+  24 so every ``2^-rank`` term is exact in 30 fractional digits and
+  the sum is order-insensitive — no float-summation nondeterminism.
+
+Scale shape: one partial-aggregated groupBy over ``2^p`` registers
+(map-side combine reduces each partition to <=2^p rows before the
+exchange), then a single-row reduction — the same shape at 100 TB.
+Mergeability across shards is register-wise MAX, so pre-sharded
+sketches union for free (group the register frame by register).
+
+Reference: the CDP reference has NO sketches (SURVEY §2.6 — windows
++ exact per-window dedup only); this is a declared superset
+capability, like joins.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60
+
+# Clamp ranks so 2^-rank stays exact in DECIMAL(38,30); rank 24 caps
+# the per-register contribution error far below HLL's intrinsic
+# ~1.04/sqrt(m) noise for any cardinality this engine will meet
+# (rank > 24 needs ~2^24 values landing in ONE register).
+_RANK_CLAMP = 24
+
+
+def _alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007, fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """(register, max_rank) rows for the non-empty registers — the
+    mergeable sketch state.  Hash = md5_hash60 of the value as a
+    string; register = hash mod 2^p; rank = leading-zero count of the
+    remaining 60-p bits plus one, computed as ``(60-p+1) -
+    (length(bin(rest)) - 1) - 1 + 1`` = ``61-p - length(bin(rest))``
+    ... spelled with bin() so it is integer-exact on both engines."""
+    m = 1 << p
+    h = md5_hash60(F.col(col).cast("string"))
+    rest = F.shiftright(h, p)
+    width = 60 - p
+    rank = (
+        F.when(rest > 0, F.lit(width + 1) - F.length(F.bin(rest)))
+        .otherwise(F.lit(width + 1))
+        .cast("int")
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select((h % m).alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """One-row DataFrame ``(n_registers, hll_estimate)`` — the HLL
+    cardinality estimate with the standard small-range correction
+    (linear counting when E <= 2.5m and empty registers remain)."""
+    m = 1 << p
+    alpha = _alpha(m)
+    regs = hll_registers(df, col, p).select(
+        "register",
+        F.least(F.col("max_rank"), F.lit(_RANK_CLAMP)).alias("rank_c"),
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("nreg"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rank_c")).cast("decimal(38,30)")).alias(
+            "z_present"
+        ),
+    )
+    # coalesce: an empty input has no register rows -> sum is NULL,
+    # and the correct answer is the all-empty-registers estimate
+    z = F.coalesce(F.col("z_present").cast("double"), F.lit(0.0)) + (
+        F.lit(m) - F.col("nreg")
+    ).cast("double")
+    e_raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("nreg")  # empty registers
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.col("nreg").cast("long").alias("n_registers"),
+        F.round(estimate, 2).cast("double").alias("hll_estimate"),
+    )
+
+
+def hll_oracle_sql(table: str, col: str, p: int = 8) -> str:
+    """The DuckDB twin of :func:`hll_estimate` — same hash, same
+    integer-exact rank, same decimal harmonic sum, same correction.
+    Used by the driver oracle; kept next to the operator so the two
+    formulations evolve together."""
+    m = 1 << p
+    alpha = _alpha(m)
+    width1 = 60 - p + 1
+    return f"""
+        WITH hashed AS (
+          SELECT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          FROM {table} WHERE {col} IS NOT NULL
+        ),
+        ranked AS (
+          SELECT h % {m} AS register,
+                 CASE WHEN h // {m} > 0
+                      THEN {width1} - length(bin(h // {m}))
+                      ELSE {width1} END AS rank
+          FROM hashed
+        ),
+        regs AS (
+          SELECT register, least(max(rank), {_RANK_CLAMP}) AS rank_c
+          FROM ranked GROUP BY register
+        ),
+        agg AS (
+          SELECT count(*) AS nreg,
+                 sum(CAST(pow(2.0, -rank_c) AS DECIMAL(38,30))) AS z_present
+          FROM regs
+        )
+        SELECT CAST(nreg AS BIGINT) AS n_registers,
+               CAST(round(
+                 CASE WHEN {alpha * m * m!r} / (CAST(z_present AS DOUBLE) + ({m} - nreg))
+                           <= {2.5 * m!r}
+                       AND ({m} - nreg) > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - nreg))
+                      ELSE {alpha * m * m!r} / (CAST(z_present AS DOUBLE) + ({m} - nreg))
+                 END, 2) AS DOUBLE) AS hll_estimate
+        FROM agg
+    """
+
+
+def hll_error_bound(p: int = 8) -> float:
+    """The theoretical relative standard error ~1.04/sqrt(2^p)."""
+    return 1.04 / math.sqrt(1 << p)

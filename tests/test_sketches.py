@@ -1,0 +1,63 @@
+"""Cross-engine-reproducible HyperLogLog (datapipe/sketches.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe.sketches import (
+    hll_error_bound,
+    hll_estimate,
+    hll_oracle_sql,
+    hll_registers,
+)
+
+
+def _ids(spark, n, start=0):
+    return spark.range(start, start + n).select(F.col("id").alias("v"))
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    for n in (100, 1000, 20000):
+        est = hll_estimate(_ids(spark, n), "v", p=8).first()["hll_estimate"]
+        # 1.04/sqrt(m) is one sigma; allow four
+        assert abs(est - n) / n < 4 * hll_error_bound(8), (n, est)
+
+
+def test_hll_matches_duckdb_oracle_exactly(spark):
+    df = _ids(spark, 5000)
+    got = hll_estimate(df, "v", p=8).first()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS v FROM range(5000)")
+    want = con.execute(hll_oracle_sql("t", "v", 8)).fetchone()
+    assert (got["n_registers"], got["hll_estimate"]) == want
+
+
+def test_hll_registers_merge_by_max(spark):
+    # sketch mergeability: registers(A ∪ B) == max-merge of registers
+    a, b = _ids(spark, 3000), _ids(spark, 3000, start=1500)
+    merged = (
+        hll_registers(a, "v", 8)
+        .unionByName(hll_registers(b, "v", 8))
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    direct = hll_registers(a.unionByName(b), "v", 8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    # tiny cardinality -> the linear-counting branch, still near-exact
+    est = hll_estimate(_ids(spark, 10), "v", p=8).first()["hll_estimate"]
+    assert abs(est - 10) <= 2
+
+
+def test_hll_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (2,)], "v int"
+    )
+    regs = hll_registers(df, "v", 8)
+    assert regs.agg(F.sum(F.lit(1))).first()[0] <= 2
