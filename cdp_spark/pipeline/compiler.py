@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..events import read_ndjson, stamp_new_events, stamp_old_events, event_timestamp
@@ -104,10 +104,31 @@ def _renumber(df: DataFrame) -> DataFrame:
     )
 
 
+def window_key_column(spec: str) -> Column:
+    """Compile a template ``window.key`` (engine extension, see
+    template._coerce_window) to a Column over the event frame:
+    ``name`` keys on the event name, ``data.<path>`` on a JSON payload
+    field (missing -> '' so null payloads share one buffer)."""
+    if spec == "name":
+        return F.col("n")
+    path = spec[len("data."):]
+    return F.coalesce(
+        F.get_json_object(F.col("d"), "$." + path).cast("string"), F.lit("")
+    )
+
+
 def _apply_windowing(df: DataFrame, step: StepDef) -> DataFrame:
     if step.window_events == 1 and step.window_seconds <= 0:
         # Default 1-event vectors (src/api.ts:345): window id == order.
         return df.withColumn(WINDOW_COL, F.col(ORDER_COL))
+    partition_by = None
+    if step.window_key is not None:
+        # Keyed scale twin: per-key buffers.  Window ids from the
+        # keyed windowers restart per key, so re-qualify them with the
+        # key into a STRING window id — downstream only ever groups /
+        # orders by WINDOW_COL, never does arithmetic on it.
+        df = df.withColumn("_wkey", window_key_column(step.window_key))
+        partition_by = ["_wkey"]
     if step.function_mode == "flatmap":
         # Sliding-by-1, optionally truncated by the per-buffer timeout.
         if step.window_seconds > 0:
@@ -115,18 +136,30 @@ def _apply_windowing(df: DataFrame, step: StepDef) -> DataFrame:
             df_ts = df.withColumn("_wts", ts)
             out = sliding_count_windows(
                 df_ts, step.window_events, ORDER_COL,
+                partition_by=partition_by,
                 ts_col="_wts", max_seconds=step.window_seconds,
+            ).drop("_wts")
+        else:
+            out = sliding_count_windows(
+                df, step.window_events, ORDER_COL, partition_by=partition_by
             )
-            return out.drop("_wts")
-        return sliding_count_windows(df, step.window_events, ORDER_COL)
-    if step.window_seconds > 0:
+    elif step.window_seconds > 0:
         ts = F.coalesce(event_timestamp(df), F.lit(0.0))
         df_ts = df.withColumn("_wts", ts)
         out = count_or_time_windows(
-            df_ts, step.window_events, step.window_seconds, "_wts", ORDER_COL
+            df_ts, step.window_events, step.window_seconds, "_wts", ORDER_COL,
+            partition_by=partition_by,
+        ).drop("_wts")
+    else:
+        out = tumbling_count_windows(
+            df, step.window_events, ORDER_COL, partition_by=partition_by
         )
-        return out.drop("_wts")
-    return tumbling_count_windows(df, step.window_events, ORDER_COL)
+    if partition_by is not None:
+        out = out.withColumn(
+            WINDOW_COL,
+            F.concat_ws("\x1f", F.col("_wkey"), F.col(WINDOW_COL).cast("string")),
+        ).drop("_wkey")
+    return out
 
 
 def _window_is_multi(step: StepDef) -> bool:

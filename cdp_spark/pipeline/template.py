@@ -70,6 +70,9 @@ class StepDef:
     function_mode: str  # "reduce" | "flatmap"
     function_name: str
     function_options: Any
+    # engine extension: None = one shared buffer (reference parity);
+    # "name" / "data.<path>" = per-key buffers (the scale twin)
+    window_key: Optional[str] = None
 
 
 @dataclass
@@ -149,14 +152,26 @@ def _validate_step_function(step: str, fn: str, options: Any) -> None:
     # options checked by their executors (broker-specific).
 
 
-def _coerce_window(step: str, window: Any) -> tuple[int, float]:
+def _coerce_window(step: str, window: Any) -> tuple[int, float, Optional[str]]:
     if window is None:
-        return 1, -1.0  # defaults, src/api.ts:345
+        return 1, -1.0, None  # defaults, src/api.ts:345
     _check(isinstance(window, dict), f"step '{step}' window must be a mapping")
+    # ENGINE EXTENSION: optional `key` partitions the window buffers —
+    # "name" buffers per event name, "data.<path>" per a payload field.
+    # The reference keeps ONE buffer per step (src/step.ts:70-151);
+    # plain {events, seconds} stays exact parity, `key` is the scale
+    # twin (per-key state parallelizes across executors).
     _check(
-        set(window) == {"events", "seconds"},
-        f"step '{step}' window needs exactly events and seconds",
+        set(window) - {"key"} == {"events", "seconds"},
+        f"step '{step}' window needs exactly events and seconds (+ optional key)",
     )
+    key = window.get("key")
+    if key is not None:
+        _check(
+            isinstance(key, str)
+            and (key == "name" or key.startswith("data.")),
+            f"step '{step}' window.key must be 'name' or 'data.<path>'",
+        )
     events, seconds = window["events"], window["seconds"]
     if isinstance(events, str):
         _check(events.isdigit() and int(events) > 0, f"step '{step}' window.events must be a positive integer")
@@ -171,7 +186,7 @@ def _coerce_window(step: str, window: Any) -> tuple[int, float]:
         isinstance(seconds, (int, float)) and float(seconds) > 0,
         f"step '{step}' has an invalid value for window.seconds (must be > 0)",
     )
-    return int(events), float(seconds)
+    return int(events), float(seconds), key
 
 
 def _validate_dag(steps: list[StepDef]) -> None:
@@ -244,7 +259,7 @@ def make_pipeline_template(raw: Any) -> PipelineTemplate:
             )
         else:
             mode = "drop"
-        events, seconds = _coerce_window(name, definition.get("window"))
+        events, seconds, window_key = _coerce_window(name, definition.get("window"))
         function_mode = "flatmap" if "flatmap" in definition else "reduce"
         fn_template = definition[function_mode]
         _check(
@@ -262,6 +277,7 @@ def make_pipeline_template(raw: Any) -> PipelineTemplate:
                 pattern_mode=mode,
                 window_events=events,
                 window_seconds=seconds,
+                window_key=window_key,
                 function_mode=function_mode,
                 function_name=fn_name,
                 function_options=fn_options,

@@ -44,7 +44,7 @@ import tempfile
 import time
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
 from ..dead_letter import ship_dead_letters
@@ -217,6 +217,7 @@ def run_pipeline_stream(
 
         from ..operators import rename as rename_op
         from ..patterns import pattern_to_column
+        from ..pipeline.compiler import window_key_column
         from .count_or_time import streaming_count_or_time_meta
 
         pre_steps, win = plan
@@ -235,10 +236,21 @@ def run_pipeline_stream(
         if win.pattern is not None:
             stream = stream.filter(pattern_to_column(win.pattern, "n"))
         input_stream = streaming_count_or_time_meta(
-            stream, win.window_events, win.window_seconds
+            stream,
+            win.window_events,
+            win.window_seconds,
+            # engine extension (template window.key): per-key buffers —
+            # state parallelizes across executors instead of one
+            # serialized task (the unkeyed reference-parity default)
+            key_expr=(
+                window_key_column(win.window_key)
+                if win.window_key is not None
+                else None
+            ),
         )
         applied = {st.name for st in pre_steps}
         prewindowed = win.name
+        prewindow_keyed = win.window_key is not None
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # One wall-clock read per micro-batch = the reference's
@@ -251,14 +263,32 @@ def run_pipeline_stream(
             from ..pipeline.compiler import ORDER_COL, WINDOW_COL
 
             # rebuild (n, d, t, _w, _ord) from the flushed rows; flush
-            # order = (window id, index within window)
-            batch_df = batch_df.select(
-                "n",
-                "d",
-                F.from_json("t_json", TRACE_TYPE).alias("t"),
-                F.col("w").alias(WINDOW_COL),
-                (F.col("w") * F.lit(1 << 32) + F.col("i")).alias(ORDER_COL),
-            )
+            # order = (window id, index within window).  Keyed windows
+            # re-qualify the per-key window ids with the key (string
+            # ids, same convention as the batch compiler) and rebuild
+            # a dense arrival order over the batch's flushed rows —
+            # cross-key order is unspecified by the extension, and the
+            # per-batch row_number is over already-flushed windows
+            # (small), the same parity trade the batch DAG documents.
+            if prewindow_keyed:
+                ow = Window.orderBy("key", "w", "i")
+                batch_df = batch_df.select(
+                    "n",
+                    "d",
+                    F.from_json("t_json", TRACE_TYPE).alias("t"),
+                    F.concat_ws(
+                        "\x1f", F.col("key"), F.col("w").cast("string")
+                    ).alias(WINDOW_COL),
+                    F.row_number().over(ow).cast("long").alias(ORDER_COL),
+                )
+            else:
+                batch_df = batch_df.select(
+                    "n",
+                    "d",
+                    F.from_json("t_json", TRACE_TYPE).alias("t"),
+                    F.col("w").alias(WINDOW_COL),
+                    (F.col("w") * F.lit(1 << 32) + F.col("i")).alias(ORDER_COL),
+                )
         result = compile_pipeline(
             batch_df.sparkSession,
             template,

@@ -326,3 +326,62 @@ steps:
         for line in f.read_text().splitlines()
     ]
     assert sorted(e["n"] for e in lines) == ["a", "b"]
+
+
+def test_window_key_template_validation():
+    # engine extension: optional window.key = name | data.<path>
+    t = tpl({"a": {"window": {"events": 2, "seconds": 10, "key": "name"},
+                   "reduce": {"send-stdout": None}}})
+    assert t.steps[0].window_key == "name"
+    t = tpl({"a": {"window": {"events": 2, "seconds": 10, "key": "data.user"},
+                   "reduce": {"send-stdout": None}}})
+    assert t.steps[0].window_key == "data.user"
+    with pytest.raises(TemplateError, match="window.key"):
+        tpl({"a": {"window": {"events": 2, "seconds": 10, "key": "trace"},
+                   "reduce": {"send-stdout": None}}})
+    # plain reference-parity window still validates, key stays None
+    t = tpl({"a": {"window": {"events": 2, "seconds": 10},
+                   "reduce": {"send-stdout": None}}})
+    assert t.steps[0].window_key is None
+
+
+def test_windowed_jq_aggregation_keyed_by_name(spark):
+    # keyed scale twin: per-name buffers — key a windows [1,2],[3];
+    # key b window [10,20]; close-truncation flushes a's partial
+    _, got = run_pipeline(
+        spark,
+        """
+name: p
+input: {stdin: }
+steps:
+  sum:
+    window: {events: 2, seconds: 3600, key: name}
+    reduce:
+      send-receive-jq: '{n: (.[0].n), d: (map(.d) | add)}'
+""",
+        [("a", "1"), ("b", "10"), ("a", "2"), ("b", "20"), ("a", "3")],
+    )
+    assert sorted(got) == [("a", "3"), ("a", "3"), ("b", "30")]
+
+
+def test_windowed_jq_aggregation_keyed_by_data_path(spark):
+    # data.<path> keys: per-tenant buffers from a payload field
+    _, got = run_pipeline(
+        spark,
+        """
+name: p
+input: {stdin: }
+steps:
+  sum:
+    window: {events: 2, seconds: 3600, key: data.t}
+    reduce:
+      send-receive-jq: '{n: (.[0].d.t), d: (map(.d.v) | add)}'
+""",
+        [
+            ("e", '{"t":"x","v":1}'),
+            ("e", '{"t":"y","v":5}'),
+            ("e", '{"t":"x","v":2}'),
+            ("e", '{"t":"y","v":6}'),
+        ],
+    )
+    assert sorted(got) == [("x", "3"), ("y", "11")]

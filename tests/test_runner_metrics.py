@@ -305,3 +305,67 @@ steps:
 """
     )
     assert _stateful_window_plan(t3) is None
+
+
+KEYED_STATEFUL_PIPELINE = """
+name: keyed-stateful-window
+input:
+  tail: {path: "%s"}
+steps:
+  totals:
+    window: {events: 4, seconds: 3600, key: name}
+    reduce:
+      send-receive-jq: "[{n: (.[0].n), d: (map(.d | tonumber) | add)}]"
+"""
+
+
+def test_keyed_stateful_window_spans_micro_batches(spark, tmp_path):
+    """window.key engine extension through the DAG runner: each event
+    name buffers independently in the stateful operator, each 4-window
+    filling ACROSS micro-batch boundaries (2+1+1 per key over three
+    single-file triggers) and flushing once per key."""
+    import time as _time
+
+    from cdp_spark.streaming.sources import stream_ndjson_files
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # per file: 2/1/1 events of each key -> neither key's window fills
+    # inside any single micro-batch
+    chunks = [2, 1, 1]
+    vals = {"m.a": iter(range(1, 5)), "m.b": iter(range(10, 50, 10))}
+    for i, c in enumerate(chunks):
+        lines = []
+        for key in ("m.a", "m.b"):
+            lines += [
+                json.dumps({"n": key, "d": next(vals[key])}) for _ in range(c)
+            ]
+        (src / f"f{i}.ndjson").write_text("\n".join(lines) + "\n")
+    template = from_yaml(KEYED_STATEFUL_PIPELINE % src)
+
+    batches = []
+    stream = stream_ndjson_files(spark, str(src), max_files_per_trigger=1)
+    q = run_pipeline_stream(
+        template,
+        spark=spark,
+        input_stream=stream,
+        on_batch=lambda df, epoch: batches.append(
+            [(r.n, r.d) for r in df.orderBy("_ord").collect()]
+        ),
+        trigger_seconds=0.2,
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            flat = [ev for b in batches for ev in b]
+            if len(flat) >= 2:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    flat = [ev for b in batches for ev in b]
+    # one full window per key: a = 1+2+3+4, b = 10+20+30+40
+    assert sorted(flat) == [("m.a", "10"), ("m.b", "100")]
+    # the flushes required more than one micro-batch of accumulation
+    assert len(batches) >= 2
