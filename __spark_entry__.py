@@ -718,6 +718,37 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — top-10 users by ESTIMATED
+    event count from a fixed-size (3x1024 counters) mergeable sketch,
+    joined with exact counts for an at-a-glance error read.  All
+    integer arithmetic over the md5-based hash, so the approximate
+    counts are bit-identical on the DuckDB oracle
+    (cdp_spark/datapipe/sketches.py).  Superset capability — the
+    reference has no sketches (SURVEY §2.6)."""
+    from cdp_spark.datapipe import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = sk.cms_sketch(ev, "user_id", depth=3, width=1024)
+    items = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    est = sk.cms_estimates(sketch, items, "user_id", depth=3, width=1024)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+        )
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1619,6 +1650,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_corpus": q_near_dedup_corpus,
     "stream_keyed_windows": q_stream_keyed_windows,
     "hll_distinct_users": q_hll_distinct_users,
+    "cms_heavy_users": q_cms_heavy_users,
 }
 
 
@@ -2873,8 +2905,20 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(total_rev AS DOUBLE), 6) AS cum_share
         FROM topn CROSS JOIN tot
     """
-    from cdp_spark.datapipe.sketches import hll_oracle_sql
+    from cdp_spark.datapipe.sketches import cms_oracle_sql, hll_oracle_sql
 
+    oracles["cms_heavy_users"] = f"""
+        WITH base AS ({cms_oracle_sql("events", "user_id", 3, 1024)}),
+        exact AS (
+          SELECT user_id, count(*) AS exact_count
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        )
+        SELECT e.user_id,
+               CAST(b.est_count AS BIGINT) AS est_count,
+               CAST(e.exact_count AS BIGINT) AS exact_count
+        FROM base b JOIN exact e ON CAST(e.user_id AS VARCHAR) = b.v
+        ORDER BY b.est_count DESC, e.user_id LIMIT 10
+    """
     oracles["hll_distinct_users"] = f"""
         WITH est AS ({hll_oracle_sql("events", "user_id", 8)}),
         ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "token_count_by_source",
     "fingerprint_docs",
     "hll_distinct_users",
+    "cms_heavy_users",
     "ann_bruteforce",
     "minhash_pairs",
     "near_dup_verified",

@@ -156,3 +156,104 @@ def hll_oracle_sql(table: str, col: str, p: int = 8) -> str:
 def hll_error_bound(p: int = 8) -> float:
     """The theoretical relative standard error ~1.04/sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — heavy hitters with fixed-size mergeable state
+
+
+def _cms_salt(j: int) -> str:
+    return f"s{j}:"
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a column: ``(row, bucket, cnt)`` counters,
+    ``depth`` independent md5-salted hash rows of ``width`` buckets.
+    The sketch is FIXED SIZE (depth*width counters) regardless of
+    input cardinality — the property that matters at 100 TB — and
+    merges across shards by adding counters (group by (row, bucket),
+    sum).  All arithmetic is integer, so estimates are bit-identical
+    on any engine with the same md5 primitive.
+
+    Plan: one explode to depth rows per value (the only amplification)
+    and one map-side-combined groupBy over <= depth*width keys."""
+    probes = [
+        F.struct(
+            F.lit(j).alias("row"),
+            (
+                md5_hash60(F.concat(F.lit(_cms_salt(j)), F.col(col).cast("string")))
+                % width
+            ).alias("bucket"),
+        )
+        for j in range(depth)
+    ]
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.array(*probes)).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame, items: DataFrame, col: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Point estimates for ``items[col]``: min over the sketch rows of
+    the item's counter (the classic CMS upper bound — overestimates
+    only, never under).  The sketch side is depth*width rows at most,
+    so the probe join broadcasts."""
+    probes = [
+        F.struct(
+            F.lit(j).alias("row"),
+            (
+                md5_hash60(F.concat(F.lit(_cms_salt(j)), F.col(col).cast("string")))
+                % width
+            ).alias("bucket"),
+        )
+        for j in range(depth)
+    ]
+    probe_df = items.select(col, F.explode(F.array(*probes)).alias("rb")).select(
+        col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    joined = probe_df.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )
+
+
+def cms_oracle_sql(
+    table: str, col: str, depth: int = 3, width: int = 256
+) -> str:
+    """DuckDB twin of cms_sketch + cms_estimates over the distinct
+    values of ``col`` — same salts, same md5-derived buckets, same
+    min-of-counters, all integer-exact."""
+    salted = " UNION ALL ".join(
+        f"SELECT v, {j} AS row, "
+        f"CAST('0x' || substr(md5('{_cms_salt(j)}' || v), 1, 15) AS BIGINT) % {width} AS bucket "
+        f"FROM vals"
+        for j in range(depth)
+    )
+    return f"""
+        WITH vals AS (
+          SELECT DISTINCT CAST({col} AS VARCHAR) AS v
+          FROM {table} WHERE {col} IS NOT NULL
+        ),
+        allrows AS (
+          SELECT CAST({col} AS VARCHAR) AS v
+          FROM {table} WHERE {col} IS NOT NULL
+        ),
+        probes AS ({salted.replace("FROM vals", "FROM allrows", depth)}),
+        sketch AS (
+          SELECT row, bucket, count(*) AS cnt FROM probes GROUP BY row, bucket
+        ),
+        item_probes AS ({salted}),
+        est AS (
+          SELECT p.v, min(coalesce(s.cnt, 0)) AS est_count
+          FROM item_probes p LEFT JOIN sketch s
+            ON s.row = p.row AND s.bucket = p.bucket
+          GROUP BY p.v
+        )
+        SELECT v, CAST(est_count AS BIGINT) AS est_count FROM est
+    """

@@ -61,3 +61,65 @@ def test_hll_ignores_nulls(spark):
     )
     regs = hll_registers(df, "v", 8)
     assert regs.agg(F.sum(F.lit(1))).first()[0] <= 2
+
+
+def test_cms_never_underestimates_and_is_tight_at_low_collision(spark):
+    from cdp_spark.datapipe.sketches import cms_estimates, cms_sketch
+
+    # 40 items with frequency i+1
+    rows = [(f"item{i}",) for i in range(40) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "v string")
+    sketch = cms_sketch(df, "v", depth=3, width=256)
+    items = df.distinct()
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimates(sketch, items, "v", depth=3, width=256).collect()
+    }
+    for i in range(40):
+        assert est[f"item{i}"] >= i + 1  # upper bound always
+    # 40 items in 256 buckets x 3 rows: the min-row estimate is exact
+    # for the vast majority
+    exact_hits = sum(1 for i in range(40) if est[f"item{i}"] == i + 1)
+    assert exact_hits >= 35
+
+
+def test_cms_matches_duckdb_oracle_exactly(spark):
+    from cdp_spark.datapipe.sketches import (
+        cms_estimates,
+        cms_oracle_sql,
+        cms_sketch,
+    )
+
+    rows = [(f"u{i % 17}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "v string")
+    got = sorted(
+        map(
+            tuple,
+            cms_estimates(
+                cms_sketch(df, "v", 3, 64), df.distinct(), "v", 3, 64
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 'u' || CAST(range % 17 AS VARCHAR) AS v FROM range(500)"
+    )
+    want = sorted(map(tuple, con.execute(cms_oracle_sql("t", "v", 3, 64)).fetchall()))
+    assert got == want
+
+
+def test_cms_merges_by_adding_counters(spark):
+    from cdp_spark.datapipe.sketches import cms_sketch
+
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 5, "v string")
+    b = spark.createDataFrame([("x",)] * 10 + [("z",)] * 7, "v string")
+    merged = (
+        cms_sketch(a, "v", 3, 64)
+        .unionByName(cms_sketch(b, "v", 3, 64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_sketch(a.unionByName(b), "v", 3, 64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
