@@ -749,6 +749,42 @@ def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, measured: build a 65536-bit / 3-hash
+    filter over the parts with a large RETURNED lineitem (~43% of
+    parts), probe
+    EVERY part, and count verdicts against the exact semi-join —
+    no false negatives by construction, false positives bounded by
+    (1-e^(-kn/m))^k.  Membership verdicts are bit-identical on the
+    DuckDB oracle (cdp_spark/datapipe/sketches.py).  At 100 TB this
+    filter broadcasts ahead of the real join to prune the big-side
+    scan."""
+    from cdp_spark.datapipe import sketches as sk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    returned = li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
+    pos = sk.bloom_positions(returned, "l_partkey", n_bits=65536, k=3)
+    items = part.select(F.col("p_partkey")).distinct()
+    verdict = sk.bloom_contains(pos, items, "p_partkey", n_bits=65536, k=3)
+    truth = (
+        returned.select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+        .withColumn("_true", F.lit(1))
+    )
+    j = verdict.join(truth, "p_partkey", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("might_contain").cast("long")).alias("n_positive"),
+        F.sum(
+            (F.col("might_contain") & F.col("_true").isNotNull()).cast("long")
+        ).alias("n_true_match"),
+        F.sum(
+            (F.col("might_contain") & F.col("_true").isNull()).cast("long")
+        ).alias("n_false_positive"),
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1651,6 +1687,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_keyed_windows": q_stream_keyed_windows,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_users": q_cms_heavy_users,
+    "bloom_filter_parts": q_bloom_filter_parts,
 }
 
 
@@ -2905,7 +2942,33 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(total_rev AS DOUBLE), 6) AS cum_share
         FROM topn CROSS JOIN tot
     """
-    from cdp_spark.datapipe.sketches import cms_oracle_sql, hll_oracle_sql
+    from cdp_spark.datapipe.sketches import (
+        bloom_oracle_sql,
+        cms_oracle_sql,
+        hll_oracle_sql,
+    )
+
+    _bloom = bloom_oracle_sql(
+        "(SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 48)",
+        "l_partkey",
+        "part",
+        "p_partkey",
+        65536,
+        3,
+    )
+    oracles["bloom_filter_parts"] = f"""
+        WITH bc AS ({_bloom}),
+        truth AS (
+          SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v
+          FROM lineitem
+          WHERE l_returnflag = 'R' AND l_quantity >= 48 AND l_partkey IS NOT NULL
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probed,
+               CAST(sum(CASE WHEN bc.might_contain THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+               CAST(sum(CASE WHEN bc.might_contain AND t.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+               CAST(sum(CASE WHEN bc.might_contain AND t.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+        FROM bc LEFT JOIN truth t ON t.v = bc.v
+    """
 
     oracles["cms_heavy_users"] = f"""
         WITH base AS ({cms_oracle_sql("events", "user_id", 3, 1024)}),

@@ -1,5 +1,6 @@
-"""Distributed cardinality sketching — HyperLogLog, cross-engine
-reproducible.
+"""Distributed sketching, cross-engine reproducible: HyperLogLog
+(cardinality), count-min (frequency / heavy hitters), and Bloom
+filters (membership / join pruning).
 
 Spark ships approx_count_distinct (HLL++), but its sketch internals
 are engine-specific, so the result cannot be verified by an
@@ -256,4 +257,103 @@ def cms_oracle_sql(
           GROUP BY p.v
         )
         SELECT v, CAST(est_count AS BIGINT) AS est_count FROM est
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set membership with bounded false positives
+
+
+def _bloom_salt(j: int) -> str:
+    return f"b{j}:"
+
+
+def bloom_positions(
+    df: DataFrame, col: str, n_bits: int = 131072, k: int = 3
+) -> DataFrame:
+    """Bloom filter of a column as its SET-BIT POSITIONS — the sparse
+    relational encoding of the bitmap (one ``pos`` row per set bit,
+    <= n_bits rows total regardless of input size).  Filters merge by
+    union+distinct; k md5-salted hashes per value, all integer, so
+    membership verdicts are bit-identical on the DuckDB oracle.
+
+    The classic use at 100 TB is join pruning: build over the small
+    side's keys, broadcast (<= n_bits longs), and pre-filter the big
+    side's scan before the real join."""
+    probes = [
+        (
+            md5_hash60(F.concat(F.lit(_bloom_salt(j)), F.col(col).cast("string")))
+            % n_bits
+        ).alias(f"p{j}")
+        for j in range(k)
+    ]
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.array(*probes)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    positions: DataFrame, items: DataFrame, col: str, n_bits: int = 131072, k: int = 3
+) -> DataFrame:
+    """``(col, might_contain)`` for each item: true iff ALL of the
+    item's hash positions are set (no false negatives; false positives
+    bounded by the standard (1-e^(-kn/m))^k).  The positions side
+    broadcasts."""
+    probes = [
+        (
+            md5_hash60(F.concat(F.lit(_bloom_salt(j)), F.col(col).cast("string")))
+            % n_bits
+        ).alias(f"p{j}")
+        for j in range(k)
+    ]
+    probe_df = (
+        items.select(col, F.explode(F.array(*probes)).alias("pos"))
+        .distinct()  # salt collisions: an item may map to < k positions
+    )
+    hit = probe_df.join(
+        F.broadcast(positions.withColumn("_set", F.lit(1))), "pos", "left"
+    )
+    return hit.groupBy(col).agg(
+        (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("might_contain")
+    )
+
+
+def bloom_oracle_sql(
+    build_table: str,
+    build_col: str,
+    probe_table: str,
+    probe_col: str,
+    n_bits: int = 131072,
+    k: int = 3,
+) -> str:
+    """DuckDB twin of bloom_positions + bloom_contains: per probe
+    value, ``(v, might_contain)``."""
+    def salted(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT v, CAST('0x' || substr(md5('{_bloom_salt(j)}' || v), 1, 15) AS BIGINT) % {n_bits} AS pos "
+            f"FROM {src}"
+            for j in range(k)
+        )
+
+    return f"""
+        WITH build_vals AS (
+          SELECT DISTINCT CAST({build_col} AS VARCHAR) AS v
+          FROM {build_table} WHERE {build_col} IS NOT NULL
+        ),
+        probe_vals AS (
+          SELECT DISTINCT CAST({probe_col} AS VARCHAR) AS v
+          FROM {probe_table} WHERE {probe_col} IS NOT NULL
+        ),
+        positions AS (
+          SELECT DISTINCT pos FROM ({salted('build_vals')})
+        ),
+        probes AS (
+          SELECT DISTINCT v, pos FROM ({salted('probe_vals')})
+        )
+        SELECT p.v,
+               min(CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END) = 1 AS might_contain
+        FROM probes p LEFT JOIN positions s ON s.pos = p.pos
+        GROUP BY p.v
     """

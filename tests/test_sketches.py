@@ -123,3 +123,39 @@ def test_cms_merges_by_adding_counters(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_bloom_no_false_negatives_and_matches_oracle(spark):
+    from cdp_spark.datapipe.sketches import (
+        bloom_contains,
+        bloom_oracle_sql,
+        bloom_positions,
+    )
+
+    build = spark.createDataFrame([(f"k{i}",) for i in range(200)], "v string")
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(400)], "v string")
+    pos = bloom_positions(build, "v", n_bits=1024, k=3)
+    got = {
+        r["v"]: r["might_contain"]
+        for r in bloom_contains(pos, probe, "v", n_bits=1024, k=3).collect()
+    }
+    # every built key MUST be found
+    assert all(got[f"k{i}"] for i in range(200))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b AS SELECT 'k' || CAST(range AS VARCHAR) AS v FROM range(200)")
+    con.execute("CREATE TABLE p AS SELECT 'k' || CAST(range AS VARCHAR) AS v FROM range(400)")
+    want = dict(con.execute(bloom_oracle_sql("b", "v", "p", "v", 1024, 3)).fetchall())
+    assert got == want
+
+
+def test_bloom_merge_is_union_of_positions(spark):
+    from cdp_spark.datapipe.sketches import bloom_contains, bloom_positions
+
+    a = spark.createDataFrame([("x1",), ("x2",)], "v string")
+    b = spark.createDataFrame([("y1",), ("y2",)], "v string")
+    merged = bloom_positions(a, "v", 512, 3).unionByName(
+        bloom_positions(b, "v", 512, 3)
+    ).distinct()
+    probe = a.unionByName(b)
+    got = bloom_contains(merged, probe, "v", 512, 3).collect()
+    assert all(r["might_contain"] for r in got)
