@@ -89,3 +89,38 @@ def test_multiband_exchanges_never_carry_vectors(spark):
     exchanges = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
     assert exchanges, "expected shuffles for the candidate join"
     assert not any("embedding" in ln for ln in exchanges), exchanges
+
+
+def test_hll_partial_aggregates_before_exchange(spark):
+    # map-side combine collapses every partition to <= 2^p register
+    # rows before the single exchange; the scan reads ONE column
+    plan = _plan(entry.q_hll_distinct_users(spark, SF))
+    assert "partial_max" in plan
+    read = plan.split("ReadSchema")[1][:80]
+    assert "user_id" in read and "event_type" not in read
+
+
+def test_cms_probe_join_broadcasts_the_sketch(spark):
+    # the sketch side is <= depth*width rows: must broadcast, never
+    # shuffle the probe side against it
+    plan = _plan(entry.q_cms_heavy_users(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_join_broadcasts_positions(spark):
+    plan = _plan(entry.q_bloom_filter_parts(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_near_dedup_corpus_anti_join_broadcasts_drop_list(spark):
+    # the corpus is never shuffled: the (tiny) drop list broadcasts.
+    # The drop side is a checkpointed RDD with no static stats, so the
+    # sort-merge -> broadcast conversion is AQE's runtime call —
+    # execute first and assert on the FINAL adaptive plan.
+    df = entry.q_near_dedup_corpus(spark, SF)
+    # count() builds a separate agg Dataset with its own execution;
+    # collect() runs THIS Dataset's queryExecution so AQE finalizes it
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
