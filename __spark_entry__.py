@@ -785,6 +785,53 @@ def q_bloom_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users over a STREAM: register-max is an
+    order-insensitive streaming aggregate, so the sketch streams
+    natively — 4 single-file micro-batches merge into one register
+    state (complete mode), and the batch finish computes the estimate
+    from the final registers.  The result is bit-identical to the
+    batch HLL and to the DuckDB oracle: streaming vs batch is a
+    plan choice, not an answer change."""
+    import tempfile
+    import uuid
+
+    from cdp_spark.datapipe import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    src = tempfile.mkdtemp(prefix="cdp_hll_src_")
+    ev.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    regs = sk.hll_registers(stream, "user_id", 8)
+    ckpt = tempfile.mkdtemp(prefix="cdp_hll_ck_")
+    name = "stream_hll_" + uuid.uuid4().hex[:12]
+    query = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                f"AvailableNow stream {name} still running after 300s "
+                f"(checkpoint {ckpt}); refusing to read a partial result"
+            )
+    finally:
+        if query.isActive:
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    return sk.hll_estimate_from_registers(spark.table(name), 8)
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1688,6 +1735,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "cms_heavy_users": q_cms_heavy_users,
     "bloom_filter_parts": q_bloom_filter_parts,
+    "stream_hll_users": q_stream_hll_users,
 }
 
 
@@ -2982,6 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         FROM base b JOIN exact e ON CAST(e.user_id AS VARCHAR) = b.v
         ORDER BY b.est_count DESC, e.user_id LIMIT 10
     """
+    oracles["stream_hll_users"] = hll_oracle_sql("events", "user_id", 8)
     oracles["hll_distinct_users"] = f"""
         WITH est AS ({hll_oracle_sql("events", "user_id", 8)}),
         ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)

@@ -84,9 +84,18 @@ def hll_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     """One-row DataFrame ``(n_registers, hll_estimate)`` — the HLL
     cardinality estimate with the standard small-range correction
     (linear counting when E <= 2.5m and empty registers remain)."""
+    return hll_estimate_from_registers(hll_registers(df, col, p), p)
+
+
+def hll_estimate_from_registers(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Finish an estimate from a ``(register, max_rank)`` frame — the
+    merge-then-estimate path: registers can come from :func:`
+    hll_registers`, a union of shard sketches, or a STREAMING
+    aggregation (register-max is order-insensitive, so the sketch
+    streams natively in complete/update mode)."""
     m = 1 << p
     alpha = _alpha(m)
-    regs = hll_registers(df, col, p).select(
+    regs = registers.select(
         "register",
         F.least(F.col("max_rank"), F.lit(_RANK_CLAMP)).alias("rank_c"),
     )

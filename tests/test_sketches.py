@@ -159,3 +159,21 @@ def test_bloom_merge_is_union_of_positions(spark):
     probe = a.unionByName(b)
     got = bloom_contains(merged, probe, "v", 512, 3).collect()
     assert all(r["might_contain"] for r in got)
+
+
+def test_hll_estimate_from_merged_registers_equals_direct(spark):
+    from cdp_spark.datapipe.sketches import hll_estimate_from_registers
+
+    a, b = _ids(spark, 2000), _ids(spark, 2000, start=1000)
+    merged = (
+        hll_registers(a, "v", 8)
+        .unionByName(hll_registers(b, "v", 8))
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    got = hll_estimate_from_registers(merged, 8).first()
+    want = hll_estimate(a.unionByName(b).distinct(), "v", 8).first()
+    assert (got["n_registers"], got["hll_estimate"]) == (
+        want["n_registers"],
+        want["hll_estimate"],
+    )
