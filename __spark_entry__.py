@@ -832,6 +832,50 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hll_estimate_from_registers(spark.table(name), 8)
 
 
+_E2E_TEMPLATE = """
+name: driver-e2e
+input: {stdin: }
+steps:
+  route:
+    match/drop: "app.*.u3"
+    reduce:
+      rename: {prepend: "seen."}
+  stats:
+    after: [route]
+    window: {events: 20, seconds: 3600}
+    reduce:
+      send-receive-jq: '{n: "stats", d: {first: (.[0].d), cnt: length, total: (map(.d) | add)}}'
+"""
+
+
+def q_pipeline_template_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MAIN PATH inside the correctness gate: a YAML
+    pipeline text goes through the full front-end (parse -> validate
+    -> compile) and executes over the events table — pattern routing,
+    rename, a 20-event count window, and a jq window transform whose
+    payloads are integers so the oracle sum is exact.  Window
+    identity in the output is the window's first payload (vector
+    order = arrival order, deterministic)."""
+    from cdp_spark.pipeline import compile_pipeline, from_yaml
+
+    ev = _events_with_name(spark, sf_dir)
+    rows = ev.select(
+        "n",
+        F.col("user_id").cast("string").alias("d"),
+        F.lit(None)
+        .cast("array<struct<i double, p string, h string>>")
+        .alias("t"),
+        F.col("event_id").cast("long").alias("_ord"),
+    )
+    template = from_yaml(_E2E_TEMPLATE)
+    res = compile_pipeline(spark, template, input_df=rows, arrival_ts=1000.0)
+    return res.output.select(
+        F.get_json_object("d", "$.first").cast("long").alias("first_d"),
+        F.get_json_object("d", "$.cnt").cast("long").alias("cnt"),
+        F.get_json_object("d", "$.total").cast("long").alias("total"),
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1736,6 +1780,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_users": q_cms_heavy_users,
     "bloom_filter_parts": q_bloom_filter_parts,
     "stream_hll_users": q_stream_hll_users,
+    "pipeline_template_e2e": q_pipeline_template_e2e,
 }
 
 
@@ -3031,6 +3076,21 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY b.est_count DESC, e.user_id LIMIT 10
     """
     oracles["stream_hll_users"] = hll_oracle_sql("events", "user_id", 8)
+    _e2e_pat = pattern_to_sql("app.*.u3", "n")
+    oracles["pipeline_template_e2e"] = f"""
+        WITH named AS (
+          SELECT event_id, {_NAME_SQL} AS n, user_id FROM events
+        ),
+        filtered AS (
+          SELECT event_id, user_id,
+                 row_number() OVER (ORDER BY event_id) - 1 AS rn
+          FROM named WHERE {_e2e_pat}
+        )
+        SELECT CAST(arg_min(user_id, rn) AS BIGINT) AS first_d,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(user_id) AS BIGINT) AS total
+        FROM filtered GROUP BY rn // 20
+    """
     oracles["hll_distinct_users"] = f"""
         WITH est AS ({hll_oracle_sql("events", "user_id", 8)}),
         ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)

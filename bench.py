@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "jq_window_stats",
     "jsonnet_window_stats",
+    "pipeline_template_e2e",
     # analytics (round 5)
     "cohort_retention",
     "funnel_steps",
