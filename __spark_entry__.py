@@ -876,6 +876,52 @@ def q_pipeline_template_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE MinHash near-dedup pipeline in one query — the
+    exact shape a 100 TB curation job ships: shingle -> MinHash-LSH
+    candidates -> exact-Jaccard verify -> connected components ->
+    one canonical doc per cluster -> surviving corpus.  Every stage
+    reuses the driver-verified operators (verified_near_dups,
+    connected_components, near_dedup_survivors); the oracle replays
+    the whole chain (md5 MinHash CTEs + recursive CC)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ddp.verified_near_dups(
+        docs, "doc_id", "text", threshold=0.5, num_perm=32, bands=8,
+        hash_fn=ddp.md5_hash60,
+    )
+    comp = ddp.connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return ddp.near_dedup_survivors(docs, "doc_id", comp).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing corpus-filter chain, as ONE query: keep documents
+    that pass (a) composite quality >= 0.6, (b) predicted language
+    agreeing with the labeled language, and (c) top-word repetition
+    <= 0.2 — Gopher-rule shapes over driver-verified signal operators
+    (quality_score, lang_id, repetition_stats).  All three signals
+    are native-Column expressions over one documents scan; the joins
+    are on doc_id and collapse to one exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = q_quality_score(spark, sf_dir)
+    l = q_lang_id(spark, sf_dir)
+    r = q_doc_repetition(spark, sf_dir)
+    return (
+        docs.join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(r, "doc_id")
+        .where(
+            (F.col("quality") >= 0.6)
+            & (F.col("pred_lang") == F.col("lang"))
+            & (F.col("top_word_frac") <= 0.2)
+        )
+        .select("doc_id", "source", "lang", "quality", "top_word_frac")
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1781,6 +1827,8 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_filter_parts": q_bloom_filter_parts,
     "stream_hll_users": q_stream_hll_users,
     "pipeline_template_e2e": q_pipeline_template_e2e,
+    "minhash_dedup_corpus": q_minhash_dedup_corpus,
+    "curation_filter": q_curation_filter,
 }
 
 
@@ -2704,6 +2752,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
     """
+    oracles["minhash_dedup_corpus"] = f"""
+            WITH RECURSIVE {_mh_cands},
+            counts AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY p.id_a, p.id_b
+            ),
+            vp AS (
+              SELECT p.id_a, p.id_b
+              FROM pairs p
+              LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              JOIN counts ca ON ca.doc_id = p.id_a
+              JOIN counts cb ON cb.doc_id = p.id_b
+              WHERE round(coalesce(i.i, 0) * 1.0
+                          / (ca.c + cb.c - coalesce(i.i, 0)), 6) >= 0.5
+            ),
+            bidir AS (
+              SELECT id_a AS s, id_b AS d FROM vp
+              UNION SELECT id_b, id_a FROM vp
+            ),
+            reach(id, label) AS (
+              SELECT s, s FROM bidir
+              UNION
+              SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.id
+            ),
+            comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.id <> c.component
+            )
+    """
     # PQ / IVF-PQ oracles: seeded codebooks embedded as unrolled
     # arithmetic.  Distances fold left-to-right in both engines
     # (Spark's aggregate from 0.0, SQL's left-assoc +), so code
@@ -3074,6 +3157,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(e.exact_count AS BIGINT) AS exact_count
         FROM base b JOIN exact e ON CAST(e.user_id AS VARCHAR) = b.v
         ORDER BY b.est_count DESC, e.user_id LIMIT 10
+    """
+    oracles["curation_filter"] = f"""
+        WITH q AS ({oracles["quality_score"]}),
+             l AS ({oracles["lang_id"]}),
+             r AS ({oracles["doc_repetition"]})
+        SELECT d.doc_id, d.source, d.lang, q.quality, r.top_word_frac
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN l ON l.doc_id = d.doc_id
+        JOIN r ON r.doc_id = d.doc_id
+        WHERE q.quality >= 0.6 AND l.pred_lang = d.lang
+          AND r.top_word_frac <= 0.2
     """
     oracles["stream_hll_users"] = hll_oracle_sql("events", "user_id", 8)
     _e2e_pat = pattern_to_sql("app.*.u3", "n")

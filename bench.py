@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "dup_clusters",
     "near_dedup_corpus",
+    "minhash_dedup_corpus",
     "stratified_sample",
     "dataset_mix",
     "decontaminate_docs",
