@@ -922,6 +922,27 @@ def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation in the correctness gate:
+    phase 1 aggregates on (user_id, salt-of-16) so a hot user spreads
+    over 16 tasks, phase 2 folds the sub-aggregates — byte-identical
+    to the plain GROUP BY (decimal partials make the fold exact).
+    The salt comes deterministically from event_id
+    (cdp_spark/io/bucketing.py:with_salt)."""
+    from cdp_spark.io.bucketing import with_salt
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    salted = with_salt(ev, ["user_id"], 16, F.col("event_id"))
+    phase1 = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+    )
+    return phase1.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.round(F.sum("s"), 2).cast("double").alias("total_value"),
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1829,6 +1850,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_template_e2e": q_pipeline_template_e2e,
     "minhash_dedup_corpus": q_minhash_dedup_corpus,
     "curation_filter": q_curation_filter,
+    "salted_user_totals": q_salted_user_totals,
 }
 
 
@@ -3169,6 +3191,11 @@ def oracle_sql() -> dict[str, str]:
         JOIN r ON r.doc_id = d.doc_id
         WHERE q.quality >= 0.6 AND l.pred_lang = d.lang
           AND r.top_word_frac <= 0.2
+    """
+    oracles["salted_user_totals"] = """
+        SELECT user_id, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """
     oracles["stream_hll_users"] = hll_oracle_sql("events", "user_id", 8)
     _e2e_pat = pattern_to_sql("app.*.u3", "n")

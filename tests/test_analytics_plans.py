@@ -124,3 +124,13 @@ def test_near_dedup_corpus_anti_join_broadcasts_drop_list(spark):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_salted_totals_spread_over_salt_subkeys(spark):
+    # phase 1 must exchange on (user_id, _salt) — the hot-key spread —
+    # before the final user_id fold
+    plan = _plan(entry.q_salted_user_totals(spark, SF))
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(user_id#\d+L, _salt", plan)
+    assert plan.count("Exchange hashpartitioning(user_id") == 2
