@@ -943,6 +943,29 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join in the correctness gate: lineitem
+    (big, potentially hot part keys) joins part with each key sharded
+    16 ways — the dimension side replicates per shard, the fact side
+    salts deterministically from l_orderkey — then aggregates revenue
+    per brand.  Equivalent to the plain join by construction
+    (cdp_spark/io/bucketing.py:salted_join, property verified in
+    tests); the oracle is the plain join."""
+    from cdp_spark.io.bucketing import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(
+        li, part, ["l_partkey"], F.col("l_orderkey"), salt=16
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum("l_extendedprice").alias("revenue"),
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1851,6 +1874,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_corpus": q_minhash_dedup_corpus,
     "curation_filter": q_curation_filter,
     "salted_user_totals": q_salted_user_totals,
+    "salted_join_revenue": q_salted_join_revenue,
 }
 
 
@@ -3191,6 +3215,12 @@ def oracle_sql() -> dict[str, str]:
         JOIN r ON r.doc_id = d.doc_id
         WHERE q.quality >= 0.6 AND l.pred_lang = d.lang
           AND r.top_word_frac <= 0.2
+    """
+    oracles["salted_join_revenue"] = """
+        SELECT p_brand, count(*) AS n_items,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
     """
     oracles["salted_user_totals"] = """
         SELECT user_id, count(*) AS n_events,
