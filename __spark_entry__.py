@@ -966,6 +966,22 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of events.value — the one-pass,
+    fixed-state quantile family member (HLL=distinct, CMS=frequency,
+    Bloom=membership, histogram=quantiles): 1000 integer bin counters
+    regardless of input size, mergeable by addition, error bounded by
+    one bin width.  The interpolation is a fixed formula over integer
+    counts and broadcast bounds, so estimates round-trip the DuckDB
+    oracle exactly (cdp_spark/datapipe/sketches.py)."""
+    from cdp_spark.datapipe import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    return sk.histogram_quantiles(
+        ev, "value", bins=1000, quantiles=(0.25, 0.5, 0.75, 0.95, 0.99)
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1875,6 +1891,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_filter": q_curation_filter,
     "salted_user_totals": q_salted_user_totals,
     "salted_join_revenue": q_salted_join_revenue,
+    "approx_quantiles_value": q_approx_quantiles_value,
 }
 
 
@@ -3216,6 +3233,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE q.quality >= 0.6 AND l.pred_lang = d.lang
           AND r.top_word_frac <= 0.2
     """
+    from cdp_spark.datapipe.sketches import histogram_quantiles_oracle_sql
+
+    oracles["approx_quantiles_value"] = histogram_quantiles_oracle_sql(
+        "events", "value", 1000, (0.25, 0.5, 0.75, 0.95, 0.99)
+    )
     oracles["salted_join_revenue"] = """
         SELECT p_brand, count(*) AS n_items,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "fingerprint_docs",
     "hll_distinct_users",
     "cms_heavy_users",
+    "approx_quantiles_value",
     "bloom_filter_parts",
     "ann_bruteforce",
     "minhash_pairs",

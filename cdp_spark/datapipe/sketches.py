@@ -366,3 +366,153 @@ def bloom_oracle_sql(
         FROM probes p LEFT JOIN positions s ON s.pos = p.pos
         GROUP BY p.v
     """
+
+
+# ---------------------------------------------------------------------------
+# Histogram sketch — approximate quantiles in one data pass
+
+
+def histogram_sketch(
+    df: DataFrame, col: str, bins: int = 1000
+) -> DataFrame:
+    """Equi-width histogram of a column as ``(bin, cnt)`` counters —
+    the quantile sketch: fixed ``bins`` rows of integer state
+    regardless of input size, mergeable by adding counters.  Bounds
+    come from a broadcast (lo, hi) scalar aggregate, so the whole
+    thing is declarative (no driver collect) and the bin arithmetic
+    is deterministic: ``least(bins-1, floor((v-lo)/width))``.
+
+    Plan: one scalar agg (broadcast), one map-side-combined groupBy
+    over <= bins keys."""
+    c = F.col(col)
+    bounds = df.agg(
+        F.min(c).cast("double").alias("lo"), F.max(c).cast("double").alias("hi")
+    )
+    binned = (
+        df.where(c.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (c.cast("double") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / bins)
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bin"),
+            "lo",
+            "hi",
+        )
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_quantiles(
+    df: DataFrame, col: str, bins: int = 1000, quantiles=(0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Approximate quantiles from the histogram sketch: for each q,
+    the first bin whose cumulative count reaches ``ceil(q*N)``,
+    interpolated linearly inside the bin.  Error is bounded by one
+    bin width ((hi-lo)/bins).  The cumulative window runs over <=
+    ``bins`` rows — bounded state, not a data-sized sort.  All
+    arithmetic is a fixed formula over integer counts and the two
+    broadcast bounds, so results round-trip the DuckDB oracle
+    exactly."""
+    from pyspark.sql import Window as W
+
+    hist = histogram_sketch(df, col, bins)
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    full = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        "lo",
+        "hi",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(full).alias("n"),
+    )
+    # ONE pass for all quantiles: the hit bin for q is the unique row
+    # with cum >= target > cum - cnt, so exploding the q list against
+    # the (<= bins rows) cumulative frame needs no per-quantile
+    # subplans (which would re-evaluate the histogram per q).
+    width = (F.col("hi") - F.col("lo")) / bins
+    target = F.ceil(F.col("q") * F.col("n"))
+    return (
+        cum.select(
+            "bin",
+            "lo",
+            "hi",
+            "cnt",
+            "cum",
+            "n",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in quantiles])
+            ).alias("q"),
+        )
+        .where((F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target))
+        .select(
+            "q",
+            F.round(
+                F.col("lo")
+                + width
+                * (
+                    F.col("bin").cast("double")
+                    + (
+                        (target - (F.col("cum") - F.col("cnt"))).cast("double")
+                        / F.col("cnt")
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("estimate"),
+        )
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    table: str, col: str, bins: int = 1000, quantiles=(0.5, 0.95, 0.99)
+) -> str:
+    """DuckDB twin of histogram_quantiles — same bins, same cumulative
+    rule, same interpolation."""
+    # CAST: a bare VALUES literal types q as DECIMAL in DuckDB, which
+    # would schema-mismatch Spark's double q column
+    qs_rows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in quantiles)
+    return f"""
+        WITH bounds AS (
+          SELECT CAST(min({col}) AS DOUBLE) AS lo, CAST(max({col}) AS DOUBLE) AS hi
+          FROM {table}
+        ),
+        binned AS (
+          SELECT CASE WHEN b.hi > b.lo
+                      THEN least({bins - 1},
+                                 CAST(floor((CAST({col} AS DOUBLE) - b.lo)
+                                            / ((b.hi - b.lo) / {bins})) AS BIGINT))
+                      ELSE 0 END AS bin, b.lo, b.hi
+          FROM {table}, bounds b WHERE {col} IS NOT NULL
+        ),
+        hist AS (
+          SELECT bin, lo, hi, count(*) AS cnt FROM binned GROUP BY bin, lo, hi
+        ),
+        cum AS (
+          SELECT bin, lo, hi, cnt,
+                 sum(cnt) OVER (ORDER BY bin) AS cum,
+                 sum(cnt) OVER () AS n
+          FROM hist
+        ),
+        qs(q) AS (VALUES {qs_rows})
+        SELECT q,
+               CAST(round(lo + ((hi - lo) / {bins})
+                          * (CAST(bin AS DOUBLE)
+                             + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt),
+                          4) AS DOUBLE) AS estimate
+        FROM qs, cum
+        WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)
+    """

@@ -177,3 +177,45 @@ def test_hll_estimate_from_merged_registers_equals_direct(spark):
         want["n_registers"],
         want["hll_estimate"],
     )
+
+
+def test_histogram_quantiles_accuracy_and_oracle(spark):
+    from cdp_spark.datapipe.sketches import (
+        histogram_quantiles,
+        histogram_quantiles_oracle_sql,
+    )
+
+    # values 0..9999 -> exact quantiles known; bin width 10
+    df = spark.range(10000).select(F.col("id").cast("double").alias("v"))
+    got = {
+        r["q"]: r["estimate"]
+        for r in histogram_quantiles(df, "v", bins=1000, quantiles=(0.5, 0.95)).collect()
+    }
+    assert abs(got[0.5] - 5000) <= 10 and abs(got[0.95] - 9500) <= 10
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CAST(range AS DOUBLE) AS v FROM range(10000)")
+    want = dict(
+        con.execute(
+            histogram_quantiles_oracle_sql("t", "v", 1000, (0.5, 0.95))
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_histogram_sketch_merges_by_adding(spark):
+    from cdp_spark.datapipe.sketches import histogram_sketch
+
+    # same bounds on both shards so bins align (the merge contract:
+    # sketches merge when built with shared bounds)
+    a = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(0, 1000).select((F.col("id").cast("double")).alias("v"))
+    merged = (
+        histogram_sketch(a, "v", 100)
+        .unionByName(histogram_sketch(b, "v", 100))
+        .groupBy("bin", "lo", "hi")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = histogram_sketch(a.unionByName(b), "v", 100)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
