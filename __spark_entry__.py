@@ -255,6 +255,166 @@ _SHARED_SQL: dict[str, str] = {
         WHERE p.event_type = 'purchase'
         GROUP BY p.event_id
     """,
+    # ------------------------------------------------------------------
+    # Round-6 relational breadth pack: the remaining classic TPC-H
+    # query SHAPES adapted to this testdata's star schema (no
+    # partsupp / commitdate / shipmode columns, so q11/q20/q21 have no
+    # faithful analogue; their join/subquery shapes are covered by
+    # q16's NOT IN and order_priority_exists's EXISTS).  All shared
+    # verbatim by Spark SQL and DuckDB; double sums folded in
+    # DECIMAL(28,6) for order-stable hashes.
+    # q6: single-table filter + agg — predicate-pushdown showcase (the
+    # scan should report PushedFilters on shipdate/discount/quantity).
+    "q6_revenue_change": f"""
+        SELECT {_ssum('l_extendedprice * l_discount')} AS revenue_delta,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    # q7: shipping volume between two nations by year; the nation
+    # dims broadcast, lineitem⋈orders is the only big shuffle.
+    "q7_nation_volume": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {_ssum('volume')} AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    # q8: market share of one supplier nation inside a consumer
+    # region, by order year — ratio of two exact decimal sums, one
+    # double division, round(6).
+    "q8_market_share": """
+        SELECT o_year,
+               round(CAST(sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(sum(CAST(volume AS DECIMAL(28,6))) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n1.n_name AS nation
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          JOIN region r ON n2.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    # q9: product-line profit by supplier nation × year (cost proxy:
+    # 60% of retail price, since this schema has no ps_supplycost).
+    "q9_product_profit": f"""
+        SELECT nation, o_year, {_ssum('amount')} AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - 0.6 * p.p_retailprice * l.l_quantity AS amount
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%green%' OR p.p_type = 'PROMO'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    # q10: top 20 customers by returned-item revenue in a half-year.
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name,
+               {_ssum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               CAST(round(CAST(max(c_acctbal) AS DECIMAL(28,6)), 2) AS DOUBLE) AS acctbal,
+               max(n_name) AS nation
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # q12: late shipments (>90 days after order date — stand-in for
+    # the receipt/commit-date race this schema lacks) per priority.
+    "q12_late_shipments": """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+               count(*) AS total_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY o_orderpriority
+    """,
+    # q14: promo revenue share over one month.
+    "q14_promo_share": """
+        SELECT round(
+            100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+            6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    # q15: top supplier(s) by quarterly revenue — CTE + scalar-max
+    # subquery keeps revenue computed once (Spark reuses the subplan).
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 {_ssum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    # q16: supplier counts by part attributes with a NOT IN
+    # (null-aware anti-join) exclusion list.
+    "q16_part_supplier_counts": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'ECONOMY'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < -500.0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    # q19: disjunction of conjunctive brand/size/quantity predicates —
+    # Catalyst should still push the partkey equi-join and evaluate
+    # the OR-of-ANDs post-join without a nested loop.
+    "q19_disjunctive_revenue": f"""
+        SELECT {_ssum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND l_quantity >= 10 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
 }
 
 _TABLES = [
