@@ -2032,6 +2032,92 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # New queries added in round 6 — spliced into the first-50 window right
 # after the 38 r04-stale leaders.
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition —
+    the remaining Structured Streaming join mode (stream_enrich_events
+    covers stream-static): purchases join the same user's views from
+    the preceding 6 hours.
+
+    Both sides carry a watermark and the join condition bounds v_ts
+    relative to p_ts, so the state store evicts rows as the watermark
+    advances — bounded state at 100 TB, the canonical two-stream
+    correlation shape (conversion attribution).  Inner-join rows emit
+    as soon as both sides arrive (no watermark flush needed for
+    emission; the watermark only gates state eviction), so AvailableNow
+    drives it to the complete deterministic pair set, value-hashed
+    against the batch range-join oracle."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    src = tempfile.mkdtemp(prefix="cdp_ssj_src_")
+    ev.write.mode("overwrite").json(src)
+
+    def mkstream() -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .json(src)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .drop("ts_us")
+        )
+
+    purchases = (
+        mkstream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        mkstream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "7 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 6 HOURS AND v_ts < p_ts"
+        ),
+        "inner",
+    ).select("p_id", "v_id")
+
+    ckpt = tempfile.mkdtemp(prefix="cdp_ssj_ck_")
+    name = "stream_ssj_" + uuid.uuid4().hex[:12]
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                f"AvailableNow stream {name} still running after 300s "
+                f"(checkpoint {ckpt}); refusing to read a partial result"
+            )
+    finally:
+        if query.isActive:
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name)
+
+
 _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_multiband": q_embedding_near_dup_multiband,
     "stream_dedup_events": q_stream_dedup_events,
@@ -2052,6 +2138,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_user_totals": q_salted_user_totals,
     "salted_join_revenue": q_salted_join_revenue,
     "approx_quantiles_value": q_approx_quantiles_value,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 
@@ -3279,6 +3366,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_dedup_events"] = """
         SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_ts
         FROM events WHERE ts IS NOT NULL
+    """
+    oracles["stream_stream_join"] = """
+        SELECT p.event_id AS p_id, v.event_id AS v_id
+        FROM events p JOIN events v
+          ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 6 HOUR AND v.ts < p.ts
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
     """
     oracles["stream_enrich_events"] = """
         SELECT e.user_id, e.value, c.c_name AS name,
