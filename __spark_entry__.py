@@ -2032,6 +2032,15 @@ _ROUND5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # New queries added in round 6 — spliced into the first-50 window right
 # after the 38 r04-stale leaders.
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: trained k-means clusters (same
+    Lloyd fit as kmeans_centroids) + within-cluster cosine pruning,
+    min-id-wins.  The oracle replays the shared Lloyd CTE prefix and
+    the cluster-local pair join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INNER join with an event-time range condition —
     the remaining Structured Streaming join mode (stream_enrich_events
@@ -2139,6 +2148,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_revenue": q_salted_join_revenue,
     "approx_quantiles_value": q_approx_quantiles_value,
     "stream_stream_join": q_stream_stream_join,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -3350,6 +3360,21 @@ def oracle_sql() -> dict[str, str]:
     """
     # the persisted-index twin trains identically -> same result set
     oracles["ann_ivf_kmeans_indexed"] = oracles["ann_ivf_kmeans"]
+    # SemDeDup: same trained assignment (a3), cluster-local pair join,
+    # drop-if-smaller-id-twin — keep flag per vector
+    oracles["semantic_dedup"] = f"""
+        WITH {km_prefix},
+        av AS (SELECT a3.vec_id, a3.cid, b.emb
+               FROM a3 JOIN base b USING (vec_id)),
+        pairs AS (
+          SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id
+          FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE round(list_cosine_similarity(x.emb, y.emb), 4) >= 0.3),
+        dups AS (SELECT DISTINCT b_id FROM pairs)
+        SELECT av.vec_id, CAST(av.cid AS BIGINT) AS cid,
+               (d.b_id IS NULL) AS keep
+        FROM av LEFT JOIN dups d ON av.vec_id = d.b_id
+    """
     oracles["unigram_logprob"] = r"""
         WITH toks AS (
           SELECT doc_id,

@@ -434,6 +434,60 @@ def ann_topk_ivf_kmeans(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 7,
+    threshold: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with trained k-means
+    (:func:`kmeans_fit`), compare cosine similarity ONLY within a
+    cluster, and drop every vector that has a twin above the threshold
+    with a smaller id (min-id-wins — deterministic, one pass, no
+    transitive closure; the cluster-local greedy keep rule is the
+    paper's own design).
+
+    Scale shape: the pairwise stage is quadratic only WITHIN a cluster
+    — SemDeDup's core trick for making semantic dedup tractable at
+    web scale.  The self-join is an equi-join on cid (one shuffle of
+    (cid, id, vec)); at 100 TB raise ``k`` so per-cluster occupancy
+    stays bounded (k ≈ N/1000) and persist the assignment partitioned
+    by cid so each list's self-join is partition-local.  Threshold
+    0.3 because the synthetic embeddings are near-orthogonal (real
+    duplicate corpora use ~0.95 per the paper).
+
+    Output: one row per vector — (id, cid, keep).
+    """
+    _, assigned = kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col("_v").alias("a_v"), "cid"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col("_v").alias("b_v"), "cid"
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(cosine(F.col("a_v"), F.col("b_v")), round_digits)
+            >= F.lit(threshold)
+        )
+    )
+    dups = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return assigned.join(dups.withColumn("_dup", F.lit(True)), id_col, "left").select(
+        F.col(id_col),
+        F.col("cid").cast("long").alias("cid"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vector: list[float],
