@@ -2041,6 +2041,49 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 fixed iterations) over the
+    nation-to-nation trade graph: supplier nation -> customer nation,
+    edge weight = shipped revenue.  The oracle unrolls the power
+    method as CTEs with the same decimal-folded per-node sums."""
+    from cdp_spark.datapipe.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .groupBy("src", "dst")
+        .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("weight"))
+    )
+    return pagerank(edges, iters=3, damping=0.85, teleport=0.15)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sampling: top-20 orders per
+    priority class with selection probability proportional to
+    o_totalprice.  The multiplicative-hash uniform and the rounded
+    Exp(w) priority make membership identical across engines."""
+    from cdp_spark.datapipe.sampling import weighted_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_sample(
+        orders, "o_orderkey", "o_totalprice", k=20, stratum_col="o_orderpriority"
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "aes_key")
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INNER join with an event-time range condition —
     the remaining Structured Streaming join mode (stream_enrich_events
@@ -2149,6 +2192,8 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles_value": q_approx_quantiles_value,
     "stream_stream_join": q_stream_stream_join,
     "semantic_dedup": q_semantic_dedup,
+    "weighted_sample": q_weighted_sample,
+    "pagerank_nations": q_pagerank_nations,
 }
 
 
@@ -3391,6 +3436,64 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_dedup_events"] = """
         SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_ts
         FROM events WHERE ts IS NOT NULL
+    """
+    # PageRank: power method unrolled — per-iteration CTE pair
+    # (contribs c{i}, ranks pr{i}) mirroring graph.pagerank exactly
+    # (decimal-folded sums, round-9 ranks, explicit teleport literal)
+    _pr_ctes = [
+        """edges AS (
+          SELECT n1.n_name AS src, n2.n_name AS dst,
+                 CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(28,6))), 2) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          GROUP BY n1.n_name, n2.n_name)""",
+        """nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM edges
+             UNION ALL SELECT dst AS node FROM edges))""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """outw AS (SELECT src,
+               CAST(round(sum(CAST(w AS DECIMAL(28,6))), 6) AS DOUBLE) AS ow
+            FROM edges GROUP BY src)""",
+        """trans AS (SELECT e.src, e.dst, e.w / o.ow AS p
+            FROM edges e JOIN outw o ON e.src = o.src)""",
+        """pr0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS pr
+            FROM nodes CROSS JOIN nn)""",
+    ]
+    for _i in (1, 2, 3):
+        _pr_ctes.append(
+            f"""c{_i} AS (SELECT t.dst AS node,
+               CAST(sum(CAST(p.pr * t.p AS DECIMAL(28,15))) AS DOUBLE) AS s
+            FROM trans t JOIN pr{_i - 1} p ON p.node = t.src GROUP BY t.dst)"""
+        )
+        _pr_ctes.append(
+            f"""pr{_i} AS (SELECT nd.node,
+               round(CAST(0.15 AS DOUBLE) / nn.n
+                     + CAST(0.85 AS DOUBLE) * coalesce(c{_i}.s, 0.0), 9) AS pr
+            FROM nodes nd CROSS JOIN nn
+            LEFT JOIN c{_i} ON c{_i}.node = nd.node)"""
+        )
+    oracles["pagerank_nations"] = (
+        "WITH " + ",\n".join(_pr_ctes) + "\nSELECT node, pr FROM pr3"
+    )
+    oracles["weighted_sample"] = """
+        WITH keyed AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 round(-ln((((o_orderkey * 2654435761 + 7) % 1048573) + 1)
+                           / 1048574.0)
+                       / o_totalprice, 6) AS aes_key
+          FROM orders),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY aes_key, o_orderkey) AS rn
+          FROM keyed)
+        SELECT o_orderpriority, o_orderkey, o_totalprice, aes_key
+        FROM ranked WHERE rn <= 20
     """
     oracles["stream_stream_join"] = """
         SELECT p.event_id AS p_id, v.event_id AS v_id

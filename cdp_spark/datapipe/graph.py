@@ -1,0 +1,100 @@
+"""Distributed graph analytics over edge DataFrames.
+
+Connected components (the dedup-cluster primitive) lives in
+``datapipe/dedup.py``; this module adds fixed-iteration PageRank, the
+other iterative-join workhorse (influence/centrality scoring over
+similarity graphs, link graphs, interaction graphs).
+
+Design: the power method expressed as DataFrame joins — per iteration
+one equi-join of the rank frame with the transition frame (shuffle on
+src) and one aggregation (shuffle on dst).  No collect() anywhere:
+the node count enters the plan as a broadcast-scalar cross join, so
+the whole computation stays declarative and Catalyst/AQE pick the
+physical strategy per iteration.  With a fixed iteration count the
+lineage depth is bounded (iters ~ 3-20); for long chains call
+``.checkpoint()`` between rounds exactly as the connected-components
+loop does (dedup.py).
+
+Determinism (the repo-wide oracle discipline): every per-node sum
+folds in DECIMAL(28,15) — exact, associative, order-independent —
+and each iteration's ranks round to ``round_digits``, so partition
+splits and engines cannot disagree.  The teleport term is an explicit
+parameter (not computed as ``1 - damping``) because ``1 - 0.85`` is
+not the double ``0.15`` — callers pin both sides exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iters: int = 3,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Weighted PageRank with a fixed iteration count:
+
+        pr_0(v)   = round(1/N, r)
+        pr_t+1(v) = round(teleport/N
+                          + damping * Σ_u pr_t(u) * w(u,v)/outw(u), r)
+
+    Dangling mass (nodes with no out-edges) is dropped, not
+    redistributed — the simple variant; normalize downstream if a
+    proper distribution is needed.  Output: one row per node,
+    columns (node, pr).
+
+    Scale shape: the transition frame (src, dst, p) is computed once
+    and reused every iteration; each round shuffles on src (join) and
+    dst (agg) — both map-side combined.  At 100 TB pre-partition the
+    transition frame by src and persist it so only the small rank
+    frame moves per round.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    outw = edges.groupBy(src).agg(
+        F.round(F.sum(F.col(weight).cast("decimal(28,6)")), 6)
+        .cast("double")
+        .alias("_outw")
+    )
+    trans = edges.join(outw, src).select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        (F.col(weight).cast("double") / F.col("_outw")).alias("_p"),
+    )
+    pr = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.round(F.lit(1.0) / F.col("_n"), round_digits).alias("pr")
+    )
+    for _ in range(iters):
+        contribs = (
+            trans.join(pr.withColumnRenamed("node", "_src"), "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("pr") * F.col("_p")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("_c").cast("decimal(28,15)")).cast("double").alias("_s"))
+        )
+        pr = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
+                    round_digits,
+                ).alias("pr"),
+            )
+        )
+    return pr

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,3 +102,66 @@ def dataset_mix(
         n_epochs >= 1, F.sequence(F.lit(1), n_epochs)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("epoch", F.explode(epochs))
+
+
+# Multiplicative-hash uniform: Knuth's 2^32/phi multiplier, a prime
+# modulus, and a +1 shift keeping u strictly inside (0, 1].  Integer
+# arithmetic is exact int64 on every engine, and the final division
+# of exact integers is a single correctly-rounded IEEE op — so u is
+# bit-identical everywhere (the md5-hex trick above gives an ORDERED
+# LABEL, which threshold filters need; A-ES needs a NUMERIC uniform).
+_AES_MULT = 2654435761
+_AES_SHIFT = 7
+_AES_MOD = 1048573  # prime < 2^20
+
+
+def weighted_sample_key(id_col: Column, weight_col: Column, round_digits: int = 6) -> Column:
+    """The Efraimidis–Spirakis A-ES priority key ``-ln(u)/w`` (an
+    Exp(w) draw): the k SMALLEST keys are a weighted-without-
+    replacement sample of size k.  Rounded so the only cross-engine
+    nondeterminism (libm ln differs by <=1 ulp between JVM and C) is
+    absorbed; ties under rounding break by id downstream."""
+    u = (
+        (id_col.cast("long") * F.lit(_AES_MULT) + F.lit(_AES_SHIFT))
+        % F.lit(_AES_MOD)
+        + F.lit(1)
+    ) / F.lit(float(_AES_MOD + 1))
+    return F.round(-F.ln(u) / weight_col.cast("double"), round_digits)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES,
+    Efraimidis & Spirakis 2006): every row draws priority ``-ln(u)/w``
+    from its own Exp(weight) and the k smallest priorities win —
+    P(selection) is proportional to weight, exactly the importance-
+    weighted pick a curation pipeline needs ("sample 10k docs biased
+    by quality score").
+
+    Deterministic twice over: u is a multiplicative-hash uniform of
+    the id (not a PRNG), and the top-k rank orders by (rounded key,
+    id) so engines agree row-for-row.
+
+    Scale shape: the key is a codegen expression; per-stratum top-k is
+    one window rank over a (stratum) shuffle — with few strata and
+    small k, Spark's WindowGroupLimit pushes the limit map-side so the
+    shuffle carries ~k rows per partition per stratum, not the input.
+    Unstratified calls get a single-partition rank over rows that
+    survive the same map-side limit (k rows per input partition).
+    """
+    key = weighted_sample_key(F.col(id_col), F.col(weight_col), round_digits)
+    part = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(F.col("_aes_key"), F.col(id_col))
+    return (
+        df.withColumn("_aes_key", key)
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .drop("_rank")
+        .withColumnRenamed("_aes_key", "aes_key")
+    )
