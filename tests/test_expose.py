@@ -232,3 +232,62 @@ steps:
     assert json.loads(latest.body.strip())["n"] == "b"
     older = buf.get(latest.link_key)
     assert json.loads(older.body.strip())["n"] == "a"
+
+
+def test_composition_example_http_paging_walk(spark):
+    """examples/composition/pipeline-third.yaml end-to-end: the debug
+    step's jq formatter feeds the forward step's count-or-time window
+    into expose-http, and a client walks the FULL ETag/Link paging
+    chain over real HTTP (expose-http.ts:235-251): latest -> next ->
+    ... until the Link header stops, newest-first, then 404 past the
+    chain."""
+    import os
+
+    import yaml
+
+    path = "/root/reference/examples/composition/pipeline-third.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference examples not available")
+    doc = yaml.safe_load(open(path).read())
+    doc["steps"]["forward"]["reduce"]["expose-http"]["port"] = 0  # ephemeral
+    t = from_yaml(yaml.safe_dump(doc))
+
+    # 250 events -> count-or-time windows of 100: [0..99], [100..199],
+    # [200..249] (close truncation) -> 3 buffered responses
+    rows = [(f"ev.{i}", str(i)) for i in range(250)]
+    result = compile_pipeline(
+        spark, t, input_df=events_input(spark, rows), arrival_ts=1000.0
+    )
+    result.run_sinks()
+
+    from cdp_spark.io.sinks import get_expose_server
+
+    server = get_expose_server("forward")
+    assert server is not None
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        pages = []
+        url = f"{base}/events"
+        while True:
+            status, headers, body = _get(url)
+            assert status == 200
+            assert headers["Content-Type"] == "application/x-ndjson"
+            names = [json.loads(ln)["n"] for ln in body.strip().split("\n")]
+            etag = headers["ETag"].strip('"')
+            assert etag == response_etag(body)
+            pages.append(names)
+            link = headers.get("Link")
+            if not link:
+                break
+            next_path = link.split(">")[0].lstrip("<")
+            assert next_path.startswith("/events/") and 'rel="next"' in link
+            url = base + next_path
+        # newest first: the truncated tail window, then the two full ones
+        assert [len(p) for p in pages] == [50, 100, 100]
+        assert pages[0][0] == "ev.200" and pages[0][-1] == "ev.249"
+        assert pages[1][0] == "ev.100" and pages[2][0] == "ev.0"
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _get(f"{base}/events/not-a-buffered-etag/")
+        assert err.value.code == 404
+    finally:
+        server.close()
