@@ -401,6 +401,24 @@ _SHARED_SQL: dict[str, str] = {
               SELECT s_suppkey FROM supplier WHERE s_acctbal < -500.0)
         GROUP BY p_brand, p_type, p_size
     """,
+    # Navigation window-function family (lag/lead/first/last/ntile)
+    # over a total per-partition order — completes the window-function
+    # surface next to window_running_funcs's frames and ranks.
+    "window_nav_funcs": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS last_price,
+               CAST(ntile(4) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
     # q19: disjunction of conjunctive brand/size/quantity predicates —
     # Catalyst should still push the partkey equi-join and evaluate
     # the OR-of-ANDs post-join without a nested loop.
@@ -2041,6 +2059,58 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling end-to-end: score pool documents by
+    the unigram log-likelihood ratio against the src0 target
+    distribution, then Gumbel-top-50 resample toward the target —
+    the hashed-ngram data-selection loop of Xie et al. 2023 with the
+    deterministic uniform standing in for the PRNG."""
+    from cdp_spark.datapipe.sampling import gumbel_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    scored = txt.dsir_logratio(docs, F.col("source") == F.lit("src0"))
+    return gumbel_topk(scored, "doc_id", "logratio", k=50).select(
+        "doc_id", "n_tokens", "logratio", "gumbel_key"
+    )
+
+
+def q_hll_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SKETCH MERGE across datasets: build (register, max_rank)
+    sketches separately over events.user_id and orders.o_custkey,
+    merge with register-wise max, and finish one estimate — the
+    mergeability property that makes sketches the 100 TB answer
+    (per-shard/per-day sketch state unions in O(2^p), never re-reading
+    the data).  The estimate equals sketching the unioned values (the
+    oracle's formulation), which is exactly the merge guarantee;
+    reported next to the exact distinct union."""
+    from cdp_spark.datapipe.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    r1 = hll_registers(ev.select(F.col("user_id").alias("entity")), "entity", p=8)
+    r2 = hll_registers(
+        orders.select(F.col("o_custkey").alias("entity")), "entity", p=8
+    )
+    merged = (
+        r1.unionByName(r2)
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    est = hll_estimate_from_registers(merged, p=8)
+    exact = (
+        ev.select(F.col("user_id").alias("entity"))
+        .unionByName(orders.select(F.col("o_custkey").alias("entity")))
+        .where(F.col("entity").isNotNull())
+        .agg(F.countDistinct("entity").alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
 def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (3 fixed iterations) over the
     nation-to-nation trade graph: supplier nation -> customer nation,
@@ -2194,6 +2264,8 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "weighted_sample": q_weighted_sample,
     "pagerank_nations": q_pagerank_nations,
+    "hll_union_entities": q_hll_union_entities,
+    "dsir_sample": q_dsir_sample,
 }
 
 
@@ -3480,6 +3552,43 @@ def oracle_sql() -> dict[str, str]:
     oracles["pagerank_nations"] = (
         "WITH " + ",\n".join(_pr_ctes) + "\nSELECT node, pr FROM pr3"
     )
+    oracles["dsir_sample"] = r"""
+        WITH toks AS (
+          SELECT doc_id, (source = 'src0') AS is_t,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0),
+        counts AS (
+          SELECT tok,
+                 sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+          FROM toks GROUP BY tok),
+        scalars AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v
+                    FROM counts),
+        scored AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 CAST(sum(CAST(round(ln(c.ct + 1.0) - ln(c.cr + 1.0), 9)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                   / count(*) AS mean_term
+          FROM toks t JOIN counts c USING (tok)
+          WHERE NOT t.is_t
+          GROUP BY t.doc_id),
+        final AS (
+          SELECT s.doc_id, s.n_tokens,
+                 round(s.mean_term
+                       + round(ln((sc.nr * 1.0 + sc.v) / (sc.nt * 1.0 + sc.v)), 9),
+                       6) AS logratio
+          FROM scored s CROSS JOIN scalars sc),
+        keyed AS (
+          SELECT doc_id, n_tokens, logratio,
+                 round(logratio
+                       - ln(-ln(((doc_id * 2654435761 + 7) % 1048573 + 1)
+                                / 1048574.0)), 6) AS gumbel_key
+          FROM final)
+        SELECT doc_id, n_tokens, logratio, gumbel_key
+        FROM (SELECT *, row_number() OVER
+                (ORDER BY gumbel_key DESC, doc_id) AS rn FROM keyed)
+        WHERE rn <= 50
+    """
     oracles["weighted_sample"] = """
         WITH keyed AS (
           SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -3646,6 +3755,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS cnt,
                CAST(sum(user_id) AS BIGINT) AS total
         FROM filtered GROUP BY rn // 20
+    """
+    _union_src = """(SELECT CAST(user_id AS BIGINT) AS entity FROM events
+                     WHERE user_id IS NOT NULL
+                     UNION ALL
+                     SELECT CAST(o_custkey AS BIGINT) AS entity FROM orders
+                     WHERE o_custkey IS NOT NULL)"""
+    oracles["hll_union_entities"] = f"""
+        WITH est AS ({hll_oracle_sql(_union_src, "entity", 8)}),
+        ex AS (SELECT count(DISTINCT entity) AS n_exact FROM {_union_src})
+        SELECT est.n_registers, est.hll_estimate, ex.n_exact FROM est, ex
     """
     oracles["hll_distinct_users"] = f"""
         WITH est AS ({hll_oracle_sql("events", "user_id", 8)}),

@@ -41,6 +41,18 @@ BENCH_QUERIES = [
     "large_orders",
     "order_priority_exists",
     "rich_inactive_customers",
+    # relational breadth pack (round 6)
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q19_disjunctive_revenue",
+    "window_nav_funcs",
     # CDP semantics
     "pattern_match_composite",
     "window_reduce_agg",
@@ -100,6 +112,12 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans",
     "ann_ivf_kmeans_indexed",
     "rolling_active_users",
+    # round 6: graph / sampling / semantic dedup / sketch merge
+    "semantic_dedup",
+    "weighted_sample",
+    "pagerank_nations",
+    "hll_union_entities",
+    "dsir_sample",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)
     "ann_lsh_indexed",

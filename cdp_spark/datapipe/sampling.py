@@ -129,6 +129,47 @@ def weighted_sample_key(id_col: Column, weight_col: Column, round_digits: int = 
     return F.round(-F.ln(u) / weight_col.cast("double"), round_digits)
 
 
+def gumbel_topk(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gumbel-top-k sampling without replacement with probability
+    proportional to ``exp(score)`` — the LOG-space twin of
+    :func:`weighted_sample` (identical distribution; argmax_k of
+    score+Gumbel ~ A-ES over w=exp(score)), for scores that live in
+    log space where exp(w) would over/underflow — e.g. DSIR
+    importance log-ratios.
+
+    gumbel = -ln(-ln(u)) from the same multiplicative-hash uniform;
+    the k LARGEST (score + gumbel) keys win, ties broken by id on the
+    rounded key.  Same determinism and WindowGroupLimit shape as
+    weighted_sample.
+    """
+    u = (
+        (F.col(id_col).cast("long") * F.lit(_AES_MULT) + F.lit(_AES_SHIFT))
+        % F.lit(_AES_MOD)
+        + F.lit(1)
+    ) / F.lit(float(_AES_MOD + 1))
+    key = F.round(
+        F.col(score_col).cast("double") - F.ln(-F.ln(u)), round_digits
+    )
+    part = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("_gum_key").desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_gum_key", key)
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .drop("_rank")
+        .withColumnRenamed("_gum_key", "gumbel_key")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

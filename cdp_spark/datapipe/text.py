@@ -159,3 +159,76 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
             ).alias("avg_logprob"),
         )
     )
+
+
+def dsir_logratio(df, target_col, text_col: str = "text", id_col: str = "doc_id"):
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every POOL
+    document by its mean token log-likelihood ratio between a TARGET
+    unigram model and the pool unigram model,
+
+        score(d) = mean_tok [ ln p_T(tok) - ln p_R(tok) ]
+
+    with add-one smoothing over the shared vocabulary.  High scores
+    mean "looks like the target distribution" — feed them to
+    :func:`cdp_spark.datapipe.sampling.gumbel_topk` to resample the
+    pool toward the target (the full DSIR loop).
+
+    ``target_col`` is a boolean Column: True rows define the target
+    distribution, False rows are the pool being scored.
+
+    Scale shape: one explode, two token-count aggregates (map-side
+    combined), the corpus scalars (token totals + vocabulary size)
+    enter the plan as ONE broadcast row — fully lazy, no collect; the
+    per-token join is Zipf-small and AQE broadcast-converts it.
+
+    Determinism: ln(c_T+1)-ln(c_R+1) is rounded to 9 digits per
+    token, folded in DECIMAL(28,12) (order-independent), and the
+    corpus constant ln((N_R+V)/(N_T+V)) is rounded to 9 before the
+    final round-6 sum — engines agree bit-for-bit.
+
+    Output: (id, n_tokens, logratio) for pool documents only.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_col.alias("_is_target"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    scalars = counts.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    term = F.round(
+        F.log(F.col("ct").cast("double") + 1.0)
+        - F.log(F.col("cr").cast("double") + 1.0),
+        9,
+    )
+    scored = (
+        toks.where(~F.col("_is_target"))
+        .join(counts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(term.cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mean_term"),
+        )
+    )
+    const = F.round(
+        F.log(
+            (F.col("nr").cast("double") + F.col("v"))
+            / (F.col("nt").cast("double") + F.col("v"))
+        ),
+        9,
+    )
+    return scored.crossJoin(F.broadcast(scalars)).select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("_mean_term") + const, 6).alias("logratio"),
+    )
