@@ -401,6 +401,26 @@ _SHARED_SQL: dict[str, str] = {
               SELECT s_suppkey FROM supplier WHERE s_acctbal < -500.0)
         GROUP BY p_brand, p_type, p_size
     """,
+    # Per-group z-score outliers (anomaly detection): group stats from
+    # exact decimal sums cast to double ONCE, so mean/variance — and
+    # therefore the 3-sigma membership — are bit-identical across
+    # engines; z rounds to 4 for the value hash.
+    "zscore_outliers": """
+        SELECT event_id, event_type, value, round(z_raw, 4) AS z
+        FROM (
+          SELECT e.event_id, e.event_type, e.value,
+                 (e.value - s.sx / s.n)
+                   / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS z_raw
+          FROM events e JOIN (
+            SELECT event_type, count(value) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+          ) s ON e.event_type = s.event_type
+          WHERE e.value IS NOT NULL
+        ) scored
+        WHERE abs(z_raw) > 3.0
+    """,
     # Navigation window-function family (lag/lead/first/last/ntile)
     # over a total per-partition order — completes the window-function
     # surface next to window_running_funcs's frames and ranks.
@@ -2217,6 +2237,89 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckpt = tempfile.mkdtemp(prefix="cdp_ssj_ck_")
     name = "stream_ssj_" + uuid.uuid4().hex[:12]
+    return _drive_stream_join(spark, joined, name, ckpt, src)
+
+
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — unlike the inner twin, the
+    unmatched left rows can only emit when the WATERMARK passes their
+    state-eviction point (Spark cannot know "no match will come"
+    before then).  The harness appends far-future sentinel rows on
+    both sides; the no-data micro-batch after the last real batch
+    advances the watermark past every real event and flushes all
+    outer rows — the same sentinel discipline as the windowed
+    aggregation queries, proving the outer-emission path end-to-end
+    against the batch LEFT JOIN oracle."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    far = int(datetime.datetime(2100, 1, 1).timestamp() * 1_000_000)
+    sentinels = spark.createDataFrame(
+        [(-1, -1, "purchase", far), (-2, -2, "view", far)],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+    src = tempfile.mkdtemp(prefix="cdp_ssjo_src_")
+    ev.unionByName(sentinels).write.mode("overwrite").json(src)
+
+    def mkstream() -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .json(src)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .drop("ts_us")
+        )
+
+    purchases = (
+        mkstream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        mkstream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "7 hours")
+    )
+    # NOTE: the sentinel purchase must be dropped AFTER materialization,
+    # not with a .where() on the stream — Catalyst pushes that filter
+    # below the watermark node, so the sentinel would be removed before
+    # it ever advances the purchase-side watermark and the last real
+    # purchases' outer rows would strand in the state store (observed:
+    # 4 missing rows, global watermark stuck at max-real-p_ts - 1h).
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 6 HOURS AND v_ts < p_ts"
+        ),
+        "left_outer",
+    ).select("p_id", "v_id")
+    ckpt = tempfile.mkdtemp(prefix="cdp_ssjo_ck_")
+    name = "stream_ssjo_" + uuid.uuid4().hex[:12]
+    return _drive_stream_join(spark, joined, name, ckpt, src).where(
+        F.col("p_id") >= 0
+    )
+
+
+def _drive_stream_join(
+    spark: SparkSession, joined: DataFrame, name: str, ckpt: str, src: str
+) -> DataFrame:
+    """Run a stream-stream join to completion with AvailableNow and
+    return the materialized memory table (shared by the inner and
+    left-outer join queries)."""
     query = (
         joined.writeStream.format("memory")
         .queryName(name)
@@ -2266,6 +2369,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_nations": q_pagerank_nations,
     "hll_union_entities": q_hll_union_entities,
     "dsir_sample": q_dsir_sample,
+    "stream_stream_left_join": q_stream_stream_left_join,
 }
 
 
@@ -3610,6 +3714,14 @@ def oracle_sql() -> dict[str, str]:
           ON v.user_id = p.user_id
          AND v.ts >= p.ts - INTERVAL 6 HOUR AND v.ts < p.ts
         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """
+    oracles["stream_stream_left_join"] = """
+        SELECT p.event_id AS p_id, v.event_id AS v_id
+        FROM events p LEFT JOIN events v
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 6 HOUR AND v.ts < p.ts
+        WHERE p.event_type = 'purchase'
     """
     oracles["stream_enrich_events"] = """
         SELECT e.user_id, e.value, c.c_name AS name,

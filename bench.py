@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q16_part_supplier_counts",
     "q19_disjunctive_revenue",
     "window_nav_funcs",
+    "zscore_outliers",
     # CDP semantics
     "pattern_match_composite",
     "window_reduce_agg",

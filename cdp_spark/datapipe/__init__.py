@@ -8,6 +8,14 @@ column plumbing.  All hot paths are JVM-side Column expressions
 Python appears only in clearly-marked stubs.
 """
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, graph, multimodal, sampling, similarity, sketches, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "graph",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "sketches",
+    "text",
+]
