@@ -2079,6 +2079,49 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment HLL distinct counts — register state is
+    O(segments x 2^p) regardless of volume; reported next to the
+    exact per-segment distinct for error inspection."""
+    from cdp_spark.datapipe.sketches import hll_estimate_by
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate_by(ev, ["event_type"], "user_id", p=8)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, "event_type")
+
+
+def q_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: build HOURLY
+    partial aggregates (count / decimal sum / min / max — mergeable
+    state), then derive the DAILY rollup by MERGING the hourly
+    partials, never re-reading raw events.  At 100 TB the hourly
+    frame is the materialized rollup table; this query proves the
+    re-aggregation is exact by hash-matching a direct daily oracle
+    (decimal partial sums merge associatively)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return hourly.groupBy(
+        F.to_date(F.date_trunc("day", "h")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("s"), 2).cast("double").alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling end-to-end: score pool documents by
     the unigram log-likelihood ratio against the src0 target
@@ -2370,6 +2413,8 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_union_entities": q_hll_union_entities,
     "dsir_sample": q_dsir_sample,
     "stream_stream_left_join": q_stream_stream_left_join,
+    "hll_users_by_type": q_hll_users_by_type,
+    "rollup_reaggregate": q_rollup_reaggregate,
 }
 
 
@@ -3853,6 +3898,24 @@ def oracle_sql() -> dict[str, str]:
         FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """
     oracles["stream_hll_users"] = hll_oracle_sql("events", "user_id", 8)
+    from cdp_spark.datapipe.sketches import hll_by_oracle_sql
+
+    oracles["hll_users_by_type"] = f"""
+        WITH est AS ({hll_by_oracle_sql("events", "event_type", "user_id", 8)}),
+        ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+               FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+        SELECT est.grp AS event_type, est.n_registers, est.hll_estimate,
+               ex.n_exact
+        FROM est JOIN ex ON ex.event_type = est.grp
+    """
+    oracles["rollup_reaggregate"] = """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    """
     _e2e_pat = pattern_to_sql("app.*.u3", "n")
     oracles["pipeline_template_e2e"] = f"""
         WITH named AS (

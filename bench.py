@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "pagerank_nations",
     "hll_union_entities",
+    "hll_users_by_type",
+    "rollup_reaggregate",
     "dsir_sample",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)

@@ -80,6 +80,106 @@ def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     )
 
 
+def hll_registers_by(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 8
+) -> DataFrame:
+    """Per-group sketch state: (group..., register, max_rank) — one
+    row per non-empty register per group.  State is O(groups × 2^p)
+    regardless of input volume; the shuffle carries only partial
+    register maxima (map-side combined)."""
+    m = 1 << p
+    h = md5_hash60(F.col(col).cast("string"))
+    rest = F.shiftright(h, p)
+    width = 60 - p
+    rank = (
+        F.when(rest > 0, F.lit(width + 1) - F.length(F.bin(rest)))
+        .otherwise(F.lit(width + 1))
+        .cast("int")
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, (h % m).alias("register"), rank.alias("rank"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate_by(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL cardinality — the "distinct users per segment
+    over 100 TB in one pass" query.  Same estimator as
+    :func:`hll_estimate_from_registers`, applied per group over
+    :func:`hll_registers_by` state."""
+    m = 1 << p
+    alpha = _alpha(m)
+    regs = hll_registers_by(df, group_cols, col, p).select(
+        *group_cols,
+        "register",
+        F.least(F.col("max_rank"), F.lit(_RANK_CLAMP)).alias("rank_c"),
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nreg"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rank_c")).cast("decimal(38,30)")).alias(
+            "z_present"
+        ),
+    )
+    z = F.coalesce(F.col("z_present").cast("double"), F.lit(0.0)) + (
+        F.lit(m) - F.col("nreg")
+    ).cast("double")
+    e_raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("nreg")
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.col("nreg").cast("long").alias("n_registers"),
+        F.round(estimate, 2).cast("double").alias("hll_estimate"),
+    )
+
+
+def hll_by_oracle_sql(table: str, group_col: str, col: str, p: int = 8) -> str:
+    """DuckDB twin of :func:`hll_estimate_by` for a single group
+    column — the grouped variant of :func:`hll_oracle_sql`."""
+    m = 1 << p
+    alpha = _alpha(m)
+    width1 = 60 - p + 1
+    return f"""
+        WITH hashed AS (
+          SELECT {group_col} AS grp,
+                 CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          FROM {table} WHERE {col} IS NOT NULL
+        ),
+        ranked AS (
+          SELECT grp, h % {m} AS register,
+                 CASE WHEN h // {m} > 0
+                      THEN {width1} - length(bin(h // {m}))
+                      ELSE {width1} END AS rank
+          FROM hashed
+        ),
+        regs AS (
+          SELECT grp, register, least(max(rank), {_RANK_CLAMP}) AS rank_c
+          FROM ranked GROUP BY grp, register
+        ),
+        agg AS (
+          SELECT grp, count(*) AS nreg,
+                 sum(CAST(pow(2.0, -rank_c) AS DECIMAL(38,30))) AS z_present
+          FROM regs GROUP BY grp
+        )
+        SELECT grp, CAST(nreg AS BIGINT) AS n_registers,
+               CAST(round(
+                 CASE WHEN {alpha * m * m!r} / (CAST(z_present AS DOUBLE) + ({m} - nreg))
+                           <= {2.5 * m!r}
+                       AND ({m} - nreg) > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - nreg))
+                      ELSE {alpha * m * m!r} / (CAST(z_present AS DOUBLE) + ({m} - nreg))
+                 END, 2) AS DOUBLE) AS hll_estimate
+        FROM agg
+    """
+
+
 def hll_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     """One-row DataFrame ``(n_registers, hll_estimate)`` — the HLL
     cardinality estimate with the standard small-range correction

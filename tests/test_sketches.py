@@ -219,3 +219,31 @@ def test_histogram_sketch_merges_by_adding(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_hll_estimate_by_matches_per_group_global(spark):
+    from cdp_spark.datapipe.sketches import hll_estimate, hll_estimate_by
+
+    rows = [(i, "g" + str(i % 3)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    grouped = {
+        r["grp"]: (r["n_registers"], r["hll_estimate"])
+        for r in hll_estimate_by(df, ["grp"], "v", 8).collect()
+    }
+    # each group's estimate equals a GLOBAL estimate over that group's
+    # rows alone — grouping is pure partitioning of the sketch state
+    for g in ("g0", "g1", "g2"):
+        solo = hll_estimate(df.where(F.col("grp") == g), "v", 8).collect()[0]
+        assert grouped[g] == (solo["n_registers"], solo["hll_estimate"])
+
+
+def test_hll_estimate_by_error_within_bound(spark):
+    from cdp_spark.datapipe.sketches import hll_error_bound, hll_estimate_by
+
+    rows = [(i, "a" if i < 4000 else "b") for i in range(6000)]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    out = {r["grp"]: r["hll_estimate"]
+           for r in hll_estimate_by(df, ["grp"], "v", 8).collect()}
+    bound = 4 * hll_error_bound(8)  # 4 sigma
+    assert abs(out["a"] - 4000) / 4000 < bound
+    assert abs(out["b"] - 2000) / 2000 < bound
