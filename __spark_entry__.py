@@ -439,6 +439,37 @@ _SHARED_SQL: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    # Triangle counting over the nation trade graph — the canonical
+    # multi-way distributed self-join: canonical undirected edges
+    # (least/greatest + DISTINCT), two equi-joins enumerate ordered
+    # triangles exactly once.  Edge threshold is RELATIVE (above-mean
+    # weight) so the graph stays non-degenerate at every scale factor.
+    "triangle_count_nations": """
+        WITH rev AS (
+          SELECT n1.n_name AS a, n2.n_name AS b,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,6))) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          GROUP BY n1.n_name, n2.n_name),
+        thr AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE)
+                         / count(*) AS t FROM rev),
+        edges AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM rev CROSS JOIN thr WHERE a <> b AND w > t),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM edges e1
+          JOIN edges e2 ON e1.v = e2.u
+          JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT (SELECT count(*) FROM edges) AS n_edges,
+               count(*) AS n_triangles
+        FROM tri
+    """,
     # q19: disjunction of conjunctive brand/size/quantity predicates —
     # Catalyst should still push the partkey equi-join and evaluate
     # the OR-of-ANDs post-join without a nested loop.
@@ -2079,6 +2110,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-1000
+    vocabulary (tokenizer-coverage triage); ties at the vocabulary
+    boundary break by token text in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    return txt.oov_rate(docs, top_k=1000)
+
+
 def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment HLL distinct counts — register state is
     O(segments x 2^p) regardless of volume; reported next to the
@@ -2415,6 +2456,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_left_join": q_stream_stream_left_join,
     "hll_users_by_type": q_hll_users_by_type,
     "rollup_reaggregate": q_rollup_reaggregate,
+    "oov_rate": q_oov_rate,
 }
 
 
@@ -3701,6 +3743,24 @@ def oracle_sql() -> dict[str, str]:
     oracles["pagerank_nations"] = (
         "WITH " + ",\n".join(_pr_ctes) + "\nSELECT node, pr FROM pr3"
     )
+    oracles["oov_rate"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ORDER BY c DESC, tok LIMIT 1000)),
+        flags AS (
+          SELECT t.doc_id,
+                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM toks t LEFT JOIN vocab v ON v.tok = t.tok)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        FROM flags GROUP BY doc_id
+    """
     oracles["dsir_sample"] = r"""
         WITH toks AS (
           SELECT doc_id, (source = 'src0') AS is_t,

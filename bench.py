@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q19_disjunctive_revenue",
     "window_nav_funcs",
     "zscore_outliers",
+    "triangle_count_nations",
     # CDP semantics
     "pattern_match_composite",
     "window_reduce_agg",
@@ -120,6 +121,7 @@ BENCH_QUERIES = [
     "hll_union_entities",
     "hll_users_by_type",
     "rollup_reaggregate",
+    "oov_rate",
     "dsir_sample",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)

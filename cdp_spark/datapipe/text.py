@@ -232,3 +232,49 @@ def dsir_logratio(df, target_col, text_col: str = "text", id_col: str = "doc_id"
         "n_tokens",
         F.round(F.col("_mean_term") + const, 6).alias("logratio"),
     )
+
+
+def oov_rate(df, text_col: str = "text", id_col: str = "doc_id",
+             top_k: int = 1000, round_digits: int = 6):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``top_k`` vocabulary — the tokenizer-coverage triage that
+    decides whether a corpus needs vocab retraining (high OOV mass)
+    or is mostly boilerplate (near-zero OOV everywhere).
+
+    Scale shape: one explode feeds both the vocabulary count and the
+    scoring pass; the vocabulary is a top-k aggregate (TakeOrdered,
+    k rows to the driver-side of the join build) broadcast against
+    the token stream; per-doc flags aggregate map-side.
+
+    Output: (id, n_tokens, n_oov, oov_rate).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(top_k)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), round_digits
+            ).alias("oov_rate"),
+        )
+    )
