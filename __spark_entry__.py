@@ -409,8 +409,10 @@ _SHARED_SQL: dict[str, str] = {
         SELECT event_id, event_type, value, round(z_raw, 4) AS z
         FROM (
           SELECT e.event_id, e.event_type, e.value,
-                 (e.value - s.sx / s.n)
-                   / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS z_raw
+                 CASE WHEN s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n) > 0
+                      THEN (e.value - s.sx / s.n)
+                             / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))
+                      ELSE NULL END AS z_raw
           FROM events e JOIN (
             SELECT event_type, count(value) AS n,
                    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
@@ -2248,8 +2250,8 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A-ES weighted sampling: top-20 orders per
     priority class with selection probability proportional to
-    o_totalprice.  The multiplicative-hash uniform and the rounded
-    Exp(w) priority make membership identical across engines."""
+    o_totalprice.  The md5-hash uniform and the rounded Exp(w)
+    priority make membership identical across engines."""
     from cdp_spark.datapipe.sampling import weighted_sample
 
     orders = load_table(spark, sf_dir, "orders")
@@ -2258,26 +2260,28 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderpriority", "o_orderkey", "o_totalprice", "aes_key")
 
 
-def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream INNER join with an event-time range condition —
-    the remaining Structured Streaming join mode (stream_enrich_events
-    covers stream-static): purchases join the same user's views from
-    the preceding 6 hours.
-
-    Both sides carry a watermark and the join condition bounds v_ts
-    relative to p_ts, so the state store evicts rows as the watermark
-    advances — bounded state at 100 TB, the canonical two-stream
-    correlation shape (conversion attribution).  Inner-join rows emit
-    as soon as both sides arrive (no watermark flush needed for
-    emission; the watermark only gates state eviction), so AvailableNow
-    drives it to the complete deterministic pair set, value-hashed
-    against the batch range-join oracle."""
+def _stage_event_join_streams(
+    spark: SparkSession, sf_dir: str, with_sentinels: bool
+) -> tuple[DataFrame, DataFrame, str]:
+    """Stage events as JSON and build the (purchases, views) stream
+    pair shared by the inner and left-outer stream-stream joins:
+    purchase side watermarked 1 hour, view side 7 hours (the range
+    condition spans 6).  ``with_sentinels`` appends one far-future
+    row per side — required by the OUTER join, whose unmatched rows
+    only emit when the watermark passes their eviction point.
+    Returns (purchases, views, staging_dir)."""
     import tempfile
-    import uuid
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
+    if with_sentinels:
+        far = int(datetime.datetime(2100, 1, 1).timestamp() * 1_000_000)
+        sentinels = spark.createDataFrame(
+            [(-1, -1, "purchase", far), (-2, -2, "view", far)],
+            "event_id long, user_id long, event_type string, ts_us long",
+        )
+        ev = ev.unionByName(sentinels)
     src = tempfile.mkdtemp(prefix="cdp_ssj_src_")
     ev.write.mode("overwrite").json(src)
 
@@ -2311,14 +2315,35 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("v_ts", "7 hours")
     )
-    joined = purchases.join(
-        views,
-        F.expr(
-            "p_user = v_user AND v_ts >= p_ts - INTERVAL 6 HOURS AND v_ts < p_ts"
-        ),
-        "inner",
-    ).select("p_id", "v_id")
+    return purchases, views, src
 
+
+_SSJ_CONDITION = "p_user = v_user AND v_ts >= p_ts - INTERVAL 6 HOURS AND v_ts < p_ts"
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition —
+    the remaining Structured Streaming join mode (stream_enrich_events
+    covers stream-static): purchases join the same user's views from
+    the preceding 6 hours.
+
+    Both sides carry a watermark and the join condition bounds v_ts
+    relative to p_ts, so the state store evicts rows as the watermark
+    advances — bounded state at 100 TB, the canonical two-stream
+    correlation shape (conversion attribution).  Inner-join rows emit
+    as soon as both sides arrive (no watermark flush needed for
+    emission; the watermark only gates state eviction), so AvailableNow
+    drives it to the complete deterministic pair set, value-hashed
+    against the batch range-join oracle."""
+    import tempfile
+    import uuid
+
+    purchases, views, src = _stage_event_join_streams(
+        spark, sf_dir, with_sentinels=False
+    )
+    joined = purchases.join(views, F.expr(_SSJ_CONDITION), "inner").select(
+        "p_id", "v_id"
+    )
     ckpt = tempfile.mkdtemp(prefix="cdp_ssj_ck_")
     name = "stream_ssj_" + uuid.uuid4().hex[:12]
     return _drive_stream_join(spark, joined, name, ckpt, src)
@@ -2337,46 +2362,8 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
-    )
-    far = int(datetime.datetime(2100, 1, 1).timestamp() * 1_000_000)
-    sentinels = spark.createDataFrame(
-        [(-1, -1, "purchase", far), (-2, -2, "view", far)],
-        "event_id long, user_id long, event_type string, ts_us long",
-    )
-    src = tempfile.mkdtemp(prefix="cdp_ssjo_src_")
-    ev.unionByName(sentinels).write.mode("overwrite").json(src)
-
-    def mkstream() -> DataFrame:
-        return (
-            spark.readStream.schema(
-                "event_id long, user_id long, event_type string, ts_us long"
-            )
-            .json(src)
-            .withColumn("ts", F.timestamp_micros("ts_us"))
-            .drop("ts_us")
-        )
-
-    purchases = (
-        mkstream()
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("p_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    views = (
-        mkstream()
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("v_id"),
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("v_ts"),
-        )
-        .withWatermark("v_ts", "7 hours")
+    purchases, views, src = _stage_event_join_streams(
+        spark, sf_dir, with_sentinels=True
     )
     # NOTE: the sentinel purchase must be dropped AFTER materialization,
     # not with a .where() on the stream — Catalyst pushes that filter
@@ -2384,13 +2371,9 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it ever advances the purchase-side watermark and the last real
     # purchases' outer rows would strand in the state store (observed:
     # 4 missing rows, global watermark stuck at max-real-p_ts - 1h).
-    joined = purchases.join(
-        views,
-        F.expr(
-            "p_user = v_user AND v_ts >= p_ts - INTERVAL 6 HOURS AND v_ts < p_ts"
-        ),
-        "left_outer",
-    ).select("p_id", "v_id")
+    joined = purchases.join(views, F.expr(_SSJ_CONDITION), "left_outer").select(
+        "p_id", "v_id"
+    )
     ckpt = tempfile.mkdtemp(prefix="cdp_ssjo_ck_")
     name = "stream_ssjo_" + uuid.uuid4().hex[:12]
     return _drive_stream_join(spark, joined, name, ckpt, src).where(
@@ -3790,7 +3773,8 @@ def oracle_sql() -> dict[str, str]:
         keyed AS (
           SELECT doc_id, n_tokens, logratio,
                  round(logratio
-                       - ln(-ln(((doc_id * 2654435761 + 7) % 1048573 + 1)
+                       - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                      AS BIGINT) % 1048573 + 1)
                                 / 1048574.0)), 6) AS gumbel_key
           FROM final)
         SELECT doc_id, n_tokens, logratio, gumbel_key
@@ -3801,10 +3785,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["weighted_sample"] = """
         WITH keyed AS (
           SELECT o_orderpriority, o_orderkey, o_totalprice,
-                 round(-ln((((o_orderkey * 2654435761 + 7) % 1048573) + 1)
-                           / 1048574.0)
+                 round(-ln((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                                 AS BIGINT) % 1048573 + 1) / 1048574.0)
                        / o_totalprice, 6) AS aes_key
-          FROM orders),
+          FROM orders WHERE o_totalprice > 0),
         ranked AS (
           SELECT *, row_number() OVER (
                    PARTITION BY o_orderpriority

@@ -104,15 +104,29 @@ def dataset_mix(
     return df.withColumn("epoch", F.explode(epochs))
 
 
-# Multiplicative-hash uniform: Knuth's 2^32/phi multiplier, a prime
-# modulus, and a +1 shift keeping u strictly inside (0, 1].  Integer
-# arithmetic is exact int64 on every engine, and the final division
-# of exact integers is a single correctly-rounded IEEE op — so u is
-# bit-identical everywhere (the md5-hex trick above gives an ORDERED
-# LABEL, which threshold filters need; A-ES needs a NUMERIC uniform).
-_AES_MULT = 2654435761
-_AES_SHIFT = 7
+# Hash-derived uniform for the samplers.  md5_hash60 (the audited
+# cross-engine 60-bit hash) reduced mod a prime: u in (0, 1), exact
+# integer arithmetic with NO overflow for any id (a multiplicative
+# id*BIG_CONST hash overflows int64 for ids >= ~2^33 — Spark would
+# silently wrap while DuckDB hard-errors), and the final division of
+# exact integers is one correctly-rounded IEEE op, so u is
+# bit-identical everywhere.  (The md5-hex trick above gives an
+# ORDERED LABEL, which threshold filters need; A-ES/Gumbel need a
+# NUMERIC uniform.)  Distinct ids may share a u (2^20 buckets); keys
+# still differ through the weight/score and ties break by id —
+# harmless for sampling.
 _AES_MOD = 1048573  # prime < 2^20
+
+
+def hash_uniform(id_col: Column) -> Column:
+    """Deterministic uniform in (0, 1): (md5_hash60(id) % p + 1)/(p+1).
+    DuckDB twin:
+    ``(CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)
+    % 1048573 + 1) / 1048574.0``."""
+    from .dedup import md5_hash60
+
+    h = md5_hash60(id_col.cast("string"))
+    return (h % F.lit(_AES_MOD) + F.lit(1)) / F.lit(float(_AES_MOD + 1))
 
 
 def weighted_sample_key(id_col: Column, weight_col: Column, round_digits: int = 6) -> Column:
@@ -121,12 +135,9 @@ def weighted_sample_key(id_col: Column, weight_col: Column, round_digits: int = 
     replacement sample of size k.  Rounded so the only cross-engine
     nondeterminism (libm ln differs by <=1 ulp between JVM and C) is
     absorbed; ties under rounding break by id downstream."""
-    u = (
-        (id_col.cast("long") * F.lit(_AES_MULT) + F.lit(_AES_SHIFT))
-        % F.lit(_AES_MOD)
-        + F.lit(1)
-    ) / F.lit(float(_AES_MOD + 1))
-    return F.round(-F.ln(u) / weight_col.cast("double"), round_digits)
+    return F.round(
+        -F.ln(hash_uniform(id_col)) / weight_col.cast("double"), round_digits
+    )
 
 
 def gumbel_topk(
@@ -144,18 +155,13 @@ def gumbel_topk(
     log space where exp(w) would over/underflow — e.g. DSIR
     importance log-ratios.
 
-    gumbel = -ln(-ln(u)) from the same multiplicative-hash uniform;
-    the k LARGEST (score + gumbel) keys win, ties broken by id on the
-    rounded key.  Same determinism and WindowGroupLimit shape as
-    weighted_sample.
+    gumbel = -ln(-ln(u)) from the same hash uniform; the k LARGEST
+    (score + gumbel) keys win, ties broken by id on the rounded key.
+    Same determinism and WindowGroupLimit shape as weighted_sample.
     """
-    u = (
-        (F.col(id_col).cast("long") * F.lit(_AES_MULT) + F.lit(_AES_SHIFT))
-        % F.lit(_AES_MOD)
-        + F.lit(1)
-    ) / F.lit(float(_AES_MOD + 1))
     key = F.round(
-        F.col(score_col).cast("double") - F.ln(-F.ln(u)), round_digits
+        F.col(score_col).cast("double") - F.ln(-F.ln(hash_uniform(F.col(id_col)))),
+        round_digits,
     )
     part = [stratum_col] if stratum_col else []
     w = Window.partitionBy(*part).orderBy(
@@ -185,9 +191,13 @@ def weighted_sample(
     weighted pick a curation pipeline needs ("sample 10k docs biased
     by quality score").
 
-    Deterministic twice over: u is a multiplicative-hash uniform of
-    the id (not a PRNG), and the top-k rank orders by (rounded key,
-    id) so engines agree row-for-row.
+    Deterministic twice over: u is a hash uniform of the id (not a
+    PRNG), and the top-k rank orders by (rounded key, id) so engines
+    agree row-for-row.  Rows with non-positive weight are EXCLUDED
+    (selection probability proportional to w means w <= 0 never
+    selects; unguarded, w = 0 would yield a NULL key that Spark's
+    NULLS FIRST ordering selects with certainty while SQL engines
+    with NULLS LAST never would).
 
     Scale shape: the key is a codegen expression; per-stratum top-k is
     one window rank over a (stratum) shuffle — with few strata and
@@ -200,7 +210,8 @@ def weighted_sample(
     part = [stratum_col] if stratum_col else []
     w = Window.partitionBy(*part).orderBy(F.col("_aes_key"), F.col(id_col))
     return (
-        df.withColumn("_aes_key", key)
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
         .withColumn("_rank", F.row_number().over(w))
         .where(F.col("_rank") <= k)
         .drop("_rank")

@@ -56,37 +56,19 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
-    """(register, max_rank) rows for the non-empty registers — the
-    mergeable sketch state.  Hash = md5_hash60 of the value as a
-    string; register = hash mod 2^p; rank = leading-zero count of the
-    remaining 60-p bits plus one, computed as ``(60-p+1) -
-    (length(bin(rest)) - 1) - 1 + 1`` = ``61-p - length(bin(rest))``
-    ... spelled with bin() so it is integer-exact on both engines."""
-    m = 1 << p
-    h = md5_hash60(F.col(col).cast("string"))
-    rest = F.shiftright(h, p)
-    width = 60 - p
-    rank = (
-        F.when(rest > 0, F.lit(width + 1) - F.length(F.bin(rest)))
-        .otherwise(F.lit(width + 1))
-        .cast("int")
-    )
-    return (
-        df.where(F.col(col).isNotNull())
-        .select((h % m).alias("register"), rank.alias("rank"))
-        .groupBy("register")
-        .agg(F.max("rank").alias("max_rank"))
-    )
-
-
 def hll_registers_by(
     df: DataFrame, group_cols: list[str], col: str, p: int = 8
 ) -> DataFrame:
     """Per-group sketch state: (group..., register, max_rank) — one
-    row per non-empty register per group.  State is O(groups × 2^p)
-    regardless of input volume; the shuffle carries only partial
-    register maxima (map-side combined)."""
+    row per non-empty register per group (empty ``group_cols`` gives
+    the global sketch).  State is O(groups × 2^p) regardless of input
+    volume; the shuffle carries only partial register maxima
+    (map-side combined).
+
+    Hash = md5_hash60 of the value as a string; register = hash mod
+    2^p; rank = leading-zero count of the remaining 60-p bits plus
+    one, computed as ``61-p - length(bin(rest))`` — spelled with
+    bin() so it is integer-exact on both engines."""
     m = 1 << p
     h = md5_hash60(F.col(col).cast("string"))
     rest = F.shiftright(h, p)
@@ -104,80 +86,29 @@ def hll_registers_by(
     )
 
 
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """Global (register, max_rank) sketch state — the ungrouped
+    special case of :func:`hll_registers_by`."""
+    return hll_registers_by(df, [], col, p)
+
+
 def hll_estimate_by(
     df: DataFrame, group_cols: list[str], col: str, p: int = 8
 ) -> DataFrame:
     """Per-group HLL cardinality — the "distinct users per segment
     over 100 TB in one pass" query.  Same estimator as
-    :func:`hll_estimate_from_registers`, applied per group over
-    :func:`hll_registers_by` state."""
-    m = 1 << p
-    alpha = _alpha(m)
-    regs = hll_registers_by(df, group_cols, col, p).select(
-        *group_cols,
-        "register",
-        F.least(F.col("max_rank"), F.lit(_RANK_CLAMP)).alias("rank_c"),
-    )
-    agg = regs.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("nreg"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rank_c")).cast("decimal(38,30)")).alias(
-            "z_present"
-        ),
-    )
-    z = F.coalesce(F.col("z_present").cast("double"), F.lit(0.0)) + (
-        F.lit(m) - F.col("nreg")
-    ).cast("double")
-    e_raw = F.lit(alpha * m * m) / z
-    v = F.lit(m) - F.col("nreg")
-    estimate = F.when(
-        (e_raw <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
-    ).otherwise(e_raw)
-    return agg.select(
-        *group_cols,
-        F.col("nreg").cast("long").alias("n_registers"),
-        F.round(estimate, 2).cast("double").alias("hll_estimate"),
+    :func:`hll_estimate_from_registers` (delegated, grouped), applied
+    over :func:`hll_registers_by` state."""
+    return hll_estimate_from_registers(
+        hll_registers_by(df, group_cols, col, p), p, group_cols=group_cols
     )
 
 
 def hll_by_oracle_sql(table: str, group_col: str, col: str, p: int = 8) -> str:
     """DuckDB twin of :func:`hll_estimate_by` for a single group
-    column — the grouped variant of :func:`hll_oracle_sql`."""
-    m = 1 << p
-    alpha = _alpha(m)
-    width1 = 60 - p + 1
-    return f"""
-        WITH hashed AS (
-          SELECT {group_col} AS grp,
-                 CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
-          FROM {table} WHERE {col} IS NOT NULL
-        ),
-        ranked AS (
-          SELECT grp, h % {m} AS register,
-                 CASE WHEN h // {m} > 0
-                      THEN {width1} - length(bin(h // {m}))
-                      ELSE {width1} END AS rank
-          FROM hashed
-        ),
-        regs AS (
-          SELECT grp, register, least(max(rank), {_RANK_CLAMP}) AS rank_c
-          FROM ranked GROUP BY grp, register
-        ),
-        agg AS (
-          SELECT grp, count(*) AS nreg,
-                 sum(CAST(pow(2.0, -rank_c) AS DECIMAL(38,30))) AS z_present
-          FROM regs GROUP BY grp
-        )
-        SELECT grp, CAST(nreg AS BIGINT) AS n_registers,
-               CAST(round(
-                 CASE WHEN {alpha * m * m!r} / (CAST(z_present AS DOUBLE) + ({m} - nreg))
-                           <= {2.5 * m!r}
-                       AND ({m} - nreg) > 0
-                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - nreg))
-                      ELSE {alpha * m * m!r} / (CAST(z_present AS DOUBLE) + ({m} - nreg))
-                 END, 2) AS DOUBLE) AS hll_estimate
-        FROM agg
-    """
+    column — the grouped variant of :func:`hll_oracle_sql` (same
+    shared template)."""
+    return _hll_sql(table, col, p, group_col=group_col)
 
 
 def hll_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
@@ -187,19 +118,25 @@ def hll_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     return hll_estimate_from_registers(hll_registers(df, col, p), p)
 
 
-def hll_estimate_from_registers(registers: DataFrame, p: int = 8) -> DataFrame:
+def hll_estimate_from_registers(
+    registers: DataFrame, p: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
     """Finish an estimate from a ``(register, max_rank)`` frame — the
     merge-then-estimate path: registers can come from :func:`
     hll_registers`, a union of shard sketches, or a STREAMING
     aggregation (register-max is order-insensitive, so the sketch
-    streams natively in complete/update mode)."""
+    streams natively in complete/update mode).  With ``group_cols``
+    the frame carries per-group state and one estimate row per group
+    comes back."""
+    group_cols = group_cols or []
     m = 1 << p
     alpha = _alpha(m)
     regs = registers.select(
+        *group_cols,
         "register",
         F.least(F.col("max_rank"), F.lit(_RANK_CLAMP)).alias("rank_c"),
     )
-    agg = regs.agg(
+    agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nreg"),
         F.sum(F.pow(F.lit(2.0), -F.col("rank_c")).cast("decimal(38,30)")).alias(
             "z_present"
@@ -217,41 +154,47 @@ def hll_estimate_from_registers(registers: DataFrame, p: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(e_raw)
     return agg.select(
+        *group_cols,
         F.col("nreg").cast("long").alias("n_registers"),
         F.round(estimate, 2).cast("double").alias("hll_estimate"),
     )
 
 
-def hll_oracle_sql(table: str, col: str, p: int = 8) -> str:
-    """The DuckDB twin of :func:`hll_estimate` — same hash, same
-    integer-exact rank, same decimal harmonic sum, same correction.
-    Used by the driver oracle; kept next to the operator so the two
-    formulations evolve together."""
+def _hll_sql(table: str, col: str, p: int, group_col: str | None) -> str:
+    """One SQL template for both the global and grouped DuckDB twins
+    — same hash, same integer-exact rank, same decimal harmonic sum,
+    same small-range correction as the DataFrame estimator.  Kept
+    next to the operator so the formulations evolve together."""
     m = 1 << p
     alpha = _alpha(m)
     width1 = 60 - p + 1
+    gsel = f"{group_col} AS grp," if group_col else ""
+    gout = "grp," if group_col else ""
+    gby_regs = "GROUP BY grp, register" if group_col else "GROUP BY register"
+    gby_agg = "GROUP BY grp" if group_col else ""
     return f"""
         WITH hashed AS (
-          SELECT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          SELECT {gsel}
+                 CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
           FROM {table} WHERE {col} IS NOT NULL
         ),
         ranked AS (
-          SELECT h % {m} AS register,
+          SELECT {gout} h % {m} AS register,
                  CASE WHEN h // {m} > 0
                       THEN {width1} - length(bin(h // {m}))
                       ELSE {width1} END AS rank
           FROM hashed
         ),
         regs AS (
-          SELECT register, least(max(rank), {_RANK_CLAMP}) AS rank_c
-          FROM ranked GROUP BY register
+          SELECT {gout} register, least(max(rank), {_RANK_CLAMP}) AS rank_c
+          FROM ranked {gby_regs}
         ),
         agg AS (
-          SELECT count(*) AS nreg,
+          SELECT {gout} count(*) AS nreg,
                  sum(CAST(pow(2.0, -rank_c) AS DECIMAL(38,30))) AS z_present
-          FROM regs
+          FROM regs {gby_agg}
         )
-        SELECT CAST(nreg AS BIGINT) AS n_registers,
+        SELECT {gout} CAST(nreg AS BIGINT) AS n_registers,
                CAST(round(
                  CASE WHEN {alpha * m * m!r} / (CAST(z_present AS DOUBLE) + ({m} - nreg))
                            <= {2.5 * m!r}
@@ -261,6 +204,11 @@ def hll_oracle_sql(table: str, col: str, p: int = 8) -> str:
                  END, 2) AS DOUBLE) AS hll_estimate
         FROM agg
     """
+
+
+def hll_oracle_sql(table: str, col: str, p: int = 8) -> str:
+    """The DuckDB twin of :func:`hll_estimate` (global sketch)."""
+    return _hll_sql(table, col, p, group_col=None)
 
 
 def hll_error_bound(p: int = 8) -> float:

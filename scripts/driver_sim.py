@@ -43,58 +43,77 @@ def normalize(rows, columns):
     return out
 
 
+def make_oracle_connection(sf_dir: str):
+    """DuckDB connection with the testdata tables registered as views
+    — the driver's oracle side, shared with scripts/check_queries."""
+    con = duckdb.connect()
+    for t in entrymod._TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def compare_query(spark, con, queries, oracles, name, sf_dir) -> dict:
+    """One query's driver-gate compare: run the Spark query and its
+    DuckDB oracle, return the record dict (rows/schema/hash matches,
+    first_diff on mismatch, err on exception, rows_only when no
+    oracle exists).  THE comparison contract — scripts/check_queries
+    imports this so the selective checker can never drift from the
+    full gate."""
+    rec: dict = {}
+    try:
+        sdf = queries[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        rec["spark_rows"] = len(srows)
+        if name in oracles:
+            res = con.sql(oracles[name])
+            dcols, drows = res.columns, res.fetchall()
+            rec["oracle_rows"] = len(drows)
+            rec["rows_match"] = len(srows) == len(drows)
+            rec["schema_match"] = sorted(scols) == sorted(dcols)
+            ns, nd = normalize(srows, scols), normalize(drows, dcols)
+            rec["hash_match"] = ns == nd
+            # The real driver may serialize via pandas/arrow, where
+            # DuckDB HUGEINT/DECIMAL become float64/decimal128 while
+            # Spark emits int64 — values "match" under fetchall but
+            # hash differently (the r02-r04 session_gap red row).
+            # Flag any type that doesn't survive that boundary.
+            risky = [
+                (c, str(t))
+                for c, t in zip(res.columns, res.types)
+                if str(t) in ("HUGEINT", "UHUGEINT")
+                or str(t).startswith("DECIMAL")
+            ]
+            risky += [
+                (f.name, f.dataType.simpleString())
+                for f in sdf.schema.fields
+                if f.dataType.simpleString().startswith("decimal")
+            ]
+            if risky:
+                rec["hash_match"] = False
+                rec["first_diff"] = f"driver-unsafe output types: {risky}"
+            if not rec["hash_match"]:
+                rec.setdefault(
+                    "first_diff",
+                    str([(a, b) for a, b in zip(ns, nd) if a != b][:2])[:400],
+                )
+        else:
+            rec["rows_only"] = True
+    except Exception:
+        rec["err"] = traceback.format_exc()[-600:]
+    return rec
+
+
 def main() -> None:
     spark = SparkSession.builder.master("local[32]").appName("driver_sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in entrymod._TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    con = make_oracle_connection(SF_DIR)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results: dict[str, dict] = {}
     for name in sorted(queries):
-        rec: dict = {}
-        try:
-            sdf = queries[name](spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            rec["spark_rows"] = len(srows)
-            if name in oracles:
-                res = con.sql(oracles[name])
-                dcols, drows = res.columns, res.fetchall()
-                rec["oracle_rows"] = len(drows)
-                rec["rows_match"] = len(srows) == len(drows)
-                rec["schema_match"] = sorted(scols) == sorted(dcols)
-                ns, nd = normalize(srows, scols), normalize(drows, dcols)
-                rec["hash_match"] = ns == nd
-                # The real driver may serialize via pandas/arrow, where
-                # DuckDB HUGEINT/DECIMAL become float64/decimal128 while
-                # Spark emits int64 — values "match" under fetchall but
-                # hash differently (the r02-r04 session_gap red row).
-                # Flag any type that doesn't survive that boundary.
-                risky = [
-                    (c, str(t))
-                    for c, t in zip(res.columns, res.types)
-                    if str(t) in ("HUGEINT", "UHUGEINT")
-                    or str(t).startswith("DECIMAL")
-                ]
-                risky += [
-                    (f.name, f.dataType.simpleString())
-                    for f in sdf.schema.fields
-                    if f.dataType.simpleString().startswith("decimal")
-                ]
-                if risky:
-                    rec["hash_match"] = False
-                    rec["first_diff"] = f"driver-unsafe output types: {risky}"
-                if not rec["hash_match"]:
-                    rec["first_diff"] = str(
-                        [(a, b) for a, b in zip(ns, nd) if a != b][:2]
-                    )[:400]
-            else:
-                rec["rows_only"] = True
-        except Exception:
-            rec["err"] = traceback.format_exc()[-600:]
+        rec = compare_query(spark, con, queries, oracles, name, SF_DIR)
         results[name] = rec
         tag = (
             "OK" if rec.get("hash_match")

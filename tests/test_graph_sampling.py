@@ -3,6 +3,7 @@ the round-6 graph/curation additions."""
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import pytest
@@ -109,7 +110,8 @@ def test_weighted_sample_matches_bruteforce(spark):
                  weighted_sample(df, "id", "w", k, "grp").collect())
     keys = []
     for i in range(120):
-        u = ((i * 2654435761 + 7) % 1048573 + 1) / 1048574.0
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+             % 1048573 + 1) / 1048574.0
         keys.append((("g" + str(i % 2)), round(-math.log(u) / (1 + i % 7), 6), i))
     want = []
     for g in ("g0", "g1"):
@@ -187,7 +189,8 @@ def test_gumbel_topk_matches_bruteforce(spark):
     got = sorted(r["id"] for r in gumbel_topk(df, "id", "score", 10).collect())
     keys = []
     for i, s in rows:
-        u = ((i * 2654435761 + 7) % 1048573 + 1) / 1048574.0
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+             % 1048573 + 1) / 1048574.0
         keys.append((round(s - math.log(-math.log(u)), 6), -i))
     keys.sort(reverse=True)
     want = sorted(-neg for _, neg in keys[:10])
@@ -223,3 +226,25 @@ def test_dsir_logratio_prefers_target_like_docs(spark):
            for r in dsir_logratio(df, F.col("is_t")).collect()}
     assert set(out) == {100, 101}  # pool only
     assert out[100] > 0 > out[101]
+
+
+def test_weighted_sample_large_ids_no_overflow(spark):
+    # ids >= 2^33 would overflow an id*CONST multiplicative hash
+    # (Spark wraps silently, DuckDB errors); the md5-based uniform
+    # must handle snowflake-scale ids with finite keys
+    base = 1 << 60
+    rows = [(base + i, 1.0 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample(df, "id", "w", 5)
+    got = out.collect()
+    assert len(got) == 5
+    assert all(r["aes_key"] is not None and r["aes_key"] > 0 for r in got)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    # w=0 would make -ln(u)/w NULL (selected with certainty under
+    # Spark's NULLS FIRST); w<=0 rows must simply never be sampled
+    rows = [(1, 0.0), (2, -3.0), (3, 1.0), (4, 2.0), (5, 1.5)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(r["id"] for r in weighted_sample(df, "id", "w", 3).collect())
+    assert got == [3, 4, 5]
