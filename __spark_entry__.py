@@ -2112,6 +2112,38 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one driver-checked query:
+    quality/language/repetition curation (curation_filter) → exact
+    content dedup (min-id per md5 group, among survivors) → quality-
+    weighted A-ES sampling (k=100) → greedy 512-token sequence
+    packing per source.  Every stage is an already-verified operator;
+    this pins their COMPOSITION — schema compatibility, filter
+    ordering, and the sample-then-pack recurrence — against one
+    stitched oracle (nested CTEs + the recursive packer)."""
+    from cdp_spark.datapipe import curate
+    from cdp_spark.datapipe.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        q_curation_filter(spark, sf_dir)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .where(F.length(F.trim("text")) > 0)
+    )
+    canon = surv.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    canonical = surv.join(canon.select("doc_id"), "doc_id")
+    sampled = weighted_sample(canonical, "doc_id", "quality", k=100)
+    seqin = sampled.select(
+        "source", "doc_id", txt.token_count(F.col("text")).alias("w")
+    )
+    packed = curate.pack_greedy(
+        seqin, "w", budget=512, partition_by=["source"], order_by="doc_id"
+    )
+    return packed.select("source", "doc_id", "bin")
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus top-1000
     vocabulary (tokenizer-coverage triage); ties at the vocabulary
@@ -2440,6 +2472,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_users_by_type": q_hll_users_by_type,
     "rollup_reaggregate": q_rollup_reaggregate,
     "oov_rate": q_oov_rate,
+    "training_corpus_e2e": q_training_corpus_e2e,
 }
 
 
@@ -3924,6 +3957,41 @@ def oracle_sql() -> dict[str, str]:
         JOIN r ON r.doc_id = d.doc_id
         WHERE q.quality >= 0.6 AND l.pred_lang = d.lang
           AND r.top_word_frac <= 0.2
+    """
+    oracles["training_corpus_e2e"] = rf"""
+        WITH RECURSIVE surv AS ({oracles["curation_filter"]}),
+        st AS (
+          SELECT s.doc_id, s.source, s.quality, d.text
+          FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+          WHERE length(trim(d.text)) > 0),
+        canon AS (
+          SELECT min(doc_id) AS doc_id FROM st GROUP BY md5(text)),
+        scored AS (
+          SELECT st.doc_id, st.source, st.text,
+                 round(-ln((CAST('0x' || substr(md5(CAST(st.doc_id AS VARCHAR)), 1, 15)
+                                 AS BIGINT) % 1048573 + 1) / 1048574.0)
+                       / st.quality, 6) AS aes_key
+          FROM st JOIN canon c ON c.doc_id = st.doc_id
+          WHERE st.quality > 0),
+        sampled AS (
+          SELECT doc_id, source, text,
+                 row_number() OVER (ORDER BY aes_key, doc_id) AS pick
+          FROM scored),
+        seq AS (
+          SELECT source, doc_id,
+                 len(string_split_regex(trim(text), '\s+')) AS w,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM sampled WHERE pick <= 100),
+        rec AS (
+          SELECT source, doc_id, rn, CAST(0 AS BIGINT) AS bin, w AS acc
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.source, s.doc_id, s.rn,
+                 CASE WHEN r.acc + s.w > 512 THEN r.bin + 1 ELSE r.bin END,
+                 CASE WHEN r.acc + s.w > 512 THEN s.w ELSE r.acc + s.w END
+          FROM rec r JOIN seq s ON s.source = r.source AND s.rn = r.rn + 1
+        )
+        SELECT source, doc_id, bin FROM rec
     """
     from cdp_spark.datapipe.sketches import histogram_quantiles_oracle_sql
 

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "rollup_reaggregate",
     "oov_rate",
     "dsir_sample",
+    "training_corpus_e2e",
     # persisted-index reads (build happens once in warmup; the timed
     # query is the partition-pruned scan — the 100 TB access path)
     "ann_lsh_indexed",
