@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q19_disjunctive_revenue",
+    "q13_customer_distribution",
     "window_nav_funcs",
     "zscore_outliers",
     "triangle_count_nations",

@@ -177,10 +177,13 @@ def dsir_logratio(df, target_col, text_col: str = "text", id_col: str = "doc_id"
     ``target_col`` is a boolean Column: True rows define the target
     distribution, False rows are the pool being scored.
 
-    Scale shape: one explode, two token-count aggregates (map-side
-    combined), the corpus scalars (token totals + vocabulary size)
-    enter the plan as ONE broadcast row — fully lazy, no collect; the
-    per-token join is Zipf-small and AQE broadcast-converts it.
+    Scale shape: the token explode is CONSUMED TWICE (count pass +
+    scoring pass — same tokenize-twice trade as unigram_logprob;
+    cache the exploded frame if the corpus scan dominates), both
+    aggregates map-side combined; the corpus scalars (token totals +
+    vocabulary size) enter the plan as ONE broadcast row — fully
+    lazy, no collect; the per-token join is Zipf-small and AQE
+    broadcast-converts it.
 
     Determinism: ln(c_T+1)-ln(c_R+1) is rounded to 9 digits per
     token, folded in DECIMAL(28,12) (order-independent), and the
@@ -241,10 +244,12 @@ def oov_rate(df, text_col: str = "text", id_col: str = "doc_id",
     decides whether a corpus needs vocab retraining (high OOV mass)
     or is mostly boilerplate (near-zero OOV everywhere).
 
-    Scale shape: one explode feeds both the vocabulary count and the
-    scoring pass; the vocabulary is a top-k aggregate (TakeOrdered,
-    k rows to the driver-side of the join build) broadcast against
-    the token stream; per-doc flags aggregate map-side.
+    Scale shape: the token explode is consumed twice (vocabulary
+    count + scoring pass — the tokenize-twice trade shared with
+    unigram_logprob/dsir_logratio; cache the exploded frame when the
+    corpus scan dominates); the vocabulary is a top-k aggregate
+    (TakeOrdered, k rows) broadcast against the token stream; per-doc
+    flags aggregate map-side.
 
     Output: (id, n_tokens, n_oov, oov_rate).
     """

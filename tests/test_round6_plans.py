@@ -73,3 +73,12 @@ def test_hll_union_merge_is_register_sized(spark):
     # the merge aggregates (register, max_rank) — grouping must be on
     # register, and both inputs partially aggregate before exchange
     assert "hashpartitioning(register" in plan
+
+
+def test_triangle_edges_materialize_once(spark):
+    # Spark inlines repeated CTE references (the shared-SQL text scans
+    # lineitem 8x); the Spark-side implementation must materialize the
+    # edge list once — the final plan reads only checkpointed RDDs
+    plan = _plan(entry.q_triangle_count_nations(spark, SF))
+    assert "FileScan parquet [l_" not in plan
+    assert "Scan ExistingRDD" in plan
