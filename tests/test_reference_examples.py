@@ -374,3 +374,52 @@ def test_composition_debug_formatter(spark):
     )
     got = sorted((r["n"], r["d"]) for r in result.output.collect())
     assert got == [("ev.one", '"hello"'), ("ev.two", None)]
+
+
+def test_basic_http_input_pipeline_end_to_end(spark, tmp_path, monkeypatch):
+    """examples/basic-http-input: the reference's smallest pipeline —
+    HTTP ingest straight into a send-stdout flatmap — run unmodified
+    (port swapped to ephemeral) through the managed streaming runner:
+    POST NDJSON, watch the events print, ordered close."""
+    import io as _io
+    import sys as _sys
+    import time
+    import urllib.request
+
+    import yaml
+
+    from cdp_spark.streaming import run_pipeline_managed
+
+    doc = yaml.safe_load(open(f"{EXAMPLES}/basic-http-input/pipeline.yaml").read())
+    doc["input"]["http"]["port"] = 0
+    template = from_yaml(yaml.safe_dump(doc))
+
+    captured = _io.StringIO()
+    monkeypatch.setattr(_sys, "stdout", captured)
+    runner = run_pipeline_managed(
+        template,
+        spark,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=0.5,
+    )
+    try:
+        server = runner._input_closers[0].__self__
+        body = '{"n":"hello.world","d":42}\n{"n":"bye","d":"x"}\n'
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/events",
+            data=body.encode(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req).status == 200
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if captured.getvalue().count("\n") >= 2:
+                break
+            time.sleep(0.3)
+    finally:
+        runner.close()
+        monkeypatch.undo()
+    lines = [json.loads(l) for l in captured.getvalue().strip().splitlines()]
+    assert [(e["n"], e["d"]) for e in lines] == [("hello.world", 42), ("bye", "x")]
+    # events carry the pipeline trace stamped by the engine
+    assert all(e["t"][-1]["p"] == "Basic HTTP input" for e in lines)
