@@ -2129,6 +2129,71 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over a STREAM — counter addition is an
+    order-insensitive streaming aggregate (like HLL's register-max),
+    so the (row, bucket, cnt) state streams natively in complete mode
+    across 4 single-file micro-batches; the batch finish probes the
+    final counters for the top-10 heavy hitters.  Bit-identical to
+    batch cms_heavy_users and its DuckDB oracle: streaming vs batch
+    is a plan choice, not an answer change."""
+    import tempfile
+    import uuid
+
+    from cdp_spark.datapipe import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    src = tempfile.mkdtemp(prefix="cdp_cms_src_")
+    ev.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sketch_stream = sk.cms_sketch(stream, "user_id", depth=3, width=1024)
+    ckpt = tempfile.mkdtemp(prefix="cdp_cms_ck_")
+    name = "stream_cms_" + uuid.uuid4().hex[:12]
+    query = (
+        sketch_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError(
+                f"AvailableNow stream {name} still running after 300s "
+                f"(checkpoint {ckpt}); refusing to read a partial result"
+            )
+    finally:
+        if query.isActive:
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    sketch = spark.table(name)
+    full = load_table(spark, sf_dir, "events")
+    items = full.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    est = sk.cms_estimates(sketch, items, "user_id", depth=3, width=1024)
+    exact = (
+        full.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+        )
+    )
+
+
 def q_triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the above-mean nation trade graph — the
     canonical multi-way distributed self-join.
@@ -2546,6 +2611,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate": q_oov_rate,
     "training_corpus_e2e": q_training_corpus_e2e,
     "triangle_count_nations": q_triangle_count_nations,
+    "stream_cms_users": q_stream_cms_users,
 }
 
 
@@ -4019,6 +4085,8 @@ def oracle_sql() -> dict[str, str]:
         FROM base b JOIN exact e ON CAST(e.user_id AS VARCHAR) = b.v
         ORDER BY b.est_count DESC, e.user_id LIMIT 10
     """
+    # streaming CMS == batch CMS bit-for-bit (counter adds commute)
+    oracles["stream_cms_users"] = oracles["cms_heavy_users"]
     oracles["curation_filter"] = f"""
         WITH q AS ({oracles["quality_score"]}),
              l AS ({oracles["lang_id"]}),
