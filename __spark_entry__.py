@@ -2129,6 +2129,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup — new batch (doc_id % 5 == 0) against
+    the existing corpus: old x old pairs are never generated, a new
+    doc drops if a verified partner precedes it (existing docs first,
+    then new by id).  The daily-crawl ingest shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ddp.incremental_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        is_new_col=(F.col("doc_id") % 5 == 0),
+        threshold=0.5,
+        num_perm=32,
+        bands=8,
+        hash_fn=ddp.md5_hash60,
+    )
+
+
 def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over a STREAM — counter addition is an
     order-insensitive streaming aggregate (like HLL's register-max),
@@ -2612,6 +2630,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_corpus_e2e": q_training_corpus_e2e,
     "triangle_count_nations": q_triangle_count_nations,
     "stream_cms_users": q_stream_cms_users,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 
@@ -3534,6 +3553,44 @@ def oracle_sql() -> dict[str, str]:
               JOIN counts cb ON cb.doc_id = p.id_b
             )
             SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+    """
+    oracles["incremental_dedup"] = f"""
+            WITH {_mh_cands},
+            counts AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY p.id_a, p.id_b
+            ),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     round(coalesce(i.i, 0) * 1.0
+                           / (ca.c + cb.c - coalesce(i.i, 0)), 6) AS jaccard
+              FROM pairs p
+              LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              JOIN counts ca ON ca.doc_id = p.id_a
+              JOIN counts cb ON cb.doc_id = p.id_b
+              WHERE round(coalesce(i.i, 0) * 1.0
+                          / (ca.c + cb.c - coalesce(i.i, 0)), 6) >= 0.5
+            ),
+            vb AS (
+              SELECT id_a AS a, id_b AS b, jaccard FROM j
+              UNION ALL SELECT id_b, id_a, jaccard FROM j
+            ),
+            cand AS (
+              SELECT b AS id, a AS partner, jaccard,
+                     CASE WHEN a % 5 = 0 THEN 1 ELSE 0 END AS p_new
+              FROM vb
+              WHERE b % 5 = 0 AND (a % 5 <> 0 OR a < b)
+            ),
+            ranked AS (
+              SELECT id, partner, jaccard,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY p_new, partner) AS rn
+              FROM cand)
+            SELECT id, partner AS dup_of, jaccard FROM ranked WHERE rn = 1
     """
     oracles["minhash_dedup_corpus"] = f"""
             WITH RECURSIVE {_mh_cands},

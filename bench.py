@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dup_clusters",
     "near_dedup_corpus",
     "minhash_dedup_corpus",
+    "incremental_dedup",
     "stratified_sample",
     "dataset_mix",
     "decontaminate_docs",

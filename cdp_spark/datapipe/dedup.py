@@ -303,6 +303,129 @@ def verified_near_dups(
     )
 
 
+def incremental_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new_col,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    hash_fn=default_hash64,
+) -> DataFrame:
+    """Incremental near-dedup: flag NEW documents that duplicate the
+    EXISTING corpus or an earlier new document — the daily-increment
+    shape, where an old corpus of N docs and a new batch of M << N
+    must cost O(M·bucket-occupancy), not re-pair the whole corpus.
+
+    Bucket members collect as (is_new, id) structs, array_sort puts
+    old before new, and the pairwise expansion keeps only pairs whose
+    RIGHT element is new — old×old pairs (the overwhelming bulk of a
+    mature corpus) are never generated.  Because the member array is
+    sorted by (is_new, id), the left element of every emitted pair
+    already PRECEDES the right one under the dedup precedence order
+    (existing docs first, then new by ascending id), so "first
+    preceding partner" is a plain struct-min per new id.
+
+    At 100 TB the old side's signatures and shingle arrays come from
+    the persisted signature index written at ingest
+    (:func:`minhash_signatures_df`) instead of recomputation; here
+    both sides derive from one frame so the oracle can replay it.
+
+    Output: one row per duplicated new doc —
+    (id, dup_of, jaccard) with dup_of the first preceding partner.
+    """
+    base = _ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+            is_new_col.cast("int").alias("_new"),
+        )
+    ).filter(F.size(tokens(F.col("_t"))) > 0)
+    enriched = (
+        base.select("_id", "_new", shingles(F.col("_t"), n).alias("_sh"))
+        .select(
+            "_id",
+            "_new",
+            "_sh",
+            signature_from_shingles(F.col("_sh"), num_perm, 42, hash_fn).alias(
+                "signature"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = num_perm // bands
+    bucket_fn = None if hash_fn is default_hash64 else hash_fn
+    sig = enriched.select(
+        "_id",
+        "_new",
+        F.explode(
+            lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
+        ).alias("bk"),
+    ).select("_id", "_new", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    buckets = (
+        sig.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_new").alias("f"), F.col("_id").alias("i"))
+                )
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: y["f"] == 1,
+                ),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    x["f"].alias("new_a"),
+                    y["i"].alias("id_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.new_a", "p.id_b")
+        .distinct()
+    )
+    docs_sh = enriched.select(F.col("_id").alias("_vid"), F.col("_sh"))
+    joined = pairs.join(
+        docs_sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        docs_sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    verified = joined.withColumn("jaccard", F.round(jac, 6)).filter(
+        F.col("jaccard") >= threshold
+    )
+    best = verified.groupBy("id_b").agg(
+        F.min(
+            F.struct(
+                F.col("new_a").alias("f"),
+                F.col("id_a").alias("p"),
+                F.col("jaccard").alias("j"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("id_b").alias("id"),
+        F.col("m.p").alias("dup_of"),
+        F.col("m.j").alias("jaccard"),
+    )
+
+
 _SIMHASH_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
 
 

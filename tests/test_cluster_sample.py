@@ -163,3 +163,28 @@ def test_near_dedup_survivors_keeps_one_per_cluster(spark):
     # idempotent: re-running dedup over the survivors changes nothing
     again = near_dedup_survivors(out, "doc_id", comp)
     assert again.count() == out.count()
+
+
+def test_incremental_near_dups_never_pairs_old_with_old(spark):
+    from cdp_spark.datapipe.dedup import incremental_near_dups
+
+    # docs 1,2 are OLD near-identical twins; 10 is a NEW copy of 1;
+    # 11 a NEW copy of 10; 20 NEW and unique.
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, text), (2, text),              # old twins: must NOT be flagged
+        (10, text), (11, text),            # new copies
+        (20, "totally different words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["dup_of"], r["jaccard"]) for r in incremental_near_dups(
+        df, "doc_id", "text",
+        is_new_col=(F.col("doc_id") >= 10),
+        threshold=0.8, num_perm=32, bands=8,
+    ).collect()}
+    # only NEW ids appear, old-old dup (1,2) is never reported
+    assert set(out) == {10, 11}
+    # precedence: old partners win over new ones (10's dup_of is an
+    # old doc, not 11); 11 could match either but old still wins
+    assert out[10][0] in (1, 2) and out[11][0] in (1, 2)
+    assert out[10][1] == 1.0
