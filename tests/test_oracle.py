@@ -95,3 +95,27 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_leads_with_r04_stale_queries():
+    """The external driver gate checks only the FIRST 50 queries()
+    entries; round-6 rotation (VERDICT r5 #1) put the 38 queries whose
+    only driver rows predate the r05 testdata regeneration at the
+    front.  Pin the window membership so a later edit appending to the
+    wrong dict cannot silently rotate them out."""
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    must_lead = {
+        "dedup_exact_docs", "dup_clusters", "stratified_sample",
+        "dataset_mix", "text_stats", "lang_id", "quality_score",
+        "token_count_by_source", "fingerprint_docs", "ann_bruteforce",
+        "minhash_pairs", "near_dup_verified", "ngram_jaccard_pairs",
+        "embedding_cosine_pairs", "simhash_docs", "ann_lsh",
+        "grouping_sets", "sort_limit", "scalar_functions",
+        "pivot_conditional", "topk_frequent", "avg_subquery_join",
+        "decontaminate_docs", "pack_documents", "vocabulary",
+        "boilerplate_spans", "chunk_tokens", "doc_repetition",
+        "pii_redact", "string_agg_sorted", "vector_dim_stats",
+    }
+    missing = must_lead - window
+    assert not missing, f"r04-stale leaders fell out of the first 50: {missing}"
