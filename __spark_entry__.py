@@ -1042,7 +1042,6 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch HLL and to the DuckDB oracle: streaming vs batch is a
     plan choice, not an answer change."""
     import tempfile
-    import uuid
 
     from cdp_spark.datapipe import sketches as sk
 
@@ -1055,29 +1054,8 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     regs = sk.hll_registers(stream, "user_id", 8)
-    ckpt = tempfile.mkdtemp(prefix="cdp_hll_ck_")
-    name = "stream_hll_" + uuid.uuid4().hex[:12]
-    query = (
-        regs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError(
-                f"AvailableNow stream {name} still running after 300s "
-                f"(checkpoint {ckpt}); refusing to read a partial result"
-            )
-    finally:
-        if query.isActive:
-            query.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
-    return sk.hll_estimate_from_registers(spark.table(name), 8)
+    table = _drive_memory_stream(spark, regs, "cdp_hll_", src, "complete")
+    return sk.hll_estimate_from_registers(table, 8)
 
 
 _E2E_TEMPLATE = """
@@ -1821,7 +1799,6 @@ def _run_stream_to_table(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     path (state store, watermark, append semantics), not a batch
     re-expression."""
     import tempfile
-    import uuid
 
     # Stage as epoch MICROS: the JSON timestamp writer truncates to
     # milliseconds, which would shift session bounds off the oracle.
@@ -1840,32 +1817,9 @@ def _run_stream_to_table(spark: SparkSession, sf_dir: str, build) -> DataFrame:
         .withColumn("ts", F.timestamp_micros("ts_us"))
         .drop("ts_us")
     )
-    ckpt = tempfile.mkdtemp(prefix="cdp_stream_ck_")
-    name = "stream_q_" + uuid.uuid4().hex[:12]
-    query = (
-        build(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    return _drive_memory_stream(spark, build(stream), "cdp_stream_", src).where(
+        F.col("user_id") >= 0
     )
-    # Fail loudly on a hung run: reading the memory table mid-stream
-    # would surface as an opaque driver hash mismatch instead.
-    try:
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError(
-                f"AvailableNow stream {name} still running after 300s "
-                f"(checkpoint {ckpt}); refusing to read a partial result"
-            )
-    finally:
-        if query.isActive:  # defensive: never leak a live query
-            query.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
-    return spark.table(name).where(F.col("user_id") >= 0)
 
 
 def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2001,7 +1955,6 @@ def q_stream_keyed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState over 8 single-file micro-batches with
     AvailableNow; state spans triggers, nothing is batch-aligned."""
     import tempfile
-    import uuid
 
     from cdp_spark.events import TRACE_TYPE
     from cdp_spark.streaming.count_or_time import streaming_count_or_time_meta
@@ -2032,30 +1985,9 @@ def q_stream_keyed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     flushed = streaming_count_or_time_meta(stream, ms, 0, key_expr=F.col("n"))
-    ckpt = tempfile.mkdtemp(prefix="cdp_kw_ck_")
-    name = "stream_kw_" + uuid.uuid4().hex[:12]
-    query = (
-        flushed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError(
-                f"AvailableNow stream {name} still running after 300s "
-                f"(checkpoint {ckpt}); refusing to read a partial result"
-            )
-    finally:
-        if query.isActive:
-            query.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
+    table = _drive_memory_stream(spark, flushed, "cdp_kw_", src)
     per_w = (
-        spark.table(name)
+        table
         .groupBy("key", "w")
         .agg(
             F.count(F.lit(1)).alias("wn"),
@@ -2156,7 +2088,6 @@ def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch cms_heavy_users and its DuckDB oracle: streaming vs batch
     is a plan choice, not an answer change."""
     import tempfile
-    import uuid
 
     from cdp_spark.datapipe import sketches as sk
 
@@ -2169,29 +2100,7 @@ def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     sketch_stream = sk.cms_sketch(stream, "user_id", depth=3, width=1024)
-    ckpt = tempfile.mkdtemp(prefix="cdp_cms_ck_")
-    name = "stream_cms_" + uuid.uuid4().hex[:12]
-    query = (
-        sketch_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError(
-                f"AvailableNow stream {name} still running after 300s "
-                f"(checkpoint {ckpt}); refusing to read a partial result"
-            )
-    finally:
-        if query.isActive:
-            query.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
-    sketch = spark.table(name)
+    sketch = _drive_memory_stream(spark, sketch_stream, "cdp_cms_", src, "complete")
     full = load_table(spark, sf_dir, "events")
     items = full.select("user_id").where(F.col("user_id").isNotNull()).distinct()
     est = sk.cms_estimates(sketch, items, "user_id", depth=3, width=1024)
@@ -2280,11 +2189,15 @@ def q_training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdp_spark.datapipe.sampling import weighted_sample
 
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the curation chain ONCE: `surv` feeds two plan
+    # branches (canon aggregation + canonical join), which would
+    # otherwise each re-run the whole filter pipeline — the same
+    # double-compute verified_near_dups' docstring documents
     surv = (
         q_curation_filter(spark, sf_dir)
         .join(docs.select("doc_id", "text"), "doc_id")
         .where(F.length(F.trim("text")) > 0)
-    )
+    ).localCheckpoint(eager=True)
     canon = surv.groupBy(F.md5("text").alias("_h")).agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -2522,18 +2435,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission; the watermark only gates state eviction), so AvailableNow
     drives it to the complete deterministic pair set, value-hashed
     against the batch range-join oracle."""
-    import tempfile
-    import uuid
-
     purchases, views, src = _stage_event_join_streams(
         spark, sf_dir, with_sentinels=False
     )
     joined = purchases.join(views, F.expr(_SSJ_CONDITION), "inner").select(
         "p_id", "v_id"
     )
-    ckpt = tempfile.mkdtemp(prefix="cdp_ssj_ck_")
-    name = "stream_ssj_" + uuid.uuid4().hex[:12]
-    return _drive_stream_join(spark, joined, name, ckpt, src)
+    return _drive_memory_stream(spark, joined, "cdp_ssj_", src)
 
 
 def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2546,9 +2454,6 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer rows — the same sentinel discipline as the windowed
     aggregation queries, proving the outer-emission path end-to-end
     against the batch LEFT JOIN oracle."""
-    import tempfile
-    import uuid
-
     purchases, views, src = _stage_event_join_streams(
         spark, sf_dir, with_sentinels=True
     )
@@ -2561,39 +2466,57 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = purchases.join(views, F.expr(_SSJ_CONDITION), "left_outer").select(
         "p_id", "v_id"
     )
-    ckpt = tempfile.mkdtemp(prefix="cdp_ssjo_ck_")
-    name = "stream_ssjo_" + uuid.uuid4().hex[:12]
-    return _drive_stream_join(spark, joined, name, ckpt, src).where(
+    return _drive_memory_stream(spark, joined, "cdp_ssjo_", src).where(
         F.col("p_id") >= 0
     )
 
 
-def _drive_stream_join(
-    spark: SparkSession, joined: DataFrame, name: str, ckpt: str, src: str
+def _drive_memory_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    prefix: str,
+    src: str | None,
+    output_mode: str = "append",
 ) -> DataFrame:
-    """Run a stream-stream join to completion with AvailableNow and
-    return the materialized memory table (shared by the inner and
-    left-outer join queries)."""
+    """Drive a streaming DataFrame to completion with AvailableNow
+    into a memory sink and return the materialized table — the ONE
+    drive/timeout/cleanup protocol shared by every streaming driver
+    query (joins, sketches, keyed windows, windowed aggregations).
+
+    On success the checkpoint and staging dirs are removed; on
+    TIMEOUT they are KEPT and the error names them — a diagnostic
+    pointer to a directory the finally block just deleted helps
+    nobody."""
+    import tempfile
+    import uuid
+
+    ckpt = tempfile.mkdtemp(prefix=prefix + "ck_")
+    name = prefix + uuid.uuid4().hex[:12]
     query = (
-        joined.writeStream.format("memory")
+        stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
+    keep_dirs = False
     try:
         if not query.awaitTermination(300):
+            keep_dirs = True
             query.stop()
             raise TimeoutError(
-                f"AvailableNow stream {name} still running after 300s "
-                f"(checkpoint {ckpt}); refusing to read a partial result"
+                f"AvailableNow stream {name} still running after 300s; "
+                f"refusing to read a partial result (checkpoint kept for "
+                f"diagnosis at {ckpt})"
             )
     finally:
         if query.isActive:
             query.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
+        if not keep_dirs:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            if src:
+                shutil.rmtree(src, ignore_errors=True)
     return spark.table(name)
 
 

@@ -272,34 +272,74 @@ def verified_near_dups(
     checkpoint blocks are released by the ContextCleaner once the
     returned DataFrame is garbage-collected.  The materialized payload
     is ids + shingle/signature arrays only, never the documents."""
-    base = _ensure_parallelism(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    ).filter(F.size(tokens(F.col("_t"))) > 0)
-    enriched = base.select(
-        "_id", shingles(F.col("_t"), n).alias("_sh")
-    ).select(
-        "_id", "_sh", signature_from_shingles(F.col("_sh"), num_perm, 42, hash_fn).alias("signature")
-    ).localCheckpoint(eager=True)
+    enriched = _enrich_signatures(df, id_col, text_col, num_perm, n, hash_fn)
     rows = num_perm // bands
     bucket_fn = None if hash_fn is default_hash64 else hash_fn
     cands = candidate_pairs_from_signatures(
         enriched.select("_id", "signature"), bands, rows, bucket_fn
     )
-    docs_sh = enriched.select(F.col("_id").alias("_vid"), F.col("_sh"))
-    joined = (
-        cands.join(
-            docs_sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
-        ).join(
-            docs_sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+    return _verify_pairs(enriched, cands, threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _enrich_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    n: int,
+    hash_fn,
+    carry: dict | None = None,
+) -> DataFrame:
+    """The (_id[, carry...], _sh, signature) projection, eagerly
+    localCheckpointed — shared by verified_near_dups and
+    incremental_near_dups (see the materialization/leak rationale in
+    verified_near_dups' docstring).  ``carry`` maps extra output
+    names to Column expressions kept alongside the id (e.g. the
+    is-new flag)."""
+    carry = carry or {}
+    names = ["_id"] + list(carry)
+    base = _ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("_id"),
+            *[c.alias(nm) for nm, c in carry.items()],
+            F.col(text_col).alias("_t"),
         )
+    ).filter(F.size(tokens(F.col("_t"))) > 0)
+    return (
+        base.select(*names, shingles(F.col("_t"), n).alias("_sh"))
+        .select(
+            *names,
+            "_sh",
+            signature_from_shingles(F.col("_sh"), num_perm, 42, hash_fn).alias(
+                "signature"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _verify_pairs(
+    enriched: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b[, ...])
+    pairs against the enriched frame's precomputed shingle arrays —
+    the shared verify tail; returns the pair frame plus a rounded
+    ``jaccard`` column, filtered to >= threshold."""
+    docs_sh = enriched.select(F.col("_id").alias("_vid"), F.col("_sh"))
+    joined = pairs.join(
+        docs_sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        docs_sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        joined.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return joined.withColumn("jaccard", F.round(jac, 6)).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -336,24 +376,14 @@ def incremental_near_dups(
     Output: one row per duplicated new doc —
     (id, dup_of, jaccard) with dup_of the first preceding partner.
     """
-    base = _ensure_parallelism(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(text_col).alias("_t"),
-            is_new_col.cast("int").alias("_new"),
-        )
-    ).filter(F.size(tokens(F.col("_t"))) > 0)
-    enriched = (
-        base.select("_id", "_new", shingles(F.col("_t"), n).alias("_sh"))
-        .select(
-            "_id",
-            "_new",
-            "_sh",
-            signature_from_shingles(F.col("_sh"), num_perm, 42, hash_fn).alias(
-                "signature"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    enriched = _enrich_signatures(
+        df,
+        id_col,
+        text_col,
+        num_perm,
+        n,
+        hash_fn,
+        carry={"_new": is_new_col.cast("int")},
     )
     rows = num_perm // bands
     bucket_fn = None if hash_fn is default_hash64 else hash_fn
@@ -374,6 +404,10 @@ def incremental_near_dups(
             ).alias("ms")
         )
         .filter(F.size("ms") >= 2)
+        # mature-corpus buckets with NO new member would still pay the
+        # O(K^2) expansion below just to emit nothing — skip them, so
+        # cost really scales with the increment, not the corpus
+        .filter(F.exists("ms", lambda y: y["f"] == 1))
     )
     combos = F.flatten(
         F.transform(
@@ -396,20 +430,7 @@ def incremental_near_dups(
         .select("p.id_a", "p.new_a", "p.id_b")
         .distinct()
     )
-    docs_sh = enriched.select(F.col("_id").alias("_vid"), F.col("_sh"))
-    joined = pairs.join(
-        docs_sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a")),
-        "id_a",
-    ).join(
-        docs_sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    verified = joined.withColumn("jaccard", F.round(jac, 6)).filter(
-        F.col("jaccard") >= threshold
-    )
+    verified = _verify_pairs(enriched, pairs, threshold)
     best = verified.groupBy("id_b").agg(
         F.min(
             F.struct(

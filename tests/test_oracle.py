@@ -116,6 +116,8 @@ def test_driver_window_leads_with_r04_stale_queries():
         "decontaminate_docs", "pack_documents", "vocabulary",
         "boilerplate_spans", "chunk_tokens", "doc_repetition",
         "pii_redact", "string_agg_sorted", "vector_dim_stats",
+        "ann_lsh_indexed", "ann_ivf_indexed", "ann_pq", "ann_ivf_pq",
+        "ann_ivf_pq_indexed", "ivf_counts", "ann_ivf",
     }
     missing = must_lead - window
     assert not missing, f"r04-stale leaders fell out of the first 50: {missing}"
