@@ -2061,6 +2061,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding outliers (farthest from the trained
+    centroid, top-3) — the anomaly complement of semantic_dedup,
+    sharing the exact same Lloyd fit; the oracle reuses the shared
+    training CTE prefix's final distances."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_outliers(emb, dim=64, k=8, iters=2, seed=7, top_k=3)
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup — new batch (doc_id % 5 == 0) against
     the existing corpus: old x old pairs are never generated, a new
@@ -2554,6 +2563,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count_nations": q_triangle_count_nations,
     "stream_cms_users": q_stream_cms_users,
     "incremental_dedup": q_incremental_dedup,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 
@@ -3803,6 +3813,21 @@ def oracle_sql() -> dict[str, str]:
     """
     # the persisted-index twin trains identically -> same result set
     oracles["ann_ivf_kmeans_indexed"] = oracles["ann_ivf_kmeans"]
+    # embedding outliers: the same trained assignment's distances
+    # (d3 row matching a3's pick), top-3 farthest per cluster
+    oracles["embedding_outliers"] = f"""
+        WITH {km_prefix},
+        dist AS (
+          SELECT d3.vec_id, d3.cid, round(sqrt(d3.dist), 6) AS dist
+          FROM d3 JOIN a3 ON a3.vec_id = d3.vec_id AND a3.cid = d3.cid),
+        ranked AS (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY dist DESC, vec_id) AS rn
+          FROM dist)
+        SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist
+        FROM ranked WHERE rn <= 3
+    """
     # SemDeDup: same trained assignment (a3), cluster-local pair join,
     # drop-if-smaller-id-twin — keep flag per vector
     oracles["semantic_dedup"] = f"""

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "rolling_active_users",
     # round 6: graph / sampling / semantic dedup / sketch merge
     "semantic_dedup",
+    "embedding_outliers",
     "weighted_sample",
     "pagerank_nations",
     "hll_union_entities",

@@ -17,7 +17,7 @@ import math
 import random
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -485,6 +485,49 @@ def semantic_dedup(
         F.col(id_col),
         F.col("cid").cast("long").alias("cid"),
         F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 7,
+    top_k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding anomaly triage: the ``top_k`` vectors FARTHEST from
+    their trained k-means centroid, per cluster — mislabeled points,
+    encoder glitches, and genuinely novel content surface here (the
+    complement of SemDeDup, which looks at the closest pairs).
+
+    Scale shape: the distance is the same codegen argmin array the
+    assignment already evaluates (:func:`kmeans_fit`); per-cluster
+    top-k is a window rank whose limit Spark pushes map-side
+    (WindowGroupLimit), so the shuffle carries ~top_k rows per
+    partition per cluster.  Deterministic: fixed-iteration seeded
+    training, rounded L2 distance, ties broken by id.
+
+    Output: (id, cid, dist) — one row per retained outlier.
+    """
+    cents, assigned = kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
+    dists = _sq_dists_to(F.col("_v"), cents)
+    d = assigned.select(
+        F.col(id_col),
+        F.col("cid").cast("long").alias("cid"),
+        F.round(
+            F.sqrt(F.element_at(dists, F.col("cid").cast("int") + 1)),
+            round_digits,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("dist").desc(), F.col(id_col))
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .drop("_rn")
     )
 
 
