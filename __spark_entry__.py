@@ -2061,6 +2061,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(emb, dim=64, k=8, iters=2, seed=7, threshold=0.3)
 
 
+def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate quantiles from per-group histogram
+    sketches — the O(groups x bins) sketch path for high-cardinality
+    grouping where the exact sort-based `percentiles` stops scaling;
+    column-named twin output so the driver hash-compares against the
+    grouped oracle template."""
+    from cdp_spark.datapipe.sketches import histogram_quantiles_by
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles_by(
+        ev, ["event_type"], "value", bins=1000, quantiles=(0.5, 0.95, 0.99)
+    ).withColumnRenamed("event_type", "grp")
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster embedding outliers (farthest from the trained
     centroid, top-3) — the anomaly complement of semantic_dedup,
@@ -2564,6 +2578,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cms_users": q_stream_cms_users,
     "incremental_dedup": q_incremental_dedup,
     "embedding_outliers": q_embedding_outliers,
+    "quantiles_by_type": q_quantiles_by_type,
 }
 
 
@@ -4143,6 +4158,11 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["approx_quantiles_value"] = histogram_quantiles_oracle_sql(
         "events", "value", 1000, (0.25, 0.5, 0.75, 0.95, 0.99)
+    )
+    from cdp_spark.datapipe.sketches import histogram_quantiles_by_oracle_sql
+
+    oracles["quantiles_by_type"] = histogram_quantiles_by_oracle_sql(
+        "events", "event_type", "value", 1000, (0.5, 0.95, 0.99)
     )
     oracles["salted_join_revenue"] = """
         SELECT p_brand, count(*) AS n_items,

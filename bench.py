@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "hll_distinct_users",
     "cms_heavy_users",
     "approx_quantiles_value",
+    "quantiles_by_type",
     "bloom_filter_parts",
     "ann_bruteforce",
     "minhash_pairs",

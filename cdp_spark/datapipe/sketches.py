@@ -525,6 +525,161 @@ def histogram_quantiles(
     )
 
 
+def histogram_quantiles_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    bins: int = 1000,
+    quantiles=(0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-group approximate quantiles from per-group histogram
+    sketches — the sketch path for HIGH-cardinality grouping, where
+    the exact sort-based ``percentile`` aggregate (fine for a handful
+    of groups) stops scaling: state is O(groups × bins) integer
+    counters, every aggregate map-side combined, per-group bounds
+    join back as a broadcast, and the cumulative window runs over
+    <= bins rows per group — never a data-sized sort."""
+    from pyspark.sql import Window as W
+
+    c = F.col(col)
+    bounds = (
+        df.where(c.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.min(c).cast("double").alias("lo"),
+            F.max(c).cast("double").alias("hi"),
+        )
+    )
+    binned = (
+        df.where(c.isNotNull())
+        .join(F.broadcast(bounds), list(group_cols))
+        .select(
+            *group_cols,
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (c.cast("double") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / bins)
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bin"),
+            "lo",
+            "hi",
+        )
+    )
+    hist = binned.groupBy(*group_cols, "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy(*group_cols).orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    full = W.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "lo",
+        "hi",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(full).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / bins
+    target = F.ceil(F.col("q") * F.col("n"))
+    return (
+        cum.select(
+            *group_cols,
+            "bin",
+            "lo",
+            "hi",
+            "cnt",
+            "cum",
+            "n",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in quantiles])
+            ).alias("q"),
+        )
+        .where((F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target))
+        .select(
+            *group_cols,
+            "q",
+            F.round(
+                F.col("lo")
+                + width
+                * (
+                    F.col("bin").cast("double")
+                    + (
+                        (target - (F.col("cum") - F.col("cnt"))).cast("double")
+                        / F.col("cnt")
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("estimate"),
+        )
+    )
+
+
+def histogram_quantiles_by_oracle_sql(
+    table: str,
+    group_col: str,
+    col: str,
+    bins: int = 1000,
+    quantiles=(0.5, 0.95, 0.99),
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles_by` for one group
+    column — same per-group bounds, bins, cumulative rule, and
+    interpolation.  The DECIMAL(28,10) intermediate before round(4)
+    mimics Spark's double rounding, which goes through the shortest
+    DECIMAL repr half-up (BigDecimal.valueOf) while DuckDB rounds the
+    binary double — a value like 33.92905 (terminating shortest repr
+    exactly at the half digit, common when the inputs are 2-decimal
+    data) otherwise rounds UP on Spark and DOWN on DuckDB."""
+    qs_rows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in quantiles)
+    return f"""
+        WITH bounds AS (
+          SELECT {group_col} AS grp,
+                 CAST(min({col}) AS DOUBLE) AS lo,
+                 CAST(max({col}) AS DOUBLE) AS hi
+          FROM {table} WHERE {col} IS NOT NULL GROUP BY {group_col}
+        ),
+        binned AS (
+          SELECT b.grp, b.lo, b.hi,
+                 CASE WHEN b.hi > b.lo
+                      THEN least({bins - 1},
+                                 CAST(floor((CAST({col} AS DOUBLE) - b.lo)
+                                            / ((b.hi - b.lo) / {bins})) AS BIGINT))
+                      ELSE 0 END AS bin
+          FROM {table} t JOIN bounds b ON t.{group_col} = b.grp
+          WHERE {col} IS NOT NULL
+        ),
+        hist AS (
+          SELECT grp, bin, lo, hi, count(*) AS cnt
+          FROM binned GROUP BY grp, bin, lo, hi
+        ),
+        cum AS (
+          SELECT grp, bin, lo, hi, cnt,
+                 sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY grp) AS n
+          FROM hist
+        ),
+        qs(q) AS (VALUES {qs_rows})
+        SELECT grp, q,
+               CAST(round(CAST(lo + ((hi - lo) / {bins})
+                          * (CAST(bin AS DOUBLE)
+                             + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt)
+                          AS DECIMAL(28,10)),
+                          4) AS DOUBLE) AS estimate
+        FROM qs, cum
+        WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)
+    """
+
+
 def histogram_quantiles_oracle_sql(
     table: str, col: str, bins: int = 1000, quantiles=(0.5, 0.95, 0.99)
 ) -> str:
@@ -557,9 +712,10 @@ def histogram_quantiles_oracle_sql(
         ),
         qs(q) AS (VALUES {qs_rows})
         SELECT q,
-               CAST(round(lo + ((hi - lo) / {bins})
+               CAST(round(CAST(lo + ((hi - lo) / {bins})
                           * (CAST(bin AS DOUBLE)
-                             + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt),
+                             + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt)
+                          AS DECIMAL(28,10)),
                           4) AS DOUBLE) AS estimate
         FROM qs, cum
         WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)
