@@ -507,7 +507,7 @@ def histogram_quantiles(
         .where((F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target))
         .select(
             "q",
-            F.round(
+            _round_half_up(
                 F.col("lo")
                 + width
                 * (
@@ -518,11 +518,23 @@ def histogram_quantiles(
                     )
                 ),
                 4,
-            )
-            .cast("double")
-            .alias("estimate"),
+            ).alias("estimate"),
         )
     )
+
+
+def _round_half_up(col: Column, digits: int) -> Column:
+    """Cross-engine DETERMINISTIC rounding: floor(x·10^d + 0.5)/10^d —
+    pure IEEE ops on identical operands give identical results on any
+    engine.  Spark's round() goes through the double's SHORTEST
+    DECIMAL REPR half-up (BigDecimal.valueOf) while DuckDB rounds the
+    binary value; when the shortest repr terminates exactly at the
+    half digit (33.92905 at d=4) they disagree, and no decimal-
+    truncation mimic is exact in both directions.  SQL twin:
+    ``floor(x * 1e{d} + 0.5) / 1e{d}``.  (Half rounds toward +inf for
+    negatives — consistent cross-engine, which is what matters.)"""
+    s = float(10**digits)
+    return F.floor(col * s + F.lit(0.5)).cast("double") / F.lit(s)
 
 
 def histogram_quantiles_by(
@@ -607,7 +619,7 @@ def histogram_quantiles_by(
         .select(
             *group_cols,
             "q",
-            F.round(
+            _round_half_up(
                 F.col("lo")
                 + width
                 * (
@@ -618,9 +630,7 @@ def histogram_quantiles_by(
                     )
                 ),
                 4,
-            )
-            .cast("double")
-            .alias("estimate"),
+            ).alias("estimate"),
         )
     )
 
@@ -670,11 +680,10 @@ def histogram_quantiles_by_oracle_sql(
         ),
         qs(q) AS (VALUES {qs_rows})
         SELECT grp, q,
-               CAST(round(CAST(lo + ((hi - lo) / {bins})
-                          * (CAST(bin AS DOUBLE)
-                             + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt)
-                          AS DECIMAL(28,10)),
-                          4) AS DOUBLE) AS estimate
+               floor((lo + ((hi - lo) / {bins})
+                      * (CAST(bin AS DOUBLE)
+                         + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt))
+                     * 10000.0 + 0.5) / 10000.0 AS estimate
         FROM qs, cum
         WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)
     """
@@ -712,11 +721,10 @@ def histogram_quantiles_oracle_sql(
         ),
         qs(q) AS (VALUES {qs_rows})
         SELECT q,
-               CAST(round(CAST(lo + ((hi - lo) / {bins})
-                          * (CAST(bin AS DOUBLE)
-                             + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt)
-                          AS DECIMAL(28,10)),
-                          4) AS DOUBLE) AS estimate
+               floor((lo + ((hi - lo) / {bins})
+                      * (CAST(bin AS DOUBLE)
+                         + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt))
+                     * 10000.0 + 0.5) / 10000.0 AS estimate
         FROM qs, cum
         WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)
     """
