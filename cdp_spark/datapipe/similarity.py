@@ -346,10 +346,13 @@ def kmeans_lloyd(
     iters: int = 2,
     seed: int = 7,
     round_digits: int = 4,
+    prefit: tuple | None = None,
 ) -> DataFrame:
     """Fixed-iteration distributed Lloyd's k-means over an embedding
     column — the coarse-quantizer TRAINING step the anchor-based IVF
-    readers skip.
+    readers skip.  ``prefit`` accepts an existing
+    :func:`kmeans_fit` result (centroids, assignment) so several
+    consumers can share ONE training run (train once, serve many).
 
     Scale shape: per iteration, assignment is a per-row argmin against
     the centroid array embedded as a literal (no shuffle, whole-stage
@@ -366,7 +369,7 @@ def kmeans_lloyd(
     assignment, and the final centroid's first two dims (rounded) —
     enough to value-check the whole fit without hashing 64 doubles.
     """
-    cents, assigned = kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
+    cents, assigned = prefit or kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     spark = df.sparkSession
     cent_rows = [
@@ -397,6 +400,7 @@ def ann_topk_ivf_kmeans(
     n_probe: int = 4,
     seed: int = 7,
     round_digits: int = 4,
+    prefit: tuple | None = None,
 ) -> DataFrame:
     """End-to-end IVF with TRAINED centroids: Lloyd's k-means fits
     the coarse quantizer (:func:`kmeans_fit`), vectors assign to the
@@ -413,7 +417,9 @@ def ann_topk_ivf_kmeans(
     readers (write ``assigned`` partitioned by cid for
     PartitionFilters pruning).
     """
-    cents, assigned = kmeans_fit(df, dim, id_col, vec_col, k=n_centroids, iters=iters, seed=seed)
+    cents, assigned = prefit or kmeans_fit(
+        df, dim, id_col, vec_col, k=n_centroids, iters=iters, seed=seed
+    )
     qvec = [
         float(x)
         for x in df.where(F.col(id_col) == query_id).select(vec_col).first()[0]
@@ -444,6 +450,7 @@ def semantic_dedup(
     seed: int = 7,
     threshold: float = 0.3,
     round_digits: int = 4,
+    prefit: tuple | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -465,7 +472,7 @@ def semantic_dedup(
 
     Output: one row per vector — (id, cid, keep).
     """
-    _, assigned = kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
+    _, assigned = prefit or kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
     a = assigned.select(
         F.col(id_col).alias("a_id"), F.col("_v").alias("a_v"), "cid"
     )
@@ -498,6 +505,7 @@ def embedding_outliers(
     seed: int = 7,
     top_k: int = 3,
     round_digits: int = 6,
+    prefit: tuple | None = None,
 ) -> DataFrame:
     """Embedding anomaly triage: the ``top_k`` vectors FARTHEST from
     their trained k-means centroid, per cluster — mislabeled points,
@@ -513,7 +521,7 @@ def embedding_outliers(
 
     Output: (id, cid, dist) — one row per retained outlier.
     """
-    cents, assigned = kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
+    cents, assigned = prefit or kmeans_fit(df, dim, id_col, vec_col, k, iters, seed)
     dists = _sq_dists_to(F.col("_v"), cents)
     d = assigned.select(
         F.col(id_col),
