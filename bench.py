@@ -156,6 +156,13 @@ def main() -> None:
     entrymod._ensure_ann_index(spark, sf_dir, "lsh")
     entrymod._ensure_ann_index(spark, sf_dir, "ivfpq")
     entrymod._ensure_ann_index(spark, sf_dir, "ivfkm")
+    # One-time shared k-means fit (train once, serve many).  Timed and
+    # reported separately as shared_fit.kmeans_fit_sec: the consumer
+    # queries' per-query numbers deliberately EXCLUDE training — they
+    # measure the serve path, not the Lloyd iterations (ADVICE r6).
+    t0 = time.perf_counter()
+    entrymod._kmeans_fit_shared(spark, sf_dir)
+    kmeans_fit_sec = time.perf_counter() - t0
 
     qs = entrymod.queries()
     # Median of 3 warm runs per query (VERDICT r5 "next round" #2): a
@@ -199,18 +206,44 @@ def main() -> None:
             flush=True,
         )
 
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "shared_fit": {
+                    "kmeans_fit_sec": round(kmeans_fit_sec, 3),
+                    "consumers": [
+                        "kmeans_centroids",
+                        "ann_ivf_kmeans",
+                        "ann_ivf_kmeans_indexed",
+                        "semantic_dedup",
+                        "embedding_outliers",
+                    ],
+                    "note": "consumers share one cached Lloyd fit; "
+                    "their per-query times exclude training "
+                    "(train-once-serve-many); fit cost is this field",
+                },
             }
-        ),
-        flush=True,
     )
+    print(payload, flush=True)
+    # The driver captures only the tail of stdout (VERDICT r6 #3
+    # found BENCH_r06.json truncated at 2000 chars) — also persist the
+    # full JSON to a file so cross-round comparison never depends on
+    # the capture window.  Overridable for per-round snapshots
+    # (BENCH_LOCAL_r<N>.json is a committed copy of this file).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL_latest.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as exc:  # never fail the bench over the side file
+        print(f"# could not write {out_path}: {exc}", file=sys.stderr)
     spark.stop()
 
 

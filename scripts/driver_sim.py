@@ -7,6 +7,7 @@ builder's own session (the round-1 failure mode).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import sys
@@ -19,6 +20,7 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_PATH = sys.argv[2] if len(sys.argv) > 2 else "/tmp/driver_sim.json"
 
 
 def normalize(rows, columns):
@@ -65,6 +67,13 @@ def compare_query(spark, con, queries, oracles, name, sf_dir) -> dict:
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         rec["spark_rows"] = len(srows)
+        rec["spark_schema"] = sorted(scols)
+        # A stable digest of the normalized Spark result: lets a later
+        # round (or the judge) diff DRIVERSIM_r<N>.json artifacts
+        # instead of re-running 140 Spark queries (VERDICT r6 #5).
+        rec["spark_value_md5"] = hashlib.md5(
+            repr(normalize(srows, scols)).encode()
+        ).hexdigest()
         if name in oracles:
             res = con.sql(oracles[name])
             dcols, drows = res.columns, res.fetchall()
@@ -143,7 +152,7 @@ def main() -> None:
         print(f"\n== ERR {n} ==\n{e}")
     for n, d in mism.items():
         print(f"\n== MISMATCH {n} ==\n{d}")
-    with open("/tmp/driver_sim.json", "w") as f:
+    with open(OUT_PATH, "w") as f:
         json.dump(results, f, indent=1, default=str)
     spark.stop()
 

@@ -97,27 +97,36 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
-def test_driver_window_leads_with_r04_stale_queries():
+def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-6 rotation (VERDICT r5 #1) put the 38 queries whose
-    only driver rows predate the r05 testdata regeneration at the
-    front.  Pin the window membership so a later edit appending to the
-    wrong dict cannot silently rotate them out."""
+    entries; round-7 rotation (VERDICT r6 #1) put the 40 queries that
+    had never had a driver row at the front.  Pin the window membership
+    so a later edit appending to the wrong dict cannot silently rotate
+    them out, and pin that the window is exactly the declared list."""
     names = list(entrymod.queries())
-    window = set(names[:50])
+    window = names[:50]
+    assert window == list(entrymod._R07_WINDOW), (
+        "driver window drifted from _R07_WINDOW"
+    )
     must_lead = {
-        "dedup_exact_docs", "dup_clusters", "stratified_sample",
-        "dataset_mix", "text_stats", "lang_id", "quality_score",
-        "token_count_by_source", "fingerprint_docs", "ann_bruteforce",
-        "minhash_pairs", "near_dup_verified", "ngram_jaccard_pairs",
-        "embedding_cosine_pairs", "simhash_docs", "ann_lsh",
-        "grouping_sets", "sort_limit", "scalar_functions",
-        "pivot_conditional", "topk_frequent", "avg_subquery_join",
-        "decontaminate_docs", "pack_documents", "vocabulary",
-        "boilerplate_spans", "chunk_tokens", "doc_repetition",
-        "pii_redact", "string_agg_sorted", "vector_dim_stats",
-        "ann_lsh_indexed", "ann_ivf_indexed", "ann_pq", "ann_ivf_pq",
-        "ann_ivf_pq_indexed", "ivf_counts", "ann_ivf",
+        "pipeline_template_e2e", "minhash_dedup_corpus",
+        "curation_filter", "salted_user_totals", "salted_join_revenue",
+        "approx_quantiles_value", "stream_stream_join",
+        "stream_stream_left_join", "semantic_dedup", "weighted_sample",
+        "pagerank_nations", "hll_union_entities", "hll_users_by_type",
+        "dsir_sample", "rollup_reaggregate", "oov_rate",
+        "training_corpus_e2e", "triangle_count_nations",
+        "stream_cms_users", "stream_hll_users", "incremental_dedup",
+        "embedding_outliers", "quantiles_by_type", "zscore_outliers",
+        "window_nav_funcs", "min_cost_supplier", "large_orders",
+        "order_priority_exists", "rich_inactive_customers",
+        "q6_revenue_change", "q7_nation_volume", "q8_market_share",
+        "q9_product_profit", "q10_returned_items", "q12_late_shipments",
+        "q13_customer_distribution", "q14_promo_share",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "q19_disjunctive_revenue",
     }
-    missing = must_lead - window
-    assert not missing, f"r04-stale leaders fell out of the first 50: {missing}"
+    missing = must_lead - set(window)
+    assert not missing, f"never-checked leaders fell out of the first 50: {missing}"
+    # the full registry is unchanged by the reorder
+    assert len(names) == len(set(names)) == len(entrymod._all_queries())
