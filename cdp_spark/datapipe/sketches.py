@@ -644,12 +644,13 @@ def histogram_quantiles_by_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`histogram_quantiles_by` for one group
     column — same per-group bounds, bins, cumulative rule, and
-    interpolation.  The DECIMAL(28,10) intermediate before round(4)
-    mimics Spark's double rounding, which goes through the shortest
-    DECIMAL repr half-up (BigDecimal.valueOf) while DuckDB rounds the
-    binary double — a value like 33.92905 (terminating shortest repr
-    exactly at the half digit, common when the inputs are 2-decimal
-    data) otherwise rounds UP on Spark and DOWN on DuckDB."""
+    interpolation.  Final rounding uses the shared half-up rule
+    ``floor(x * 10^d + 0.5) / 10^d`` (``_round_half_up`` — pure IEEE
+    ops on identical operands in both engines), NOT engine-native
+    ``round()``: Spark rounds the shortest DECIMAL repr half-up
+    (BigDecimal.valueOf) while DuckDB rounds the binary double, and no
+    decimal-truncation mimic is exact in both directions (33.92905 at
+    d=4 flips one way, 253.95275 the other)."""
     qs_rows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in quantiles)
     return f"""
         WITH bounds AS (
