@@ -13,7 +13,8 @@ the language subset those programs actually use:
 - arrays / objects, array and object comprehensions (``for``/``if``)
 - full operator set (arithmetic, comparison, boolean, bitwise, ``in``,
   ``+`` as concat/merge, ``%`` as number-mod / string-format)
-- indexing, slicing, field access, and a ~60-function ``std`` library
+- indexing, slicing, field access, and a ~130-function ``std`` library
+  (conformance table below)
 - object orientation: ``self``, ``$``, ``super``, hidden fields
   (``::`` / ``:::``), ``+:`` field merges, object-level and
   expression-level ``assert``.  Objects retain their field
@@ -40,6 +41,29 @@ idiom and ``{a: error 'x'} + {a: 1}`` overrides behave exactly as in
 go-jsonnet.  Function-call arguments are lazy too (``tailstrict``
 opts back into eager, as specified), and object ``local``s memoize
 per (object, layer) like any other thunk.
+
+``std`` conformance vs go-jsonnet (r7 sweep; the reference's own
+jsonnet programs use only length/map/toString/join):
+
+- **Implemented** (~130): the full type/object/array/string/math
+  families (length, type, is*, object*, map/filter/fold/flatten/
+  set*/sort/uniq, substr/split*/strip*/trim/findSubstr/format/
+  escapeString{Json,Bash,Dollars,Python,Xml}, floor/ceil/round/pow/
+  exp/log/log2/log10/exponent/mantissa/trig/atan2/hypot/deg2rad/
+  rad2deg/clamp/mod/isEven/isOdd/isInteger/isDecimal/xor/xnor),
+  encoding+hashing (base64*, encodeUTF8/decodeUTF8, md5/sha1/sha256/
+  sha512/sha3, parseInt/parseHex/parseOctal/parseJson),
+  manifestation (manifestJson/Ex/Minified, manifestIni,
+  manifestPython(+Vars), manifestXmlJsonml, manifestYamlDoc/Stream),
+  mergePatch, primitiveEquals/equals, minArray/maxArray, remove/
+  removeAt/objectRemoveKey, lines/deepJoin, prune, trace,
+  assertEqual, extVar (via ``Evaluator(ext_vars=...)``), id.
+- **Not implemented** (error loudly if called): ``native`` /
+  ``thisFile`` (need VM-host context the distributed sandbox doesn't
+  provide) and ``parseYaml`` / ``manifestTomlEx`` (full YAML/TOML
+  grammars out of scope).  A program touching one fails with "std has
+  no field", which the runner routes to dead-letter — never a
+  silently wrong value.
 """
 
 from __future__ import annotations
@@ -829,7 +853,12 @@ class Evaluator:
     pass :func:`file_importer` for that behavior).  None -> imports
     raise at runtime."""
 
-    def __init__(self, importer: Optional[Callable[..., Any]] = None) -> None:
+    def __init__(
+        self,
+        importer: Optional[Callable[..., Any]] = None,
+        ext_vars: Optional[dict[str, Any]] = None,
+    ) -> None:
+        self.ext_vars = dict(ext_vars or {})
         self.std = _make_std(self)
         self.root = _Env({"std": self.std}, None)
         self.importer = importer
@@ -1474,7 +1503,354 @@ def _make_std(ev: Evaluator) -> dict[str, Any]:
         "trace": lambda msg, rest: rest,
         "pi": math.pi,
     }
+
+    def ext_var(name: Any) -> Any:
+        name = _want(name, "string", "std.extVar")
+        if name not in ev.ext_vars:
+            raise JsonnetRuntimeError(f"undefined external variable: {name}")
+        return ev.ext_vars[name]
+
+    # -- round-7 conformance batch (go-jsonnet std parity sweep) --
+    def _keyf_call(keyF: Any):
+        if keyF is None:
+            return lambda x: x
+        return lambda x: call1(keyF, x)
+
+    def min_array(arr: Any, keyF: Any = None, onEmpty: Any = _SENTINEL) -> Any:
+        if not arr:
+            if onEmpty is _SENTINEL:
+                raise JsonnetRuntimeError("std.minArray: empty array")
+            return onEmpty
+        return min(arr, key=_keyf_call(keyF))
+
+    def max_array(arr: Any, keyF: Any = None, onEmpty: Any = _SENTINEL) -> Any:
+        if not arr:
+            if onEmpty is _SENTINEL:
+                raise JsonnetRuntimeError("std.maxArray: empty array")
+            return onEmpty
+        return max(arr, key=_keyf_call(keyF))
+
+    def deep_join(arr: Any) -> str:
+        if isinstance(arr, str):
+            return arr
+        if isinstance(arr, list):
+            return "".join(deep_join(x) for x in arr)
+        raise JsonnetRuntimeError(f"std.deepJoin of {_typename(arr)}")
+
+    def flatten_deep(v: Any) -> list[Any]:
+        if isinstance(v, list):
+            out: list[Any] = []
+            for x in v:
+                out.extend(flatten_deep(x))
+            return out
+        return [v]
+
+    def remove_first(arr: Any, elem: Any) -> list[Any]:
+        for i, x in enumerate(arr):
+            if _eq(x, elem):
+                return arr[:i] + arr[i + 1 :]
+        return list(arr)
+
+    def primitive_equals(a: Any, b: Any) -> bool:
+        if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
+            raise JsonnetRuntimeError(
+                "std.primitiveEquals operates on primitive types"
+            )
+        return _eq(a, b)
+
+    std.update(
+        {
+            # strings
+            "trim": lambda s: _strip_chars(s, _YAML_WS, both=True),
+            "stripChars": lambda s, cs: _strip_chars(s, cs, both=True),
+            "lstripChars": lambda s, cs: _strip_chars(s, cs, left=True),
+            "rstripChars": lambda s, cs: _strip_chars(s, cs, right=True),
+            "findSubstr": _find_substr,
+            "splitLimitR": lambda s, c, m: s.rsplit(
+                c, int(_num(m)) if m >= 0 else -1
+            ),
+            "equalsIgnoreCase": lambda a, b: a.lower() == b.lower(),
+            "isEmpty": lambda s: len(_want(s, "string", "std.isEmpty")) == 0,
+            "escapeStringBash": lambda s: "'" + _to_string(s).replace("'", r"'\''") + "'",
+            "escapeStringDollars": lambda s: _to_string(s).replace("$", "$$"),
+            "escapeStringPython": lambda s: json.dumps(
+                _to_string(s), ensure_ascii=False
+            ),
+            "lines": lambda arr: "\n".join(list(arr) + [""]),
+            # encoding / hashing
+            "base64": _base64,
+            "base64Decode": lambda s: "".join(chr(b) for b in _base64_bytes(s)),
+            "base64DecodeBytes": lambda s: [float(b) for b in _base64_bytes(s)],
+            "encodeUTF8": lambda s: [float(b) for b in s.encode("utf-8")],
+            "decodeUTF8": lambda arr: bytes(
+                int(_num(b)) for b in arr
+            ).decode("utf-8", errors="replace"),
+            "md5": lambda s: _hexdigest("md5", s),
+            "sha1": lambda s: _hexdigest("sha1", s),
+            "sha256": lambda s: _hexdigest("sha256", s),
+            "sha512": lambda s: _hexdigest("sha512", s),
+            "sha3": lambda s: _hexdigest("sha3_512", s),
+            "parseHex": lambda s: int(_want(s, "string", "std.parseHex"), 16),
+            "parseOctal": lambda s: int(_want(s, "string", "std.parseOctal"), 8),
+            # math
+            "log2": lambda n: math.log2(_num(n)),
+            "log10": lambda n: math.log10(_num(n)),
+            "exponent": lambda n: math.frexp(_num(n))[1],
+            "mantissa": lambda n: math.frexp(_num(n))[0],
+            "hypot": lambda a, b: math.hypot(_num(a), _num(b)),
+            "deg2rad": lambda n: math.radians(_num(n)),
+            "rad2deg": lambda n: math.degrees(_num(n)),
+            "sin": lambda n: math.sin(_num(n)),
+            "cos": lambda n: math.cos(_num(n)),
+            "tan": lambda n: math.tan(_num(n)),
+            "asin": lambda n: math.asin(_num(n)),
+            "acos": lambda n: math.acos(_num(n)),
+            "atan": lambda n: math.atan(_num(n)),
+            "atan2": lambda y, x: math.atan2(_num(y), _num(x)),
+            "isInteger": lambda v: isinstance(v, (int, float))
+            and not isinstance(v, bool)
+            and float(v) == math.floor(v),
+            "isDecimal": lambda v: isinstance(v, (int, float))
+            and not isinstance(v, bool)
+            and float(v) != math.floor(v),
+            "isEven": lambda n: _num(n) % 2 == 0,
+            "isOdd": lambda n: _num(n) % 2 != 0,
+            "xor": lambda a, b: bool(a) != bool(b),
+            "xnor": lambda a, b: bool(a) == bool(b),
+            # arrays / objects
+            "flattenArrays": lambda arrs: [x for a in arrs for x in a],
+            "flattenDeepArray": flatten_deep,
+            "deepJoin": deep_join,
+            "remove": remove_first,
+            "removeAt": lambda arr, i: arr[: int(_num(i))] + arr[int(_num(i)) + 1 :],
+            "objectRemoveKey": lambda o, k: {
+                f: v for f, v in o.items() if f != k
+            },
+            "minArray": min_array,
+            "maxArray": max_array,
+            "mergePatch": _merge_patch,
+            "primitiveEquals": primitive_equals,
+            "equals": _eq,
+            "objectHasEx": lambda o, f, inc_hidden: f in o
+            or (bool(inc_hidden) and f in getattr(o, "hidden", {})),
+            "objectFieldsEx": lambda o, inc_hidden: sorted(
+                set(o.keys()) | (set(getattr(o, "hidden", ())) if inc_hidden else set())
+            ),
+            # JObj.__getitem__ resolves hidden names through the layer
+            # chain, so o[k] works for both visible and :: fields
+            "objectValuesAll": lambda o: [
+                o[k]
+                for k in sorted(set(o.keys()) | set(getattr(o, "hidden", ())))
+            ],
+            "objectKeysValuesAll": lambda o: [
+                {"key": k, "value": o[k]}
+                for k in sorted(set(o.keys()) | set(getattr(o, "hidden", ())))
+            ],
+            "id": lambda x: x,
+            "extVar": ext_var,
+            "escapeStringXml": lambda s: (
+                _to_string(s)
+                .replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+                .replace('"', "&quot;")
+                .replace("'", "&apos;")
+            ),
+            # manifestation
+            "manifestIni": _manifest_ini,
+            "manifestPython": _manifest_python,
+            "manifestPythonVars": lambda conf: "".join(
+                f"{k} = {_manifest_python(conf[k])}\n" for k in sorted(conf)
+            ),
+            "manifestXmlJsonml": _manifest_jsonml,
+            "manifestYamlDoc": lambda v, indent_array_in_object=False, quote_keys=True: (
+                _manifest_yaml(v, bool(indent_array_in_object), bool(quote_keys))
+            ),
+            "manifestYamlStream": lambda arr, indent_array_in_object=False, c_document_end=True, quote_keys=True: (
+                "---\n"
+                + "\n---\n".join(
+                    _manifest_yaml(v, bool(indent_array_in_object), bool(quote_keys))
+                    for v in arr
+                )
+                + ("\n...\n" if c_document_end else "\n")
+            ),
+        }
+    )
     return std
+
+
+_SENTINEL = object()
+
+# go-jsonnet's std.trim whitespace set (stripChars with this set).
+_YAML_WS = " \t\n\f\r "
+
+
+def _strip_chars(
+    s: Any, chars: Any, both: bool = False, left: bool = False, right: bool = False
+) -> str:
+    s = _want(s, "string", "std.stripChars")
+    cs = _want(chars, "string", "std.stripChars")
+    if both or left:
+        s = s.lstrip(cs)
+    if both or right:
+        s = s.rstrip(cs)
+    return s
+
+
+def _find_substr(pat: Any, s: Any) -> list[int]:
+    pat = _want(pat, "string", "std.findSubstr")
+    s = _want(s, "string", "std.findSubstr")
+    if not pat:
+        raise JsonnetRuntimeError("std.findSubstr: pattern must not be empty")
+    return [i for i in range(len(s) - len(pat) + 1) if s.startswith(pat, i)]
+
+
+def _base64(v: Any) -> str:
+    import base64 as b64
+
+    if isinstance(v, str):
+        raw = v.encode("utf-8")
+    elif isinstance(v, list):
+        raw = bytes(int(_num(b)) for b in v)
+    else:
+        raise JsonnetRuntimeError(f"std.base64 of {_typename(v)}")
+    return b64.b64encode(raw).decode("ascii")
+
+
+def _base64_bytes(s: Any) -> bytes:
+    import base64 as b64
+
+    return b64.b64decode(_want(s, "string", "std.base64Decode"))
+
+
+def _hexdigest(algo: str, s: Any) -> str:
+    import hashlib
+
+    return getattr(hashlib, algo)(
+        _want(s, "string", f"std.{algo}").encode("utf-8")
+    ).hexdigest()
+
+
+def _merge_patch(target: Any, patch: Any) -> Any:
+    """RFC 7396 JSON Merge Patch (go-jsonnet std.mergePatch)."""
+    if not isinstance(patch, dict):
+        return patch
+    out = dict(target) if isinstance(target, dict) else {}
+    for k, v in patch.items():
+        if v is None:
+            out.pop(k, None)
+        else:
+            out[k] = _merge_patch(out.get(k), v)
+    return out
+
+
+def _manifest_python(v: Any) -> str:
+    if v is None:
+        return "None"
+    if isinstance(v, bool):
+        return "True" if v else "False"
+    if isinstance(v, (int, float)):
+        return _num_repr(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, list):
+        return "[" + ", ".join(_manifest_python(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(
+                f"{json.dumps(k, ensure_ascii=False)}: {_manifest_python(v[k])}"
+                for k in sorted(v)
+            )
+            + "}"
+        )
+    raise JsonnetRuntimeError(f"std.manifestPython of {_typename(v)}")
+
+
+def _manifest_ini(ini: Any) -> str:
+    def body_lines(body: Any) -> list[str]:
+        out: list[str] = []
+        for k in sorted(_want(body, "object", "std.manifestIni")):
+            v = body[k]
+            if isinstance(v, list):
+                out.extend(f"{k} = {_to_string(x)}" for x in v)
+            else:
+                out.append(f"{k} = {_to_string(v)}")
+        return out
+
+    lines: list[str] = []
+    if "main" in ini:
+        lines.extend(body_lines(ini["main"]))
+    for name in sorted(ini.get("sections", {})):
+        lines.append(f"[{name}]")
+        lines.extend(body_lines(ini["sections"][name]))
+    return "\n".join(lines + [""])
+
+
+def _manifest_jsonml(v: Any) -> str:
+    """JsonML (['tag', {attrs}?, ...children]) -> XML string."""
+    if isinstance(v, str):
+        return v
+    arr = _want(v, "array", "std.manifestXmlJsonml")
+    if not arr or not isinstance(arr[0], str):
+        raise JsonnetRuntimeError("std.manifestXmlJsonml: tag name required")
+    tag = arr[0]
+    attrs: dict = {}
+    children = arr[1:]
+    if children and isinstance(children[0], dict):
+        attrs, children = children[0], children[1:]
+    attr_s = "".join(f' {k}="{_to_string(attrs[k])}"' for k in attrs)
+    inner = "".join(_manifest_jsonml(c) for c in children)
+    return f"<{tag}{attr_s}>{inner}</{tag}>"
+
+
+def _yaml_scalar(v: Any, quote_keys: bool = True) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return _num_repr(v)
+    return json.dumps(v, ensure_ascii=False)
+
+
+def _manifest_yaml(v: Any, indent_array_in_object: bool, quote_keys: bool) -> str:
+    """std.manifestYamlDoc subset: block-style maps/arrays, scalars
+    JSON-quoted (always-valid YAML; go-jsonnet only omits quotes for
+    provably-safe strings, and quoted output parses identically)."""
+
+    def key(k: str) -> str:
+        return json.dumps(k, ensure_ascii=False) if quote_keys else k
+
+    def go(v: Any, indent: str) -> str:
+        if isinstance(v, dict):
+            if not v:
+                return "{}"
+            parts = []
+            for k in sorted(v):
+                x = v[k]
+                if isinstance(x, dict) and x:
+                    parts.append(f"{indent}{key(k)}:\n{go(x, indent + '  ')}")
+                elif isinstance(x, list) and x:
+                    pad = indent + "  " if indent_array_in_object else indent
+                    parts.append(f"{indent}{key(k)}:\n{go(x, pad)}")
+                else:
+                    parts.append(f"{indent}{key(k)}: {_yaml_scalar(x, quote_keys)}")
+            return "\n".join(parts)
+        if isinstance(v, list):
+            if not v:
+                return "[]"
+            parts = []
+            for x in v:
+                if isinstance(x, (dict, list)) and x:
+                    sub = go(x, indent + "  ")
+                    parts.append(f"{indent}-\n{sub}")
+                else:
+                    parts.append(f"{indent}- {_yaml_scalar(x, quote_keys)}")
+            return "\n".join(parts)
+        return _yaml_scalar(v, quote_keys)
+
+    return go(v, "")
 
 
 def _join(sep: Any, arr: Any) -> Any:
@@ -1533,11 +1909,13 @@ def evaluate_snippet(
     src: str,
     tla: Optional[list[Any]] = None,
     importer: Optional[Callable[[str], str]] = None,
+    ext_vars: Optional[dict[str, Any]] = None,
 ) -> Any:
     """Parse + evaluate a snippet.  If the result is a function and
     ``tla`` is given, call it with those top-level arguments (the
-    stream-jsonnet TLA contract, main.go:43-55)."""
-    return evaluate_ast(parse(src), tla, importer=importer)
+    stream-jsonnet TLA contract, main.go:43-55).  ``ext_vars`` feeds
+    ``std.extVar`` (go-jsonnet ``--ext-var``/``ExtVar``)."""
+    return evaluate_ast(parse(src), tla, importer=importer, ext_vars=ext_vars)
 
 
 def _deep_force(v: Any) -> Any:
@@ -1558,8 +1936,9 @@ def evaluate_ast(
     ast: Any,
     tla: Optional[list[Any]] = None,
     importer: Optional[Callable[..., Any]] = None,
+    ext_vars: Optional[dict[str, Any]] = None,
 ) -> Any:
-    ev = Evaluator(importer=importer)
+    ev = Evaluator(importer=importer, ext_vars=ext_vars)
     result = ev.eval_ast(ast)
     if isinstance(result, Closure) and tla is not None:
         return _deep_force(ev.call(result, tla))

@@ -1,0 +1,143 @@
+"""go-jsonnet std conformance for the round-7 sweep additions
+(VERDICT r6 item 6): strings, encoding/hashing, math, array/object
+helpers, manifestation, mergePatch, extVar.  Expected values follow
+go-jsonnet's documented std semantics (public docs + std.jsonnet)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdp_spark.jsonnet import JsonnetRuntimeError, evaluate_snippet
+
+
+CASES = [
+    # strings
+    ("std.trim('  hi\\t ')", "hi"),
+    ("std.stripChars('aabxbaa', 'ab')", "x"),
+    ("std.lstripChars('aabx', 'a')", "bx"),
+    ("std.rstripChars('xbaa', 'a')", "xb"),
+    ("std.findSubstr('aa', 'aaaa')", [0, 1, 2]),
+    ("std.splitLimitR('a,b,c', ',', 1)", ["a,b", "c"]),
+    ("std.equalsIgnoreCase('AbC', 'abc')", True),
+    ("std.isEmpty('')", True),
+    ("std.isEmpty('x')", False),
+    ("std.escapeStringBash(\"don't\")", "'don'\\''t'"),
+    ("std.escapeStringDollars('$a')", "$$a"),
+    ("std.escapeStringXml('<a&\"b\\'>')", "&lt;a&amp;&quot;b&apos;&gt;"),
+    ("std.lines(['a', 'b'])", "a\nb\n"),
+    # encoding / hashing
+    ("std.base64('hello')", "aGVsbG8="),
+    ("std.base64([104, 105])", "aGk="),
+    ("std.base64Decode('aGVsbG8=')", "hello"),
+    ("std.base64DecodeBytes('aGk=')", [104.0, 105.0]),
+    ("std.encodeUTF8('hi')", [104.0, 105.0]),
+    ("std.decodeUTF8([104, 105])", "hi"),
+    ("std.md5('')", "d41d8cd98f00b204e9800998ecf8427e"),
+    ("std.sha1('abc')", "a9993e364706816aba3e25717850c26c9cd0d89d"),
+    (
+        "std.sha256('abc')",
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad",
+    ),
+    ("std.length(std.sha512('abc'))", 128),
+    ("std.length(std.sha3('abc'))", 128),
+    ("std.parseHex('ff')", 255),
+    ("std.parseOctal('755')", 493),
+    # math
+    ("std.log2(8)", 3.0),
+    ("std.log10(1000)", 3.0),
+    ("std.exponent(8)", 4),
+    ("std.mantissa(8)", 0.5),
+    ("std.hypot(3, 4)", 5.0),
+    ("std.deg2rad(180)", pytest.approx(3.141592653589793)),
+    ("std.rad2deg(std.pi)", pytest.approx(180.0)),
+    ("std.sin(0)", 0.0),
+    ("std.cos(0)", 1.0),
+    ("std.atan2(1, 1)", pytest.approx(0.7853981633974483)),
+    ("std.isInteger(3)", True),
+    ("std.isInteger(3.5)", False),
+    ("std.isDecimal(3.5)", True),
+    ("std.isDecimal(3)", False),
+    ("std.isEven(4)", True),
+    ("std.isOdd(3)", True),
+    ("std.xor(true, false)", True),
+    ("std.xor(true, true)", False),
+    ("std.xnor(true, true)", True),
+    # arrays / objects
+    ("std.flattenArrays([[1, 2], [3]])", [1, 2, 3]),
+    ("std.flattenDeepArray([1, [2, [3, [4]]]])", [1, 2, 3, 4]),
+    ("std.deepJoin(['a', ['b', 'c'], 'd'])", "abcd"),
+    ("std.remove([1, 2, 3, 2], 2)", [1, 3, 2]),
+    ("std.removeAt([1, 2, 3], 1)", [1, 3]),
+    ("std.objectRemoveKey({a: 1, b: 2}, 'a')", {"b": 2}),
+    ("std.minArray([3, 1, 2])", 1),
+    ("std.maxArray([3, 1, 2])", 3),
+    ("std.minArray([], null, 'empty')", "empty"),
+    ("std.minArray([{k: 2}, {k: 1}], function(x) x.k)", {"k": 1}),
+    ("std.primitiveEquals(1, 1)", True),
+    ("std.equals({a: [1]}, {a: [1]})", True),
+    ("std.equals({a: [1]}, {a: [2]})", False),
+    ("std.objectHasEx({a:: 1}, 'a', true)", True),
+    ("std.objectHasEx({a:: 1}, 'a', false)", False),
+    ("std.objectFieldsEx({a:: 1, b: 2}, true)", ["a", "b"]),
+    ("std.objectValuesAll({a:: 1, b: 2})", [1, 2]),
+    (
+        "std.objectKeysValuesAll({a:: 1})",
+        [{"key": "a", "value": 1}],
+    ),
+    ("std.id([1])", [1]),
+    # mergePatch (RFC 7396)
+    (
+        "std.mergePatch({a: 1, b: {c: 1, d: 2}}, {b: {c: null, e: 3}})",
+        {"a": 1, "b": {"d": 2, "e": 3}},
+    ),
+    ("std.mergePatch({a: 1}, 'scalar')", "scalar"),
+    # manifestation
+    (
+        "std.manifestPython({b: [1, true], a: 'x'})",
+        '{"a": "x", "b": [1, True]}',
+    ),
+    ("std.manifestPythonVars({x: 1, y: null})", "x = 1\ny = None\n"),
+    (
+        "std.manifestXmlJsonml(['a', {href: 'u'}, 't', ['b', 'c']])",
+        '<a href="u">t<b>c</b></a>',
+    ),
+    (
+        "std.manifestIni({main: {a: 1}, sections: {s: {b: [2, 3]}}})",
+        "a = 1\n[s]\nb = 2\nb = 3\n",
+    ),
+]
+
+
+@pytest.mark.parametrize("src,want", CASES, ids=[c[0][:50] for c in CASES])
+def test_std_conformance(src, want):
+    assert evaluate_snippet(src) == want
+
+
+def test_manifest_yaml_doc_is_valid_yaml_shape():
+    out = evaluate_snippet("std.manifestYamlDoc({a: [1, 2], b: {c: 'x'}, d: null})")
+    assert out == '"a":\n- 1\n- 2\n"b":\n  "c": "x"\n"d": null'
+    indented = evaluate_snippet(
+        "std.manifestYamlDoc({a: [1]}, indent_array_in_object=true)"
+    )
+    assert indented == '"a":\n  - 1'
+
+
+def test_manifest_yaml_stream():
+    out = evaluate_snippet("std.manifestYamlStream([{a: 1}, [2]])")
+    assert out == '---\n"a": 1\n---\n- 2\n...\n'
+
+
+def test_ext_var_round_trip_and_undefined():
+    assert (
+        evaluate_snippet("std.extVar('who') + '!'", ext_vars={"who": "hi"})
+        == "hi!"
+    )
+    with pytest.raises(JsonnetRuntimeError, match="external variable"):
+        evaluate_snippet("std.extVar('nope')")
+
+
+def test_unimplemented_std_errors_loudly():
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet("std.native('f')")
+    with pytest.raises(JsonnetRuntimeError):
+        evaluate_snippet("std.parseYaml('a: 1')")
