@@ -2034,6 +2034,119 @@ def q_stream_keyed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEYED_STATEFUL_RUNNER_YAML = """
+name: keyed-stateful-driver
+input:
+  tail: {path: "%s"}
+steps:
+  totals:
+    window: {events: 64, seconds: 3600, key: name}
+    reduce:
+      send-receive-jq: '[{n: (.[0].n), d: {c: (. | length), s: (map(.d | tonumber) | add)}}]'
+"""
+
+
+def q_stream_pipeline_keyed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANAGED RUNNER's keyed stateful window path as a driver
+    query (VERDICT r6 item 7): a YAML template with ``window.key``
+    lowers through run_pipeline_stream(stateful_windows=True) under a
+    CONTINUOUS processing-time trigger — the production shape, not
+    AvailableNow — with the jq reduce applied per flushed window by
+    the per-batch DAG compiler (reference semantics src/step.ts:70-151
+    + src/step-functions/send-receive-jq.ts).
+
+    Determinism design (same trim rule as stream_keyed_windows): each
+    event_type's rows are trimmed to an exact multiple of the window
+    size, so every window flushes FULL and per-key aggregates are
+    order-insensitive.  The payload is the event_id (integers sum
+    exactly — no float-order drift through jq).  The jq program emits
+    "<window size>:<sum of ids>" per window; min/max window size must
+    both equal 64 (a per-batch assembler splitting buffers at the 8
+    staged-file trigger boundaries flushes partials and fails exactly
+    here), and the harness waits for the exact expected window count
+    before stopping the continuous query — a timeout raises rather
+    than hashing a partial result.  The jq payload is a JSON OBJECT
+    ({c, s}) because the compiler JSON-stringifies non-string d
+    values — an object round-trips through get_json_object; a bare
+    string would arrive quote-wrapped."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from cdp_spark.pipeline.template import from_yaml
+    from cdp_spark.streaming import run_pipeline_stream
+    from cdp_spark.streaming.sources import stream_ndjson_files
+
+    ms = 64
+    ev = load_table(spark, sf_dir, "events")
+    wk = Window.partitionBy("event_type").orderBy("event_id")
+    ranked = ev.select(
+        F.col("event_type").alias("n"),
+        "event_id",
+        F.row_number().over(wk).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("_cnt"),
+    )
+    kept = ranked.filter(
+        F.col("_rn") <= (F.col("_cnt") / ms).cast("long") * F.lit(ms)
+    )
+    expected = (
+        kept.groupBy("n")
+        .count()
+        .agg(F.sum((F.col("count") / ms).cast("long")))
+        .collect()[0][0]
+        or 0
+    )
+    src = tempfile.mkdtemp(prefix="cdp_ksr_src_")
+    ckpt = tempfile.mkdtemp(prefix="cdp_ksr_ck_")
+    kept.select("n", F.col("event_id").cast("string").alias("d")).repartition(
+        8
+    ).write.mode("overwrite").json(src)
+    template = from_yaml(_KEYED_STATEFUL_RUNNER_YAML % src)
+    flushed: list[tuple[str, str]] = []
+    stream = stream_ndjson_files(spark, src, max_files_per_trigger=1)
+    query = run_pipeline_stream(
+        template,
+        spark=spark,
+        input_stream=stream,
+        on_batch=lambda df, _e: flushed.extend(
+            (r.n, r.d) for r in df.select("n", "d").collect()
+        ),
+        trigger_seconds=0.2,
+        checkpoint_dir=ckpt,
+    )
+    try:
+        deadline = _time.time() + 240
+        while len(flushed) < expected and _time.time() < deadline:
+            _time.sleep(0.5)
+        if len(flushed) < expected:
+            raise TimeoutError(
+                f"keyed stateful runner flushed {len(flushed)}/{expected} "
+                f"windows after 240s (checkpoint kept at {ckpt})"
+            )
+    except BaseException:
+        query.stop()
+        raise
+    query.stop()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.createDataFrame(flushed, "n string, d string")
+        .select(
+            "n",
+            F.get_json_object("d", "$.c").cast("long").alias("wn"),
+            F.get_json_object("d", "$.s").cast("long").alias("ws"),
+        )
+        .groupBy(F.col("n").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("wn").alias("n_events"),
+            F.min("wn").alias("min_window_size"),
+            F.max("wn").alias("max_window_size"),
+            F.sum("ws").alias("total_id"),
+        )
+    )
+
+
 def q_embedding_near_dup_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band LSH near-dup pairs (union of 17 four-plane bands):
     id-only candidate join, norms precomputed, vectors fetched only
@@ -2618,6 +2731,10 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_by_type": q_quantiles_by_type,
 }
 
+_ROUND7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_pipeline_keyed_stateful": q_stream_pipeline_keyed_stateful,
+}
+
 
 # Round-7 driver window (VERDICT r6 "next round" #1): the external driver
 # gate checks the FIRST 50 queries() entries only.  These 40 queries have
@@ -2668,7 +2785,9 @@ _R07_WINDOW: tuple[str, ...] = (
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q19_disjunctive_revenue",
-    # -- r06-green fillers (10): representative mix so the window still
+    # -- new in r7 (needs its first driver row) --
+    "stream_pipeline_keyed_stateful",
+    # -- r06-green fillers (9): representative mix so the window still
     # regression-checks the core dedup/ANN/sketch/stream paths --
     "dup_clusters",
     "minhash_pairs",
@@ -2679,7 +2798,6 @@ _R07_WINDOW: tuple[str, ...] = (
     "text_stats",
     "dedup_exact_docs",
     "ann_ivf_indexed",
-    "pack_documents",
 )
 
 
@@ -2749,6 +2867,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # --- new in round 6 ---
     q.update(_ROUND6_QUERIES)
+    q.update(_ROUND7_QUERIES)
     # --- r05-green (50): the leading entries fill the window to 50;
     # ordering inside this block puts a representative mix (sessions,
     # jq/jsonnet, dedup, timestamps) nearest the window edge ---
@@ -3072,6 +3191,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 AS BIGINT) AS min_window_size,
                    CAST(64 AS BIGINT) AS max_window_size,
                    CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+            FROM kept GROUP BY event_type
+        """,
+        # Same trim rule through the MANAGED RUNNER's keyed stateful
+        # path; payload is the event_id so jq's per-window sums are
+        # exact integers (no float-order drift).  min/max pinned at 64
+        # asserts no partial flushes at trigger boundaries.
+        "stream_pipeline_keyed_stateful": """
+            WITH ranked AS (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS cnt
+              FROM events
+            ),
+            kept AS (SELECT * FROM ranked WHERE rn <= (cnt // 64) * 64)
+            SELECT event_type,
+                   count(*) // 64 AS n_windows,
+                   count(*) AS n_events,
+                   CAST(64 AS BIGINT) AS min_window_size,
+                   CAST(64 AS BIGINT) AS max_window_size,
+                   CAST(sum(event_id) AS BIGINT) AS total_id
             FROM kept GROUP BY event_type
         """,
         "near_dedup_corpus": """
