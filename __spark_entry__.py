@@ -510,6 +510,84 @@ _SHARED_SQL: dict[str, str] = {
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
                AND l_quantity >= 20 AND l_quantity <= 40)
     """,
+    # q11-shape: important stock — per-part supply value above a
+    # global-fraction threshold (testdata has no partsupp, so lineitem
+    # extendedprice stands in for ps_supplycost*ps_availqty; reference
+    # cdp has no relational engine — TPC-H shapes are the public
+    # benchmark model).  Threshold is RELATIVE (2x the mean per-part
+    # value; max/mean ~1.8 in the uniform testdata) so the result is
+    # non-degenerate at every scale factor;
+    # both sides of the HAVING boundary are exact-decimal sums
+    # converted to double once, so the comparison is engine-stable.
+    "q11_important_stock": f"""
+        SELECT l_partkey AS partkey,
+               {_ssum('l_extendedprice')} AS supply_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) > (
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                     * 1.5 / count(DISTINCT l_partkey)
+            FROM lineitem)
+    """,
+    # q17-shape: small-quantity-order revenue — correlated avg
+    # subquery per part (Catalyst decorrelates into an aggregate +
+    # join; DuckDB likewise).  The 0.2*avg threshold is computed as
+    # exact-decimal-sum -> double -> /count -> *0.2 so the comparison
+    # boundary is bit-identical across engines; grouped by brand so
+    # the result is a distribution, not one row.
+    "q17_small_qty_revenue": """
+        SELECT p_brand,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0,
+                          2) AS DOUBLE) AS avg_yearly,
+               count(*) AS n_small
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+            SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*) * 0.2
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+    """,
+    # q20-shape: excess-supply suppliers — nested IN semi-joins
+    # (supplier <- heavy (supplier,part) shipments <- name-filtered
+    # parts), nation-restricted via a scalar-subquery equality.  No
+    # partsupp in testdata: "availqty > half of shipped" becomes a
+    # per-(supp,part) shipped-quantity threshold, same join shape.
+    "q20_excess_suppliers": """
+        SELECT s_name, CAST(round(CAST(s_acctbal AS DECIMAL(28,6)), 2)
+                            AS DOUBLE) AS acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 60)
+          AND s_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5'))
+    """,
+    # q21-shape: suppliers who alone failed on multi-supplier orders —
+    # the classic EXISTS + NOT EXISTS pair correlated on the same fact
+    # table (Catalyst plans left-semi + left-anti joins; no per-row
+    # re-execution).  Testdata lacks receipt/commit dates, so "failed"
+    # = returned items (l_returnflag = 'R') on finished orders.
+    "q21_waiting_suppliers": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+    """,
 }
 
 _TABLES = [
