@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "q16_part_supplier_counts",
     "q19_disjunctive_revenue",
     "q13_customer_distribution",
+    # relational completion pack (round 7): the four remaining TPC-H
+    # shapes (q11/q17/q20/q21 adaptations)
+    "q11_important_stock",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     "window_nav_funcs",
     "zscore_outliers",
     "triangle_count_nations",

@@ -1,0 +1,210 @@
+"""10x scale probe (VERDICT r6 next-round #4): measure, don't guess.
+
+Generates a seed-derived ~10x slab of every testdata table in /tmp
+(the read-only /root/testdata is never touched), runs the most
+expensive queries once at sf0.1 and once at the slab, and records the
+per-query scaling exponent  log(t_10x / t_1x) / log(10)  so SCALE.md's
+plan-inspection claims become measured evidence.  An exponent near 1.0
+is linear; anything well above ~1.2 is a hidden super-linear term
+(bucket-occupancy blowup, window amplification, candidate-pair
+explosion) that needs a fix or a documented bound.
+
+Slab design (scaling has to preserve WORKLOAD SHAPE, not just row
+counts):
+
+- relational + events: replica-shift.  Replica k remaps every key
+  (custkey/suppkey/partkey/orderkey/event_id/user_id) by +k*stride so
+  referential integrity holds and key cardinality scales 10x while
+  per-key fan-out (lineitems per order, events per user) stays
+  constant — the realistic growth regime for a fact schema.
+- documents: replica k>0 suffixes every whitespace token with "~rk",
+  so cross-replica shingle Jaccard is exactly 0 and within-replica
+  near-dup structure is preserved verbatim.  Dup DENSITY (dups per
+  document) therefore stays constant as the corpus grows — real
+  corpora do not acquire 10x more dups per doc when they grow 10x.
+  (Caveat: suffixed tokens defeat stopword lists, so lang-id
+  selectivity shifts on replicas k>0; timing-irrelevant.)
+- embeddings: replica k applies a seed-derived SIGNED DIMENSION
+  PERMUTATION (an orthogonal isometry): within-replica distances,
+  cluster geometry, and label structure are preserved exactly, while
+  a vector and its replica image decorrelate (expected cosine ~0), so
+  no artificial cross-replica near-dup clusters appear.
+
+Usage:
+    python scripts/scale_probe.py generate [slab_dir]
+    python scripts/scale_probe.py run [slab_dir] [baseline_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+REPLICAS = 10
+SEED = 20260814
+BASE = "/root/testdata/sf0.1"
+SLAB = "/tmp/scale10"
+
+# key columns to shift per table: {table: {column: stride}}
+# Strides are the sf0.1 key-space sizes (power-of-10 padded so shifted
+# keys never collide across replicas).
+_STRIDES = {
+    "customer": {"c_custkey": 100_000},
+    "supplier": {"s_suppkey": 10_000},
+    "part": {"p_partkey": 100_000},
+    "orders": {"o_orderkey": 1_000_000, "o_custkey": 100_000},
+    "lineitem": {
+        "l_orderkey": 1_000_000,
+        "l_partkey": 100_000,
+        "l_suppkey": 10_000,
+    },
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    # region/nation: fixed dimensions, copied once (not scaled) —
+    # dimension tables do not grow with fact volume.
+}
+
+
+def _shift_replica(table: pa.Table, shifts: dict[str, int], k: int) -> pa.Table:
+    for col, stride in shifts.items():
+        idx = table.schema.get_field_index(col)
+        shifted = pc.add(table.column(col), pa.scalar(k * stride, pa.int64()))
+        table = table.set_column(idx, col, shifted)
+    return table
+
+
+def _documents_replica(table: pa.Table, k: int) -> pa.Table:
+    if k == 0:
+        return table
+    # token~rk suffixing via one vectorized regex: append the replica
+    # tag to every run of non-space characters.
+    idx = table.schema.get_field_index("text")
+    tagged = pc.replace_substring_regex(
+        table.column("text"), pattern=r"(\S+)", replacement=rf"\1~r{k}"
+    )
+    table = table.set_column(idx, "text", tagged)
+    didx = table.schema.get_field_index("doc_id")
+    table = table.set_column(
+        didx, "doc_id", pc.add(table.column("doc_id"), pa.scalar(k * 100_000, pa.int64()))
+    )
+    # n_chars must stay consistent with the rewritten text
+    nidx = table.schema.get_field_index("n_chars")
+    table = table.set_column(
+        nidx, "n_chars", pc.cast(pc.utf8_length(table.column("text")), pa.int64())
+    )
+    return table
+
+
+def _embeddings_replica(table: pa.Table, k: int, rng: np.random.Generator) -> pa.Table:
+    vecs = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    if k > 0:
+        dim = vecs.shape[1]
+        perm = rng.permutation(dim)
+        signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
+        vecs = vecs[:, perm] * signs[None, :]
+    ids = pc.add(table.column("vec_id"), pa.scalar(k * 100_000, pa.int64()))
+    emb = pa.array(list(vecs), type=pa.list_(pa.float32()))
+    return pa.table(
+        {"vec_id": ids, "embedding": emb, "label": table.column("label")}
+    )
+
+
+def generate(slab_dir: str = SLAB, base: str = BASE) -> None:
+    out = Path(slab_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in ("region", "nation"):
+        src = pq.read_table(f"{base}/{t}.parquet")
+        pq.write_table(src, out / f"{t}.parquet")
+        print(f"{t}: copied (dimension)", flush=True)
+    for t, shifts in _STRIDES.items():
+        src = pq.read_table(f"{base}/{t}.parquet")
+        parts = [_shift_replica(src, shifts, k) for k in range(REPLICAS)]
+        pq.write_table(pa.concat_tables(parts), out / f"{t}.parquet")
+        print(f"{t}: {src.num_rows} -> {src.num_rows * REPLICAS}", flush=True)
+    src = pq.read_table(f"{base}/documents.parquet")
+    parts = [_documents_replica(src, k) for k in range(REPLICAS)]
+    pq.write_table(pa.concat_tables(parts), out / "documents.parquet")
+    print(f"documents: {src.num_rows} -> {src.num_rows * REPLICAS}", flush=True)
+    src = pq.read_table(f"{base}/embeddings.parquet")
+    rng = np.random.default_rng(SEED)
+    parts = [_embeddings_replica(src, k, rng) for k in range(REPLICAS)]
+    pq.write_table(pa.concat_tables(parts), out / "embeddings.parquet")
+    print(f"embeddings: {src.num_rows} -> {src.num_rows * REPLICAS}", flush=True)
+
+
+# The probe set: the judge-bench top spenders + every family with a
+# plausible super-linear failure mode (candidate generation, iterative
+# graph, stateful windows, composite chain, multi-join relational).
+PROBE_QUERIES = [
+    "minhash_pairs",
+    "minhash_dedup_corpus",
+    "near_dedup_corpus",
+    "incremental_dedup",
+    "dup_clusters",
+    "embedding_near_dup_multiband",
+    "semantic_dedup",
+    "kmeans_centroids",
+    "ann_ivf",
+    "ann_pq",
+    "hll_distinct_users",
+    "cms_heavy_users",
+    "approx_quantiles_value",
+    "count_or_time_sessions",
+    "tfidf_top_terms",
+    "dsir_sample",
+    "training_corpus_e2e",
+    "triangle_count_nations",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+]
+
+
+def run(slab_dir: str = SLAB, base: str = BASE,
+        out_path: str = "/tmp/scale_probe.json") -> None:
+    import __spark_entry__ as entrymod
+    from cdp_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    # Warm the JVM/codegen paths once so the sf0.1 pass is not
+    # penalized by session cold-start relative to the slab pass.
+    qs["text_stats"](spark, base).count()
+
+    results: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        fn = qs[name]
+        rec: dict = {}
+        for tag, sf_dir in (("t1", base), ("t10", slab_dir)):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            rec[tag] = round(time.perf_counter() - t0, 3)
+            rec[f"rows_{tag}"] = n
+        rec["ratio"] = round(rec["t10"] / rec["t1"], 2)
+        rec["exponent"] = round(math.log(rec["t10"] / rec["t1"]) / math.log(10), 2)
+        results[name] = rec
+        print(name, rec, flush=True)
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "generate"
+    if cmd == "generate":
+        generate(*(sys.argv[2:3] or [SLAB]))
+    elif cmd == "run":
+        args = sys.argv[2:]
+        run(*(args or [SLAB]))
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
