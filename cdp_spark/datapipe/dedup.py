@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import iter_checkpoint
 from .text import tokens
 
 # Mersenne prime modulus for the universal-hash permutations.  31-bit
@@ -581,9 +582,16 @@ def connected_components(
                 F.sum((F.col("label") != F.col("_old")).cast("long")), F.lit(0)
             ).alias("changed"),
         )
-        # localCheckpoint is eager: this one job both truncates lineage
-        # and populates the convergence metric.
-        labels = observed.drop("_old").localCheckpoint()
+        # iter_checkpoint is eager: this one job both truncates lineage
+        # and populates the convergence metric.  Plain localCheckpoint
+        # is NOT enough here — it carries the round plan's estimated
+        # sizeInBytes onto the new leaf, and because each round
+        # references `labels` in four join branches the estimate
+        # squares per round (BigInt digits double); by round ~20 the
+        # driver spends minutes multiplying 100M-digit integers in
+        # stats estimation (found by the 10x scale probe; see
+        # session.iter_checkpoint).
+        labels = iter_checkpoint(observed.drop("_old"))
         if (obs.get["changed"] or 0) == 0:
             break
     return labels.select("id", F.col("label").alias("component"))

@@ -40,6 +40,42 @@ def get_spark(app_name: str = "cdp_spark", shuffle_partitions: int | None = None
     return spark
 
 
+def iter_checkpoint(df):
+    """Eager localCheckpoint for ITERATIVE loops, with the carried-over
+    plan statistics discarded.
+
+    Spark 4's ``Dataset.checkpoint`` path copies the origin plan's
+    *estimated* statistics onto the new ``LogicalRDD`` leaf
+    (``LogicalRDD.rewriteStatsAndConstraints``).  In a loop whose body
+    references the previous round's frame in several join branches
+    (connected components references ``labels`` four times per round),
+    the size-only estimate is a *product* over join children, so the
+    carried ``sizeInBytes`` BigInt squares-or-worse every round — its
+    digit count doubles per iteration, and by round ~20 the driver
+    spends minutes per round multiplying 100M-digit BigIntegers inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` (measured: the 10x scale probe
+    drove exactly this; one driver thread burned 17+ min in
+    ``BigInteger.multiplyToomCook3`` planning round ~20 of CC).
+
+    Fix: after checkpointing, rebuild the DataFrame from the
+    checkpointed internal RDD via ``internalCreateDataFrame`` (the
+    same JVM entry point PySpark's ``createDataFrame`` uses), which
+    gives the leaf the *default* statistics (``defaultSizeInBytes``,
+    19 digits) instead of the inflated product.  Estimates stay
+    bounded forever; the materialized blocks are reused, nothing is
+    recomputed.  Side effect: the frame is never auto-broadcast —
+    correct for loop state, which is the big side by construction.
+    """
+    from pyspark.sql import DataFrame
+
+    ckpt = df.localCheckpoint(eager=True)
+    jdf = ckpt._jdf
+    new_jdf = jdf.sparkSession().internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(new_jdf, ckpt.sparkSession)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic star-schema table (TESTDATA.md).
 

@@ -185,6 +185,7 @@ def run(slab_dir: str = SLAB, base: str = BASE,
         fn = qs[name]
         rec: dict = {}
         for tag, sf_dir in (("t1", base), ("t10", slab_dir)):
+            print(f"START {name} {tag}", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             rec[tag] = round(time.perf_counter() - t0, 3)
@@ -193,6 +194,9 @@ def run(slab_dir: str = SLAB, base: str = BASE,
         rec["exponent"] = round(math.log(rec["t10"] / rec["t1"]) / math.log(10), 2)
         results[name] = rec
         print(name, rec, flush=True)
+        # incremental dump so a stalled query never loses prior results
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     spark.stop()
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)

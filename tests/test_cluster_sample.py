@@ -33,6 +33,25 @@ def test_long_chain_multi_hop(spark):
     assert len(comp) == 41
 
 
+def test_iter_checkpoint_stats_stay_bounded(spark):
+    # Spark 4's localCheckpoint copies the origin plan's ESTIMATED
+    # sizeInBytes onto the new leaf; CC's round body references the
+    # label frame in four join branches, so the size-only product
+    # estimate squares per round and its BigInt digit count DOUBLES
+    # per iteration — by round ~20 the driver burns minutes
+    # multiplying 100M-digit integers in stats estimation (found by
+    # the r7 10x scale probe).  iter_checkpoint resets the leaf to
+    # default stats; this pins that a long chain (many pointer-jump
+    # rounds) leaves the result's estimate at a sane magnitude.
+    df = spark.createDataFrame([(i, i + 1) for i in range(400)], "src long, dst long")
+    out = connected_components(df)
+    digits = len(
+        str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    assert digits < 40, f"carried-over stats blowup: {digits} digits"
+    assert out.filter(F.col("component") != 0).count() == 0
+
+
 def test_star_and_cycle(spark):
     comp = _components(spark, [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (9, 7)])
     assert comp[1] == comp[2] == comp[3] == comp[5] == 1
