@@ -11,9 +11,10 @@ src) and one aggregation (shuffle on dst).  No collect() anywhere:
 the node count enters the plan as a broadcast-scalar cross join, so
 the whole computation stays declarative and Catalyst/AQE pick the
 physical strategy per iteration.  With a fixed iteration count the
-lineage depth is bounded (iters ~ 3-20); for long chains call
-``.checkpoint()`` between rounds exactly as the connected-components
-loop does (dedup.py).
+lineage depth is bounded (iters ~ 3-20); long chains are truncated
+every ``checkpoint_every`` rounds with the stats-safe
+``session.iter_checkpoint`` (see the connected-components loop in
+dedup.py for why plain localCheckpoint is not enough).
 
 Determinism (the repo-wide oracle discipline): every per-node sum
 folds in DECIMAL(28,15) — exact, associative, order-independent —
@@ -28,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import iter_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -38,6 +41,7 @@ def pagerank(
     damping: float = 0.85,
     teleport: float = 0.15,
     round_digits: int = 9,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration count:
 
@@ -55,6 +59,20 @@ def pagerank(
     dst (agg) — both map-side combined.  At 100 TB pre-partition the
     transition frame by src and persist it so only the small rank
     frame moves per round.
+
+    ``checkpoint_every``: every N rounds the rank frame is
+    materialized via ``session.iter_checkpoint`` (stats-safe eager
+    localCheckpoint).  The rank frame enters each round's plan once,
+    so lineage depth and estimated-stats digits grow only LINEARLY
+    per round (unlike connected components' 4-branch round body,
+    which squares them) — but a long run (iters ~ 50+) would still
+    accumulate a deep plan whose analysis/optimization cost grows
+    per round, plus a full recompute-from-source on any partition
+    loss.  Periodic truncation bounds both; results are unaffected
+    (each iteration's ranks are rounded to ``round_digits``, so the
+    values are identical with or without materialization).  Set 0 to
+    disable (the 3-iteration oracled query never reaches the first
+    checkpoint either way).
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -75,7 +93,7 @@ def pagerank(
     pr = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.round(F.lit(1.0) / F.col("_n"), round_digits).alias("pr")
     )
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             trans.join(pr.withColumnRenamed("node", "_src"), "_src")
             .select(
@@ -97,4 +115,6 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            pr = iter_checkpoint(pr)
     return pr

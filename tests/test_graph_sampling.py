@@ -22,6 +22,16 @@ def _pr(spark, edges, **kw):
     return {r["node"]: r["pr"] for r in pagerank(df, **kw).collect()}
 
 
+def test_pagerank_checkpoint_every_preserves_values(spark):
+    # periodic stats-safe truncation (iter_checkpoint) must be
+    # value-invariant: each round's ranks are rounded to round_digits
+    # before the next round, so materializing is a no-op numerically.
+    edges = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("a", "c", 0.5)]
+    plain = _pr(spark, edges, iters=10, checkpoint_every=0)
+    ckpt = _pr(spark, edges, iters=10, checkpoint_every=3)
+    assert ckpt == plain
+
+
 def test_pagerank_symmetric_pair_is_uniform(spark):
     # two nodes pointing at each other: stationary distribution is
     # uniform regardless of damping
