@@ -1863,6 +1863,23 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.top_terms_per_doc(load_table(spark, sf_dir, "documents"))
 
 
+_BM25_TERMS = ("hash", "join", "stream", "vector")
+
+
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed query term list — the
+    standard lexical-retrieval baseline next to tf-idf (superset
+    capability; the reference has no retrieval scoring).  All rounding
+    is the shared floor-half-up rule; ln() ulp differences are
+    absorbed by the per-factor round-9 (the dsir_logratio precedent).
+    """
+    from cdp_spark.datapipe import analytics
+
+    return analytics.bm25_topk(
+        load_table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids — the k-means/IVF reduce step as
     a plain (label, dim) aggregate with the order-stable mean."""
@@ -2811,6 +2828,7 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ROUND7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_pipeline_keyed_stateful": q_stream_pipeline_keyed_stateful,
+    "bm25_top_docs": q_bm25_top_docs,
 }
 
 
@@ -4020,6 +4038,47 @@ def oracle_sql() -> dict[str, str]:
                max(value) AS max_value
         FROM events WHERE value IS NOT NULL
         GROUP BY 1
+    """
+    # BM25: every constant is the repr of the exact double the Spark
+    # side folds ((k1+1)=2.2, k1=1.2, (1-b)=0.25, b=0.75), rounding is
+    # the shared floor-half-up rule at 9/9/9 then 4, and the per-term
+    # scores fold in DECIMAL(28,12) — identical IEEE ops on identical
+    # operands except ln(), whose last-ulp drift round-9 absorbs.
+    _bm25_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    oracles["bm25_top_docs"] = f"""
+        WITH toks AS (
+          SELECT doc, term FROM (
+            SELECT doc_id AS doc,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        doclen AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+        scalars AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+        tf AS (
+          SELECT doc, term, count(*) AS tf FROM toks
+          WHERE term IN ({_bm25_terms_sql}) GROUP BY doc, term),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT doc, count(*) AS n_matched,
+                 floor(CAST(sum(CAST(
+                   floor(
+                     (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                            * 1000000000.0 + 0.5) / 1000000000.0)
+                     * (floor(tf * 2.2
+                              / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                                    / avgdl))
+                              * 1000000000.0 + 0.5) / 1000000000.0)
+                     * 1000000000.0 + 0.5) / 1000000000.0
+                 AS DECIMAL(28,12))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                 AS bm25
+          FROM tf JOIN dfc USING (term) JOIN doclen USING (doc)
+          CROSS JOIN scalars
+          GROUP BY doc)
+        SELECT doc AS doc_id, n_matched, bm25
+        FROM scored ORDER BY bm25 DESC, doc ASC LIMIT 20
     """
     oracles["tfidf_top_terms"] = """
         WITH toks AS (

@@ -199,6 +199,100 @@ def top_terms_per_doc(
     )
 
 
+def _round_half_up(col: Column, digits: int) -> Column:
+    """floor(x*10^d + 0.5)/10^d — pure IEEE ops on identical operands
+    in both engines, unlike engine-native round() (Spark rounds the
+    shortest decimal repr, DuckDB the binary double)."""
+    scale = F.lit(float(10**digits))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed query term list — the
+    standard lexical-retrieval baseline next to tf-idf:
+
+        score(d) = Σ_t  idf(t) · tf(t,d)·(k1+1)
+                        / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+        idf(t)   = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)
+
+    Scale shape: ONE explode feeds both the document-length aggregate
+    and the query-term tf aggregate; df and the (N, avgdl) scalars are
+    tiny aggregates that enter the plan as broadcasts (a handful of
+    terms and one scalar row), so the only data-sized shuffles are the
+    two aggregates on (doc) and (doc, term).  The query-term filter is
+    applied BEFORE the tf shuffle — only matching tokens move.
+
+    Determinism (oracle discipline): idf and the tf part are each
+    rounded half-up to 9 digits before multiplying, per-term scores
+    fold in DECIMAL(28,12) (order-independent), and the final score
+    rounds half-up to 4 — all via floor(x·10^d + 0.5)/10^d, never
+    engine round() (Spark rounds the shortest-decimal repr, DuckDB
+    the binary double).  ln() is libm on both engines; the round-9
+    absorbs last-ulp differences (the dsir_logratio precedent).
+
+    Output: top-k (doc_id, n_matched, bm25) by score desc, id asc;
+    documents matching no query term are not scored.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).where(F.col("term") != "")
+    doclen = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = _round_half_up(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        9,
+    )
+    tf_part = _round_half_up(
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        ),
+        9,
+    )
+    term_score = _round_half_up(idf * tf_part, 9)
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            _round_half_up(
+                F.sum(term_score.cast("decimal(28,12)")).cast("double"), 4
+            ).alias("bm25"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc").asc())
+        .limit(k)
+        .select(F.col("doc").alias(id_col), "n_matched", "bm25")
+    )
+
+
 def embedding_centroids(
     emb: DataFrame,
     label_col: str = "label",

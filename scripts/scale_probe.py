@@ -169,7 +169,8 @@ PROBE_QUERIES = [
 
 
 def run(slab_dir: str = SLAB, base: str = BASE,
-        out_path: str = "/tmp/scale_probe.json") -> None:
+        out_path: str = "/tmp/scale_probe.json",
+        names: list[str] | None = None) -> None:
     import __spark_entry__ as entrymod
     from cdp_spark.session import get_spark
 
@@ -181,7 +182,7 @@ def run(slab_dir: str = SLAB, base: str = BASE,
     qs["text_stats"](spark, base).count()
 
     results: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name in (names or PROBE_QUERIES):
         fn = qs[name]
         rec: dict = {}
         for tag, sf_dir in (("t1", base), ("t10", slab_dir)):
@@ -208,7 +209,10 @@ if __name__ == "__main__":
     if cmd == "generate":
         generate(*(sys.argv[2:3] or [SLAB]))
     elif cmd == "run":
+        # scale_probe.py run [slab] [base] [out] [query names...]
         args = sys.argv[2:]
-        run(*(args or [SLAB]))
+        paths = [SLAB, BASE, "/tmp/scale_probe.json"]
+        paths[: min(len(args), 3)] = args[:3]
+        run(*paths, names=args[3:] or None)
     else:
         raise SystemExit(f"unknown command {cmd!r}")

@@ -113,6 +113,31 @@ def test_embedding_centroids(spark):
     }
 
 
+def test_bm25_topk_ranking_and_saturation(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join extra words here"),   # both terms, tf=2 each
+            (2, "hash filler filler filler filler filler"),  # one term, long doc
+            (3, "hash"),                                   # one term, short doc
+            (4, "nothing relevant at all"),                # no terms -> unscored
+        ],
+        "doc_id long, text string",
+    )
+    out = analytics.bm25_topk(docs, ["hash", "join"], k=10)
+    rows = out.collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 4 matches nothing and is not scored
+    assert 4 not in by_id and len(rows) == 3
+    # matching both query terms beats matching one
+    assert by_id[1]["n_matched"] == 2
+    assert by_id[1]["bm25"] > by_id[2]["bm25"]
+    # length normalization: same tf in a shorter doc scores higher
+    assert by_id[3]["bm25"] > by_id[2]["bm25"]
+    # ordering is score desc then id asc
+    scores = [(r["bm25"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
 def test_top_terms_per_doc_ranking(spark):
     docs = spark.createDataFrame(
         [
