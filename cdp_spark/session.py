@@ -69,11 +69,18 @@ def iter_checkpoint(df):
     from pyspark.sql import DataFrame
 
     ckpt = df.localCheckpoint(eager=True)
-    jdf = ckpt._jdf
-    new_jdf = jdf.sparkSession().internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(new_jdf, ckpt.sparkSession)
+    try:
+        jdf = ckpt._jdf
+        new_jdf = jdf.sparkSession().internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, ckpt.sparkSession)
+    except Exception:
+        # internalCreateDataFrame is the JVM entry point PySpark's own
+        # createDataFrame uses, but it is not public API; if a Spark
+        # upgrade moves it, degrade to the plain checkpoint (correct,
+        # just exposed to the stats-inflation planning cost again).
+        return ckpt
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
