@@ -1711,6 +1711,27 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.decontaminate(train, eval_set, "doc_id", "text", n=8)
 
 
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination FRACTION (decontaminate with a
+    threshold knob): share of each training doc's distinct 8-grams
+    found in the deterministic eval slice; uncontaminated docs appear
+    with 0.0 so curation can filter at any cutoff."""
+    from cdp_spark.datapipe import curate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return curate.contamination_score(train, eval_set, "doc_id", "text", n=8)
+
+
+def q_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL drift against the corpus distribution
+    over the top-1000 vocabulary — the dataset-monitoring primitive
+    that catches a shifted source before it pollutes a training mix."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return txt.token_kl_drift(docs, group_col="source", top_v=1000)
+
+
 def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-64-token context-window chunking — one row per training
     window with its first token as the alignment anchor."""
@@ -2829,6 +2850,8 @@ _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ROUND7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_pipeline_keyed_stateful": q_stream_pipeline_keyed_stateful,
     "bm25_top_docs": q_bm25_top_docs,
+    "contamination_score": q_contamination_score,
+    "token_kl_drift": q_token_kl_drift,
 }
 
 
@@ -4313,6 +4336,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(oov) AS BIGINT) AS n_oov,
                round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
         FROM flags GROUP BY doc_id
+    """
+    oracles["contamination_score"] = r"""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE length(trim(text)) > 0),
+        grams AS (
+          SELECT doc_id, array_to_string(toks[gs:gs+7], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS gs
+                FROM tk WHERE len(toks) >= 8)),
+        eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+        hit AS (SELECT tg.doc_id, count(*) AS n_shared
+                FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id)
+        SELECT t.doc_id, t.n_grams,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+               floor(CAST(coalesce(h.n_shared, 0) AS DOUBLE)
+                     / CAST(t.n_grams AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS contamination
+        FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+    """
+    # KL drift: identical IEEE ops on identical operands in both
+    # engines (each ln rounds half-up to 9, the per-token term to 12,
+    # DECIMAL(28,15) fold, final 6) — the dsir/bm25 discipline.
+    oracles["token_kl_drift"] = r"""
+        WITH toks AS (
+          SELECT source AS grp,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0),
+        vocab AS (
+          SELECT tok, c_c FROM (
+            SELECT tok, count(*) AS c_c FROM toks GROUP BY tok
+            ORDER BY c_c DESC, tok LIMIT 1000)),
+        vs AS (SELECT count(*) AS v, sum(c_c) AS n_c FROM vocab),
+        gc AS (SELECT grp, t.tok, count(*) AS c_s
+               FROM toks t JOIN vocab USING (tok) GROUP BY grp, t.tok),
+        ns AS (SELECT grp, sum(c_s) AS n_s FROM gc GROUP BY grp),
+        grid AS (
+          SELECT ns.grp, ns.n_s,
+                 (CAST(coalesce(gc.c_s, 0) AS DOUBLE) + 1.0)
+                   / CAST(ns.n_s + vs.v AS DOUBLE) AS p_s,
+                 (CAST(vocab.c_c AS DOUBLE) + 1.0)
+                   / CAST(vs.n_c + vs.v AS DOUBLE) AS p_c
+          FROM ns CROSS JOIN vocab
+          LEFT JOIN gc ON gc.grp = ns.grp AND gc.tok = vocab.tok
+          CROSS JOIN vs),
+        terms AS (
+          SELECT grp, n_s,
+                 floor(p_s * (floor(ln(p_s) * 1000000000.0 + 0.5) / 1000000000.0
+                              - floor(ln(p_c) * 1000000000.0 + 0.5) / 1000000000.0)
+                       * 1000000000000.0 + 0.5) / 1000000000000.0 AS term
+          FROM grid)
+        SELECT grp AS source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+               floor(CAST(sum(CAST(term AS DECIMAL(28,15))) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS kl
+        FROM terms GROUP BY grp
     """
     oracles["dsir_sample"] = r"""
         WITH toks AS (

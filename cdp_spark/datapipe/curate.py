@@ -86,6 +86,64 @@ def decontaminate(
     return hits.groupBy(id_col).agg(F.count_distinct("gram").alias("n_shared"))
 
 
+def contamination_score(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination FRACTION — :func:`decontaminate`
+    with a threshold knob instead of a binary flag: for every training
+    document, the share of its distinct word ``n``-grams that also
+    appear in the evaluation set.  Curation pipelines drop above a
+    cutoff (e.g. >0.05) instead of discarding on any single shared
+    gram.
+
+    Returns (id, n_grams, n_shared, contamination) for every training
+    doc with at least one n-gram (docs shorter than ``n`` tokens have
+    nothing to score).  Uncontaminated docs appear with 0 / 0.0.
+
+    Scale shape: the eval grams broadcast exactly as in
+    :func:`decontaminate`; the denominator (per-doc distinct gram
+    count) adds ONE corpus-sized shuffle on (id, gram) with map-side
+    partial distinct — unavoidable for a per-doc fraction, and both
+    aggregates share the same exploded child.  Rounding is the shared
+    floor-half-up rule (engine round() diverges on half-repr
+    doubles).
+    """
+    eval_grams = (
+        eval_set.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    totals = train_grams.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_grams")
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )
+    scale = F.lit(1000000.0)
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        (
+            F.floor(
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+                * scale
+                + F.lit(0.5)
+            )
+            / scale
+        ).alias("contamination"),
+    )
+
+
 def chunk_by_tokens(
     df: DataFrame, id_col: str, text_col: str, budget: int = 64
 ) -> DataFrame:

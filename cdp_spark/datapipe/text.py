@@ -283,3 +283,93 @@ def oov_rate(df, text_col: str = "text", id_col: str = "doc_id",
             ).alias("oov_rate"),
         )
     )
+
+
+def token_kl_drift(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 1000,
+):
+    """Unigram-distribution drift per group: KL(P_group || P_corpus)
+    over the corpus's top-``top_v`` vocabulary with add-one smoothing
+    — the dataset-monitoring primitive that catches a source whose
+    token distribution has shifted (scraper drift, language mix
+    change, template contamination) before it pollutes a training
+    mix.
+
+        KL(s) = Σ_t p_s(t) · (ln p_s(t) − ln p_c(t)),
+        p_x(t) = (c_x(t) + 1) / (N_x + V)
+
+    Vocabulary restriction keeps the per-group state bounded (V rows
+    per group regardless of corpus size; an unbounded vocab would
+    grow the grid with every typo).  Counts and totals are computed
+    over the restricted vocab so both distributions normalize on the
+    same support.
+
+    Scale shape: one token explode feeds the corpus count (top-V via
+    TakeOrdered, broadcast back) and the per-(group, token) count —
+    the only data-sized shuffles; the (group × vocab) grid the KL
+    folds over is |groups|·V rows of small integers, never
+    corpus-sized.  Determinism: each ln rounds half-up to 9, the
+    per-token term to 12, the fold is DECIMAL(28,15), the final KL
+    rounds to 6 — all floor-half-up, matching the repo's oracle
+    discipline (dsir_logratio precedent for ln ulp absorption).
+
+    Output: (group, n_tokens, kl) — one row per group, KL in nats.
+    """
+    from pyspark.sql import functions as F
+
+    def _rhu(col, digits: int):
+        s = F.lit(float(10**digits))
+        return F.floor(col * s + F.lit(0.5)) / s
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_c"))
+        .orderBy(F.col("c_c").desc(), "tok")
+        .limit(top_v)
+    )
+    v_scalar = vocab.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c_c").alias("n_c"),
+    )
+    grp_counts = (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    n_s = grp_counts.groupBy("grp").agg(F.sum("c_s").alias("n_s"))
+    grid = (
+        n_s.crossJoin(F.broadcast(vocab))
+        .join(grp_counts, ["grp", "tok"], "left")
+        .crossJoin(F.broadcast(v_scalar))
+        .select(
+            "grp",
+            "n_s",
+            (
+                (F.coalesce("c_s", F.lit(0)).cast("double") + 1.0)
+                / (F.col("n_s") + F.col("v")).cast("double")
+            ).alias("p_s"),
+            (
+                (F.col("c_c").cast("double") + 1.0)
+                / (F.col("n_c") + F.col("v")).cast("double")
+            ).alias("p_c"),
+        )
+    )
+    term = _rhu(
+        F.col("p_s") * (_rhu(F.log("p_s"), 9) - _rhu(F.log("p_c"), 9)), 12
+    )
+    return (
+        grid.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            _rhu(F.sum(term.cast("decimal(28,15)")).cast("double"), 6).alias(
+                "kl"
+            ),
+        )
+    )

@@ -29,6 +29,43 @@ def test_decontaminate_flags_overlap(spark):
     assert [(r.id, r.n_shared) for r in out] == [(1, 1)]
 
 
+def test_contamination_score_fractions(spark):
+    # doc 1: grams {w1 w2 w3, w2 w3 w4, w3 w4 w5}; eval shares only
+    # "w1 w2 w3" -> 1/3.  doc 2 shares nothing -> 0.0 but still rows.
+    train = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "x1 x2 x3 x4 x5")], ["id", "text"]
+    )
+    eval_set = spark.createDataFrame([(9, "zz w1 w2 w3 yy")], ["id", "text"])
+    out = {
+        r.id: r
+        for r in curate.contamination_score(
+            train, eval_set, "id", "text", n=3
+        ).collect()
+    }
+    assert out[1].n_grams == 3 and out[1].n_shared == 1
+    assert out[1].contamination == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2].n_grams == 3 and out[2].n_shared == 0
+    assert out[2].contamination == 0.0
+
+
+def test_token_kl_drift_orders_by_skew(spark):
+    from cdp_spark.datapipe.text import token_kl_drift
+
+    # pooled corpus is uniform (a8 b8); group "balanced" mirrors it
+    # exactly (KL 0 under add-one smoothing), the two skewed groups
+    # drift symmetrically and must score strictly higher.
+    rows = [
+        ("a_heavy", "a a a b"),
+        ("b_heavy", "a b b b"),
+        ("balanced", "a a b b a a b b"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r.source: r.kl for r in token_kl_drift(df, top_v=10).collect()}
+    assert out["balanced"] == pytest.approx(0.0, abs=1e-6)
+    assert out["a_heavy"] > out["balanced"]
+    assert out["b_heavy"] > out["balanced"]
+
+
 def test_chunk_by_tokens_sizes_and_anchors(spark):
     text = " ".join(f"t{i}" for i in range(10))
     df = spark.createDataFrame([(1, text), (2, "solo")], ["id", "text"])
