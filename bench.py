@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "stratified_sample",
     "dataset_mix",
     "decontaminate_docs",
+    "contamination_score",
+    "token_kl_drift",
+    "bm25_top_docs",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",
