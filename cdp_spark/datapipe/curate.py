@@ -107,8 +107,10 @@ def contamination_score(
     Scale shape: the eval grams broadcast exactly as in
     :func:`decontaminate`; the denominator (per-doc distinct gram
     count) adds ONE corpus-sized shuffle on (id, gram) with map-side
-    partial distinct — unavoidable for a per-doc fraction, and both
-    aggregates share the same exploded child.  Rounding is the shared
+    partial distinct — unavoidable for a per-doc fraction.  The
+    explode is evaluated twice (once per aggregate — the same
+    tokenize-twice trade as unigram_logprob; cache the gram frame if
+    the corpus scan dominates).  Rounding is the shared
     floor-half-up rule (engine round() diverges on half-repr
     doubles).
     """
