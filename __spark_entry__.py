@@ -2855,75 +2855,77 @@ _ROUND7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# Round-7 driver window (VERDICT r6 "next round" #1): the external driver
-# gate checks the FIRST 50 queries() entries only.  These 40 queries have
-# NEVER had a driver row (added in r6 session 3, behind the r6 window);
-# they lead r7's window, followed by 10 r06-green fillers.  After this
-# rotation every one of the 140 registered queries has had a hard
-# CORRECTNESS row within two rounds.  Everything stays regression-guarded
-# every round by scripts/driver_sim.py + tests/test_oracle.py.
-_R07_WINDOW: tuple[str, ...] = (
-    # -- never driver-checked (40) --
-    "pipeline_template_e2e",
-    "minhash_dedup_corpus",
-    "curation_filter",
-    "salted_user_totals",
-    "salted_join_revenue",
-    "approx_quantiles_value",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "semantic_dedup",
-    "weighted_sample",
-    "pagerank_nations",
-    "hll_union_entities",
-    "hll_users_by_type",
-    "dsir_sample",
-    "rollup_reaggregate",
-    "oov_rate",
-    "training_corpus_e2e",
-    "triangle_count_nations",
-    "stream_cms_users",
-    "stream_hll_users",
-    "incremental_dedup",
-    "embedding_outliers",
-    "quantiles_by_type",
-    "zscore_outliers",
-    "window_nav_funcs",
-    "min_cost_supplier",
-    "large_orders",
-    "order_priority_exists",
-    "rich_inactive_customers",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q19_disjunctive_revenue",
-    # -- new in r7 (needs its first driver row) --
-    "stream_pipeline_keyed_stateful",
-    # -- r06-green fillers (9): representative mix so the window still
-    # regression-checks the core dedup/ANN/sketch/stream paths --
-    "dup_clusters",
-    "minhash_pairs",
-    "near_dedup_corpus",
-    "stream_dedup_events",
-    "kmeans_centroids",
-    "hll_distinct_users",
-    "text_stats",
-    "dedup_exact_docs",
-    "ann_ivf_indexed",
+# Round-8 driver window (VERDICT r7 "next round" #1): the external driver
+# gate checks the FIRST 50 queries() entries only.  Leads with the 7
+# queries that have NEVER had a driver row (the three r7-late operators
+# bm25/contamination/token-KL plus the q11/q17/q20/q21 TPC-H completion
+# pack, all added after the r7 window was pinned), followed by 43 of the
+# 50 queries whose last driver row is r05 (the oldest block).  The 7
+# r05-era queries that did not fit (agg_rollup, agg_cube, topk_per_group,
+# set_ops, percentiles, regexp_extract_parts, join_full_outer — trivial
+# relational shapes) lead the r9 window.  Everything stays
+# regression-guarded every round by scripts/driver_sim.py +
+# tests/test_oracle.py.
+_R08_WINDOW: tuple[str, ...] = (
+    # -- never driver-checked (7) --
+    "bm25_top_docs",
+    "contamination_score",
+    "token_kl_drift",
+    "q11_important_stock",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    # -- last driver row r05 (43 of 50, registry order) --
+    "session_gap",
+    "count_or_time_sessions",
+    "jsonnet_window_stats",
+    "jq_window_stats",
+    "dedup_exact_events",
+    "asof_join",
+    "embedding_near_dup",
+    "tfidf_top_terms",
+    "q1_pricing_summary",
+    "time_window_agg",
+    "multimodal_bytes",
+    "multimodal_features",
+    "multimodal_resize",
+    "jq_window_stats_keyed",
+    "jsonnet_window_stats_keyed",
+    "pattern_match_drop",
+    "pattern_match_composite",
+    "rename_affix",
+    "window_reduce_agg",
+    "window_flatmap_slide",
+    "window_reduce_keyed",
+    "window_flatmap_keyed",
+    "unpivot_measures",
+    "keep_last_per_window",
+    "keep_when_filter",
+    "keep_when_combinators",
+    "json_extract_props",
+    "q3_shipping_priority",
+    "top_customers",
+    "join_semi",
+    "join_anti",
+    "cohort_retention",
+    "funnel_steps",
+    "value_histogram",
+    "embedding_centroids",
+    "pareto_customers",
+    "hopping_window_agg",
+    "stream_tumbling_agg",
+    "stream_session_windows",
+    "rolling_active_users",
+    "q5_local_supplier",
+    "range_join_events",
+    "window_running_funcs",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _all_queries()
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: full[name] for name in _R07_WINDOW
+        name: full[name] for name in _R08_WINDOW
     }
     q.update(full)  # existing keys keep their (window) position
     return q

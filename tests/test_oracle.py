@@ -99,32 +99,27 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-7 rotation (VERDICT r6 #1) put the 40 queries that
-    had never had a driver row at the front.  Pin the window membership
+    entries; round-8 rotation (VERDICT r7 #1) puts the 7 queries that
+    have never had a driver row at the front, followed by 43 of the 50
+    queries whose last driver row is r05.  Pin the window membership
     so a later edit appending to the wrong dict cannot silently rotate
     them out, and pin that the window is exactly the declared list."""
     names = list(entrymod.queries())
     window = names[:50]
-    assert window == list(entrymod._R07_WINDOW), (
-        "driver window drifted from _R07_WINDOW"
+    assert window == list(entrymod._R08_WINDOW), (
+        "driver window drifted from _R08_WINDOW"
     )
     must_lead = {
-        "pipeline_template_e2e", "minhash_dedup_corpus",
-        "curation_filter", "salted_user_totals", "salted_join_revenue",
-        "approx_quantiles_value", "stream_stream_join",
-        "stream_stream_left_join", "semantic_dedup", "weighted_sample",
-        "pagerank_nations", "hll_union_entities", "hll_users_by_type",
-        "dsir_sample", "rollup_reaggregate", "oov_rate",
-        "training_corpus_e2e", "triangle_count_nations",
-        "stream_cms_users", "stream_hll_users", "incremental_dedup",
-        "embedding_outliers", "quantiles_by_type", "zscore_outliers",
-        "window_nav_funcs", "min_cost_supplier", "large_orders",
-        "order_priority_exists", "rich_inactive_customers",
-        "q6_revenue_change", "q7_nation_volume", "q8_market_share",
-        "q9_product_profit", "q10_returned_items", "q12_late_shipments",
-        "q13_customer_distribution", "q14_promo_share",
-        "q15_top_supplier", "q16_part_supplier_counts",
-        "q19_disjunctive_revenue",
+        # never driver-checked before r8
+        "bm25_top_docs", "contamination_score", "token_kl_drift",
+        "q11_important_stock", "q17_small_qty_revenue",
+        "q20_excess_suppliers", "q21_waiting_suppliers",
+        # oldest (r05-era) representatives across the families
+        "session_gap", "jq_window_stats", "jsonnet_window_stats",
+        "asof_join", "multimodal_bytes", "stream_tumbling_agg",
+        "stream_session_windows", "pattern_match_drop",
+        "window_reduce_keyed", "keep_when_filter", "cohort_retention",
+        "range_join_events", "q1_pricing_summary",
     }
     missing = must_lead - set(window)
     assert not missing, f"never-checked leaders fell out of the first 50: {missing}"
