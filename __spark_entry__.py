@@ -514,8 +514,9 @@ _SHARED_SQL: dict[str, str] = {
     # global-fraction threshold (testdata has no partsupp, so lineitem
     # extendedprice stands in for ps_supplycost*ps_availqty; reference
     # cdp has no relational engine — TPC-H shapes are the public
-    # benchmark model).  Threshold is RELATIVE (2x the mean per-part
-    # value; max/mean ~1.8 in the uniform testdata) so the result is
+    # benchmark model).  Threshold is RELATIVE (1.5x the mean per-part
+    # value; max/mean is only ~1.8 in the uniform testdata, so a
+    # classic 2x cut would return zero rows) and the result is
     # non-degenerate at every scale factor;
     # both sides of the HAVING boundary are exact-decimal sums
     # converted to double once, so the comparison is engine-stable.
@@ -534,11 +535,14 @@ _SHARED_SQL: dict[str, str] = {
     # join; DuckDB likewise).  The 0.2*avg threshold is computed as
     # exact-decimal-sum -> double -> /count -> *0.2 so the comparison
     # boundary is bit-identical across engines; grouped by brand so
-    # the result is a distribution, not one row.
+    # the result is a distribution, not one row.  avg_yearly rounds
+    # via the shared floor half-up rule (ADVICE r7: engine-native
+    # round() on a DOUBLE diverges on shortest-repr half values).
     "q17_small_qty_revenue": """
         SELECT p_brand,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0,
-                          2) AS DOUBLE) AS avg_yearly,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                          AS DOUBLE) / 7.0 * 100 + 0.5) / 100
+                 AS avg_yearly,
                count(*) AS n_small
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_quantity < (
@@ -2633,7 +2637,12 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("weight"))
     )
-    return pagerank(edges, iters=3, damping=0.85, teleport=0.15)
+    # 25 nation nodes: the rank frame is trivially broadcast-sized, so
+    # pin the hint (post-iter_checkpoint stats would otherwise hide it
+    # from the static planner; ADVICE r7).
+    return pagerank(
+        edges, iters=3, damping=0.85, teleport=0.15, broadcast_ranks=True
+    )
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,7 @@ def pagerank(
     teleport: float = 0.15,
     round_digits: int = 9,
     checkpoint_every: int = 8,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration count:
 
@@ -73,6 +74,20 @@ def pagerank(
     values are identical with or without materialization).  Set 0 to
     disable (the 3-iteration oracled query never reaches the first
     checkpoint either way).
+
+    Join-strategy note (ADVICE r7): after the first
+    ``iter_checkpoint`` the rank frame's leaf carries
+    ``defaultSizeInBytes`` (effectively infinite) stats, so the
+    static planner will never pick it as the broadcast side again —
+    the repo session runs with AQE enabled, and AQE's RUNTIME size of
+    the materialized rank frame is what restores the
+    broadcast/shuffle choice on later rounds.  When the node set is
+    known to be broadcast-sized (similarity clusters, per-entity
+    graphs — not web-scale link graphs), pass
+    ``broadcast_ranks=True`` to pin the hint explicitly and keep the
+    large transition frame from ever shuffling; the default stays
+    False because PageRank's contract allows rank frames far beyond
+    executor memory, where a forced broadcast would OOM.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -94,8 +109,11 @@ def pagerank(
         "node", F.round(F.lit(1.0) / F.col("_n"), round_digits).alias("pr")
     )
     for it in range(iters):
+        ranks = pr.withColumnRenamed("node", "_src")
+        if broadcast_ranks:
+            ranks = F.broadcast(ranks)
         contribs = (
-            trans.join(pr.withColumnRenamed("node", "_src"), "_src")
+            trans.join(ranks, "_src")
             .select(
                 F.col("_dst").alias("node"),
                 (F.col("pr") * F.col("_p")).alias("_c"),
