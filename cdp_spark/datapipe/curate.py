@@ -104,45 +104,48 @@ def contamination_score(
     doc with at least one n-gram (docs shorter than ``n`` tokens have
     nothing to score).  Uncontaminated docs appear with 0 / 0.0.
 
-    Scale shape: the eval grams broadcast exactly as in
-    :func:`decontaminate`; the denominator (per-doc distinct gram
-    count) adds ONE corpus-sized shuffle on (id, gram) with map-side
-    partial distinct — unavoidable for a per-doc fraction.  The
-    explode is evaluated twice (once per aggregate — the same
-    tokenize-twice trade as unigram_logprob; cache the gram frame if
-    the corpus scan dominates).  Rounding is the shared
-    floor-half-up rule (engine round() diverges on half-repr
-    doubles).
+    Scale shape (r8, VERDICT r7 #2): ONE pass over the training
+    grams.  The eval grams broadcast exactly as in
+    :func:`decontaminate`, but as a LEFT join carrying a hit flag, so
+    a single (id)-grouped aggregate computes both the denominator
+    (distinct grams) and the numerator (distinct hit grams) — the
+    corpus text is tokenized exactly once, and the only corpus-sized
+    shuffle is the per-(id, gram) distinct with map-side partials.
+    Rounding is the shared floor-half-up rule (engine round()
+    diverges on half-repr doubles).
     """
     eval_grams = (
         eval_set.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
+        .withColumn("_hit", F.lit(True))
     )
     train_grams = train.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     )
-    totals = train_grams.groupBy(id_col).agg(
-        F.count_distinct("gram").alias("n_grams")
-    )
-    hits = (
-        train_grams.join(F.broadcast(eval_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_shared"))
-    )
+    flagged = train_grams.join(F.broadcast(eval_grams), "gram", "left")
     scale = F.lit(1000000.0)
-    return totals.join(hits, id_col, "left").select(
-        F.col(id_col),
-        "n_grams",
-        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
-        (
-            F.floor(
-                F.coalesce("n_shared", F.lit(0)).cast("double")
-                / F.col("n_grams").cast("double")
-                * scale
-                + F.lit(0.5)
-            )
-            / scale
-        ).alias("contamination"),
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count_distinct("gram").alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("_hit"), F.col("gram"))
+            ).alias("n_shared"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.floor(
+                    F.col("n_shared").cast("double")
+                    / F.col("n_grams").cast("double")
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("contamination"),
+        )
     )
 
 

@@ -177,29 +177,41 @@ def dsir_logratio(df, target_col, text_col: str = "text", id_col: str = "doc_id"
     ``target_col`` is a boolean Column: True rows define the target
     distribution, False rows are the pool being scored.
 
-    Scale shape: the token explode is CONSUMED TWICE (count pass +
-    scoring pass — same tokenize-twice trade as unigram_logprob;
-    cache the exploded frame if the corpus scan dominates), both
-    aggregates map-side combined; the corpus scalars (token totals +
-    vocabulary size) enter the plan as ONE broadcast row — fully
-    lazy, no collect; the per-token join is Zipf-small and AQE
-    broadcast-converts it.
+    Scale shape (r8, VERDICT r7 #2): the corpus text is tokenized
+    EXACTLY ONCE.  The explode feeds one map-side-combined shuffle
+    into a per-(doc, token) count frame — Zipf-compressed far below
+    the raw token stream — which is materialized once
+    (``session.iter_checkpoint``, stats-safe eager localCheckpoint)
+    and then consumed by BOTH the corpus-count aggregate and the
+    scoring join; occurrence counts re-enter the math as exact
+    integer weights, so no downstream pass ever touches the raw
+    tokens again.  The corpus scalars (token totals + vocabulary
+    size) enter the plan as ONE broadcast row — no collect; the
+    per-token join is Zipf-small and AQE broadcast-converts it.
 
     Determinism: ln(c_T+1)-ln(c_R+1) is rounded to 9 digits per
-    token, folded in DECIMAL(28,12) (order-independent), and the
-    corpus constant ln((N_R+V)/(N_T+V)) is rounded to 9 before the
-    final round-6 sum — engines agree bit-for-bit.
+    token, weighted by the exact integer per-doc occurrence count,
+    folded in DECIMAL (order-independent), and the corpus constant
+    ln((N_R+V)/(N_T+V)) is rounded to 9 before the final round-6 sum
+    — identical to summing the per-occurrence terms one at a time,
+    so engines (and the pre-r8 shape) agree bit-for-bit.
 
     Output: (id, n_tokens, logratio) for pool documents only.
     """
-    toks = df.select(
-        F.col(id_col),
-        target_col.alias("_is_target"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    from ..session import iter_checkpoint
+
+    doctok = iter_checkpoint(
+        df.select(
+            F.col(id_col),
+            target_col.alias("_is_target"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy(id_col, "_is_target", "tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    counts = toks.groupBy("tok").agg(
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("cr"),
+    counts = doctok.groupBy("tok").agg(
+        F.sum(F.when(F.col("_is_target"), F.col("_c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(F.col("_c"))).alias("cr"),
     )
     scalars = counts.agg(
         F.sum("ct").alias("nt"),
@@ -212,14 +224,17 @@ def dsir_logratio(df, target_col, text_col: str = "text", id_col: str = "doc_id"
         9,
     )
     scored = (
-        toks.where(~F.col("_is_target"))
+        doctok.where(~F.col("_is_target"))
         .join(counts, "tok")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_c").alias("n_tokens"),
             (
-                F.sum(term.cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum(
+                    term.cast("decimal(28,12)")
+                    * F.col("_c").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("_c")
             ).alias("_mean_term"),
         )
     )
