@@ -146,9 +146,62 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_info() -> dict:
+    """CPU model/MHz/core-count from /proc/cpuinfo (Linux)."""
+    info: dict = {"cores_os": os.cpu_count()}
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if ":" not in line:
+                    continue
+                k, v = (s.strip() for s in line.split(":", 1))
+                if k == "model name" and "cpu_model" not in info:
+                    info["cpu_model"] = v
+                elif k == "cpu MHz" and "cpu_mhz" not in info:
+                    info["cpu_mhz"] = float(v)
+    except OSError:
+        pass
+    return info
+
+
+def _spin_calibration(iters: int = 20_000_000) -> float:
+    """Fixed-cost single-core arithmetic spin (seconds).
+
+    A constant amount of pure-Python integer work: its wall time moves
+    with CPU speed, frequency scaling, and co-tenant load — NOT with
+    any code in this repo — so cross-round bench ratios can be
+    normalized by it (VERDICT r7 "what's wrong" #1: an environment
+    shift and a diffuse regression were indistinguishable from the
+    artifacts alone).
+    """
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(iters):
+        acc = (acc + i * 7) % 1_000_003
+    dt = time.perf_counter() - t0
+    assert acc >= 0
+    return dt
+
+
+def _scan_calibration(spark, sf_dir: str, runs: int = 3) -> float:
+    """Fixed-cost Spark work: median count() over the cached lineitem
+    table (warmed by main()).  Exercises the JVM/scheduler/executor
+    path with a constant plan, so it separates 'Spark got slower on
+    this host' from 'a query plan regressed'."""
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        load_table(spark, sf_dir, "lineitem").count()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    host: dict = _cpu_info()
+    host["loadavg_start"] = [round(x, 2) for x in os.getloadavg()]
+    host["spin_sec_start"] = round(_spin_calibration(), 3)
     spark = get_spark("cdp_spark_bench")
 
     # Warmup: cache the hot tables.  The testdata parquet files are
@@ -172,6 +225,8 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._kmeans_fit_shared(spark, sf_dir)
     kmeans_fit_sec = time.perf_counter() - t0
+
+    host["scan_sec"] = round(_scan_calibration(spark, sf_dir), 3)
 
     qs = entrymod.queries()
     # Median of 3 warm runs per query (VERDICT r5 "next round" #2): a
@@ -215,6 +270,8 @@ def main() -> None:
             flush=True,
         )
 
+    host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    host["spin_sec_end"] = round(_spin_calibration(), 3)
     payload = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
@@ -222,6 +279,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # Host telemetry + fixed-cost calibration (VERDICT r7
+                # #3): spin_sec_* is a constant single-core Python
+                # loop, scan_sec a constant cached-parquet count() —
+                # neither depends on repo code, so a cross-round bench
+                # ratio can be divided by the calibration ratio to
+                # separate machine drift from plan drift.
+                "host": host,
                 "shared_fit": {
                     "kmeans_fit_sec": round(kmeans_fit_sec, 3),
                     "consumers": [
