@@ -1905,6 +1905,33 @@ def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (query_id, terms) for the multi-query BM25 retrieval shape — a
+# handful of benchmark-prompt-like term sets, including a duplicate
+# term (dedup path) and a term absent from the corpus (no-df path).
+_BM25_QUERIES = (
+    ("lsh", ("hash", "batch", "dup")),
+    ("joins", ("join", "merge", "sort")),
+    ("streaming", ("stream", "window", "watermark")),
+    ("scan", ("scan", "filter", "column", "scan")),
+)
+
+
+def q_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for EVERY query in a query table,
+    one corpus pass (VERDICT r7 #5) — the mining-eval-adjacent-docs
+    retrieval shape.  The query-term map and df counts broadcast; the
+    corpus tokenizes once; top-k per query is a WindowGroupLimit."""
+    from cdp_spark.datapipe import analytics
+
+    qdf = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BM25_QUERIES],
+        "query_id string, terms array<string>",
+    )
+    return analytics.bm25_topk_queries(
+        load_table(spark, sf_dir, "documents"), qdf, k=10
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids — the k-means/IVF reduce step as
     a plain (label, dim) aggregate with the order-stable mean."""
@@ -2863,6 +2890,10 @@ _ROUND7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_kl_drift": q_token_kl_drift,
 }
 
+_ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_multi_query": q_bm25_multi_query,
+}
+
 
 # Round-8 driver window (VERDICT r7 "next round" #1): the external driver
 # gate checks the FIRST 50 queries() entries only.  Leads with the 7
@@ -2998,6 +3029,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- new in round 6 ---
     q.update(_ROUND6_QUERIES)
     q.update(_ROUND7_QUERIES)
+    q.update(_ROUND8_QUERIES)
     # --- r05-green (50): the leading entries fill the window to 50;
     # ordering inside this block puts a representative mix (sessions,
     # jq/jsonnet, dedup, timestamps) nearest the window edge ---
@@ -4113,6 +4145,54 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY doc)
         SELECT doc AS doc_id, n_matched, bm25
         FROM scored ORDER BY bm25 DESC, doc ASC LIMIT 20
+    """
+    # Multi-query BM25 (r8): same math and rounding as bm25_top_docs;
+    # the query-term map enters as a VALUES table (deduplicated, the
+    # set-of-terms formulation), tf is computed once over the union of
+    # all query terms, and top-10 per query is a QUALIFY row_number.
+    _bm25_q_values = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+    oracles["bm25_multi_query"] = f"""
+        WITH qterms AS (
+          SELECT DISTINCT query_id, term
+          FROM (VALUES {_bm25_q_values}) AS v(query_id, term)),
+        toks AS (
+          SELECT doc, term FROM (
+            SELECT doc_id AS doc,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+            FROM documents)
+          WHERE term <> ''),
+        doclen AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+        scalars AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+        tf AS (
+          SELECT doc, term, count(*) AS tf FROM toks
+          WHERE term IN (SELECT term FROM qterms) GROUP BY doc, term),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT query_id, doc, count(*) AS n_matched,
+                 floor(CAST(sum(CAST(
+                   floor(
+                     (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                            * 1000000000.0 + 0.5) / 1000000000.0)
+                     * (floor(tf * 2.2
+                              / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                                    / avgdl))
+                              * 1000000000.0 + 0.5) / 1000000000.0)
+                     * 1000000000.0 + 0.5) / 1000000000.0
+                 AS DECIMAL(28,12))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                 AS bm25
+          FROM tf JOIN qterms USING (term) JOIN dfc USING (term)
+          JOIN doclen USING (doc)
+          CROSS JOIN scalars
+          GROUP BY query_id, doc)
+        SELECT query_id, doc AS doc_id, n_matched, bm25
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc ASC) <= 10
     """
     oracles["tfidf_top_terms"] = """
         WITH toks AS (

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "contamination_score",
     "token_kl_drift",
     "bm25_top_docs",
+    "bm25_multi_query",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

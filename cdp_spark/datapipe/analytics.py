@@ -293,6 +293,111 @@ def bm25_topk(
     )
 
 
+def bm25_topk_queries(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents for EVERY query in a query
+    TABLE, scored in one pass (VERDICT r7 #5) — the retrieval shape a
+    corpus-curation pipeline needs when mining eval-adjacent documents
+    per benchmark prompt: hundreds of queries against one corpus,
+    without re-scanning the corpus per query.
+
+    ``queries``: (query_id, terms array<string>).  Duplicate terms
+    within a query are deduplicated (each distinct term contributes
+    once, the standard set-of-terms formulation).
+
+    Same scoring math and rounding discipline as :func:`bm25_topk`
+    (per-factor floor-half-up round-9, DECIMAL(28,12) fold, final
+    round-4); df(t) and idf(t) are corpus properties, shared across
+    queries.
+
+    Scale shape: the corpus is tokenized ONCE; tf is computed once
+    over the UNION of all query terms (broadcast semi-join filter
+    BEFORE the (doc, term) shuffle — only matching tokens move); the
+    (query_id, term) map and the df counts are broadcast into the
+    per-(query, doc) score aggregate, so adding queries adds
+    broadcast rows, not corpus scans.  Top-k per query is a
+    WindowGroupLimit (rank pushdown prunes map-side), never a global
+    sort.
+
+    Output: (query_id, doc_id, n_matched, bm25), top-k per query by
+    score desc, doc id asc.
+    """
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode(F.col(terms_col)).alias("term"),
+        )
+        .distinct()
+    )
+    all_terms = qterms.select("term").distinct()
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+    ).where(F.col("term") != "")
+    doclen = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(all_terms), "term", "left_semi")
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = _round_half_up(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        9,
+    )
+    tf_part = _round_half_up(
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        ),
+        9,
+    )
+    term_score = _round_half_up(idf * tf_part, 9)
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfc), "term")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("qid", "doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            _round_half_up(
+                F.sum(term_score.cast("decimal(28,12)")).cast("double"), 4
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("doc").alias(id_col),
+            "n_matched",
+            "bm25",
+        )
+    )
+
+
 def embedding_centroids(
     emb: DataFrame,
     label_col: str = "label",

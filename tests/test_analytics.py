@@ -138,6 +138,64 @@ def test_bm25_topk_ranking_and_saturation(spark):
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
 
 
+def test_bm25_topk_queries_matches_per_query_single(spark):
+    """Multi-query BM25 must equal running bm25_topk per query
+    (same corpus-level df/idf, same rounding), dedupe repeated query
+    terms, and ignore terms absent from the corpus."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join extra words here"),
+            (2, "hash filler filler filler filler filler"),
+            (3, "hash"),
+            (4, "nothing relevant at all"),
+            (5, "join merge join sort words"),
+        ],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [
+            ("a", ["hash", "join"]),
+            # duplicate term + a term not in the corpus
+            ("b", ["merge", "merge", "watermark"]),
+        ],
+        "query_id string, terms array<string>",
+    )
+    out = analytics.bm25_topk_queries(docs, qdf, k=10).collect()
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_matched"], r["bm25"]) for r in out
+    }
+    for qid, terms in (("a", ["hash", "join"]), ("b", ["merge"])):
+        solo = analytics.bm25_topk(docs, terms, k=10).collect()
+        want = {(qid, r["doc_id"]): (r["n_matched"], r["bm25"]) for r in solo}
+        assert {k: v for k, v in got.items() if k[0] == qid} == want
+    # per-query top-k: k=1 keeps exactly one (the best) doc per query
+    top1 = analytics.bm25_topk_queries(docs, qdf, k=1).collect()
+    assert sorted(r["query_id"] for r in top1) == ["a", "b"]
+
+
+def test_bm25_topk_queries_plan_broadcasts_terms(spark):
+    """The scale contract: query-term joins broadcast (adding queries
+    must not reshuffle the corpus) and per-query top-k plans as a
+    WindowGroupLimit, not a global sort."""
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "hash")], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [("a", ["hash"])], "query_id string, terms array<string>"
+    )
+    plan = (
+        analytics.bm25_topk_queries(docs, qdf, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    # qterms, dfc, and the semi-join term filter are all hinted: at
+    # least 3 broadcast joins.  (The tf-doclen join is deliberately
+    # NOT pinned — big-big at corpus scale, AQE's call.)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_top_terms_per_doc_ranking(spark):
     docs = spark.createDataFrame(
         [
