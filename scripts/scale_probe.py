@@ -118,7 +118,9 @@ def _embeddings_replica(table: pa.Table, k: int, rng: np.random.Generator) -> pa
     )
 
 
-def generate(slab_dir: str = SLAB, base: str = BASE) -> None:
+def generate(slab_dir: str = SLAB, base: str = BASE,
+             replicas: int = REPLICAS) -> None:
+    replicas = int(replicas)
     out = Path(slab_dir)
     out.mkdir(parents=True, exist_ok=True)
     for t in ("region", "nation"):
@@ -127,18 +129,18 @@ def generate(slab_dir: str = SLAB, base: str = BASE) -> None:
         print(f"{t}: copied (dimension)", flush=True)
     for t, shifts in _STRIDES.items():
         src = pq.read_table(f"{base}/{t}.parquet")
-        parts = [_shift_replica(src, shifts, k) for k in range(REPLICAS)]
+        parts = [_shift_replica(src, shifts, k) for k in range(replicas)]
         pq.write_table(pa.concat_tables(parts), out / f"{t}.parquet")
-        print(f"{t}: {src.num_rows} -> {src.num_rows * REPLICAS}", flush=True)
+        print(f"{t}: {src.num_rows} -> {src.num_rows * replicas}", flush=True)
     src = pq.read_table(f"{base}/documents.parquet")
-    parts = [_documents_replica(src, k) for k in range(REPLICAS)]
+    parts = [_documents_replica(src, k) for k in range(replicas)]
     pq.write_table(pa.concat_tables(parts), out / "documents.parquet")
-    print(f"documents: {src.num_rows} -> {src.num_rows * REPLICAS}", flush=True)
+    print(f"documents: {src.num_rows} -> {src.num_rows * replicas}", flush=True)
     src = pq.read_table(f"{base}/embeddings.parquet")
     rng = np.random.default_rng(SEED)
-    parts = [_embeddings_replica(src, k, rng) for k in range(REPLICAS)]
+    parts = [_embeddings_replica(src, k, rng) for k in range(replicas)]
     pq.write_table(pa.concat_tables(parts), out / "embeddings.parquet")
-    print(f"embeddings: {src.num_rows} -> {src.num_rows * REPLICAS}", flush=True)
+    print(f"embeddings: {src.num_rows} -> {src.num_rows * replicas}", flush=True)
 
 
 # The probe set: the judge-bench top spenders + every family with a
@@ -174,6 +176,14 @@ def run(slab_dir: str = SLAB, base: str = BASE,
     import __spark_entry__ as entrymod
     from cdp_spark.session import get_spark
 
+    # Auto-detect the slab's actual scale factor (10x, 30x, ...) so
+    # the exponent denominator is always right for deeper probes.
+    scale = (
+        pq.read_metadata(f"{slab_dir}/lineitem.parquet").num_rows
+        / pq.read_metadata(f"{base}/lineitem.parquet").num_rows
+    )
+    print(f"# slab scale: {scale:.1f}x", file=sys.stderr, flush=True)
+
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -192,7 +202,10 @@ def run(slab_dir: str = SLAB, base: str = BASE,
             rec[tag] = round(time.perf_counter() - t0, 3)
             rec[f"rows_{tag}"] = n
         rec["ratio"] = round(rec["t10"] / rec["t1"], 2)
-        rec["exponent"] = round(math.log(rec["t10"] / rec["t1"]) / math.log(10), 2)
+        rec["scale"] = round(scale, 1)
+        rec["exponent"] = round(
+            math.log(rec["t10"] / rec["t1"]) / math.log(scale), 2
+        )
         results[name] = rec
         print(name, rec, flush=True)
         # incremental dump so a stalled query never loses prior results
@@ -207,7 +220,8 @@ def run(slab_dir: str = SLAB, base: str = BASE,
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "generate"
     if cmd == "generate":
-        generate(*(sys.argv[2:3] or [SLAB]))
+        # scale_probe.py generate [slab] [base] [replicas]
+        generate(*(sys.argv[2:5] or [SLAB]))
     elif cmd == "run":
         # scale_probe.py run [slab] [base] [out] [query names...]
         args = sys.argv[2:]
