@@ -1932,6 +1932,31 @@ def q_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint exact-substring pairs (Schleimer et al.
+    2003): documents sharing any exact >= 41-char substring
+    (k=30, w=12) are guaranteed to pair; boilerplate fingerprints in
+    > 50 docs are dropped (stop-gram discipline, applied identically
+    by the oracle).  The distributed stand-in for suffix-array
+    exact-substring dedup (Lee et al. 2022)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ddp.exact_substring_pairs(
+        docs, "doc_id", "text", k=30, w=12, max_df=50,
+        hash_fn=ddp.md5_hash60,
+    )
+
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exact-substring dedup: winnow -> pair -> connected
+    components -> minimum-id survivors, same pipeline shape as
+    minhash_dedup_corpus but keyed on exact shared substrings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ddp.exact_substring_dedup_corpus(
+        docs, "doc_id", "text", k=30, w=12, max_df=50,
+        hash_fn=ddp.md5_hash60,
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids — the k-means/IVF reduce step as
     a plain (label, dim) aggregate with the order-stable mean."""
@@ -2892,6 +2917,8 @@ _ROUND7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_multi_query": q_bm25_multi_query,
+    "exact_substring_pairs": q_exact_substring_pairs,
+    "exact_substring_dedup": q_exact_substring_dedup,
 }
 
 
@@ -3942,6 +3969,68 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY p_new, partner) AS rn
               FROM cand)
             SELECT id, partner AS dup_of, jaccard FROM ranked WHERE rn = 1
+    """
+    # Winnowing exact-substring family (r8): char-30-gram md5 hashes,
+    # per-12-window minimum (min() OVER a ROWS frame — the frame must
+    # be computed over ALL gram rows, so the start-position filter
+    # sits OUTSIDE the window subquery), stop-gram filter at df<=50.
+    # Hash = the same md5_hash60 the Spark side uses.
+    _wn_fps = f"""
+            ch AS (
+              SELECT doc_id, text AS s, length(text) AS n
+              FROM documents WHERE length(text) >= 30
+            ),
+            wgrams AS (
+              SELECT doc_id, gs AS pos, n - 29 AS m,
+                     {h60('substr(s, gs, 30)')} AS h
+              FROM (SELECT doc_id, s, n,
+                           unnest(generate_series(1, n - 29)) AS gs
+                    FROM ch)
+            ),
+            winnow AS (
+              SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id, pos, m,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 11 FOLLOWING) AS fp
+                FROM wgrams)
+              WHERE pos <= CASE WHEN m - 11 > 1 THEN m - 11 ELSE 1 END
+            ),
+            goodfp AS (
+              SELECT fp FROM winnow GROUP BY fp HAVING count(*) <= 50
+            ),
+            keptfp AS (
+              SELECT doc_id, fp FROM winnow
+              WHERE fp IN (SELECT fp FROM goodfp)
+            ),
+            wpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_shared
+              FROM keptfp a JOIN keptfp b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )"""
+    oracles["exact_substring_pairs"] = f"""
+            WITH {_wn_fps}
+            SELECT id_a, id_b, n_shared FROM wpairs
+    """
+    oracles["exact_substring_dedup"] = f"""
+            WITH RECURSIVE {_wn_fps},
+            bidir AS (
+              SELECT id_a AS s, id_b AS d FROM wpairs
+              UNION SELECT id_b, id_a FROM wpairs
+            ),
+            reach(id, label) AS (
+              SELECT s, s FROM bidir
+              UNION
+              SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.id
+            ),
+            comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.id <> c.component
+            )
     """
     oracles["minhash_dedup_corpus"] = f"""
             WITH RECURSIVE {_mh_cands},

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "near_dedup_corpus",
     "minhash_dedup_corpus",
     "incremental_dedup",
+    "exact_substring_pairs",
+    "exact_substring_dedup",
     "stratified_sample",
     "dataset_mix",
     "decontaminate_docs",

@@ -51,6 +51,60 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
+def winnow_fingerprints(
+    col: Column, k: int = 20, w: int = 8, hash_fn=None
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram,
+    then keep the MINIMUM hash of each window of ``w`` consecutive
+    gram hashes.  Guarantee: two documents sharing any exact substring
+    of length >= k + w - 1 select at least one common fingerprint —
+    the distributed stand-in for suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), which needs a global sorted structure Spark
+    shouldn't build.
+
+    Documents shorter than ``k`` produce no fingerprints; documents
+    with fewer than ``w`` grams produce one (the whole-doc minimum —
+    the window clips at the boundary).  Output: array<long>, distinct.
+
+    All JVM-side (substring/transform/slice/array_min) inside
+    whole-stage codegen — no explode, no shuffle, O(len * (k + w))
+    per doc with the gram-hash array let-bound before the window pass
+    (the shingles() lesson: a plain expression tree would re-hash the
+    document once per window position).
+    """
+    if hash_fn is None:
+        hash_fn = default_hash64
+
+    def select_mins(hashes: Column) -> Column:
+        m = F.size(hashes)
+        win_starts = F.when(
+            m >= 1, F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1)))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(
+                win_starts, lambda j: F.array_min(F.slice(hashes, j, w))
+            )
+        )
+
+    def build(s: Column) -> Column:
+        n = F.length(s)
+        gram_starts = F.when(
+            n >= k, F.sequence(F.lit(1), n - k + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        hashes = F.transform(
+            gram_starts, lambda i: hash_fn(F.substring(s, i, k))
+        )
+        # hashes must be let-bound before the window pass: each
+        # lambda-body reference re-evaluates its subtree, so slicing
+        # the raw expression per window start would re-hash the whole
+        # document O(len) times (the shingles() lesson, squared).
+        return F.element_at(F.transform(F.array(hashes), select_mins), 1)
+
+    return F.element_at(F.transform(F.array(col), build), 1)
+
+
 def default_hash64(col: Column) -> Column:
     """Fast engine-native 64-bit string hash (xxhash64, JVM-side)."""
     return F.abs(F.xxhash64(col))
@@ -482,6 +536,89 @@ def simhash64(col: Column, hash_fn=None) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    w: int = 8,
+    max_df: int = 50,
+    hash_fn=None,
+) -> DataFrame:
+    """Document pairs sharing an exact character substring, detected
+    via winnowing fingerprints (:func:`winnow_fingerprints`): every
+    pair of documents sharing a substring of length >= k + w - 1 is
+    guaranteed to appear (no false negatives from the selection);
+    false positives are only 64-bit hash collisions on distinct
+    k-grams.
+
+    ``max_df``: fingerprints present in more than this many documents
+    are dropped before pairing — boilerplate phrases (headers,
+    licenses) otherwise create occupancy-squared pair blowups, the
+    same stop-gram discipline suffix-array dedup pipelines apply.
+    Deterministic and part of the operator's semantics (the oracle
+    applies the identical filter), not a silent cap.
+
+    Scale shape: fingerprints leave the scan as (id, fp) pairs only —
+    the documents never shuffle; the document-frequency filter and the
+    self-join both key on fp (one shuffle each, map-side combined);
+    pair aggregation keys on (id_a, id_b).  Occupancy is bounded by
+    ``max_df``, so the join fan-out per fingerprint is <= max_df^2.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b, n_shared = how
+    many distinct surviving fingerprints the pair shares.
+    """
+    fps = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), k=k, w=w, hash_fn=hash_fn)
+        ).alias("fp"),
+    )
+    good = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(good, "fp", "left_semi")
+    left = kept.select(F.col("_id").alias("id_a"), "fp")
+    right = kept.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        left.join(right, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def exact_substring_dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    w: int = 8,
+    max_df: int = 50,
+    min_shared: int = 1,
+    hash_fn=None,
+) -> DataFrame:
+    """End-to-end exact-substring dedup: winnow -> pair -> connected
+    components -> survivors (minimum id per cluster), the Lee et al.
+    2022 pipeline shape re-expressed over fingerprints.  ``min_shared``
+    raises the pairing bar to >= that many shared fingerprints.
+
+    Same 100 TB shape as :func:`near_dedup_survivors`: the drop list
+    is a duplicate-density fraction of the corpus, broadcast into a
+    left_anti join — the corpus itself never shuffles.
+    """
+    pairs = exact_substring_pairs(
+        df, id_col, text_col, k=k, w=w, max_df=max_df, hash_fn=hash_fn
+    ).where(F.col("n_shared") >= min_shared)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return near_dedup_survivors(df, id_col, comps)
 
 
 def near_dedup_survivors(

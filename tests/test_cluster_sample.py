@@ -207,3 +207,96 @@ def test_incremental_near_dups_never_pairs_old_with_old(spark):
     # old doc, not 11); 11 could match either but old still wins
     assert out[10][0] in (1, 2) and out[11][0] in (1, 2)
     assert out[10][1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# winnowing exact-substring dedup (r8)
+
+
+def test_winnow_guarantee_shared_long_substring(spark):
+    """Winnowing's core property (Schleimer et al. 2003): any two
+    documents sharing an exact substring of length >= k + w - 1 share
+    at least one selected fingerprint."""
+    from cdp_spark.datapipe import dedup as ddp
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIX AAA " + shared + " SUFFIX BBB"),
+            (2, "completely different framing text " + shared),
+            (3, "no overlap with anything else whatsoever in this row"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 20, 8
+    assert len(shared) >= k + w - 1
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id",
+            ddp.winnow_fingerprints(F.col("text"), k=k, w=w).alias("f"),
+        ).collect()
+    }
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_short_doc_edges(spark):
+    from cdp_spark.datapipe import dedup as ddp
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdef"), (3, "")],
+        "doc_id long, text string",
+    )
+    # k=5: doc 1 and 3 too short -> no fingerprints; doc 2 has 2 grams
+    # (< w) -> exactly one fingerprint (the whole-doc window minimum)
+    rows = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            ddp.winnow_fingerprints(F.col("text"), k=5, w=3).alias("f"),
+        ).collect()
+    }
+    assert rows[1] == [] and rows[3] == []
+    assert len(rows[2]) == 1
+
+
+def test_exact_substring_pairs_max_df_drops_boilerplate(spark):
+    """A fingerprint present in more than max_df docs must not
+    generate pairs (stop-gram discipline), while rare shared
+    substrings still pair."""
+    from cdp_spark.datapipe import dedup as ddp
+
+    boiler = "this exact boilerplate license header appears everywhere"
+    rare = "a genuinely distinctive shared passage of text right here"
+    rows = [(i, f"doc {i} unique padding {i} " + boiler) for i in range(1, 6)]
+    rows += [(10, "X " + rare), (11, "Y " + rare)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ddp.exact_substring_pairs(
+        df, "doc_id", "text", k=20, w=8, max_df=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (10, 11) in got
+    # the boilerplate quintet (df=5 > 3) must contribute no pairs
+    assert not any(a < 10 and b < 10 for a, b in got)
+
+
+def test_exact_substring_dedup_corpus_keeps_min_id(spark):
+    from cdp_spark.datapipe import dedup as ddp
+
+    shared = "one very long duplicated passage that links these docs"
+    df = spark.createDataFrame(
+        [
+            (5, "AA " + shared),
+            (2, "BB " + shared),
+            (9, "unrelated text with no duplication in it at all okay"),
+        ],
+        "doc_id long, text string",
+    )
+    surv = sorted(
+        r["doc_id"]
+        for r in ddp.exact_substring_dedup_corpus(
+            df, "doc_id", "text", k=20, w=8
+        ).collect()
+    )
+    assert surv == [2, 9]
