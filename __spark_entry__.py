@@ -2138,6 +2138,39 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup flagging against a static corpus — MinHash
+    bands computed inside each micro-batch (pure Columns, no state),
+    stream-static (band, bucket) join, exact-Jaccard verify, min-id
+    partner per streamed doc.  Docs with doc_id % 5 == 0 stream in as
+    4 JSON micro-batches (maxFilesPerTrigger=1); the rest are the
+    static corpus.  The min-struct aggregate is order-insensitive, so
+    micro-batch boundaries cannot change the answer — value-hashed
+    against the batch oracle (the same MinHash CTE block the
+    incremental_dedup oracle replays, restricted to new-vs-old)."""
+    import tempfile
+
+    from cdp_spark.streaming.analytics import stream_near_dup_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    newdocs = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="cdp_stream_ndup_src_")
+    newdocs.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = stream_near_dup_flags(
+        stream, corpus, threshold=0.5, num_perm=32, bands=8,
+        hash_fn=ddp.md5_hash60,
+    )
+    return _drive_memory_stream(
+        spark, out, "cdp_stream_ndup_", src, output_mode="complete"
+    )
+
+
 def q_stream_keyed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYED cross-batch count-or-time windows as a driver query — the
     scale twin of the DAG runner's stateful window
@@ -2919,6 +2952,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_multi_query": q_bm25_multi_query,
     "exact_substring_pairs": q_exact_substring_pairs,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "stream_near_dup": q_stream_near_dup,
 }
 
 
@@ -4031,6 +4065,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.id <> c.component
             )
+    """
+    # Streaming near-dup vs static corpus (r8): the same MinHash CTE
+    # block, restricted to new (doc_id%5==0) x old pairs — the
+    # streamed min-struct aggregate is order-insensitive so the batch
+    # replay is exact.
+    oracles["stream_near_dup"] = f"""
+            WITH {_mh_cands},
+            counts AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY p.id_a, p.id_b
+            ),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     round(coalesce(i.i, 0) * 1.0
+                           / (ca.c + cb.c - coalesce(i.i, 0)), 6) AS jaccard
+              FROM pairs p
+              LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              JOIN counts ca ON ca.doc_id = p.id_a
+              JOIN counts cb ON cb.doc_id = p.id_b
+              WHERE round(coalesce(i.i, 0) * 1.0
+                          / (ca.c + cb.c - coalesce(i.i, 0)), 6) >= 0.5
+            ),
+            vb AS (
+              SELECT id_a AS a, id_b AS b, jaccard FROM j
+              UNION ALL SELECT id_b, id_a, jaccard FROM j
+            ),
+            cand AS (
+              SELECT b AS doc_id, a AS partner, jaccard FROM vb
+              WHERE b % 5 = 0 AND a % 5 <> 0
+            ),
+            ranked AS (
+              SELECT doc_id, partner, jaccard,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY partner) AS rn
+              FROM cand)
+            SELECT doc_id, partner AS dup_of, jaccard
+            FROM ranked WHERE rn = 1
     """
     oracles["minhash_dedup_corpus"] = f"""
             WITH RECURSIVE {_mh_cands},

@@ -93,3 +93,113 @@ def stream_session_windows(
             "sum_value",
         )
     )
+
+
+def stream_near_dup_flags(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    hash_fn=None,
+) -> DataFrame:
+    """Streaming near-dup flagging against a STATIC corpus — the
+    dedup-on-ingest path: every streamed document is MinHash-banded
+    with pure Column expressions (shingle -> signature -> band keys
+    run inside the micro-batch, no state), candidates come from a
+    stream-static equi-join on (band, bucket) against the corpus's
+    precomputed band index, and exact Jaccard verifies against the
+    corpus shingle arrays.  Output: one row per duplicated streamed
+    doc — (id, dup_of, jaccard) with dup_of the minimum matching
+    corpus id (order-insensitive, so micro-batch boundaries cannot
+    change the answer; the driver value-hashes it against the batch
+    oracle).
+
+    Scope: flags stream-vs-corpus duplicates only.  Stream-vs-stream
+    duplicates within the increment need keyed state
+    (dropDuplicatesWithinWatermark on a content key, or the batch
+    incremental_near_dups over the accumulated increment) — kept out
+    so the join stays stateless and the per-batch cost stays
+    O(batch x bucket-occupancy).
+
+    At 100 TB the static side is the persisted signature index
+    (datapipe.dedup.minhash_signatures_df written at ingest), loaded
+    once per stream start; the band join broadcasts only if the
+    corpus index fits — otherwise it is a shuffled stream-static
+    join, which Spark executes per micro-batch against the static
+    side's materialized exchange.
+    """
+    from ..datapipe import dedup as ddp
+
+    if hash_fn is None:
+        hash_fn = ddp.default_hash64
+    rows = num_perm // bands
+    bucket_fn = None if hash_fn is ddp.default_hash64 else hash_fn
+
+    enriched = ddp._enrich_signatures(
+        corpus_docs, id_col, text_col, num_perm, n, hash_fn
+    )
+    corpus_bands = enriched.select(
+        F.col("_id").alias("_old_id"),
+        F.explode(
+            ddp.lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
+        ).alias("bk"),
+    ).select(
+        "_old_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    corpus_sh = enriched.select(
+        F.col("_id").alias("_old_id"), F.col("_sh").alias("_old_sh")
+    )
+
+    s = stream_docs.select(
+        F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
+    ).filter(F.size(ddp.tokens(F.col("_t"))) > 0)
+    s = s.select(
+        "_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")
+    ).select(
+        "_new_id",
+        "_new_sh",
+        ddp.signature_from_shingles(
+            F.col("_new_sh"), num_perm, 42, hash_fn
+        ).alias("signature"),
+    )
+    cands = (
+        s.select(
+            "_new_id",
+            "_new_sh",
+            F.explode(
+                ddp.lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
+            ).alias("bk"),
+        )
+        .select(
+            "_new_id",
+            "_new_sh",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+        .join(corpus_bands, ["band", "bucket"])
+        .join(corpus_sh, "_old_id")
+    )
+    inter = F.size(F.array_intersect("_new_sh", "_old_sh")).cast("double")
+    union = F.size(F.array_union("_new_sh", "_old_sh")).cast("double")
+    jac = F.round(
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6
+    )
+    verified = cands.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= threshold
+    )
+    best = F.min(F.struct(F.col("_old_id"), F.col("jaccard"))).alias("_best")
+    return (
+        verified.groupBy("_new_id")
+        .agg(best)
+        .select(
+            F.col("_new_id").alias(id_col),
+            F.col("_best._old_id").alias("dup_of"),
+            F.col("_best.jaccard").alias("jaccard"),
+        )
+    )

@@ -140,3 +140,49 @@ def test_session_windows_gap_semantics(spark, tmp_path):
         (1, "2024-01-01 00:50:00", 1, 4.0),
         (2, "2024-01-01 00:00:00", 1, 8.0),
     ]
+
+
+def test_stream_near_dup_flags_vs_static_corpus(spark, tmp_path):
+    """Streamed docs that near-duplicate the static corpus are
+    flagged with the MINIMUM matching corpus id; non-dups and
+    corpus-only docs never appear; micro-batch boundaries (one file
+    per trigger) cannot change the result."""
+    from cdp_spark.streaming.analytics import stream_near_dup_flags
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),          # near-dup family
+            (3, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # stream: 10 dups base, 11 unrelated, split across two files
+    _write_batch(
+        tmp_path / "src" / "b1.json",
+        [{"doc_id": 10, "text": base + " mu"}],
+    )
+    _write_batch(
+        tmp_path / "src" / "b2.json",
+        [{"doc_id": 11, "text": "unique stream content with no match"}],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "src"))
+    )
+    out = stream_near_dup_flags(stream, corpus, threshold=0.5)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("snd_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM snd_test").collect()}
+    assert set(rows) == {10}
+    assert rows[10]["dup_of"] == 1  # minimum matching corpus id
+    assert rows[10]["jaccard"] >= 0.5
