@@ -566,15 +566,22 @@ def exact_substring_pairs(
     self-join both key on fp (one shuffle each, map-side combined);
     pair aggregation keys on (id_a, id_b).  Occupancy is bounded by
     ``max_df``, so the join fan-out per fingerprint is <= max_df^2.
+    The (id, fp) frame is consumed by BOTH the df filter and the pair
+    join, so it is materialized once (``iter_checkpoint``) after a
+    parallelism floor — the hashing is the expensive map, and a
+    single-row-group parquet source would otherwise winnow the whole
+    corpus on one task and then do it twice.
 
     Output: (id_a, id_b, n_shared) with id_a < id_b, n_shared = how
     many distinct surviving fingerprints the pair shares.
     """
-    fps = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            winnow_fingerprints(F.col(text_col), k=k, w=w, hash_fn=hash_fn)
-        ).alias("fp"),
+    fps = iter_checkpoint(
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                winnow_fingerprints(F.col(text_col), k=k, w=w, hash_fn=hash_fn)
+            ).alias("fp"),
+        )
     )
     good = (
         fps.groupBy("fp")
