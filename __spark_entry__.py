@@ -2171,6 +2171,41 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL streaming incremental near-dedup: streamed docs
+    (doc_id % 5 == 0, 4 JSON micro-batches) are flagged against the
+    static corpus AND against earlier streamed docs — the new-new
+    path runs applyInPandasWithState keyed by (band, bucket); the
+    reduction to the first-preceding-partner is arrival-order
+    independent (precedence by (is_corpus, id), not arrival), so the
+    result value-hashes against the SAME batch oracle as
+    incremental_dedup."""
+    import tempfile
+
+    from cdp_spark.streaming.analytics import (
+        reduce_incremental_pairs,
+        stream_incremental_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    newdocs = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="cdp_stream_incdup_src_")
+    newdocs.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    pair_stream = stream_incremental_near_dups(
+        stream, corpus, num_perm=32, bands=8, hash_fn=ddp.md5_hash60
+    )
+    pairs = _drive_memory_stream(
+        spark, pair_stream, "cdp_stream_incdup_", src
+    )
+    return reduce_incremental_pairs(pairs, threshold=0.5, id_col="id")
+
+
 def q_stream_keyed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYED cross-batch count-or-time windows as a driver query — the
     scale twin of the DAG runner's stateful window
@@ -2953,6 +2988,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_pairs": q_exact_substring_pairs,
     "exact_substring_dedup": q_exact_substring_dedup,
     "stream_near_dup": q_stream_near_dup,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
 }
 
 
@@ -4004,6 +4040,10 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
             SELECT id, partner AS dup_of, jaccard FROM ranked WHERE rn = 1
     """
+    # The streaming incremental dedup computes the SAME answer (the
+    # precedence order is (is_corpus, id), arrival-independent), so
+    # the batch oracle is shared verbatim.
+    oracles["stream_incremental_dedup"] = oracles["incremental_dedup"]
     # Winnowing exact-substring family (r8): char-30-gram md5 hashes,
     # per-12-window minimum (min() OVER a ROWS frame — the frame must
     # be computed over ALL gram rows, so the start-position filter

@@ -203,3 +203,217 @@ def stream_near_dup_flags(
             F.col("_best.jaccard").alias("jaccard"),
         )
     )
+
+
+def stream_incremental_near_dups(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    hash_fn=None,
+) -> DataFrame:
+    """FULL streaming incremental near-dedup: flag streamed documents
+    that duplicate the static corpus OR an EARLIER streamed document
+    — the stateful completion of :func:`stream_near_dup_flags`.
+
+    Two candidate paths, unioned into one append-mode pair stream:
+
+    - new x old: the stateless stream-static (band, bucket) join
+      against the corpus band index (as in stream_near_dup_flags),
+      with intersection/union sizes computed engine-side.
+    - new x new: ``applyInPandasWithState`` keyed by (band, bucket).
+      State = the bucket's streamed members so far (ids + shingle
+      sets, JSON-encoded like the count-or-time operator).  Each
+      arriving member emits one candidate row against every earlier
+      member of its bucket; within a micro-batch members process in
+      ascending id order, so every unordered pair is emitted exactly
+      once per bucket regardless of arrival order.
+
+    Determinism: "earlier" is defined by the dedup PRECEDENCE ORDER
+    (corpus docs first, then streamed docs by ascending id), NOT by
+    arrival time — so the flagged doc of a new-new pair is always the
+    LARGER id and the result is independent of micro-batch boundaries;
+    the driver value-hashes the reduced output against the batch
+    incremental oracle.
+
+    Output (append stream): candidate rows
+    (id, partner, p_new, inter_n, union_n) — exact integers, so the
+    jaccard division and rounding happen engine-side afterwards
+    (:func:`reduce_incremental_pairs`), never in Python float.
+
+    Scale: per-bucket state grows with the increment's bucket
+    occupancy (shingle sets included — the verify payload).  At
+    100 TB bound it the same way the batch path bounds buckets (band
+    tuning / occupancy caps), and restart the increment periodically
+    by folding survivors into the corpus index — the state is the
+    increment, not the corpus.
+    """
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..datapipe import dedup as ddp
+
+    if hash_fn is None:
+        hash_fn = ddp.default_hash64
+    rows = num_perm // bands
+    bucket_fn = None if hash_fn is ddp.default_hash64 else hash_fn
+
+    enriched = ddp._enrich_signatures(
+        corpus_docs, id_col, text_col, num_perm, n, hash_fn
+    )
+    corpus_bands = enriched.select(
+        F.col("_id").alias("_old_id"),
+        F.explode(
+            ddp.lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
+        ).alias("bk"),
+    ).select(
+        "_old_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    corpus_sh = enriched.select(
+        F.col("_id").alias("_old_id"), F.col("_sh").alias("_old_sh")
+    )
+
+    s = stream_docs.select(
+        F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
+    ).filter(F.size(ddp.tokens(F.col("_t"))) > 0)
+    s = s.select(
+        "_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")
+    ).select(
+        "_new_id",
+        "_new_sh",
+        ddp.signature_from_shingles(
+            F.col("_new_sh"), num_perm, 42, hash_fn
+        ).alias("signature"),
+    )
+    banded = s.select(
+        "_new_id",
+        "_new_sh",
+        F.explode(
+            ddp.lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
+        ).alias("bk"),
+    ).select(
+        "_new_id",
+        "_new_sh",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+
+    new_old = (
+        banded.join(corpus_bands, ["band", "bucket"])
+        .join(corpus_sh, "_old_id")
+        .select(
+            F.col("_new_id").alias("id"),
+            F.col("_old_id").alias("partner"),
+            F.lit(0).alias("p_new"),
+            F.size(F.array_intersect("_new_sh", "_old_sh"))
+            .cast("long")
+            .alias("inter_n"),
+            F.size(F.array_union("_new_sh", "_old_sh"))
+            .cast("long")
+            .alias("union_n"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("partner", T.LongType()),
+            T.StructField("inter_n", T.LongType()),
+            T.StructField("union_n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("members", T.StringType())])
+
+    def pair_fn(key, pdfs, state: GroupState):
+        members: list[tuple[int, list[str]]]
+        if state.exists:
+            members = [
+                (int(i), sh) for i, sh in _json.loads(state.get[0])
+            ]
+        else:
+            members = []
+        rows_in = []
+        for pdf in pdfs:
+            for i, sh in zip(pdf["_new_id"], pdf["_new_sh"]):
+                rows_in.append((int(i), list(sh)))
+        rows_in.sort(key=lambda t: t[0])
+        out = []
+        for nid, nsh in rows_in:
+            nset = set(nsh)
+            for mid, msh in members:
+                a = set(msh)
+                out.append(
+                    (
+                        max(nid, mid),
+                        min(nid, mid),
+                        len(nset & a),
+                        len(nset | a),
+                    )
+                )
+            members.append((nid, nsh))
+        state.update((_json.dumps(members),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["id", "partner", "inter_n", "union_n"]
+            )
+
+    new_new = (
+        banded.groupBy("band", "bucket")
+        .applyInPandasWithState(
+            pair_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .select(
+            "id", "partner", F.lit(1).alias("p_new"), "inter_n", "union_n"
+        )
+    )
+    return new_old.unionByName(new_new)
+
+
+def reduce_incremental_pairs(
+    pairs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch epilogue for :func:`stream_incremental_near_dups`'
+    materialized pair stream: dedupe cross-bucket candidate repeats,
+    verify with the engine-side rounded Jaccard (exact integer
+    inputs), and reduce to the FIRST PRECEDING PARTNER per flagged
+    doc — min over (p_new, partner), i.e. corpus partners before
+    streamed ones, then ascending id, the same precedence the batch
+    incremental_near_dups (and its oracle) uses."""
+    verified = (
+        pairs.distinct()
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(
+                    F.col("union_n") > 0,
+                    F.col("inter_n").cast("double") / F.col("union_n"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = F.min(
+        F.struct(F.col("p_new"), F.col("partner"), F.col("jaccard"))
+    ).alias("_best")
+    return (
+        verified.groupBy("id")
+        .agg(best)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_best.partner").alias("dup_of"),
+            F.col("_best.jaccard").alias("jaccard"),
+        )
+    )

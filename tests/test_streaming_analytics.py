@@ -186,3 +186,59 @@ def test_stream_near_dup_flags_vs_static_corpus(spark, tmp_path):
     assert set(rows) == {10}
     assert rows[10]["dup_of"] == 1  # minimum matching corpus id
     assert rows[10]["jaccard"] >= 0.5
+
+
+def test_stream_incremental_dedup_new_new_across_batches(spark, tmp_path):
+    """The stateful path: a streamed doc duplicating an EARLIER
+    streamed doc (in a previous micro-batch, no corpus partner) is
+    flagged with the smaller streamed id; when both a corpus and a
+    streamed partner match, the corpus partner wins (precedence
+    (is_corpus, id), independent of arrival order)."""
+    from cdp_spark.streaming.analytics import (
+        reduce_incremental_pairs,
+        stream_incremental_near_dups,
+    )
+
+    basis = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "red orange yellow green blue indigo violet umber ochre teal"
+    corpus = spark.createDataFrame(
+        [(1, basis), (3, "nothing in common with either family at all")],
+        "doc_id long, text string",
+    )
+    # batch 1: 20 dups corpus(1); 22 starts the `other` family
+    _write_batch(
+        tmp_path / "src" / "b1.json",
+        [
+            {"doc_id": 20, "text": basis + " lambda"},
+            {"doc_id": 22, "text": other},
+        ],
+    )
+    # batch 2: 30 dups 22 (new-new, across the trigger boundary);
+    # 31 matches nothing
+    _write_batch(
+        tmp_path / "src" / "b2.json",
+        [
+            {"doc_id": 30, "text": other + " sienna"},
+            {"doc_id": 31, "text": "entirely novel words appearing nowhere else ever"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "src"))
+    )
+    pair_stream = stream_incremental_near_dups(stream, corpus)
+    query = (
+        pair_stream.writeStream.format("memory")
+        .queryName("sid_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    out = reduce_incremental_pairs(
+        spark.sql("SELECT * FROM sid_test"), threshold=0.5, id_col="doc_id"
+    )
+    rows = {r["doc_id"]: r["dup_of"] for r in out.collect()}
+    assert rows == {20: 1, 30: 22}
