@@ -2171,6 +2171,39 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_substring_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring flagging vs the static corpus — the
+    winnowing twin of stream_near_dup: streamed docs (doc_id % 5 == 0,
+    4 JSON micro-batches) whose winnow fingerprints (pure Columns,
+    stateless) hit the corpus's stop-gram-filtered fingerprint index
+    are flagged with their minimum corpus partner; the per-pair
+    shared-fp count reduction runs batch-side on the materialized
+    candidate stream (two chained aggs are not allowed in one
+    streaming query)."""
+    import tempfile
+
+    from cdp_spark.streaming.analytics import (
+        reduce_substring_flags,
+        stream_exact_substring_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    newdocs = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="cdp_stream_ssf_src_")
+    newdocs.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    cands = stream_exact_substring_flags(
+        stream, corpus, k=30, w=12, max_df=50, hash_fn=ddp.md5_hash60
+    )
+    mat = _drive_memory_stream(spark, cands, "cdp_stream_ssf_", src)
+    return reduce_substring_flags(mat, id_col="doc_id")
+
+
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL streaming incremental near-dedup: streamed docs
     (doc_id % 5 == 0, 4 JSON micro-batches) are flagged against the
@@ -2989,6 +3022,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "stream_near_dup": q_stream_near_dup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_substring_flags": q_stream_substring_flags,
 }
 
 
@@ -4049,7 +4083,7 @@ def oracle_sql() -> dict[str, str]:
     # be computed over ALL gram rows, so the start-position filter
     # sits OUTSIDE the window subquery), stop-gram filter at df<=50.
     # Hash = the same md5_hash60 the Spark side uses.
-    _wn_fps = f"""
+    _wn_base = f"""
             ch AS (
               SELECT doc_id, text AS s, length(text) AS n
               FROM documents WHERE length(text) >= 30
@@ -4069,7 +4103,8 @@ def oracle_sql() -> dict[str, str]:
                                     AND 11 FOLLOWING) AS fp
                 FROM wgrams)
               WHERE pos <= CASE WHEN m - 11 > 1 THEN m - 11 ELSE 1 END
-            ),
+            )"""
+    _wn_fps = f"""{_wn_base},
             goodfp AS (
               SELECT fp FROM winnow GROUP BY fp HAVING count(*) <= 50
             ),
@@ -4087,6 +4122,39 @@ def oracle_sql() -> dict[str, str]:
     oracles["exact_substring_pairs"] = f"""
             WITH {_wn_fps}
             SELECT id_a, id_b, n_shared FROM wpairs
+    """
+    # Streaming exact-substring flagging vs static corpus (r8): the
+    # corpus-side df filter applies over CORPUS docs only; streamed
+    # (doc_id%5==0) fingerprints join the surviving index; min corpus
+    # partner + that pair's shared-fp count per flagged doc.
+    oracles["stream_substring_flags"] = f"""
+            WITH {_wn_base},
+            corpusfp AS (
+              SELECT doc_id, fp FROM winnow WHERE doc_id % 5 <> 0
+            ),
+            sgoodfp AS (
+              SELECT fp FROM corpusfp GROUP BY fp HAVING count(*) <= 50
+            ),
+            idx AS (
+              SELECT doc_id, fp FROM corpusfp
+              WHERE fp IN (SELECT fp FROM sgoodfp)
+            ),
+            newfp AS (
+              SELECT doc_id, fp FROM winnow WHERE doc_id % 5 = 0
+            ),
+            pp AS (
+              SELECT n.doc_id AS id, i.doc_id AS partner,
+                     count(*) AS nsh
+              FROM newfp n JOIN idx i USING (fp)
+              GROUP BY 1, 2
+            ),
+            rankedp AS (
+              SELECT id, partner, nsh,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY partner) AS rn
+              FROM pp)
+            SELECT id AS doc_id, partner AS dup_of, nsh AS n_shared
+            FROM rankedp WHERE rn = 1
     """
     oracles["exact_substring_dedup"] = f"""
             WITH RECURSIVE {_wn_fps},

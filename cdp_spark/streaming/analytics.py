@@ -417,3 +417,95 @@ def reduce_incremental_pairs(
             F.col("_best.jaccard").alias("jaccard"),
         )
     )
+
+
+def stream_exact_substring_flags(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    w: int = 12,
+    max_df: int = 50,
+    hash_fn=None,
+) -> DataFrame:
+    """Streaming exact-substring flagging against a static corpus —
+    the winnowing twin of :func:`stream_near_dup_flags`: each
+    streamed document's winnow fingerprints (pure Column exprs,
+    stateless) join the corpus's precomputed fingerprint index; a doc
+    sharing any exact substring of length >= k + w - 1 with a corpus
+    doc is flagged with its minimum-id partner and the shared
+    surviving-fingerprint count for that partner.
+
+    The corpus-side stop-gram filter (``max_df`` over CORPUS document
+    frequency) applies before the join, so boilerplate fingerprints
+    never enter the stream-static exchange — the occupancy bound is
+    static-side and precomputable at index build time.
+
+    Returns the stateless APPEND candidate stream (id, partner) — one
+    row per (streamed doc, corpus doc, shared fingerprint); reduce the
+    materialized stream with :func:`reduce_substring_flags` (two
+    chained aggregations are not allowed inside one streaming query,
+    the same split the incremental dedup pair stream uses).
+    """
+    from ..datapipe import dedup as ddp
+
+    from ..session import iter_checkpoint
+    from ..datapipe.dedup import _ensure_parallelism
+
+    # Winnow the corpus ONCE (checkpointed before the df aggregate
+    # and the semi-join both consume it — the dsir/winnow-pairs
+    # double-eval lesson), then filter to surviving fingerprints.
+    corpus_fps = iter_checkpoint(
+        _ensure_parallelism(
+            corpus_docs.select(F.col(id_col), F.col(text_col))
+        ).select(
+            F.col(id_col).alias("_old_id"),
+            F.explode(
+                ddp.winnow_fingerprints(
+                    F.col(text_col), k=k, w=w, hash_fn=hash_fn
+                )
+            ).alias("fp"),
+        )
+    )
+    good = (
+        corpus_fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    corpus_index = corpus_fps.join(good, "fp", "left_semi")
+
+    s_fps = stream_docs.select(
+        F.col(id_col).alias("_new_id"),
+        F.explode(
+            ddp.winnow_fingerprints(
+                F.col(text_col), k=k, w=w, hash_fn=hash_fn
+            )
+        ).alias("fp"),
+    )
+    return s_fps.join(corpus_index, "fp").select(
+        F.col("_new_id").alias("id"), F.col("_old_id").alias("partner")
+    )
+
+
+def reduce_substring_flags(
+    cands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Batch epilogue for :func:`stream_exact_substring_flags`'
+    materialized candidate stream: per flagged doc, the minimum
+    corpus partner and the shared-fingerprint count for THAT partner.
+    Output: (id, dup_of, n_shared)."""
+    per_pair = cands.groupBy("id", "partner").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    best = F.min(F.struct(F.col("partner"), F.col("_n"))).alias("_best")
+    return (
+        per_pair.groupBy("id")
+        .agg(best)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_best.partner").alias("dup_of"),
+            F.col("_best._n").alias("n_shared"),
+        )
+    )
