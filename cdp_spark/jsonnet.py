@@ -58,12 +58,15 @@ jsonnet programs use only length/map/toString/join):
   mergePatch, primitiveEquals/equals, minArray/maxArray, remove/
   removeAt/objectRemoveKey, lines/deepJoin, prune, trace,
   assertEqual, extVar (via ``Evaluator(ext_vars=...)``), id.
+- ``parseYaml`` (r8): implemented over PyYAML safe_load_all with a
+  go-jsonnet-matching JSON normalization (string keys, ISO-string
+  timestamps; multi-doc stream -> array).  Raises loudly if PyYAML
+  is absent from the environment.
 - **Not implemented** (error loudly if called): ``native`` /
   ``thisFile`` (need VM-host context the distributed sandbox doesn't
-  provide) and ``parseYaml`` / ``manifestTomlEx`` (full YAML/TOML
-  grammars out of scope).  A program touching one fails with "std has
-  no field", which the runner routes to dead-letter — never a
-  silently wrong value.
+  provide) and ``manifestTomlEx`` (full TOML grammar out of scope).
+  A program touching one fails with "std has no field", which the
+  runner routes to dead-letter — never a silently wrong value.
 """
 
 from __future__ import annotations
@@ -1394,6 +1397,42 @@ def _make_std(ev: Evaluator) -> dict[str, Any]:
         except ValueError as e:
             raise JsonnetRuntimeError(f"std.parseJson: {e}") from e
 
+    def parse_yaml(s: Any) -> Any:
+        """go-jsonnet std.parseYaml: single document -> its value,
+        multi-document stream -> array of values.  go-jsonnet routes
+        YAML through a JSON round-trip (sigs.k8s.io/yaml), so
+        timestamps surface as strings and object keys are strings —
+        normalize PyYAML's richer types to match."""
+        s = _want(s, "string", "std.parseYaml")
+        try:
+            import yaml
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise JsonnetRuntimeError(
+                "std.parseYaml: PyYAML is not available in this "
+                "environment"
+            ) from e
+
+        def norm(v: Any) -> Any:
+            import datetime as _dt
+
+            if isinstance(v, dict):
+                return {str(k): norm(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [norm(x) for x in v]
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, bytes):
+                return v.decode("utf-8", "replace")
+            return v
+
+        try:
+            docs = [norm(d) for d in yaml.safe_load_all(s)]
+        except yaml.YAMLError as e:
+            raise JsonnetRuntimeError(f"std.parseYaml: {e}") from e
+        if not docs:
+            return None
+        return docs if len(docs) > 1 else docs[0]
+
     def find(value: Any, arr: Any) -> list[int]:
         return [i for i, v in enumerate(arr) if _eq(v, value)]
 
@@ -1488,6 +1527,7 @@ def _make_std(ev: Evaluator) -> dict[str, Any]:
         "prune": lambda v: _prune(v),
         "parseInt": parse_int,
         "parseJson": parse_json,
+        "parseYaml": parse_yaml,
         "manifestJson": lambda v: manifest_json(v, indent=4),
         "manifestJsonEx": lambda v, indent, nl="\n", ksep=": ": manifest_json(
             v, indent=len(indent)

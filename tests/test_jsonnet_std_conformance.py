@@ -140,4 +140,33 @@ def test_unimplemented_std_errors_loudly():
     with pytest.raises(JsonnetRuntimeError):
         evaluate_snippet("std.native('f')")
     with pytest.raises(JsonnetRuntimeError):
-        evaluate_snippet("std.parseYaml('a: 1')")
+        evaluate_snippet("std.manifestTomlEx({a: 1}, '  ')")
+
+
+def test_parse_yaml_single_doc():
+    assert evaluate_snippet("std.parseYaml('a: 1\nb: [x, y]')") == {
+        "a": 1,
+        "b": ["x", "y"],
+    }
+
+
+def test_parse_yaml_multi_doc_stream_and_scalars():
+    assert evaluate_snippet(
+        "std.parseYaml('---\na: true\n---\n- 1\n- 2.5\n')"
+    ) == [{"a": True}, [1, 2.5]]
+    assert evaluate_snippet("std.parseYaml('null')") is None
+    assert evaluate_snippet("std.parseYaml('')") is None
+
+
+def test_parse_yaml_json_normalization():
+    # go-jsonnet routes YAML through JSON: timestamps become strings,
+    # non-string keys stringify
+    assert evaluate_snippet(
+        "std.parseYaml('when: 2024-01-02')"
+    ) == {"when": "2024-01-02"}
+    assert evaluate_snippet("std.parseYaml('1: x')") == {"1": "x"}
+
+
+def test_parse_yaml_invalid_raises():
+    with pytest.raises(JsonnetRuntimeError, match="parseYaml"):
+        evaluate_snippet("std.parseYaml('a: [unclosed')")
