@@ -1464,6 +1464,27 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk_indexed(spark, path, qvec, k=10, n_centroids=16, n_probe=4, round_digits=4)
 
 
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: build the index over the
+    corpus (vec_id % 5 != 0), APPEND the increment (vec_id % 5 == 0)
+    with ivf_append — same anchors, no re-cluster, no rewrite — then
+    query the updated index.  The result must equal ann_ivf over the
+    FULL table (shared oracle): assignment is a pure function of
+    (vector, anchors), so append-then-probe sees exactly what a
+    from-scratch build would."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="cdp_ivf_inc_"), "idx")
+    sim.ivf_write(emb.where(F.col("vec_id") % 5 != 0), path, dim=64)
+    sim.ivf_append(emb.where(F.col("vec_id") % 5 == 0), path, dim=64)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_topk_indexed(
+        spark, path, qvec, k=10, n_centroids=16, n_probe=4, round_digits=4
+    )
+
+
 def q_ann_ivf_kmeans_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-IVF top-k against the persisted index: Lloyd's runs
     once at build, the query loads the centroid artifact, and the
@@ -3023,6 +3044,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_near_dup": q_stream_near_dup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_substring_flags": q_stream_substring_flags,
+    "ann_ivf_incremental": q_ann_ivf_incremental,
 }
 
 
@@ -3970,6 +3992,8 @@ def oracle_sql() -> dict[str, str]:
     # planes/anchors) — same oracles.
     oracles["ann_lsh_indexed"] = oracles["ann_lsh"]
     oracles["ann_ivf_indexed"] = oracles["ann_ivf"]
+    # append-then-probe equals from-scratch build over the full table
+    oracles["ann_ivf_incremental"] = oracles["ann_ivf"]
 
     # MinHash-LSH / SimHash oracles: the driver queries use the
     # md5-based 60-bit hash (ddp.md5_hash60) whose exact value DuckDB

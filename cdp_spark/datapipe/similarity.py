@@ -1041,6 +1041,31 @@ def ivf_write(
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
 
 
+def ivf_append(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> None:
+    """Incrementally add NEW vectors to a persisted IVF index WITHOUT
+    re-clustering or rewriting existing data — the daily-increment
+    shape for a growing embedding corpus: assign the increment against
+    the SAME seed-derived anchor set (the index's model state, no
+    training job) and append into the centroid-partitioned layout.
+    Parquet partition directories gain new files; probed reads see
+    corpus + increment, unprobed lists still cost zero IO
+    (PartitionFilters prune at file-listing time).  A query over the
+    appended index equals the same query over a from-scratch index of
+    the full table — assignment is a pure function of (vector,
+    anchors).  Re-cluster only when drift degrades list balance
+    (monitor with :func:`ivf_counts`-style occupancy)."""
+    assigned = ivf_assign(df, dim, n_centroids, id_col, vec_col, seed)
+    assigned.write.mode("append").partitionBy("centroid").parquet(path)
+
+
 def ivf_kmeans_write(
     df: DataFrame,
     path: str,

@@ -110,3 +110,37 @@ def test_trained_ivf_index_prunes_partitions_and_matches_direct(spark, tmp_path)
         emb, dim=64, query_id=0, k=10, n_centroids=8, iters=2, n_probe=4
     )
     assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in direct.collect()]
+
+
+def test_ivf_append_equals_from_scratch_and_prunes(spark, tmp_path):
+    """Appending an increment to a persisted IVF index (same anchors,
+    no re-cluster) must give the same probed top-k as a from-scratch
+    build of the full table, and unprobed lists stay pruned."""
+    import numpy as np
+
+    from cdp_spark.datapipe import similarity as sim
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(200, 16)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full_path = str(tmp_path / "full")
+    inc_path = str(tmp_path / "inc")
+    sim.ivf_write(emb, full_path, dim=16, n_centroids=8)
+    sim.ivf_write(
+        emb.where("vec_id % 4 != 0"), inc_path, dim=16, n_centroids=8
+    )
+    sim.ivf_append(
+        emb.where("vec_id % 4 = 0"), inc_path, dim=16, n_centroids=8
+    )
+    q = rows[0][1]
+    a = sim.ivf_topk_indexed(
+        spark, full_path, q, k=5, n_centroids=8, n_probe=3
+    ).collect()
+    b = sim.ivf_topk_indexed(
+        spark, inc_path, q, k=5, n_centroids=8, n_probe=3
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in a] == [
+        (r["vec_id"], r["cosine_sim"]) for r in b
+    ]
