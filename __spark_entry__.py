@@ -1978,6 +1978,30 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang", "n_chars")
 
 
+def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped passage retrieval e2e: chunk every document into
+    32-token passages (chunk_texts — pure per-row explode), then BM25
+    the whole query TABLE against the passage store in one pass
+    (bm25_topk_queries).  Passage id = doc_id * 1000 + chunk_id (both
+    engines compute it identically); df/avgdl are PASSAGE-level —
+    retrieval over a passage store, not the raw docs."""
+    from cdp_spark.datapipe import analytics
+    from cdp_spark.datapipe.curate import chunk_texts
+
+    docs = load_table(spark, sf_dir, "documents")
+    passages = chunk_texts(docs, "doc_id", "text", budget=32).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"),
+        "chunk_text",
+    )
+    qdf = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BM25_QUERIES],
+        "query_id string, terms array<string>",
+    )
+    return analytics.bm25_topk_queries(
+        passages, qdf, k=5, id_col="pid", text_col="chunk_text"
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids — the k-means/IVF reduce step as
     a plain (label, dim) aggregate with the order-stable mean."""
@@ -3045,6 +3069,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_substring_flags": q_stream_substring_flags,
     "ann_ivf_incremental": q_ann_ivf_incremental,
+    "bm25_passages": q_bm25_passages,
 }
 
 
@@ -4489,6 +4514,65 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY bm25 DESC, doc ASC) <= 10
+    """
+    # RAG passage retrieval (r8): 32-token chunks with rejoined text,
+    # pid = doc_id*1000 + chunk_id, then the same BM25 multi-query
+    # math over the PASSAGE store (passage-level df/avgdl), top-5.
+    oracles["bm25_passages"] = f"""
+        WITH qterms AS (
+          SELECT DISTINCT query_id, term
+          FROM (VALUES {_bm25_q_values}) AS v(query_id, term)),
+        ptk AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        pass AS (
+          SELECT doc_id * 1000 + chunk_id AS pid,
+                 array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 32],
+                                 ' ') AS ptext
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(
+                         0, CAST(ceil(len(toks) / 32.0) AS INT) - 1))
+                         AS chunk_id
+                FROM ptk)
+        ),
+        toks AS (
+          SELECT doc, term FROM (
+            SELECT pid AS doc,
+                   unnest(string_split_regex(lower(ptext), '[^a-z0-9]+'))
+                     AS term
+            FROM pass)
+          WHERE term <> ''),
+        doclen AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+        scalars AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avgdl
+          FROM doclen),
+        tf AS (
+          SELECT doc, term, count(*) AS tf FROM toks
+          WHERE term IN (SELECT term FROM qterms) GROUP BY doc, term),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT query_id, doc, count(*) AS n_matched,
+                 floor(CAST(sum(CAST(
+                   floor(
+                     (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                            * 1000000000.0 + 0.5) / 1000000000.0)
+                     * (floor(tf * 2.2
+                              / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                                    / avgdl))
+                              * 1000000000.0 + 0.5) / 1000000000.0)
+                     * 1000000000.0 + 0.5) / 1000000000.0
+                 AS DECIMAL(28,12))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                 AS bm25
+          FROM tf JOIN qterms USING (term) JOIN dfc USING (term)
+          JOIN doclen USING (doc)
+          CROSS JOIN scalars
+          GROUP BY query_id, doc)
+        SELECT query_id, doc AS pid, n_matched, bm25
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc ASC) <= 5
     """
     oracles["tfidf_top_terms"] = """
         WITH toks AS (

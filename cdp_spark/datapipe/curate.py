@@ -182,6 +182,43 @@ def chunk_by_tokens(
     )
 
 
+def chunk_texts(
+    df: DataFrame, id_col: str, text_col: str, budget: int = 64
+) -> DataFrame:
+    """:func:`chunk_by_tokens` with the chunk TEXT materialized —
+    the passage-store shape retrieval pipelines index (RAG: retrieve
+    passages, not whole documents).  Emits (id, chunk_id, n_tokens,
+    chunk_text) where chunk_text rejoins the chunk's tokens with
+    single spaces (whitespace-normalized, deterministic cross-engine).
+
+    Same scale shape as chunk_by_tokens: pure per-row explode inside
+    the scan stage, zero shuffle.
+    """
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        n_chunks = F.ceil(n / F.lit(float(budget))).cast("int")
+        return F.transform(
+            F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda c: F.struct(
+                c.cast("long").alias("chunk_id"),
+                F.least(F.lit(budget), n - c * budget)
+                .cast("long")
+                .alias("n_tokens"),
+                F.array_join(
+                    F.slice(tk, c * budget + 1, budget), " "
+                ).alias("chunk_text"),
+            ),
+        )
+
+    chunks = _let(tokens(F.col(text_col)), build)
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_id", "c.n_tokens", "c.chunk_text"
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     weight_col: str,

@@ -121,3 +121,21 @@ def test_redact_pii_and_counts(spark):
     ).collect()[0]
     assert out.red == "mail [EMAIL] now call [PHONE] twice [PHONE]"
     assert (out.c.n_emails, out.c.n_phones) == (1, 2)
+
+
+def test_chunk_texts_rejoins_budgeted_tokens(spark):
+    from cdp_spark.datapipe.curate import chunk_texts
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_texts(df, "doc_id", "text", budget=2).collect()
+    }
+    assert rows[(1, 0)] == (2, "a b")
+    assert rows[(1, 1)] == (2, "c d")
+    assert rows[(1, 2)] == (1, "e")  # short tail
+    assert rows[(2, 0)] == (1, "x")
+    assert not any(k[0] == 3 for k in rows)  # empty doc -> no chunks
