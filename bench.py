@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "token_kl_drift",
     "bm25_top_docs",
     "bm25_multi_query",
+    "bm25_passages",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",
