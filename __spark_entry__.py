@@ -1978,6 +1978,28 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang", "n_chars")
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (min pair count 5) — the
+    phrase-mining primitive run before multiword vocabulary merges.
+    Exact integer counts, fixed-order IEEE ratio, one ln() rounded
+    half-up to 6."""
+    from cdp_spark.datapipe import text as txtmod
+
+    return txtmod.pmi_collocations(
+        load_table(spark, sf_dir, "documents"), top_k=20, min_count=5
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean conditional bigram log-probability (add-one
+    smoothed) — the second-order LM quality score next to
+    unigram_logprob; single-tokenize via the checkpointed
+    per-(doc, bigram) count frame (the r8 dsir recipe)."""
+    from cdp_spark.datapipe import text as txtmod
+
+    return txtmod.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-shaped passage retrieval e2e: chunk every document into
     32-token passages (chunk_texts — pure per-row explode), then BM25
@@ -3070,6 +3092,8 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_substring_flags": q_stream_substring_flags,
     "ann_ivf_incremental": q_ann_ivf_incremental,
     "bm25_passages": q_bm25_passages,
+    "pmi_collocations": q_pmi_collocations,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 
@@ -4573,6 +4597,69 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY bm25 DESC, doc ASC) <= 5
+    """
+    # PMI collocations (r8): fixed-order IEEE ratio over exact
+    # integer counts, one ln() floor-half-up rounded to 6.
+    oracles["pmi_collocations"] = """
+        WITH tk AS (
+          SELECT string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        bi AS (
+          SELECT toks[gs] AS w1, toks[gs + 1] AS w2
+          FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS gs
+                FROM tk WHERE len(toks) >= 2)
+        ),
+        uni AS (SELECT unnest(toks) AS w FROM tk),
+        bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+        uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM bi) AS nb,
+                       (SELECT count(*) FROM uni) AS nu)
+        SELECT w1, w2, c_ab AS n_pair,
+               floor(ln((CAST(c_ab AS DOUBLE) / nb)
+                        / ((CAST(ca.c_w AS DOUBLE) / nu)
+                           * (CAST(cb.c_w AS DOUBLE) / nu)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        FROM bc JOIN uc ca ON ca.w = bc.w1
+        JOIN uc cb ON cb.w = bc.w2
+        CROSS JOIN tot
+        WHERE c_ab >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """
+    # Bigram LM quality (r8): add-one smoothed conditional bigram
+    # log-prob, per-term round-9, exact integer occurrence weights in
+    # a DECIMAL fold, final floor-half-up round-4 — the dsir recipe.
+    oracles["bigram_logprob"] = """
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        bi AS (
+          SELECT doc_id, toks[gs] || ' ' || toks[gs + 1] AS bg
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS gs
+                FROM tk WHERE len(toks) >= 2)
+        ),
+        docbi AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+        bcnt AS (SELECT bg, sum(c) AS c_ab FROM docbi GROUP BY 1),
+        uc AS (
+          SELECT w, count(*) AS c_w
+          FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1
+        ),
+        vv AS (SELECT count(*) AS v FROM uc)
+        SELECT d.doc_id, sum(d.c) AS n_bigrams,
+               floor(CAST(sum(
+                 CAST(floor(ln((CAST(b.c_ab AS DOUBLE) + 1.0)
+                               / (CAST(u.c_w AS DOUBLE) + v))
+                            * 1000000000.0 + 0.5) / 1000000000.0
+                   AS DECIMAL(28,12))
+                 * CAST(d.c AS DECIMAL(10,0))) AS DOUBLE)
+                 / sum(d.c) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+        FROM docbi d
+        JOIN bcnt b ON b.bg = d.bg
+        JOIN uc u ON u.w = split_part(d.bg, ' ', 1)
+        CROSS JOIN vv
+        GROUP BY d.doc_id
     """
     oracles["tfidf_top_terms"] = """
         WITH toks AS (

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "embedding_near_dup_multiband",
     "kmeans_centroids",
     "unigram_logprob",
+    "bigram_logprob",
+    "pmi_collocations",
     "ann_ivf_kmeans",
     "ann_ivf_kmeans_indexed",
     "rolling_active_users",

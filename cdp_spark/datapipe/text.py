@@ -388,3 +388,170 @@ def token_kl_drift(
             ),
         )
     )
+
+
+def bigrams(col: Column) -> Column:
+    """Adjacent token pairs as 'w1 w2' strings (order preserved,
+    duplicates kept — these are OCCURRENCES, not a set).  Documents
+    with fewer than two tokens give an empty array.  The token array
+    is let-bound (the shingles() lesson: a plain expression tree
+    would re-split per position)."""
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(tk, i, 2))
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+
+
+def pmi_collocations(
+    df,
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = 5,
+):
+    """Top-``top_k`` bigram collocations by pointwise mutual
+    information — the phrase-mining primitive tokenizer/vocabulary
+    pipelines run before merging multiword units:
+
+        pmi(a, b) = ln( p(ab) / (p(a) p(b)) )
+                  = ln( (c_ab/N_bi) / ((c_a/N_uni) (c_b/N_uni)) )
+
+    ``min_count`` drops rare pairs (classic PMI degeneracy: a pair
+    seen once between two hapaxes maxes the score).
+
+    Determinism: the probability ratio is built from exact integer
+    counts with a FIXED operation order (both engines execute the
+    identical IEEE divisions/multiplications), and the single ln()
+    is rounded half-up to 6 — libm last-ulp drift absorbed, the bm25
+    precedent.
+
+    Scale shape: one token explode feeds the unigram aggregate, one
+    bigram explode the pair aggregate (both map-side combined); the
+    unigram counts join the Zipf-small pair table twice (broadcast);
+    the corpus totals enter as ONE broadcast row; top-k is a
+    TakeOrdered, never a global sort.
+
+    Output: (w1, w2, n_pair, pmi), pmi desc then (w1, w2) asc.
+    """
+    bi = df.select(F.explode(bigrams(F.col(text_col))).alias("bg")).select(
+        F.split(F.col("bg"), " ")[0].alias("w1"),
+        F.split(F.col("bg"), " ")[1].alias("w2"),
+    )
+    uni = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    totals = bc.agg(F.sum("c_ab").alias("nb")).crossJoin(
+        uc.agg(F.sum("c_w").alias("nu"))
+    )
+    ratio = (
+        F.col("c_ab").cast("double") / F.col("nb")
+    ) / (
+        (F.col("ca").cast("double") / F.col("nu"))
+        * (F.col("cb").cast("double") / F.col("nu"))
+    )
+    pmi = F.floor(F.log(ratio) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    return (
+        bc.where(F.col("c_ab") >= min_count)
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("w1"), F.col("c_w").alias("ca"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("w2"), F.col("c_w").alias("cb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def bigram_logprob(
+    df, text_col: str = "text", id_col: str = "doc_id", round_digits: int = 4
+):
+    """Corpus self-scored BIGRAM LM quality — the second-order
+    companion to :func:`unigram_logprob`: score every document by its
+    mean conditional bigram log-probability with add-one smoothing
+    over the unigram vocabulary,
+
+        score(d) = mean_{(a,b) in d} ln( (c(ab) + 1) / (c(a) + V) )
+
+    Repetitive/boilerplate text scores high, token-salad low — a
+    sharper signal than unigram frequency alone because it prices the
+    TRANSITIONS.
+
+    Single-tokenize discipline (the r8 dsir recipe): one bigram
+    explode feeds a per-(doc, bigram) count frame, materialized once
+    (``iter_checkpoint``); the corpus bigram counts derive from it by
+    re-aggregation, so the text is never scanned twice.  The unigram
+    counts and V come from one extra token-explode aggregate (a
+    different explode, unavoidable: bigram occurrences undercount the
+    final token), broadcast into the scoring join.
+
+    Determinism: per-bigram term = round9(ln((c_ab+1)/(c_a+V))),
+    weighted by the exact integer per-doc occurrence count, folded in
+    DECIMAL, final mean rounded half-up to ``round_digits``.
+
+    Output: (id, n_bigrams, avg_logprob) for docs with >= 1 bigram.
+    """
+    from ..session import iter_checkpoint
+
+    docbi = iter_checkpoint(
+        df.select(
+            F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bcounts = docbi.groupBy("bg").agg(F.sum("_c").alias("c_ab"))
+    uc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    vrow = uc.agg(F.count(F.lit(1)).alias("v"))
+    term = F.floor(
+        F.log(
+            (F.col("c_ab").cast("double") + 1.0)
+            / (F.col("c_w").cast("double") + F.col("v"))
+        )
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000000.0)
+    scale = F.lit(float(10 ** round_digits))
+    return (
+        docbi.join(F.broadcast(bcounts), "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(F.broadcast(uc.select(F.col("w").alias("w1"), "c_w")), "w1")
+        .crossJoin(F.broadcast(vrow))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum(
+                        term.cast("decimal(28,12)")
+                        * F.col("_c").cast("decimal(10,0)")
+                    ).cast("double")
+                    / F.sum("_c")
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("avg_logprob"),
+        )
+    )

@@ -144,3 +144,36 @@ def test_ivf_append_equals_from_scratch_and_prunes(spark, tmp_path):
     assert [(r["vec_id"], r["cosine_sim"]) for r in a] == [
         (r["vec_id"], r["cosine_sim"]) for r in b
     ]
+
+
+def test_pmi_collocations_ranks_fixed_phrases(spark):
+    """'hong kong' style fixed phrases (always adjacent) must out-PMI
+    pairs of independently frequent words; min_count drops hapax
+    pairs."""
+    from cdp_spark.datapipe.text import pmi_collocations
+
+    rows = []
+    for i in range(10):
+        # 'hong kong' always adjacent; 'the cat' words also appear apart
+        rows.append((i, "hong kong visit the cat and the dog cat the"))
+    rows.append((100, "rare pair"))  # seen once -> min_count drops it
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, top_k=5, min_count=5).collect()
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    assert pairs[0] == ("hong", "kong")
+    assert ("rare", "pair") not in pairs
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_bigram_logprob_prices_transitions(spark):
+    """Same unigram content, different transitions: a doc made of the
+    corpus's dominant bigrams scores higher than a shuffled one."""
+    from cdp_spark.datapipe.text import bigram_logprob
+
+    common = "a b a b a b a b"
+    rows = [(i, common) for i in range(9)]
+    rows.append((100, "b b a a b b a a"))  # same tokens, rare bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(df).collect()}
+    assert got[0] > got[100]
