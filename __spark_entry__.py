@@ -4647,7 +4647,7 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1
         ),
         vv AS (SELECT count(*) AS v FROM uc)
-        SELECT d.doc_id, sum(d.c) AS n_bigrams,
+        SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bigrams,
                floor(CAST(sum(
                  CAST(floor(ln((CAST(b.c_ab AS DOUBLE) + 1.0)
                                / (CAST(u.c_w AS DOUBLE) + v))
