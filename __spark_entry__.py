@@ -2830,6 +2830,32 @@ def q_hll_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+def q_hll_overlap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment overlap from sketch state alone: |event users ∩ order
+    customers| by HLL inclusion-exclusion (est_a + est_b − est_union,
+    register-max merge for the union term), next to the exact
+    intersection count — the audience-overlap question at 100 TB
+    without re-reading either side."""
+    from cdp_spark.datapipe.sketches import (
+        hll_intersection_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    a = ev.select(F.col("user_id").alias("entity"))
+    b = orders.select(F.col("o_custkey").alias("entity"))
+    est = hll_intersection_estimate(
+        hll_registers(a, "entity", p=8), hll_registers(b, "entity", p=8), p=8
+    )
+    exact = (
+        a.where(F.col("entity").isNotNull())
+        .intersect(b.where(F.col("entity").isNotNull()))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
 def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (3 fixed iterations) over the
     nation-to-nation trade graph: supplier nation -> customer nation,
@@ -3094,6 +3120,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_passages": q_bm25_passages,
     "pmi_collocations": q_pmi_collocations,
     "bigram_logprob": q_bigram_logprob,
+    "hll_overlap_segments": q_hll_overlap_segments,
 }
 
 
@@ -5239,6 +5266,26 @@ def oracle_sql() -> dict[str, str]:
         WITH est AS ({hll_oracle_sql(_union_src, "entity", 8)}),
         ex AS (SELECT count(DISTINCT entity) AS n_exact FROM {_union_src})
         SELECT est.n_registers, est.hll_estimate, ex.n_exact FROM est, ex
+    """
+    _seg_a = """(SELECT CAST(user_id AS BIGINT) AS entity FROM events
+                 WHERE user_id IS NOT NULL)"""
+    _seg_b = """(SELECT CAST(o_custkey AS BIGINT) AS entity FROM orders
+                 WHERE o_custkey IS NOT NULL)"""
+    oracles["hll_overlap_segments"] = f"""
+        WITH ea AS ({hll_oracle_sql(_seg_a, "entity", 8)}),
+        eb AS ({hll_oracle_sql(_seg_b, "entity", 8)}),
+        eu AS ({hll_oracle_sql(_union_src, "entity", 8)}),
+        ex AS (SELECT count(*) AS n_exact FROM (
+                 SELECT entity FROM {_seg_a}
+                 INTERSECT
+                 SELECT entity FROM {_seg_b}))
+        SELECT ea.hll_estimate AS est_a, eb.hll_estimate AS est_b,
+               eu.hll_estimate AS est_union,
+               floor(greatest(ea.hll_estimate + eb.hll_estimate
+                              - eu.hll_estimate, 0.0) * 100.0 + 0.5)
+                 / 100.0 AS est_intersection,
+               ex.n_exact
+        FROM ea, eb, eu, ex
     """
     oracles["hll_distinct_users"] = f"""
         WITH est AS ({hll_oracle_sql("events", "user_id", 8)}),

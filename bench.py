@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "pagerank_nations",
     "hll_union_entities",
+    "hll_overlap_segments",
     "hll_users_by_type",
     "rollup_reaggregate",
     "oov_rate",

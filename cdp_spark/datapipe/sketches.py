@@ -729,3 +729,59 @@ def histogram_quantiles_oracle_sql(
         FROM qs, cum
         WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)
     """
+
+
+def hll_intersection_estimate(
+    reg_a: DataFrame, reg_b: DataFrame, p: int = 8
+) -> DataFrame:
+    """Segment-OVERLAP estimate from two HLL register frames via
+    inclusion-exclusion:
+
+        |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)
+
+    — the audience-overlap / cross-dataset-contamination question
+    answered from sketch state alone (each side can be a per-shard
+    union of persisted sketches; the data is never re-read).  The
+    union estimate comes from the register-wise max merge, so all
+    three terms share one estimator and the arithmetic is exact
+    double ops on round-2 estimates — deterministic cross-engine,
+    final value clamped at 0 (inclusion-exclusion can go slightly
+    negative on near-disjoint sets) and rounded half-up to 2 via the
+    shared floor idiom.
+
+    Error: the absolute error of the difference stacks the three
+    estimates' errors, so SMALL overlaps of LARGE sets are noisy —
+    the standard HLL-intersection caveat; raise ``p`` when the
+    overlap matters at small relative size.
+
+    Output: one row (est_a, est_b, est_union, est_intersection).
+    """
+    est_a = hll_estimate_from_registers(reg_a, p).select(
+        F.col("hll_estimate").alias("est_a")
+    )
+    est_b = hll_estimate_from_registers(reg_b, p).select(
+        F.col("hll_estimate").alias("est_b")
+    )
+    merged = (
+        reg_a.unionByName(reg_b)
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    est_u = hll_estimate_from_registers(merged, p).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.floor(inter * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "est_intersection"
+            ),
+        )
+    )

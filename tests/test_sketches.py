@@ -247,3 +247,26 @@ def test_hll_estimate_by_error_within_bound(spark):
     bound = 4 * hll_error_bound(8)  # 4 sigma
     assert abs(out["a"] - 4000) / 4000 < bound
     assert abs(out["b"] - 2000) / 2000 < bound
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    """Overlap estimate must track the true intersection for
+    half-overlapping ranges and clamp at 0 for disjoint ones."""
+    from cdp_spark.datapipe.sketches import (
+        hll_intersection_estimate,
+        hll_registers,
+    )
+
+    a = spark.range(0, 2000).select(F.col("id").alias("v"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("v"))
+    est = hll_intersection_estimate(
+        hll_registers(a, "v", p=10), hll_registers(b, "v", p=10), p=10
+    ).first()
+    # true intersection = 1000; p=10 keeps the stacked error modest
+    assert abs(est["est_intersection"] - 1000) / 1000 < 0.25
+    c = spark.range(10_000, 12_000).select(F.col("id").alias("v"))
+    est2 = hll_intersection_estimate(
+        hll_registers(a, "v", p=10), hll_registers(c, "v", p=10), p=10
+    ).first()
+    assert est2["est_intersection"] >= 0.0
+    assert est2["est_intersection"] < 400  # near-disjoint stays small
