@@ -2830,6 +2830,30 @@ def q_hll_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+def q_langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle char-trigram language ID self-evaluated on the
+    labeled corpus: per-doc rank-profile classification, reduced to
+    the (true lang, predicted lang, n_docs) confusion matrix — the
+    trainable upgrade over the marker-word lang_id heuristic.
+
+    Honesty note on the fixture: the synthetic 'languages' share one
+    vocabulary and differ only in a few marker words, so trigram
+    profiles barely separate them (self-accuracy ~0.28 vs 0.2
+    chance).  The oracle checks the MECHANISM exactly (ranks,
+    distances, tie-breaks hash-match); on real multilingual text the
+    profiles differ by orders of magnitude more."""
+    from cdp_spark.datapipe.text import langid_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = langid_ngram(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_hll_overlap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment overlap from sketch state alone: |event users ∩ order
     customers| by HLL inclusion-exclusion (est_a + est_b − est_union,
@@ -3121,6 +3145,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "bigram_logprob": q_bigram_logprob,
     "hll_overlap_segments": q_hll_overlap_segments,
+    "langid_ngram_confusion": q_langid_ngram_confusion,
 }
 
 
@@ -4624,6 +4649,58 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY bm25 DESC, doc ASC) <= 5
+    """
+    # Cavnar-Trenkle char-trigram lang-id (r8): rank profiles via
+    # row_number over (count DESC, gram ASC) — total orders on both
+    # engines; out-of-place distance with profile_k penalty; min
+    # (distance, lang) prediction; confusion-matrix reduction.
+    oracles["langid_ngram_confusion"] = """
+        WITH src AS (
+          SELECT doc_id, lang, lower(text) AS s FROM documents
+          WHERE length(lower(text)) >= 3
+        ),
+        grams AS (
+          SELECT doc_id, lang, substr(s, gs, 3) AS g
+          FROM (SELECT doc_id, lang, s,
+                       unnest(generate_series(1, length(s) - 2)) AS gs
+                FROM src)
+        ),
+        docp AS (
+          SELECT doc_id, g, rd FROM (
+            SELECT doc_id, g,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY count(*) DESC, g) AS rd
+            FROM grams GROUP BY doc_id, g)
+          WHERE rd <= 20
+        ),
+        prof AS (
+          SELECT lang AS plang, g, rl FROM (
+            SELECT lang, g,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, g) AS rl
+            FROM grams GROUP BY lang, g)
+          WHERE rl <= 40
+        ),
+        langs AS (SELECT DISTINCT lang AS plang FROM documents),
+        scored AS (
+          SELECT d.doc_id, l.plang,
+                 sum(coalesce(abs(d.rd - p.rl), 40)) AS dist
+          FROM docp d CROSS JOIN langs l
+          LEFT JOIN prof p ON p.plang = l.plang AND p.g = d.g
+          GROUP BY d.doc_id, l.plang
+        ),
+        pred AS (
+          SELECT doc_id, plang AS pred_lang FROM (
+            SELECT doc_id, plang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY dist, plang) AS rn
+            FROM scored)
+          WHERE rn = 1
+        )
+        SELECT s.lang, p.pred_lang, count(*) AS n_docs
+        FROM (SELECT DISTINCT doc_id, lang FROM src) s
+        JOIN pred p ON p.doc_id = s.doc_id
+        GROUP BY s.lang, p.pred_lang
     """
     # PMI collocations (r8): fixed-order IEEE ratio over exact
     # integer counts, one ln() floor-half-up rounded to 6.

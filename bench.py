@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "text_stats",
     "lang_id",
+    "langid_ngram_confusion",
     "token_count_by_source",
     "fingerprint_docs",
     "hll_distinct_users",

@@ -555,3 +555,108 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """All character n-gram OCCURRENCES of the lowercased text
+    (positions 1..len-n+1, spaces included — the Cavnar-Trenkle
+    convention keeps word-boundary grams like 'e t').  Shorter texts
+    give an empty array.  Let-bound (the shingles() lesson)."""
+
+    def build(s: Column) -> Column:
+        ln = F.length(s)
+        starts = F.when(ln >= n, F.sequence(F.lit(1), ln - n + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(starts, lambda i: F.substring(s, i, n))
+
+    return F.element_at(F.transform(F.array(F.lower(col)), build), 1)
+
+
+def langid_ngram(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n: int = 3,
+    profile_k: int = 40,
+    doc_k: int = 20,
+):
+    """Cavnar-Trenkle (1994) n-gram rank-profile language ID, trained
+    on the corpus's own labels — the classic trainable upgrade over
+    the marker-word heuristic (:func:`lang_id`): per language, the
+    top-``profile_k`` character ``n``-grams ranked by frequency; per
+    document, its top-``doc_k`` grams; distance = the out-of-place
+    measure Σ |rank_doc − rank_lang| with a ``profile_k`` penalty for
+    grams absent from a language's profile; predict the
+    minimum-distance language (ties break to the lexicographically
+    first — deterministic).
+
+    All rank assignments are row_number over (count DESC, gram ASC) —
+    total orders, so both engines agree exactly.
+
+    Scale shape (the r8 single-tokenize discipline): the char-gram
+    explode runs ONCE into a checkpointed per-(doc, lang, gram) count
+    frame; the document profiles read it directly and the language
+    profiles derive by re-aggregation — the corpus text is never
+    scanned twice.  The language profiles are (n_langs × profile_k)
+    rows — broadcast; the scoring frame is (doc_k × n_langs) rows per
+    doc, summed map-side.  Docs shorter than ``n`` chars are absent.
+
+    Output: (id, pred_lang, distance) per document.
+    """
+    from pyspark.sql import Window
+
+    from ..session import iter_checkpoint
+
+    from .dedup import _ensure_parallelism
+
+    gramc = iter_checkpoint(
+        _ensure_parallelism(
+            df.select(F.col(id_col), F.col(lang_col), F.col(text_col))
+        )
+        .select(
+            F.col(id_col),
+            F.col(lang_col).alias("_lang"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("g"),
+        )
+        .groupBy(id_col, "_lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    docg = gramc.select(id_col, "g", "c")
+    wd = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("g"))
+    docp = (
+        docg.withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") <= doc_k)
+        .select(id_col, "g", "rd")
+    )
+    langg = gramc.groupBy("_lang", "g").agg(F.sum("c").alias("c"))
+    wl = Window.partitionBy("_lang").orderBy(F.col("c").desc(), F.col("g"))
+    prof = (
+        langg.withColumn("rl", F.row_number().over(wl))
+        .where(F.col("rl") <= profile_k)
+        .select("_lang", "g", "rl")
+    )
+    langs = gramc.select("_lang").distinct()
+    scored = (
+        docp.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["_lang", "g"], "left")
+        .groupBy(id_col, "_lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("rd") - F.col("rl")), F.lit(profile_k)
+                )
+            ).alias("dist")
+        )
+    )
+    best = F.min(F.struct(F.col("dist"), F.col("_lang"))).alias("_best")
+    return (
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(
+            id_col,
+            F.col("_best._lang").alias("pred_lang"),
+            F.col("_best.dist").cast("long").alias("distance"),
+        )
+    )

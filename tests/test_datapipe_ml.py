@@ -177,3 +177,21 @@ def test_bigram_logprob_prices_transitions(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(df).collect()}
     assert got[0] > got[100]
+
+
+def test_langid_ngram_separates_real_profiles(spark):
+    """On text whose character distributions actually differ, the
+    rank-profile classifier must recover the labels (the synthetic
+    corpus can't show this — shared vocabulary)."""
+    from cdp_spark.datapipe.text import langid_ngram
+
+    en = "the quick brown fox jumps over the lazy dog again and again"
+    de = "der schnelle braune fuchs springt uber den faulen hund immer"
+    rows = []
+    for i in range(5):
+        rows.append((i, "en", en + f" extra {i}"))
+        rows.append((100 + i, "de", de + f" mehr {i}"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    pred = {r["doc_id"]: r["pred_lang"] for r in langid_ngram(df).collect()}
+    assert all(pred[i] == "en" for i in range(5))
+    assert all(pred[100 + i] == "de" for i in range(5))
