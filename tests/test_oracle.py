@@ -99,27 +99,32 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-8 rotation (VERDICT r7 #1) puts the 7 queries that
-    have never had a driver row at the front, followed by 43 of the 50
-    queries whose last driver row is r05.  Pin the window membership
-    so a later edit appending to the wrong dict cannot silently rotate
-    them out, and pin that the window is exactly the declared list."""
+    entries; round-9 rotation (VERDICT r8 #1) puts the 12 round-8
+    additions that have never had a hard driver row at the front,
+    then the 7 r05-era queries deferred from the r8 window, then 31
+    of the 41 queries whose last driver row is r06.  Pin the window
+    membership so a later edit appending to the wrong dict cannot
+    silently rotate them out, and pin that the window is exactly the
+    declared list."""
     names = list(entrymod.queries())
     window = names[:50]
-    assert window == list(entrymod._R08_WINDOW), (
-        "driver window drifted from _R08_WINDOW"
+    assert window == list(entrymod._R09_WINDOW), (
+        "driver window drifted from _R09_WINDOW"
     )
     must_lead = {
-        # never driver-checked before r8
-        "bm25_top_docs", "contamination_score", "token_kl_drift",
-        "q11_important_stock", "q17_small_qty_revenue",
-        "q20_excess_suppliers", "q21_waiting_suppliers",
-        # oldest (r05-era) representatives across the families
-        "session_gap", "jq_window_stats", "jsonnet_window_stats",
-        "asof_join", "multimodal_bytes", "stream_tumbling_agg",
-        "stream_session_windows", "pattern_match_drop",
-        "window_reduce_keyed", "keep_when_filter", "cohort_retention",
-        "range_join_events", "q1_pricing_summary",
+        # never driver-checked before r9: the 12 round-8 additions
+        "bm25_multi_query", "exact_substring_pairs",
+        "exact_substring_dedup", "stream_near_dup",
+        "stream_incremental_dedup", "stream_substring_flags",
+        "ann_ivf_incremental", "bm25_passages", "pmi_collocations",
+        "bigram_logprob", "hll_overlap_segments",
+        "langid_ngram_confusion",
+        # the 7 r05-era queries deferred from the r8 window
+        "agg_rollup", "agg_cube", "topk_per_group", "set_ops",
+        "percentiles", "regexp_extract_parts", "join_full_outer",
+        # r06-era representatives across the families
+        "stratified_sample", "ann_ivf", "decontaminate_docs",
+        "near_dup_verified", "simhash_docs", "vocabulary",
     }
     missing = must_lead - set(window)
     assert not missing, f"never-checked leaders fell out of the first 50: {missing}"
