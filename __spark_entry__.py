@@ -1437,11 +1437,18 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     indexing cost, the query is the partition-pruned read."""
     key = (kind, sf_dir)
     if key not in _ANN_INDEX_CACHE:
+        import atexit
         import os
         import tempfile
 
         emb = load_table(spark, sf_dir, "embeddings")
-        path = os.path.join(tempfile.mkdtemp(prefix=f"cdp_{kind}_"), "idx")
+        root = tempfile.mkdtemp(prefix=f"cdp_{kind}_")
+        # ADVICE r8: index dirs leaked per benchmark run — reclaim at
+        # interpreter exit (the DataFrames returned by the indexed
+        # queries read the parquet lazily, so an eager rmtree would
+        # race the driver's collect).
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = os.path.join(root, "idx")
         if kind == "ivf":
             sim.ivf_write(emb, path, dim=64)
         elif kind == "ivfpq":
@@ -1472,11 +1479,17 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL table (shared oracle): assignment is a pure function of
     (vector, anchors), so append-then-probe sees exactly what a
     from-scratch build would."""
+    import atexit
     import os
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = os.path.join(tempfile.mkdtemp(prefix="cdp_ivf_inc_"), "idx")
+    root = tempfile.mkdtemp(prefix="cdp_ivf_inc_")
+    # ADVICE r8: this dir leaked per run.  The result DataFrame reads
+    # the index parquet lazily, so cleanup must outlive the driver's
+    # collect — reclaim at interpreter exit.
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "idx")
     sim.ivf_write(emb.where(F.col("vec_id") % 5 != 0), path, dim=64)
     sim.ivf_append(emb.where(F.col("vec_id") % 5 == 0), path, dim=64)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]

@@ -433,9 +433,13 @@ def pmi_collocations(
 
     Scale shape: one token explode feeds the unigram aggregate, one
     bigram explode the pair aggregate (both map-side combined); the
-    unigram counts join the Zipf-small pair table twice (broadcast);
-    the corpus totals enter as ONE broadcast row; top-k is a
-    TakeOrdered, never a global sort.
+    unigram counts join the pair table twice — UNHINTED, so AQE
+    broadcast-converts when the runtime vocabulary fits and falls
+    back to a shuffle join when a 100 TB corpus's vocabulary does
+    not (pinning F.broadcast here would bypass AQE's size check and
+    OOM executors — the dsir_logratio precedent); the corpus totals
+    enter as ONE broadcast row (provably bounded, hint kept); top-k
+    is a TakeOrdered, never a global sort.
 
     Output: (w1, w2, n_pair, pmi), pmi desc then (w1, w2) asc.
     """
@@ -461,11 +465,11 @@ def pmi_collocations(
     return (
         bc.where(F.col("c_ab") >= min_count)
         .join(
-            F.broadcast(uc.select(F.col("w").alias("w1"), F.col("c_w").alias("ca"))),
+            uc.select(F.col("w").alias("w1"), F.col("c_w").alias("ca")),
             "w1",
         )
         .join(
-            F.broadcast(uc.select(F.col("w").alias("w2"), F.col("c_w").alias("cb"))),
+            uc.select(F.col("w").alias("w2"), F.col("c_w").alias("cb")),
             "w2",
         )
         .crossJoin(F.broadcast(totals))
@@ -500,7 +504,14 @@ def bigram_logprob(
     re-aggregation, so the text is never scanned twice.  The unigram
     counts and V come from one extra token-explode aggregate (a
     different explode, unavoidable: bigram occurrences undercount the
-    final token), broadcast into the scoring join.
+    final token).
+
+    Join strategy (ADVICE r8): the bigram-count and unigram-count
+    joins are UNHINTED — at 100 TB the bigram vocabulary is far
+    beyond broadcast size, so a pinned F.broadcast would bypass AQE's
+    size check and OOM executors; AQE broadcast-converts at small SF
+    anyway.  Only the single-row V frame keeps its hint (provably
+    bounded).
 
     Determinism: per-bigram term = round9(ln((c_ab+1)/(c_a+V))),
     weighted by the exact integer per-doc occurrence count, folded in
@@ -534,9 +545,9 @@ def bigram_logprob(
     ) / F.lit(1000000000.0)
     scale = F.lit(float(10 ** round_digits))
     return (
-        docbi.join(F.broadcast(bcounts), "bg")
+        docbi.join(bcounts, "bg")
         .withColumn("w1", F.split(F.col("bg"), " ")[0])
-        .join(F.broadcast(uc.select(F.col("w").alias("w1"), "c_w")), "w1")
+        .join(uc.select(F.col("w").alias("w1"), "c_w"), "w1")
         .crossJoin(F.broadcast(vrow))
         .groupBy(id_col)
         .agg(
@@ -637,7 +648,12 @@ def langid_ngram(
         .where(F.col("rl") <= profile_k)
         .select("_lang", "g", "rl")
     )
-    langs = gramc.select("_lang").distinct()
+    # Candidate languages come from the LABELED DOCUMENTS, not from
+    # gramc (ADVICE r8): a language whose every document is shorter
+    # than n chars has no grams but still exists as a max-penalty
+    # profile in the oracle's DISTINCT-lang CTE — deriving from gramc
+    # would drop it and shift predictions/tie-breaks.
+    langs = df.select(F.col(lang_col).alias("_lang")).distinct()
     scored = (
         docp.crossJoin(F.broadcast(langs))
         .join(F.broadcast(prof), ["_lang", "g"], "left")
