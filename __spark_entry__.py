@@ -2319,6 +2319,105 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce_incremental_pairs(pairs, threshold=0.5, id_col="id")
 
 
+def _fold_index_dir(prefix: str) -> str:
+    import atexit
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+def q_fold_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup FOLD lifecycle end-to-end (VERDICT r8
+    #3): build the persisted MinHash index over the corpus
+    (doc_id % 5 != 0), flag increment 1 (doc_id % 10 == 0) against
+    it, FOLD increment 1's survivors into the index, then flag
+    increment 2 (doc_id % 10 == 5) as a 4-micro-batch STREAM against
+    the folded index with EMPTY stream state — the state reset the
+    fold exists to enable.
+
+    Oracle contract: fold-then-flag == flag-against-rebuilt-corpus.
+    The DuckDB replay builds nothing incrementally — it flags
+    increment 2 directly against corpus ∪ survivors(increment 1)
+    from scratch; the hashes match because fold appends exactly the
+    rows a rebuild would compute."""
+    import tempfile
+
+    from cdp_spark.datapipe import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc1 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    inc2 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+
+    path = _fold_index_dir("cdp_fold_mh_")
+    di.minhash_index_write(
+        corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60
+    )
+    idx, meta = di.minhash_index_load(spark, path)
+    flagged1 = di.flag_against_minhash_index(
+        inc1, idx, meta, threshold=0.5, bands=8
+    )
+    di.minhash_index_fold(inc1, flagged1.select("doc_id"), path)
+
+    idx2, meta2 = di.minhash_index_load(spark, path)
+    src = tempfile.mkdtemp(prefix="cdp_fold_mh_src_")
+    inc2.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = di.flag_against_minhash_index(
+        stream, idx2, meta2, threshold=0.5, bands=8
+    )
+    return _drive_memory_stream(
+        spark, out, "cdp_fold_mh_", src, output_mode="complete"
+    )
+
+
+def q_fold_substring_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnow-index FOLD lifecycle (VERDICT r8 #3, exact-substring
+    twin of fold_incremental_dedup): build the persisted fingerprint
+    index over the corpus, flag increment 1 against it, FOLD the
+    survivors' fingerprints AND their df deltas in, then flag
+    increment 2 as a stateless stream against the folded index.  The
+    stop-gram filter after the fold sums the df deltas — identical to
+    a from-scratch count over corpus ∪ survivors, which is what the
+    DuckDB oracle computes directly."""
+    import tempfile
+
+    from cdp_spark.datapipe import dedup_index as di
+    from cdp_spark.streaming.analytics import reduce_substring_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc1 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    inc2 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+
+    path = _fold_index_dir("cdp_fold_ss_")
+    di.substring_index_write(
+        corpus, path, k=30, w=12, max_df=50, hash_fn=ddp.md5_hash60
+    )
+    fps, dfc, meta = di.substring_index_load(spark, path)
+    cands1 = di.flag_against_substring_index(inc1, fps, dfc, meta)
+    flagged1 = cands1.select("id").distinct()
+    di.substring_index_fold(inc1, flagged1, path)
+
+    fps2, dfc2, meta2 = di.substring_index_load(spark, path)
+    src = tempfile.mkdtemp(prefix="cdp_fold_ss_src_")
+    inc2.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    cand_stream = di.flag_against_substring_index(stream, fps2, dfc2, meta2)
+    mat = _drive_memory_stream(spark, cand_stream, "cdp_fold_ss_", src)
+    return reduce_substring_flags(mat, id_col="doc_id")
+
+
 def q_stream_keyed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYED cross-batch count-or-time windows as a driver query — the
     scale twin of the DAG runner's stateful window
@@ -3159,6 +3258,8 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "hll_overlap_segments": q_hll_overlap_segments,
     "langid_ngram_confusion": q_langid_ngram_confusion,
+    "fold_incremental_dedup": q_fold_incremental_dedup,
+    "fold_substring_flags": q_fold_substring_flags,
 }
 
 
@@ -4219,6 +4320,56 @@ def oracle_sql() -> dict[str, str]:
     # precedence order is (is_corpus, id), arrival-independent), so
     # the batch oracle is shared verbatim.
     oracles["stream_incremental_dedup"] = oracles["incremental_dedup"]
+    # Fold lifecycle (r9, VERDICT r8 #3): the oracle never folds — it
+    # flags increment 2 (doc_id%10==5) directly against
+    # corpus (doc_id%5<>0) ∪ survivors(increment 1, doc_id%10==0)
+    # built from scratch.  Spark's fold-then-flag must hash-match it
+    # because minhash_index_fold appends exactly the signature rows a
+    # rebuild would compute for the survivors.
+    oracles["fold_incremental_dedup"] = f"""
+            WITH {_mh_cands},
+            counts AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY p.id_a, p.id_b
+            ),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     round(coalesce(i.i, 0) * 1.0
+                           / (ca.c + cb.c - coalesce(i.i, 0)), 6) AS jaccard
+              FROM pairs p
+              LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              JOIN counts ca ON ca.doc_id = p.id_a
+              JOIN counts cb ON cb.doc_id = p.id_b
+              WHERE round(coalesce(i.i, 0) * 1.0
+                          / (ca.c + cb.c - coalesce(i.i, 0)), 6) >= 0.5
+            ),
+            vb AS (
+              SELECT id_a AS a, id_b AS b, jaccard FROM j
+              UNION ALL SELECT id_b, id_a, jaccard FROM j
+            ),
+            flagged1 AS (
+              SELECT DISTINCT b AS id FROM vb
+              WHERE b % 10 = 0 AND a % 5 <> 0
+            ),
+            cand2 AS (
+              SELECT b AS id, a AS partner, jaccard FROM vb
+              WHERE b % 10 = 5
+                AND (a % 5 <> 0
+                     OR (a % 10 = 0
+                         AND a NOT IN (SELECT id FROM flagged1)))
+            ),
+            ranked2 AS (
+              SELECT id, partner, jaccard,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY partner) AS rn
+              FROM cand2)
+            SELECT id AS doc_id, partner AS dup_of, jaccard
+            FROM ranked2 WHERE rn = 1
+    """
     # Winnowing exact-substring family (r8): char-30-gram md5 hashes,
     # per-12-window minimum (min() OVER a ROWS frame — the frame must
     # be computed over ALL gram rows, so the start-position filter
@@ -4296,6 +4447,59 @@ def oracle_sql() -> dict[str, str]:
               FROM pp)
             SELECT id AS doc_id, partner AS dup_of, nsh AS n_shared
             FROM rankedp WHERE rn = 1
+    """
+    # Winnow-index fold lifecycle (r9, VERDICT r8 #3): flag increment
+    # 2 against corpus ∪ survivors(increment 1) built from scratch —
+    # the df deltas are additive, so Spark's folded stop-gram filter
+    # equals this rebuilt count.
+    oracles["fold_substring_flags"] = f"""
+            WITH {_wn_base},
+            corpusfp AS (
+              SELECT doc_id, fp FROM winnow WHERE doc_id % 5 <> 0
+            ),
+            fgood1 AS (
+              SELECT fp FROM corpusfp GROUP BY fp HAVING count(*) <= 50
+            ),
+            fidx1 AS (
+              SELECT doc_id, fp FROM corpusfp
+              WHERE fp IN (SELECT fp FROM fgood1)
+            ),
+            inc1fp AS (
+              SELECT doc_id, fp FROM winnow WHERE doc_id % 10 = 0
+            ),
+            fflagged1 AS (
+              SELECT DISTINCT n.doc_id AS id
+              FROM inc1fp n JOIN fidx1 i USING (fp)
+            ),
+            foldedfp AS (
+              SELECT doc_id, fp FROM corpusfp
+              UNION ALL
+              SELECT doc_id, fp FROM inc1fp
+              WHERE doc_id NOT IN (SELECT id FROM fflagged1)
+            ),
+            fgood2 AS (
+              SELECT fp FROM foldedfp GROUP BY fp HAVING count(*) <= 50
+            ),
+            fidx2 AS (
+              SELECT doc_id, fp FROM foldedfp
+              WHERE fp IN (SELECT fp FROM fgood2)
+            ),
+            inc2fp AS (
+              SELECT doc_id, fp FROM winnow WHERE doc_id % 10 = 5
+            ),
+            fpp AS (
+              SELECT n.doc_id AS id, i.doc_id AS partner,
+                     count(*) AS nsh
+              FROM inc2fp n JOIN fidx2 i USING (fp)
+              GROUP BY 1, 2
+            ),
+            frank AS (
+              SELECT id, partner, nsh,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY partner) AS rn
+              FROM fpp)
+            SELECT id AS doc_id, partner AS dup_of, nsh AS n_shared
+            FROM frank WHERE rn = 1
     """
     oracles["exact_substring_dedup"] = f"""
             WITH RECURSIVE {_wn_fps},

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "exact_substring_pairs",
     "exact_substring_dedup",
+    "fold_incremental_dedup",
+    "fold_substring_flags",
     "stratified_sample",
     "dataset_mix",
     "decontaminate_docs",

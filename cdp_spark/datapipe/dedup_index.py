@@ -1,0 +1,399 @@
+"""Persisted dedup indexes with incremental FOLD compaction.
+
+The streaming dedup operators (``streaming.analytics``) flag new
+documents against a *corpus index* — MinHash band signatures for
+near-dup flagging, winnow fingerprints for exact-substring flagging.
+This module gives that index a durable parquet form and the lifecycle
+the 100 TB design story requires:
+
+    write(corpus)  ->  flag(increment_1)  ->  fold(survivors_1)
+                   ->  flag(increment_2)  ->  fold(survivors_2)  -> ...
+
+``fold`` merges a completed increment's SURVIVING documents (those not
+flagged as duplicates) into the persisted index and nothing else — the
+corpus index absorbs each increment, so a restarted stream (or the
+next batch increment) flags against corpus+survivors with EMPTY
+stream state.  This is the compaction step that makes "state = the
+increment, not the corpus" (streaming/analytics.py) true indefinitely:
+without it the keyed (band, bucket) state grows with every streamed
+document forever.
+
+Contract (oracled by the ``fold_incremental_dedup`` /
+``fold_substring_flags`` driver queries): *fold-then-flag equals
+flag-against-rebuilt-corpus* — flagging increment 2 against the folded
+index is bit-identical to flagging it against an index built from
+scratch over corpus ∪ survivors(increment 1), because fold appends
+exactly the rows a from-scratch build would compute for the survivors
+(signatures are pure functions of (text, params); winnow document
+frequencies are additive counts).
+
+Layout (all appends, no rewrites — folds are O(increment)):
+
+    <path>/_cdp_index_meta.json   params (num_perm/n/seed/hash, or
+                                  k/w/max_df) — validated on load so a
+                                  fold can never silently mix
+                                  incompatible signatures
+    <path>/sigs/                  MinHash: (id, signature, shingles)
+    <path>/fps/                   winnow: (id, fp)
+    <path>/df/                    winnow: (fp, c) PER-FOLD DELTA counts
+                                  — document frequency is additive, so
+                                  the flag-time stop-gram filter sums
+                                  deltas (a tiny mergeable table, the
+                                  LSM pattern) instead of re-counting
+                                  the full (id, fp) index
+
+Reference parity: the reference's deduplicate step is per-window only
+(src/step-functions/deduplicate.ts:82-124) — this lifecycle is
+superset scope for the training-data-pipeline use case.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup as ddp
+
+_META_NAME = "_cdp_index_meta.json"
+_HASH_FNS = {
+    "default_hash64": ddp.default_hash64,
+    "md5_hash60": ddp.md5_hash60,
+}
+
+
+def _hash_name(hash_fn) -> str:
+    for name, fn in _HASH_FNS.items():
+        if hash_fn is fn:
+            return name
+    raise ValueError(
+        "hash_fn must be one of cdp_spark.datapipe.dedup's named hashes "
+        f"({list(_HASH_FNS)}) so the index meta can record it"
+    )
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def _read_meta(path: str, kind: str) -> dict:
+    with open(os.path.join(path, _META_NAME)) as f:
+        meta = json.load(f)
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"index at {path} is kind={meta.get('kind')!r}, expected {kind!r}"
+        )
+    return meta
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def minhash_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    n: int = 3,
+    hash_fn=None,
+) -> None:
+    """Build the persisted MinHash corpus index: one parquet table of
+    (id, signature, shingles) — the signature feeds the band join,
+    the shingle array the exact-Jaccard verify, both computed ONCE at
+    ingest instead of per flagging run.  Empty-token documents carry
+    no signal and are dropped (the minhash_signatures_df semantics)."""
+    if hash_fn is None:
+        hash_fn = ddp.default_hash64
+    meta = {
+        "kind": "minhash",
+        "num_perm": num_perm,
+        "n": n,
+        "hash": _hash_name(hash_fn),
+    }
+    enriched = ddp._enrich_signatures(
+        docs, id_col, text_col, num_perm, n, hash_fn
+    )
+    enriched.select(
+        F.col("_id").alias("id"),
+        F.col("signature"),
+        F.col("_sh").alias("shingles"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    _write_meta(path, meta)
+
+
+def minhash_index_load(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """(index frame, meta).  Frame columns: (id, signature, shingles)
+    — corpus ∪ every folded increment so far."""
+    meta = _read_meta(path, "minhash")
+    return spark.read.parquet(os.path.join(path, "sigs")), meta
+
+
+def minhash_index_fold(
+    increment_docs: DataFrame,
+    flagged_ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """FOLD a completed increment into the index: append the
+    signature rows of the increment's SURVIVORS (documents NOT in
+    ``flagged_ids``) to the persisted index.  Signatures are pure
+    functions of (text, meta params), so the appended rows are
+    bit-identical to what a from-scratch rebuild over
+    corpus ∪ survivors would compute — the fold-then-flag oracle
+    contract.  After the fold, restart the incremental stream with
+    empty state: the index now carries the increment.
+
+    Cost is O(increment): one signature pass over the increment, one
+    broadcast-sized anti-join on the flagged ids, one parquet append.
+    The corpus is never read or rewritten."""
+    meta = _read_meta(path, "minhash")
+    hash_fn = _HASH_FNS[meta["hash"]]
+    flagged = flagged_ids.select(
+        F.col(flagged_ids.columns[0]).cast("long").alias("_flag_id")
+    )
+    survivors = increment_docs.join(
+        F.broadcast(flagged),
+        increment_docs[id_col] == F.col("_flag_id"),
+        "left_anti",
+    )
+    enriched = ddp._enrich_signatures(
+        survivors, id_col, text_col, meta["num_perm"], meta["n"], hash_fn
+    )
+    enriched.select(
+        F.col("_id").alias("id"),
+        F.col("signature"),
+        F.col("_sh").alias("shingles"),
+    ).write.mode("append").parquet(os.path.join(path, "sigs"))
+
+
+def flag_against_minhash_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 8,
+) -> DataFrame:
+    """Flag new documents against a loaded MinHash index: band the
+    new side with pure Column expressions, equi-join the index's band
+    keys on (band, bucket), verify with exact Jaccard on the stored
+    shingle arrays, reduce to the minimum matching partner.  Works
+    for BATCH and STREAMING ``new_docs`` alike — every step is
+    stateless except the final min-struct aggregate (complete/update
+    mode; order-insensitive, so micro-batch boundaries cannot change
+    the answer).
+
+    Scale shape: the (band, bucket) join carries the index's (id,
+    band, bucket) triples only; shingle arrays join in by id for
+    verified candidates.  Output: (id, dup_of, jaccard)."""
+    hash_fn = _HASH_FNS[meta["hash"]]
+    num_perm, n = meta["num_perm"], meta["n"]
+    rows = num_perm // bands
+    bucket_fn = None if hash_fn is ddp.default_hash64 else hash_fn
+
+    idx_bands = index.select(
+        F.col("id").alias("_old_id"),
+        F.explode(
+            ddp.lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
+        ).alias("bk"),
+    ).select(
+        "_old_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    idx_sh = index.select(
+        F.col("id").alias("_old_id"), F.col("shingles").alias("_old_sh")
+    )
+
+    s = (
+        new_docs.select(
+            F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
+        )
+        .filter(F.size(ddp.tokens(F.col("_t"))) > 0)
+        .select(
+            "_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")
+        )
+        .select(
+            "_new_id",
+            "_new_sh",
+            ddp.signature_from_shingles(
+                F.col("_new_sh"), num_perm, 42, hash_fn
+            ).alias("signature"),
+        )
+    )
+    cands = (
+        s.select(
+            "_new_id",
+            "_new_sh",
+            F.explode(
+                ddp.lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
+            ).alias("bk"),
+        )
+        .select(
+            "_new_id",
+            "_new_sh",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+        .join(idx_bands, ["band", "bucket"])
+        .join(idx_sh, "_old_id")
+    )
+    inter = F.size(F.array_intersect("_new_sh", "_old_sh")).cast("double")
+    union = F.size(F.array_union("_new_sh", "_old_sh")).cast("double")
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
+    verified = cands.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= threshold
+    )
+    best = F.min(F.struct(F.col("_old_id"), F.col("jaccard"))).alias("_best")
+    return (
+        verified.groupBy("_new_id")
+        .agg(best)
+        .select(
+            F.col("_new_id").alias(id_col),
+            F.col("_best._old_id").alias("dup_of"),
+            F.col("_best.jaccard").alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------- winnowing
+
+
+def substring_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    w: int = 12,
+    max_df: int = 50,
+    hash_fn=None,
+) -> None:
+    """Build the persisted winnow fingerprint index: ``fps/`` holds
+    the raw (id, fp) pairs, ``df/`` the per-fold fingerprint-count
+    DELTAS.  The stop-gram filter (df > max_df) is applied at FLAG
+    time over the summed deltas — document frequency is additive, so
+    a fold appends its survivors' counts instead of recounting the
+    corpus, and the filter always reflects the full folded corpus
+    (exactly what a from-scratch rebuild would compute)."""
+    if hash_fn is None:
+        hash_fn = ddp.default_hash64
+    meta = {
+        "kind": "substring",
+        "k": k,
+        "w": w,
+        "max_df": max_df,
+        "hash": _hash_name(hash_fn),
+    }
+    fps = _doc_fingerprints(docs, id_col, text_col, k, w, hash_fn)
+    fps.write.mode("overwrite").parquet(os.path.join(path, "fps"))
+    fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "df"))
+    _write_meta(path, meta)
+
+
+def _doc_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, k: int, w: int, hash_fn
+) -> DataFrame:
+    from ..session import iter_checkpoint
+
+    return iter_checkpoint(
+        ddp._ensure_parallelism(
+            docs.select(F.col(id_col), F.col(text_col))
+        ).select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                ddp.winnow_fingerprints(
+                    F.col(text_col), k=k, w=w, hash_fn=hash_fn
+                )
+            ).alias("fp"),
+        )
+    )
+
+
+def substring_index_load(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(fps frame, summed df frame, meta).  The df frame aggregates
+    the per-fold deltas to current corpus-wide document frequencies
+    — a groupBy over the small delta table, not over fps."""
+    meta = _read_meta(path, "substring")
+    fps = spark.read.parquet(os.path.join(path, "fps"))
+    df = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .groupBy("fp")
+        .agg(F.sum("c").alias("df"))
+    )
+    return fps, df, meta
+
+
+def substring_index_fold(
+    increment_docs: DataFrame,
+    flagged_ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """FOLD a completed increment into the winnow index: append the
+    survivors' (id, fp) pairs to ``fps/`` and their per-fp counts as
+    a new DELTA to ``df/``.  Because df is additive, the summed
+    deltas equal the from-scratch count over corpus ∪ survivors —
+    the stop-gram filter after a fold is exactly the rebuilt one."""
+    meta = _read_meta(path, "substring")
+    hash_fn = _HASH_FNS[meta["hash"]]
+    flagged = flagged_ids.select(
+        F.col(flagged_ids.columns[0]).cast("long").alias("_flag_id")
+    )
+    survivors = increment_docs.join(
+        F.broadcast(flagged),
+        increment_docs[id_col] == F.col("_flag_id"),
+        "left_anti",
+    )
+    fps = _doc_fingerprints(
+        survivors, id_col, text_col, meta["k"], meta["w"], hash_fn
+    )
+    fps.write.mode("append").parquet(os.path.join(path, "fps"))
+    fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "df"))
+
+
+def flag_against_substring_index(
+    new_docs: DataFrame,
+    fps: DataFrame,
+    df: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateless candidate stream of (id, partner) rows — one per
+    (new doc, index doc, shared surviving fingerprint) — against a
+    loaded winnow index; reduce with
+    ``streaming.analytics.reduce_substring_flags``.  The stop-gram
+    filter (summed df > max_df) prunes the index side BEFORE the
+    join, so boilerplate fingerprints never enter the exchange.
+    Works for batch and streaming ``new_docs``."""
+    hash_fn = _HASH_FNS[meta["hash"]]
+    good = df.where(F.col("df") <= meta["max_df"]).select("fp")
+    idx = fps.join(good, "fp", "left_semi")
+    s_fps = new_docs.select(
+        F.col(id_col).alias("_new_id"),
+        F.explode(
+            ddp.winnow_fingerprints(
+                F.col(text_col), k=meta["k"], w=meta["w"], hash_fn=hash_fn
+            )
+        ).alias("fp"),
+    )
+    return s_fps.join(idx, "fp").select(
+        F.col("_new_id").alias("id"), F.col("id").alias("partner")
+    )

@@ -214,6 +214,7 @@ def stream_incremental_near_dups(
     bands: int = 8,
     n: int = 3,
     hash_fn=None,
+    max_bucket_members: int | None = None,
 ) -> DataFrame:
     """FULL streaming incremental near-dedup: flag streamed documents
     that duplicate the static corpus OR an EARLIER streamed document
@@ -246,10 +247,23 @@ def stream_incremental_near_dups(
 
     Scale: per-bucket state grows with the increment's bucket
     occupancy (shingle sets included — the verify payload).  At
-    100 TB bound it the same way the batch path bounds buckets (band
-    tuning / occupancy caps), and restart the increment periodically
-    by folding survivors into the corpus index — the state is the
-    increment, not the corpus.
+    100 TB bound it two ways (ADVICE r8):
+
+    - ``max_bucket_members`` caps each (band, bucket) state: once a
+      bucket holds that many streamed members, later arrivals still
+      flag AGAINST the held members but are not retained as future
+      partners (bounded recall loss, same trade as the batch
+      occupancy cap; logged executor-side when first hit).  State
+      writes are also skipped whenever a batch leaves a bucket's
+      membership unchanged — a hot capped bucket stops re-encoding
+      its JSON blob every micro-batch.
+    - restart the increment periodically by FOLDING survivors into
+      the persisted corpus index
+      (:func:`cdp_spark.datapipe.dedup_index.minhash_index_fold`) and
+      clearing the checkpoint — the state is the increment, not the
+      corpus, and the fold makes that true indefinitely
+      (fold-then-flag == flag-against-rebuilt-corpus, oracled by the
+      ``fold_incremental_dedup`` driver query).
     """
     import json as _json
 
@@ -346,6 +360,8 @@ def stream_incremental_near_dups(
                 rows_in.append((int(i), list(sh)))
         rows_in.sort(key=lambda t: t[0])
         out = []
+        changed = False
+        capped = False
         for nid, nsh in rows_in:
             nset = set(nsh)
             for mid, msh in members:
@@ -358,8 +374,34 @@ def stream_incremental_near_dups(
                         len(nset | a),
                     )
                 )
-            members.append((nid, nsh))
-        state.update((_json.dumps(members),))
+            if (
+                max_bucket_members is None
+                or len(members) < max_bucket_members
+            ):
+                members.append((nid, nsh))
+                changed = True
+            else:
+                capped = True
+        if capped:
+            # Cap hit: arrivals above still flagged against the held
+            # members, but not retained as future partners (bounded
+            # state, bounded recall loss — executor log, once per
+            # bucket per batch).
+            import logging as _logging
+
+            _logging.getLogger(__name__).warning(
+                "stream_incremental_near_dups bucket %s at "
+                "max_bucket_members=%d: new arrivals flag against "
+                "held members but are not retained; fold the "
+                "increment into the corpus index to reset state",
+                tuple(key),
+                max_bucket_members,
+            )
+        # Only re-encode state when membership actually changed — a
+        # hot capped bucket must not re-serialize its blob per batch
+        # (ADVICE r8).
+        if changed:
+            state.update((_json.dumps(members),))
         if out:
             yield pd.DataFrame(
                 out, columns=["id", "partner", "inter_n", "union_n"]

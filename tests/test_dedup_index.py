@@ -1,0 +1,146 @@
+"""Persisted dedup indexes + the incremental FOLD (VERDICT r8 #3).
+
+The contract under test: *fold-then-flag == flag-against-rebuilt-
+corpus*.  Flagging increment 2 against an index that absorbed
+increment 1's survivors via ``fold`` must be bit-identical to
+flagging it against an index built from scratch over
+corpus ∪ survivors — the property that lets a long-running
+incremental-dedup stream reset its state after every fold without
+changing any answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import dedup as ddp
+from cdp_spark.datapipe import dedup_index as di
+from cdp_spark.session import load_table
+from cdp_spark.streaming.analytics import reduce_substring_flags
+
+SF = "/root/testdata/sf0.001"
+
+
+def _roles(spark):
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc1 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    inc2 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+    return corpus, inc1, inc2
+
+
+def test_minhash_fold_equals_rebuild(spark, tmp_path):
+    corpus, inc1, inc2 = _roles(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(
+        corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60
+    )
+    idx, meta = di.minhash_index_load(spark, path)
+    flagged1 = di.flag_against_minhash_index(
+        inc1, idx, meta, threshold=0.5, bands=8
+    )
+    di.minhash_index_fold(inc1, flagged1.select("doc_id"), path)
+    idx2, meta2 = di.minhash_index_load(spark, path)
+    folded = {
+        tuple(r)
+        for r in di.flag_against_minhash_index(
+            inc2, idx2, meta2, threshold=0.5, bands=8
+        ).collect()
+    }
+
+    # rebuild from scratch: corpus ∪ survivors(inc1)
+    survivors = inc1.join(
+        flagged1.select(F.col("doc_id").alias("_f")),
+        inc1["doc_id"] == F.col("_f"),
+        "left_anti",
+    )
+    rebuilt_path = str(tmp_path / "mh_rebuilt")
+    di.minhash_index_write(
+        corpus.select("doc_id", "text").unionByName(survivors),
+        rebuilt_path,
+        num_perm=32,
+        n=3,
+        hash_fn=ddp.md5_hash60,
+    )
+    ridx, rmeta = di.minhash_index_load(spark, rebuilt_path)
+    rebuilt = {
+        tuple(r)
+        for r in di.flag_against_minhash_index(
+            inc2, ridx, rmeta, threshold=0.5, bands=8
+        ).collect()
+    }
+    assert folded == rebuilt
+    assert folded, "fixture should flag at least one inc2 doc"
+    # the fold actually grew the index by the survivor count
+    n_surv = survivors.filter(
+        F.size(ddp.tokens(F.col("text"))) > 0
+    ).count()
+    assert idx2.count() == idx.count() + n_surv
+
+
+def test_substring_fold_equals_rebuild(spark, tmp_path):
+    corpus, inc1, inc2 = _roles(spark)
+    path = str(tmp_path / "ss")
+    di.substring_index_write(
+        corpus, path, k=30, w=12, max_df=50, hash_fn=ddp.md5_hash60
+    )
+    fps, dfc, meta = di.substring_index_load(spark, path)
+    flagged1 = (
+        di.flag_against_substring_index(inc1, fps, dfc, meta)
+        .select("id")
+        .distinct()
+    )
+    di.substring_index_fold(inc1, flagged1, path)
+    fps2, dfc2, meta2 = di.substring_index_load(spark, path)
+    folded = {
+        tuple(r)
+        for r in reduce_substring_flags(
+            di.flag_against_substring_index(inc2, fps2, dfc2, meta2)
+        ).collect()
+    }
+
+    survivors = inc1.join(
+        flagged1.select(F.col("id").alias("_f")),
+        inc1["doc_id"] == F.col("_f"),
+        "left_anti",
+    )
+    rebuilt_path = str(tmp_path / "ss_rebuilt")
+    di.substring_index_write(
+        corpus.select("doc_id", "text").unionByName(survivors),
+        rebuilt_path,
+        k=30,
+        w=12,
+        max_df=50,
+        hash_fn=ddp.md5_hash60,
+    )
+    rfps, rdfc, rmeta = di.substring_index_load(spark, rebuilt_path)
+    rebuilt = {
+        tuple(r)
+        for r in reduce_substring_flags(
+            di.flag_against_substring_index(inc2, rfps, rdfc, rmeta)
+        ).collect()
+    }
+    assert folded == rebuilt
+    assert folded, "fixture should flag at least one inc2 doc"
+    # folded df equals the rebuilt corpus-wide document frequency
+    folded_df = {(r["fp"], r["df"]) for r in dfc2.collect()}
+    rebuilt_df = {(r["fp"], r["df"]) for r in rdfc.collect()}
+    assert folded_df == rebuilt_df
+
+
+def test_index_meta_validation(spark, tmp_path):
+    corpus, _, _ = _roles(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(
+        corpus.limit(20), path, num_perm=32, n=3, hash_fn=ddp.md5_hash60
+    )
+    # kind mismatch is loud
+    with pytest.raises(ValueError, match="kind"):
+        di.substring_index_load(spark, path)
+    # unnamed hash callables cannot be recorded -> loud
+    with pytest.raises(ValueError, match="named hashes"):
+        di.minhash_index_write(
+            corpus.limit(5),
+            str(tmp_path / "bad"),
+            hash_fn=lambda c: F.lit(0),
+        )

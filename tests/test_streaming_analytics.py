@@ -242,3 +242,55 @@ def test_stream_incremental_dedup_new_new_across_batches(spark, tmp_path):
     )
     rows = {r["doc_id"]: r["dup_of"] for r in out.collect()}
     assert rows == {20: 1, 30: 22}
+
+
+def test_stream_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
+    """ADVICE r8: with max_bucket_members=1 only the FIRST streamed
+    member of each bucket is retained.  Three identical texts (so all
+    three docs land in exactly the same buckets, deterministically)
+    across three micro-batches: 22 and 23 both flag against the held
+    member 21, but the (23, 22) pair an uncapped run emits never
+    appears — 22 was not retained anywhere.  Bounded state, the only
+    loss is dropped members as future partners."""
+    from cdp_spark.streaming.analytics import (
+        reduce_incremental_pairs,
+        stream_incremental_near_dups,
+    )
+
+    fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, "nothing shared with the family at all")],
+        "doc_id long, text string",
+    )
+    for i, doc in enumerate([21, 22, 23]):
+        _write_batch(
+            tmp_path / "src" / f"b{i}.json", [{"doc_id": doc, "text": fam}]
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "src"))
+    )
+    pair_stream = stream_incremental_near_dups(
+        stream, corpus, max_bucket_members=1
+    )
+    query = (
+        pair_stream.writeStream.format("memory")
+        .queryName("sid_cap_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    pairs = {
+        (r["id"], r["partner"])
+        for r in spark.sql("SELECT * FROM sid_cap_test").collect()
+    }
+    assert pairs == {(22, 21), (23, 21)}, pairs  # no (23, 22): 22 dropped
+    out = reduce_incremental_pairs(
+        spark.sql("SELECT * FROM sid_cap_test"), threshold=0.5,
+        id_col="doc_id",
+    )
+    rows = {r["doc_id"]: r["dup_of"] for r in out.collect()}
+    assert rows == {22: 21, 23: 21}
