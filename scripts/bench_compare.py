@@ -24,9 +24,9 @@ def load(path: str) -> dict:
         return json.load(fh)
 
 
-def spin(rec: dict) -> float | None:
+def spin(rec: dict, prefix: str = "spin") -> float | None:
     h = rec.get("host") or {}
-    xs = [h.get("spin_sec_start"), h.get("spin_sec_end")]
+    xs = [h.get(f"{prefix}_sec_start"), h.get(f"{prefix}_sec_end")]
     xs = [x for x in xs if x]
     return sum(xs) / len(xs) if xs else None
 
@@ -38,12 +38,29 @@ def main() -> None:
     raw = math.exp(sum(math.log(qb[k] / qa[k]) for k in shared) / len(shared))
     print(f"shared queries: {len(shared)}")
     print(f"raw geomean (B/A):        {raw:.3f}")
+    # Prefer the PARALLEL spin (r9, VERDICT r8 "what's wrong" #1):
+    # unlike the single-core spin it contends for every core, so a
+    # co-tenant saturating other cores — which slows the 32-thread
+    # Spark stages but not a lone spinner — moves it too.  Both
+    # artifacts must carry it AND run the same gang width.
+    pa, pb = spin(a, "pspin"), spin(b, "pspin")
+    na = (a.get("host") or {}).get("pspin_procs")
+    nb = (b.get("host") or {}).get("pspin_procs")
     sa, sb = spin(a), spin(b)
-    if sa and sb:
+    if pa and pb and na == nb:
+        cal = pb / pa
+        print(f"pspin calibration (B/A):  {cal:.3f}  ({na} procs, preferred)")
+        print(f"normalized geomean:       {raw / cal:.3f}  "
+              "(machine + contention drift divided out)")
+        if sa and sb:
+            print(f"spin calibration (B/A):   {sb / sa:.3f}  "
+                  "(single-core, for reference)")
+    elif sa and sb:
         cal = sb / sa
         print(f"spin calibration (B/A):   {cal:.3f}")
         print(f"normalized geomean:       {raw / cal:.3f}  "
-              "(machine drift divided out)")
+              "(machine drift divided out; no parallel spin in one "
+              "artifact — contention not covered)")
     else:
         print("no calibration fields in one of the records "
               "(pre-r8 artifact) — raw ratio only")
