@@ -23,7 +23,12 @@ counts):
   document) therefore stays constant as the corpus grows — real
   corpora do not acquire 10x more dups per doc when they grow 10x.
   (Caveat: suffixed tokens defeat stopword lists, so lang-id
-  selectivity shifts on replicas k>0; timing-irrelevant.)
+  selectivity shifts on replicas k>0; timing-irrelevant.  Second
+  caveat, measured r8: suffixing LENGTHENS within-replica shared
+  substrings, so substring-threshold workloads explode output 3,584x
+  at 10x — for those use doc_mode="remap", a per-replica bijective
+  character rotation that preserves lengths and within-replica
+  substring geometry exactly while destroying cross-replica overlap.)
 - embeddings: replica k applies a seed-derived SIGNED DIMENSION
   PERMUTATION (an orthogonal isometry): within-replica distances,
   cluster geometry, and label structure are preserved exactly, while
@@ -82,21 +87,52 @@ def _shift_replica(table: pa.Table, shifts: dict[str, int], k: int) -> pa.Table:
     return table
 
 
-def _documents_replica(table: pa.Table, k: int) -> pa.Table:
+def _documents_replica(table: pa.Table, k: int, mode: str = "suffix") -> pa.Table:
     if k == 0:
         return table
-    # token~rk suffixing via one vectorized regex: append the replica
-    # tag to every run of non-space characters.
     idx = table.schema.get_field_index("text")
-    tagged = pc.replace_substring_regex(
-        table.column("text"), pattern=r"(\S+)", replacement=rf"\1~r{k}"
-    )
+    if mode == "suffix":
+        # token~rk suffixing via one vectorized regex: append the
+        # replica tag to every run of non-space characters.
+        tagged = pc.replace_substring_regex(
+            table.column("text"), pattern=r"(\S+)", replacement=rf"\1~r{k}"
+        )
+    elif mode == "remap":
+        # Character-remap replicas (VERDICT r8 #5): a bijective
+        # per-replica character rotation (letters mod 26, digits mod
+        # 10; whitespace/punct untouched).  Unlike suffixing it
+        # preserves text LENGTHS and within-replica substring
+        # structure EXACTLY — the winnow fingerprint geometry of each
+        # replica is congruent to the base corpus — while any shared
+        # substring/shingle across replicas is destroyed (identity
+        # only at k ≡ 0 mod lcm(26,10)=130, beyond any probe depth).
+        # Suffix mode lengthens within-replica shared substrings past
+        # the winnow threshold (measured: output 3,584x at 10x), so
+        # substring-threshold probes need THIS mode for a shape-true
+        # scaling curve.
+        lo = "abcdefghijklmnopqrstuvwxyz"
+        hi = lo.upper()
+        dg = "0123456789"
+        trans = str.maketrans(
+            lo + hi + dg,
+            lo[k % 26:] + lo[: k % 26]
+            + hi[k % 26:] + hi[: k % 26]
+            + dg[k % 10:] + dg[: k % 10],
+        )
+        tagged = pa.array(
+            [None if s is None else s.translate(trans)
+             for s in table.column("text").to_pylist()],
+            type=pa.string(),
+        )
+    else:
+        raise ValueError(f"unknown documents replica mode {mode!r}")
     table = table.set_column(idx, "text", tagged)
     didx = table.schema.get_field_index("doc_id")
     table = table.set_column(
         didx, "doc_id", pc.add(table.column("doc_id"), pa.scalar(k * 100_000, pa.int64()))
     )
-    # n_chars must stay consistent with the rewritten text
+    # n_chars must stay consistent with the rewritten text (remap is
+    # length-preserving, suffix is not — recompute for both)
     nidx = table.schema.get_field_index("n_chars")
     table = table.set_column(
         nidx, "n_chars", pc.cast(pc.utf8_length(table.column("text")), pa.int64())
@@ -119,7 +155,7 @@ def _embeddings_replica(table: pa.Table, k: int, rng: np.random.Generator) -> pa
 
 
 def generate(slab_dir: str = SLAB, base: str = BASE,
-             replicas: int = REPLICAS) -> None:
+             replicas: int = REPLICAS, doc_mode: str = "suffix") -> None:
     replicas = int(replicas)
     out = Path(slab_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -133,7 +169,7 @@ def generate(slab_dir: str = SLAB, base: str = BASE,
         pq.write_table(pa.concat_tables(parts), out / f"{t}.parquet")
         print(f"{t}: {src.num_rows} -> {src.num_rows * replicas}", flush=True)
     src = pq.read_table(f"{base}/documents.parquet")
-    parts = [_documents_replica(src, k) for k in range(replicas)]
+    parts = [_documents_replica(src, k, doc_mode) for k in range(replicas)]
     pq.write_table(pa.concat_tables(parts), out / "documents.parquet")
     print(f"documents: {src.num_rows} -> {src.num_rows * replicas}", flush=True)
     src = pq.read_table(f"{base}/embeddings.parquet")
@@ -220,8 +256,8 @@ def run(slab_dir: str = SLAB, base: str = BASE,
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "generate"
     if cmd == "generate":
-        # scale_probe.py generate [slab] [base] [replicas]
-        generate(*(sys.argv[2:5] or [SLAB]))
+        # scale_probe.py generate [slab] [base] [replicas] [doc_mode]
+        generate(*(sys.argv[2:6] or [SLAB]))
     elif cmd == "run":
         # scale_probe.py run [slab] [base] [out] [query names...]
         args = sys.argv[2:]
