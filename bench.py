@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_id",
     "langid_ngram_confusion",
+    "langid_ngram_separation",
     "token_count_by_source",
     "fingerprint_docs",
     "hll_distinct_users",

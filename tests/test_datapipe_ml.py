@@ -195,3 +195,21 @@ def test_langid_ngram_separates_real_profiles(spark):
     pred = {r["doc_id"]: r["pred_lang"] for r in langid_ngram(df).collect()}
     assert all(pred[i] == "en" for i in range(5))
     assert all(pred[100 + i] == "de" for i in range(5))
+
+
+def test_langid_separation_fixture_self_accuracy(spark):
+    """VERDICT r8 #6: on the language-axis fixture (per-language
+    character rotation of the documents table — genuinely distinct
+    character distributions) the confusion diagonal must carry >= 0.9
+    of the mass at sf0.01.  The raw-fixture mechanism check
+    (langid_ngram_confusion + the oracle) is kept alongside."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_langid_ngram_separation(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    total = sum(r["n_docs"] for r in rows)
+    diag = sum(r["n_docs"] for r in rows if r["lang"] == r["pred_lang"])
+    assert total >= 400
+    acc = diag / total
+    assert acc >= 0.9, f"separated-fixture self-accuracy {acc:.3f} < 0.9"
