@@ -2966,6 +2966,62 @@ def q_langid_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
+_BPE_NUM_MERGES = 10
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str):
+    """Learn (and cache per sf_dir) the BPE merge list once per
+    process — training is the one-time model build, like the shared
+    k-means fit; the tokenize query times the apply path."""
+    if sf_dir not in _BPE_MERGE_CACHE:
+        from cdp_spark.datapipe import bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = (
+            bpe.bpe_merges(docs, num_merges=_BPE_NUM_MERGES)
+            .orderBy("step")
+            .collect()
+        )
+        _BPE_MERGE_CACHE[sf_dir] = [
+            (r["left_sym"], r["right_sym"]) for r in rows
+        ]
+    return _BPE_MERGE_CACHE[sf_dir]
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016) over the documents
+    corpus: the first 10 learned merges with their pair counts.  One
+    corpus scan builds the (word, cnt) type table; each merge is one
+    pair-aggregate + single-row argmax + codegen string rewrite over
+    word TYPES (see cdp_spark/datapipe/bpe.py).  The oracle replays
+    training exactly as 10 unrolled CTE layers."""
+    from cdp_spark.datapipe import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_merges(docs, num_merges=_BPE_NUM_MERGES).select(
+        "step", "left_sym", "right_sym", "n"
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to every document — the tokenize
+    serve path: per-source BPE token totals.  Tokenization is a pure
+    map (char-split + the merge rewrites, all whole-stage codegen)
+    plus one (id, count) aggregate; training cost is excluded via the
+    per-process merge cache (the ANN-index precedent)."""
+    from cdp_spark.datapipe import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges_for(spark, sf_dir)
+    per_doc = bpe.bpe_token_counts(docs, merges)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
+    )
+
+
 _LANG_ROT = {"de": 5, "en": 0, "es": 11, "fr": 17, "zh": 23}
 _ALPHA_LO = "abcdefghijklmnopqrstuvwxyz"
 
@@ -3311,6 +3367,8 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fold_incremental_dedup": q_fold_incremental_dedup,
     "fold_substring_flags": q_fold_substring_flags,
     "langid_ngram_separation": q_langid_ngram_separation,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 
@@ -4999,6 +5057,73 @@ def oracle_sql() -> dict[str, str]:
         "WHERE length(lower(text)) >= 3",
         f"WHERE length(lower(CASE {_rot_case} ELSE text END)) >= 3",
     )
+    # BPE merge learning (r9): training replayed as _BPE_NUM_MERGES
+    # unrolled CTE layers — pair counts over the word-type table,
+    # single-row argmax (count DESC, pair ASC), two-pass leftmost
+    # replace (identical semantics in both engines; see
+    # cdp_spark/datapipe/bpe.py).
+    def _bpe_layers(n_merges: int) -> str:
+        parts = [
+            r"""
+            bw0 AS MATERIALIZED (
+              SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq,
+                     cnt
+              FROM (SELECT w, count(*) AS cnt FROM (
+                      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                      FROM documents WHERE length(trim(text)) > 0)
+                    GROUP BY w)
+            )"""
+        ]
+        for i in range(n_merges):
+            pat = f"(SELECT ' '||left_sym||' '||right_sym||' ' FROM bb{i})"
+            rep = f"(SELECT ' '||left_sym||right_sym||' ' FROM bb{i})"
+            parts.append(
+                f"""
+            bp{i} AS MATERIALIZED (
+              SELECT toks[gs] AS w1, toks[gs + 1] AS w2,
+                     CAST(sum(cnt) AS BIGINT) AS n
+              FROM (SELECT string_split(seq, ' ') AS toks, cnt,
+                           unnest(generate_series(
+                             1, len(string_split(seq, ' ')) - 1)) AS gs
+                    FROM bw{i}
+                    WHERE len(string_split(seq, ' ')) >= 2)
+              GROUP BY 1, 2
+            ),
+            bb{i} AS MATERIALIZED (
+              SELECT {i + 1} AS step, w1 AS left_sym, w2 AS right_sym, n
+              FROM bp{i} ORDER BY n DESC, w1, w2 LIMIT 1
+            ),
+            bw{i + 1} AS MATERIALIZED (
+              SELECT w,
+                     trim(replace(replace(' ' || seq || ' ',
+                                          {pat}, {rep}),
+                                  {pat}, {rep})) AS seq,
+                     cnt
+              FROM bw{i}
+            )"""
+            )
+        return ",".join(parts)
+
+    _bpe_union = "\n              UNION ALL ".join(
+        f"SELECT * FROM bb{i}" for i in range(_BPE_NUM_MERGES)
+    )
+    oracles["bpe_merges"] = f"""
+            WITH {_bpe_layers(_BPE_NUM_MERGES)}
+            SELECT step, left_sym, right_sym, n
+            FROM ({_bpe_union})
+    """
+    oracles["bpe_token_counts"] = f"""
+            WITH {_bpe_layers(_BPE_NUM_MERGES)},
+            docw AS (
+              SELECT d.doc_id, d.source,
+                     unnest(string_split_regex(trim(d.text), '\\s+')) AS w
+              FROM documents d WHERE length(trim(d.text)) > 0
+            )
+            SELECT dw.source,
+                   CAST(sum(len(string_split(t.seq, ' '))) AS BIGINT) AS n_bpe_tokens
+            FROM docw dw JOIN bw{_BPE_NUM_MERGES} t USING (w)
+            GROUP BY dw.source
+    """
     # PMI collocations (r8): fixed-order IEEE ratio over exact
     # integer counts, one ln() floor-half-up rounded to 6.
     oracles["pmi_collocations"] = """

@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "bigram_logprob",
     "pmi_collocations",
+    "bpe_merges",
+    "bpe_token_counts",
     "ann_ivf_kmeans",
     "ann_ivf_kmeans_indexed",
     "rolling_active_users",

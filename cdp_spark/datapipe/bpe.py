@@ -1,0 +1,153 @@
+"""Byte-pair-encoding merge learning and application, Spark-first.
+
+The tokenizer-training step of an LLM data pipeline (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units"):
+count adjacent symbol pairs over the word-frequency table, merge the
+most frequent pair, repeat.  The reference engine has no tokenizer
+training (its text handling stops at jq/jsonnet transforms) — this is
+superset scope for the training-data use case, like the dedup/ANN
+families.
+
+Scale shape: the corpus is scanned ONCE into the (word, count)
+frequency table — BPE statistics are a function of word TYPES weighted
+by counts, so every merge iteration runs over the Zipf-small type
+table, never the corpus.  Each iteration is one adjacent-pair
+aggregate (map-side combined) + one driver-side argmax of a single
+row (the model state, like k-means centroids) + one whole-stage-codegen
+string rewrite of the type table, `iter_checkpoint`ed so the loop's
+lineage and stats stay flat.
+
+Merge application semantics (IDENTICAL in Spark and the DuckDB
+oracle, by construction): a learned pair (a, b) is applied to the
+space-joined symbol string as TWO passes of leftmost-non-overlapping
+literal replace of " a b " with " ab " on the space-padded string.
+Two passes make every alternating run merge completely (pass 1 takes
+the odd occurrences, whose consumed trailing space isolates the even
+ones for pass 2).  For pathological SAME-symbol runs ("a a a a a")
+this deviates from strict left-to-right sequential BPE — the third
+'a' pairs right instead of left — deterministically and identically
+in both engines; real vocabularies hit this only on degenerate
+repetition strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _char_seq(col: Column) -> Column:
+    """'hello' -> 'h e l l o': every character becomes a symbol."""
+    return F.trim(F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _apply_merge(seq: Column, w1: str, w2: str) -> Column:
+    """Two-pass leftmost-non-overlapping merge of (w1, w2) on a
+    space-joined symbol string (see module docstring)."""
+    pat = F.lit(f" {w1} {w2} ")
+    rep = F.lit(f" {w1}{w2} ")
+    padded = F.concat(F.lit(" "), seq, F.lit(" "))
+    return F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt) over whitespace tokens — the ONE corpus scan BPE
+    training needs; everything after runs on word types."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair occurrence counts over (seq, cnt) word
+    types, weighted by word count.  Occurrences, not types: a pair
+    appearing twice inside one word counts twice (standard BPE)."""
+    toks = F.split(F.col("seq"), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        seqs.select(F.explode(pairs).alias("p"), F.col("cnt"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus.  Returns the
+    merge table (step, left, right, n) — the tokenizer model, one row
+    per merge, built driver-side like the k-means centroid state
+    (``num_merges`` single-row argmax collects over the type table).
+
+    Ties break on (count DESC, left ASC, right ASC) — a total order,
+    so both engines learn the identical merge sequence."""
+    from ..session import iter_checkpoint
+
+    spark = df.sparkSession
+    cur = iter_checkpoint(
+        word_frequencies(df, text_col).select(
+            _char_seq(F.col("w")).alias("seq"), "cnt"
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.col("n").desc(), "w1", "w2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        w1, w2, n = top[0]["w1"], top[0]["w2"], int(top[0]["n"])
+        merges.append((step, w1, w2, n))
+        cur = iter_checkpoint(
+            cur.select(
+                _apply_merge(F.col("seq"), w1, w2).alias("seq"), "cnt"
+            )
+        )
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, n long"
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to every document and count the
+    resulting BPE tokens: per word, symbols = characters, then each
+    merge applied in training order; the doc's token count is the sum
+    of per-word symbol counts.  Pure map + one aggregate — the
+    tokenize path never shuffles anything but (id, count)."""
+    seq = _char_seq(F.col("w"))
+    for w1, w2 in merges:
+        seq = _apply_merge(seq, w1, w2)
+    n_symbols = F.size(F.split(seq, " "))
+    return (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+        )
+        .select(F.col(id_col), n_symbols.alias("_n"))
+        .groupBy(id_col)
+        .agg(F.sum("_n").alias("n_bpe_tokens"))
+    )

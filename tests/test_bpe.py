@@ -1,0 +1,61 @@
+"""BPE merge learning/application (cdp_spark/datapipe/bpe.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import bpe
+
+
+def test_bpe_learns_expected_merges(spark):
+    # 'abab' x3 + 'ab' x2: pair (a,b) occurs 3*2+2 = 8 times, (b,a)
+    # 3 times — first merge must be (a,b); second merge then sees
+    # 'ab ab' x3 so (ab, ab) wins with 3.
+    df = spark.createDataFrame(
+        [("abab abab abab ab ab",)], "text string"
+    )
+    rows = bpe.bpe_merges(df, num_merges=2).orderBy("step").collect()
+    got = [(r["step"], r["left_sym"], r["right_sym"], r["n"]) for r in rows]
+    assert got == [(1, "a", "b", 8), (2, "ab", "ab", 3)]
+
+
+def test_bpe_two_pass_merge_handles_alternating_runs(spark):
+    # 'ababab' = run of three (a,b) pairs: pass 1 takes the odd
+    # occurrences, pass 2 the rest — all three must merge.
+    df = spark.createDataFrame([(7, "ababab")], "doc_id long, text string")
+    out = bpe.bpe_token_counts(df, [("a", "b")]).collect()
+    assert out[0]["n_bpe_tokens"] == 3  # 'ab ab ab'
+
+
+def test_bpe_token_counts_apply_in_training_order(spark):
+    # merges [(a,b), (ab,c)]: 'abc' -> 'ab c' -> 'abc' = 1 token;
+    # 'cab' -> 'c ab' = 2 tokens (no (c,ab) merge learned).
+    df = spark.createDataFrame(
+        [(1, "abc cab"), (2, "abc abc")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(
+            df, [("a", "b"), ("ab", "c")]
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2}
+
+
+def test_bpe_training_runs_on_word_types_not_corpus(spark):
+    """The merge loop's input frame must be the aggregated word-type
+    table: duplicating every document must not change the learned
+    merges' identity or order (counts scale exactly 2x)."""
+    rows = [(i, "the quick brown fox the lazy dog") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df2 = df.unionByName(df.withColumn("doc_id", F.col("doc_id") + 100))
+    m1 = [
+        (r["left_sym"], r["right_sym"], r["n"])
+        for r in bpe.bpe_merges(df, num_merges=5).orderBy("step").collect()
+    ]
+    m2 = [
+        (r["left_sym"], r["right_sym"], r["n"])
+        for r in bpe.bpe_merges(df2, num_merges=5).orderBy("step").collect()
+    ]
+    assert [(a, b) for a, b, _ in m1] == [(a, b) for a, b, _ in m2]
+    assert [n * 2 for _, _, n in m1] == [n for _, _, n in m2]
