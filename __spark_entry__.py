@@ -1024,6 +1024,32 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (r9): cluster labels from the
+    dup_clusters blocking graph (singletons label themselves), split
+    assigned as a pure md5 function of the CLUSTER label — near-dup
+    members can never straddle splits, the test-set-leakage guard of
+    Lee et al. 2022.  Output: per-split document and cluster counts.
+    The no-straddle invariant is asserted in
+    tests/test_graph_sampling.py; the oracle replays the recursive-CTE
+    components and the same hex thresholds."""
+    from cdp_spark.datapipe.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = q_dup_clusters(spark, sf_dir)
+    full = docs.select("doc_id").join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    return (
+        leakage_safe_split(full, "component")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_clusters"),
+        )
+    )
+
+
 def q_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup curation — the query a training-data
     pipeline actually ships: blocking edges -> connected components
@@ -3369,6 +3395,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_ngram_separation": q_langid_ngram_separation,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 
@@ -5123,6 +5150,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(string_split(t.seq, ' '))) AS BIGINT) AS n_bpe_tokens
             FROM docw dw JOIN bw{_BPE_NUM_MERGES} t USING (w)
             GROUP BY dw.source
+    """
+    # Leakage-safe split (r9): recursive-CTE components (the
+    # dup_clusters replay), singletons label themselves, split =
+    # md5-hex bucket of the CLUSTER label against the same cumulative
+    # thresholds the Spark side derives.
+    from cdp_spark.datapipe.sampling import rate_to_hex_threshold
+
+    _t80 = rate_to_hex_threshold(0.8)
+    _t90 = rate_to_hex_threshold(0.9)
+    oracles["leakage_safe_split"] = f"""
+            WITH RECURSIVE
+            nbr AS (
+              SELECT doc_id, n_chars,
+                     lead(doc_id) OVER w AS next_id,
+                     lead(n_chars) OVER w AS next_chars
+              FROM documents
+              WINDOW w AS (PARTITION BY source, lang ORDER BY n_chars, doc_id)
+            ),
+            edges AS (
+              SELECT doc_id AS s, next_id AS d FROM nbr
+              WHERE next_id IS NOT NULL AND abs(n_chars - next_chars) <= 2
+            ),
+            bidir AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+            reach(id, label) AS (
+              SELECT s, s FROM bidir
+              UNION
+              SELECT b.d, r.label FROM reach r JOIN bidir b ON b.s = r.id
+            ),
+            comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+            lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            ),
+            assigned AS (
+              SELECT component,
+                     CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4)
+                               < '{_t80}' THEN 'train'
+                          WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4)
+                               < '{_t90}' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM lab
+            )
+            SELECT split, count(*) AS n_docs,
+                   count(DISTINCT component) AS n_clusters
+            FROM assigned GROUP BY split
     """
     # PMI collocations (r8): fixed-order IEEE ratio over exact
     # integer counts, one ln() floor-half-up rounded to 6.

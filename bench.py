@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "embedding_outliers",
     "weighted_sample",
+    "leakage_safe_split",
     "pagerank_nations",
     "hll_union_entities",
     "hll_overlap_segments",

@@ -217,3 +217,47 @@ def weighted_sample(
         .drop("_rank")
         .withColumnRenamed("_aes_key", "aes_key")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    fractions: Mapping[str, float] | None = None,
+    chars: int = 4,
+) -> DataFrame:
+    """Train/val/test assignment as a PURE FUNCTION of the duplicate
+    CLUSTER label — the split a training pipeline must use after
+    dedup: hashing document ids would scatter a near-dup cluster
+    across splits (test-set leakage, the failure Lee et al. 2022
+    measure); hashing the cluster label keeps every member together
+    by construction, no bookkeeping join needed.
+
+    ``fractions`` maps split name to its share in declaration order
+    (cumulative md5-hex thresholds, the stratified_sample idiom);
+    they must sum to ~1.  Deterministic across runs, partitions, and
+    engines — the same cluster always lands in the same split.
+
+    Scale shape: one codegen expression per row (the md5 bucket and a
+    chain of string comparisons); zero shuffles beyond whatever
+    produced the cluster column.  Adds a ``split`` column.
+    """
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket_hex(F.col(cluster_col), chars)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        thr = rate_to_hex_threshold(acc, chars)
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

@@ -258,3 +258,47 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, "id long, w double")
     got = sorted(r["id"] for r in weighted_sample(df, "id", "w", 3).collect())
     assert got == [3, 4, 5]
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """r9: split is a pure function of the cluster label, so no
+    cluster may span two splits, every doc is assigned, and the
+    empirical fractions sit near the requested 80/10/10."""
+    import __spark_entry__ as entrymod
+    from cdp_spark.datapipe.sampling import leakage_safe_split
+    from cdp_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    comp = entrymod.q_dup_clusters(spark, sf)
+    full = docs.select("doc_id").join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    assigned = leakage_safe_split(full, "component")
+    # every document assigned exactly once
+    assert assigned.count() == docs.count()
+    # no cluster straddles splits
+    straddle = (
+        assigned.groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # fractions in the right ballpark (cluster-level hashing is
+    # coarser than doc-level, so allow wide tolerance)
+    by = {r["split"]: r["cnt"] for r in
+          assigned.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(by.values())
+    assert 0.6 <= by.get("train", 0) / total <= 0.95
+    assert by.get("val", 0) > 0 and by.get("test", 0) > 0
+
+
+def test_leakage_safe_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+    from cdp_spark.datapipe.sampling import leakage_safe_split
+
+    df = spark.createDataFrame([(1,)], "component long")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(df, "component", {"train": 0.5, "val": 0.2})
