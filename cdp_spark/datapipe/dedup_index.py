@@ -93,6 +93,34 @@ def _read_meta(path: str, kind: str) -> dict:
 # ---------------------------------------------------------------- MinHash
 
 
+def _signature_frame(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    n: int,
+    hash_fn,
+) -> DataFrame:
+    """(id, signature, shingles) WITHOUT a localCheckpoint — index
+    writes consume the frame exactly once (the parquet write IS the
+    materialization), so the checkpoint _enrich_signatures pays for
+    its multi-consumer callers would be a wasted second write here."""
+    base = ddp._ensure_parallelism(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+        )
+    ).filter(F.size(ddp.tokens(F.col("_t"))) > 0)
+    return base.select(
+        "id", ddp.shingles(F.col("_t"), n).alias("shingles")
+    ).select(
+        "id",
+        ddp.signature_from_shingles(
+            F.col("shingles"), num_perm, 42, hash_fn
+        ).alias("signature"),
+        "shingles",
+    )
+
+
 def minhash_index_write(
     docs: DataFrame,
     path: str,
@@ -115,13 +143,8 @@ def minhash_index_write(
         "n": n,
         "hash": _hash_name(hash_fn),
     }
-    enriched = ddp._enrich_signatures(
+    _signature_frame(
         docs, id_col, text_col, num_perm, n, hash_fn
-    )
-    enriched.select(
-        F.col("_id").alias("id"),
-        F.col("signature"),
-        F.col("_sh").alias("shingles"),
     ).write.mode("overwrite").parquet(os.path.join(path, "sigs"))
     _write_meta(path, meta)
 
@@ -164,13 +187,8 @@ def minhash_index_fold(
         increment_docs[id_col] == F.col("_flag_id"),
         "left_anti",
     )
-    enriched = ddp._enrich_signatures(
+    _signature_frame(
         survivors, id_col, text_col, meta["num_perm"], meta["n"], hash_fn
-    )
-    enriched.select(
-        F.col("_id").alias("id"),
-        F.col("signature"),
-        F.col("_sh").alias("shingles"),
     ).write.mode("append").parquet(os.path.join(path, "sigs"))
 
 
@@ -213,6 +231,16 @@ def flag_against_minhash_index(
     idx_sh = index.select(
         F.col("id").alias("_old_id"), F.col("shingles").alias("_old_sh")
     )
+    if new_docs.isStreaming:
+        # the static side's plan re-executes on EVERY micro-batch of a
+        # stream-static join — materialize the banded (id, band,
+        # bucket) triples once (3 longs/row) so N micro-batches don't
+        # band the corpus N times.  idx_sh is NOT materialized: it's a
+        # column-pruned parquet scan, cheaper to re-read than to copy
+        # the shingle payload into a checkpoint.
+        from ..session import iter_checkpoint
+
+        idx_bands = iter_checkpoint(idx_bands)
 
     s = (
         new_docs.select(
@@ -294,31 +322,43 @@ def substring_index_write(
         "max_df": max_df,
         "hash": _hash_name(hash_fn),
     }
-    fps = _doc_fingerprints(docs, id_col, text_col, k, w, hash_fn)
-    fps.write.mode("overwrite").parquet(os.path.join(path, "fps"))
-    fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "df"))
+    # one winnow pass: write fps, then derive the df deltas from the
+    # just-written parquet (a cheap column-pruned scan) instead of
+    # checkpointing the explode to feed two writers
+    fps = _doc_fingerprints(
+        docs, id_col, text_col, k, w, hash_fn, checkpoint=False
+    )
+    fps_path = os.path.join(path, "fps")
+    fps.write.mode("overwrite").parquet(fps_path)
+    spark = docs.sparkSession
+    spark.read.parquet(fps_path).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("c")
+    ).write.mode("overwrite").parquet(os.path.join(path, "df"))
     _write_meta(path, meta)
 
 
 def _doc_fingerprints(
-    docs: DataFrame, id_col: str, text_col: str, k: int, w: int, hash_fn
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    hash_fn,
+    checkpoint: bool = True,
 ) -> DataFrame:
     from ..session import iter_checkpoint
 
-    return iter_checkpoint(
-        ddp._ensure_parallelism(
-            docs.select(F.col(id_col), F.col(text_col))
-        ).select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                ddp.winnow_fingerprints(
-                    F.col(text_col), k=k, w=w, hash_fn=hash_fn
-                )
-            ).alias("fp"),
-        )
+    frame = ddp._ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            ddp.winnow_fingerprints(
+                F.col(text_col), k=k, w=w, hash_fn=hash_fn
+            )
+        ).alias("fp"),
     )
+    return iter_checkpoint(frame) if checkpoint else frame
 
 
 def substring_index_load(
@@ -386,6 +426,12 @@ def flag_against_substring_index(
     hash_fn = _HASH_FNS[meta["hash"]]
     good = df.where(F.col("df") <= meta["max_df"]).select("fp")
     idx = fps.join(good, "fp", "left_semi")
+    if new_docs.isStreaming:
+        # materialize the stop-gram-filtered index once (stream-static
+        # joins re-run the static plan per micro-batch)
+        from ..session import iter_checkpoint
+
+        idx = iter_checkpoint(idx)
     s_fps = new_docs.select(
         F.col(id_col).alias("_new_id"),
         F.explode(
