@@ -1024,6 +1024,18 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus 5-gram novelty per document — the memorization /
+    boilerplate complement of doc_repetition's within-doc fractions:
+    share of the doc's distinct word 5-grams appearing in no other
+    document.  One checkpointed gram explode, one df shuffle, exact
+    integer counts, one rounded division."""
+    from cdp_spark.datapipe.curate import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=5)
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split (r9): cluster labels from the
     dup_clusters blocking graph (singletons label themselves), split
@@ -3396,6 +3408,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     "leakage_safe_split": q_leakage_safe_split,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 
@@ -5150,6 +5163,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(string_split(t.seq, ' '))) AS BIGINT) AS n_bpe_tokens
             FROM docw dw JOIN bw{_BPE_NUM_MERGES} t USING (w)
             GROUP BY dw.source
+    """
+    # Cross-corpus n-gram novelty (r9): distinct 5-gram df over the
+    # corpus, novel = df==1, one rounded division (floor-half-up 6).
+    oracles["ngram_novelty"] = r"""
+            WITH ntk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            ngrams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(toks[gs:gs+4], ' ') AS g
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(
+                             1, CASE WHEN len(toks) >= 5
+                                     THEN len(toks) - 4 ELSE 1 END)) AS gs
+                    FROM ntk)
+            ),
+            ndf AS (SELECT g, count(*) AS gdf FROM ngrams GROUP BY g),
+            per AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_novel
+              FROM ngrams JOIN ndf USING (g)
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_grams, n_novel,
+                   floor(CAST(n_novel AS DOUBLE) / n_grams
+                         * 1000000.0 + 0.5) / 1000000.0 AS novelty
+            FROM per
     """
     # Leakage-safe split (r9): recursive-CTE components (the
     # dup_clusters replay), singletons label themselves, split =

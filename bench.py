@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "boilerplate_spans",
     "chunk_tokens",
     "doc_repetition",
+    "ngram_novelty",
     "pii_redact",
     "jq_window_stats",
     "jsonnet_window_stats",

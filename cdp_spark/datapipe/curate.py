@@ -401,3 +401,64 @@ def pii_counts(col: Column) -> Column:
         F.regexp_count(col, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(col, F.lit(PHONE_RE)).alias("n_phones"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-corpus n-gram NOVELTY per document: the share of the
+    document's DISTINCT word ``n``-grams that appear in no other
+    document — the memorization/boilerplate complement of the
+    within-doc :func:`repetition_stats` (a doc can be internally
+    non-repetitive yet be assembled entirely from corpus-common
+    n-grams; quality filters want both signals).
+
+    novelty = |{g in grams(d) : df(g) == 1}| / |grams(d)|
+
+    Scale shape: ONE gram explode into an ``iter_checkpoint``ed
+    (id, gram) frame (two consumers — the corpus df aggregate and the
+    join back; the dsir single-tokenize discipline), one shuffle on
+    the gram for the df count, one broadcast-eligible join back, one
+    per-doc aggregate.  Exact integer counts; one rounded division at
+    the end.  Documents with no tokens are absent (no grams, no
+    signal).  Output: (id, n_grams, n_novel, novelty)."""
+    from ..session import iter_checkpoint
+
+    from .dedup import _ensure_parallelism, shingles
+
+    grams = iter_checkpoint(
+        _ensure_parallelism(
+            df.select(F.col(id_col), F.col(text_col))
+        ).select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("g"),
+        )
+    )
+    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    scale = F.lit(float(10 ** round_digits))
+    return (
+        grams.join(gdf, "g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("_df") == 1).alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            (
+                F.floor(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_grams")
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("novelty"),
+        )
+    )

@@ -139,3 +139,24 @@ def test_chunk_texts_rejoins_budgeted_tokens(spark):
     assert rows[(1, 2)] == (1, "e")  # short tail
     assert rows[(2, 0)] == (1, "x")
     assert not any(k[0] == 3 for k in rows)  # empty doc -> no chunks
+
+
+def test_ngram_novelty_flags_shared_grams(spark):
+    """Two docs sharing a 5-gram run: the shared grams have df=2 so
+    they are not novel; unique tails are."""
+    from cdp_spark.datapipe.curate import ngram_novelty
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha"),   # grams: [one..five], [two..alpha]
+            (2, shared + " beta"),    # grams: [one..five], [two..beta]
+            (3, "wholly different text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=5).collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["n_novel"] == 1
+    assert got[1]["novelty"] == 0.5
+    assert got[2]["novelty"] == 0.5
+    assert got[3]["novelty"] == 1.0
