@@ -3060,6 +3060,61 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source: BPE tokens per
+    whitespace word and characters per BPE token under the learned
+    merges — the metric a tokenizer-training pipeline watches to
+    compare vocabularies across domains.  Exact integer sums, two
+    rounded divisions at the end (floor-half-up 6)."""
+    from cdp_spark.datapipe import bpe
+    from cdp_spark.datapipe.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    merges = _bpe_merges_for(spark, sf_dir)
+    per_doc = bpe.bpe_token_counts(docs, merges)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).alias("_w"),
+        F.length(F.trim("text")).cast("long").alias("_c"),
+    )
+    scale = F.lit(1000000.0)
+    return (
+        base.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_c").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_bpe_tokens",
+            "n_words",
+            (
+                F.floor(
+                    F.col("n_bpe_tokens").cast("double")
+                    / F.col("n_words")
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("tokens_per_word"),
+            (
+                F.floor(
+                    F.col("n_chars").cast("double")
+                    / F.col("n_bpe_tokens")
+                    * scale
+                    + F.lit(0.5)
+                )
+                / scale
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 _LANG_ROT = {"de": 5, "en": 0, "es": 11, "fr": 17, "zh": 23}
 _ALPHA_LO = "abcdefghijklmnopqrstuvwxyz"
 
@@ -3409,6 +3464,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "leakage_safe_split": q_leakage_safe_split,
     "ngram_novelty": q_ngram_novelty,
+    "bpe_fertility": q_bpe_fertility,
 }
 
 
@@ -5163,6 +5219,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(string_split(t.seq, ' '))) AS BIGINT) AS n_bpe_tokens
             FROM docw dw JOIN bw{_BPE_NUM_MERGES} t USING (w)
             GROUP BY dw.source
+    """
+    oracles["bpe_fertility"] = f"""
+            WITH {_bpe_layers(_BPE_NUM_MERGES)},
+            docw AS (
+              SELECT d.doc_id, d.source,
+                     unnest(string_split_regex(trim(d.text), '\\s+')) AS w
+              FROM documents d WHERE length(trim(d.text)) > 0
+            ),
+            per AS (
+              SELECT dw.source,
+                     CAST(sum(len(string_split(t.seq, ' '))) AS BIGINT)
+                       AS n_bpe_tokens,
+                     CAST(count(*) AS BIGINT) AS n_words
+              FROM docw dw JOIN bw{_BPE_NUM_MERGES} t USING (w)
+              GROUP BY dw.source
+            ),
+            ch AS (
+              SELECT source,
+                     CAST(sum(length(trim(text))) AS BIGINT) AS n_chars
+              FROM documents WHERE length(trim(text)) > 0
+              GROUP BY source
+            )
+            SELECT p.source, p.n_bpe_tokens, p.n_words,
+                   floor(CAST(p.n_bpe_tokens AS DOUBLE) / p.n_words
+                         * 1000000.0 + 0.5) / 1000000.0 AS tokens_per_word,
+                   floor(CAST(c.n_chars AS DOUBLE) / p.n_bpe_tokens
+                         * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
+            FROM per p JOIN ch c USING (source)
     """
     # Cross-corpus n-gram novelty (r9): distinct 5-gram df over the
     # corpus, novel = df==1, one rounded division (floor-half-up 6).

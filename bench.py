@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "bpe_merges",
     "bpe_token_counts",
+    "bpe_fertility",
     "ann_ivf_kmeans",
     "ann_ivf_kmeans_indexed",
     "rolling_active_users",
