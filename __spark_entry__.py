@@ -20,6 +20,7 @@ seeded planes/anchors are embedded as SQL array literals.
 
 from __future__ import annotations
 
+import os
 import datetime
 import shutil
 
@@ -1022,6 +1023,24 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.connected_components(edges).select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+def q_bm25_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 index lifecycle (r9, the retrieval twin of
+    fold_incremental_dedup): build the inverted index over the corpus
+    (doc_id % 5 != 0), FOLD the increment (doc_id % 5 == 0) in —
+    tf/dl rows and df/scalar DELTAS append, O(increment), no
+    re-tokenize — then serve the same top-20 query bm25_top_docs
+    computes by scanning.  Every BM25 statistic is additive, so the
+    folded index equals a from-scratch build and the oracle is
+    bm25_top_docs' oracle VERBATIM (shared)."""
+    from cdp_spark.datapipe import retrieval_index as ri
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_fold_index_dir("cdp_bm25_idx_"), "idx")
+    ri.bm25_index_write(docs.where(F.col("doc_id") % 5 != 0), path)
+    ri.bm25_index_fold(docs.where(F.col("doc_id") % 5 == 0), path)
+    return ri.bm25_index_topk(spark, path, list(_BM25_TERMS), k=20)
 
 
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3465,6 +3484,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "ngram_novelty": q_ngram_novelty,
     "bpe_fertility": q_bpe_fertility,
+    "bm25_index_fold": q_bm25_index_fold,
 }
 
 
@@ -5248,6 +5268,10 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
             FROM per p JOIN ch c USING (source)
     """
+    # Persisted BM25 index fold (r9): every statistic is additive, so
+    # fold-then-query == scan the full table — bm25_top_docs' oracle
+    # is shared verbatim.
+    oracles["bm25_index_fold"] = oracles["bm25_top_docs"]
     # Cross-corpus n-gram novelty (r9): distinct 5-gram df over the
     # corpus, novel = df==1, one rounded division (floor-half-up 6).
     oracles["ngram_novelty"] = r"""

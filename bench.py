@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "bm25_top_docs",
     "bm25_multi_query",
     "bm25_passages",
+    "bm25_index_fold",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

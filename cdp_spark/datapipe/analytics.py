@@ -259,6 +259,25 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return bm25_score_tail(tf, dfc, doclen, scalars, k, k1, b, id_col)
+
+
+def bm25_score_tail(
+    tf: DataFrame,
+    dfc: DataFrame,
+    doclen: DataFrame,
+    scalars: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """The BM25 scoring tail shared by :func:`bm25_topk` and the
+    persisted-index query (retrieval_index.bm25_index_topk): same
+    expressions, same rounding discipline, so index-served scores are
+    bit-identical to scan-computed ones by construction.  Inputs:
+    tf (doc, term, tf) restricted to query terms, dfc (term, df),
+    doclen (doc, dl), scalars one row (n_docs, avgdl)."""
     idf = _round_half_up(
         F.log(
             (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

@@ -144,3 +144,38 @@ def test_index_meta_validation(spark, tmp_path):
             str(tmp_path / "bad"),
             hash_fn=lambda c: F.lit(0),
         )
+
+
+def test_bm25_index_fold_equals_rebuild(spark, tmp_path):
+    """The retrieval twin: a folded BM25 index serves scores
+    bit-identical to (a) a from-scratch index over the full corpus
+    and (b) the scan-computed bm25_topk."""
+    from cdp_spark.datapipe import retrieval_index as ri
+    from cdp_spark.datapipe.analytics import bm25_topk
+
+    docs = load_table(spark, SF, "documents")
+    terms = ["hash", "join", "stream", "vector"]
+
+    path = str(tmp_path / "bm25")
+    ri.bm25_index_write(docs.where(F.col("doc_id") % 5 != 0), path)
+    ri.bm25_index_fold(docs.where(F.col("doc_id") % 5 == 0), path)
+    folded = [tuple(r) for r in ri.bm25_index_topk(spark, path, terms, k=20).collect()]
+
+    rebuilt_path = str(tmp_path / "bm25_rebuilt")
+    ri.bm25_index_write(docs, rebuilt_path)
+    rebuilt = [tuple(r) for r in ri.bm25_index_topk(spark, rebuilt_path, terms, k=20).collect()]
+
+    scanned = [tuple(r) for r in bm25_topk(docs, terms, k=20).collect()]
+    assert folded == rebuilt == scanned
+    assert folded, "fixture should rank at least one document"
+
+
+def test_bm25_index_fold_rejects_wrong_kind(spark, tmp_path):
+    import pytest as _pytest
+    from cdp_spark.datapipe import retrieval_index as ri
+
+    corpus, _, _ = _roles(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus.limit(10), path, hash_fn=ddp.md5_hash60)
+    with _pytest.raises(ValueError, match="bm25"):
+        ri.bm25_index_fold(corpus.limit(5), path)
