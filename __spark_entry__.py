@@ -1025,6 +1025,57 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-on-ingest as a stream: docs (doc_id % 5 == 0, with
+    deterministic synthetic PII appended to every 4th doc) flow
+    through the stateless quality+PII gate in 4 micro-batches; the
+    materialized per-doc decisions reduce to a per-source audit
+    (n_docs, n_passed, n_pii_docs, avg_quality).  Stateless map =
+    micro-batch boundaries cannot change any row, so the batch oracle
+    replays it exactly."""
+    import tempfile
+
+    from cdp_spark.streaming.analytics import stream_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    streamed = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", synth.alias("text")
+    )
+    src = tempfile.mkdtemp(prefix="cdp_qgate_src_")
+    streamed.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    gated = stream_quality_gate(stream, min_quality=0.7)
+    mat = _drive_memory_stream(spark, gated, "cdp_qgate_", src)
+    scale = F.lit(1000000.0)
+    return mat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("passed")).alias("n_passed"),
+        F.count_if(F.col("n_pii") > 0).alias("n_pii_docs"),
+        (
+            F.floor(
+                F.sum(F.col("quality").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+                * scale
+                + F.lit(0.5)
+            )
+            / scale
+        ).alias("avg_quality"),
+    )
+
+
 def q_bm25_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted BM25 index lifecycle (r9, the retrieval twin of
     fold_incremental_dedup): build the inverted index over the corpus
@@ -3485,6 +3536,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "bpe_fertility": q_bpe_fertility,
     "bm25_index_fold": q_bm25_index_fold,
+    "stream_quality_gate": q_stream_quality_gate,
 }
 
 
@@ -5267,6 +5319,45 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(c.n_chars AS DOUBLE) / p.n_bpe_tokens
                          * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
             FROM per p JOIN ch c USING (source)
+    """
+    # Streaming quality gate (r9): stateless map, so the batch replay
+    # is exact — same synthetic-PII rule, same quality expression as
+    # the quality_score oracle, per-source audit with decimal-summed
+    # floor-half-up mean.
+    _qg_quality = """(
+                     least(len(string_split_regex(trim(t), '\\s+')) / 50.0, 1.0)
+                     + (CASE WHEN (length(regexp_replace(t, '\\s', '', 'g')) * 1.0 / len(string_split_regex(trim(t), '\\s+'))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + (CASE WHEN (len(list_filter(string_split_regex(trim(t), '\\s+'), x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(string_split_regex(trim(t), '\\s+'))) > 0.0
+                              AND (len(list_filter(string_split_regex(trim(t), '\\s+'), x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(string_split_regex(trim(t), '\\s+'))) < 0.5 THEN 1.0 ELSE 0.5 END)
+                   ) / 3.0"""
+    oracles["stream_quality_gate"] = f"""
+            WITH qs AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN text || ' contact user'
+                               || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE text END AS t
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            qg AS (
+              SELECT doc_id, source,
+                     round({_qg_quality}, 6) AS quality,
+                     CAST(len(regexp_extract_all(t,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                        + len(regexp_extract_all(t, '\\+?1-555-[0-9]{{4}}'))
+                        AS BIGINT) AS n_pii
+              FROM qs WHERE length(trim(t)) > 0
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN quality >= 0.7 AND n_pii = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+                   CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pii_docs,
+                   floor(CAST(sum(CAST(quality AS DECIMAL(28,12))) AS DOUBLE)
+                         / count(*) * 1000000.0 + 0.5) / 1000000.0
+                     AS avg_quality
+            FROM qg GROUP BY source
     """
     # Persisted BM25 index fold (r9): every statistic is additive, so
     # fold-then-query == scan the full table — bm25_top_docs' oracle

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans",
     "ann_ivf_kmeans_indexed",
     "rolling_active_users",
+    "stream_quality_gate",
     # round 6: graph / sampling / semantic dedup / sketch merge
     "semantic_dedup",
     "embedding_outliers",

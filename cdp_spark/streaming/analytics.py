@@ -551,3 +551,40 @@ def reduce_substring_flags(
             F.col("_best._n").alias("n_shared"),
         )
     )
+
+
+def stream_quality_gate(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.7,
+) -> DataFrame:
+    """Curation-on-ingest quality gate: per streamed document the
+    composite quality heuristic (datapipe.text.quality_score), the
+    PII audit counts (datapipe.curate.pii_counts), and the pass/fail
+    decision (quality >= ``min_quality`` AND zero PII hits) — all
+    pure Column expressions, so the gate is STATELESS (append mode,
+    no watermark, no state store) and costs one codegen map per
+    micro-batch.  Empty documents are dropped (no signal).
+
+    This is the cheap front gate a 100 TB ingest runs before anything
+    expensive (dedup indexes, embeddings) sees the text; route
+    ``passed`` rows onward and the rest to the reject/audit sink.
+    Works identically on batch frames (the oracle replays it)."""
+    from ..datapipe.curate import pii_counts
+    from ..datapipe.text import quality_score
+
+    return (
+        stream_docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("quality", quality_score(F.col(text_col)))
+        .withColumn("_pii", pii_counts(F.col(text_col)))
+        .withColumn(
+            "n_pii",
+            (F.col("_pii.n_emails") + F.col("_pii.n_phones")).cast("long"),
+        )
+        .withColumn(
+            "passed",
+            (F.col("quality") >= F.lit(min_quality))
+            & (F.col("n_pii") == 0),
+        )
+        .drop("_pii")
+    )

@@ -294,3 +294,44 @@ def test_stream_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
     )
     rows = {r["doc_id"]: r["dup_of"] for r in out.collect()}
     assert rows == {22: 21, 23: 21}
+
+
+def test_stream_quality_gate_is_stateless_and_correct(spark, tmp_path):
+    """The gate's decisions are pure per-row functions: a short doc
+    fails on quality, a PII doc fails on the audit even with good
+    quality, a long clean doc passes — and micro-batch placement
+    (one doc per batch) cannot matter."""
+    from cdp_spark.streaming.analytics import stream_quality_gate
+
+    good = "the quick brown fox jumps over a lazy dog and then " * 8
+    rows = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "too short"},
+        {"doc_id": 3, "text": good + " reach me at someone@example.com"},
+        {"doc_id": 4, "text": "   "},
+    ]
+    for i, r in enumerate(rows):
+        _write_batch(tmp_path / "src" / f"b{i}.json", [r])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "src"))
+    )
+    q = (
+        stream_quality_gate(stream, min_quality=0.7)
+        .writeStream.format("memory")
+        .queryName("qgate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        r["doc_id"]: (r["passed"], r["n_pii"])
+        for r in spark.sql("SELECT * FROM qgate_test").collect()
+    }
+    assert out[1] == (True, 0)
+    assert out[2][0] is False and out[2][1] == 0   # quality fail
+    assert out[3] == (False, 1)                    # PII fail
+    assert 4 not in out                            # empty doc dropped
