@@ -90,6 +90,7 @@ def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
+    min_count: int = 1,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus.  Returns the
     merge table (step, left, right, n) — the tokenizer model, one row
@@ -97,14 +98,30 @@ def bpe_merges(
     (``num_merges`` single-row argmax collects over the type table).
 
     Ties break on (count DESC, left ASC, right ASC) — a total order,
-    so both engines learn the identical merge sequence."""
+    so both engines learn the identical merge sequence.
+
+    Regime note for production vocab sizes: each merge costs one
+    Spark job over the word-TYPE table, which amortizes fine for
+    analysis-scale merge counts but not for a 32k-merge production
+    vocabulary (32k job round-trips).  The 100 TB shape there is:
+    (1) the distributed part is the ONE corpus scan building the
+    (word, cnt) table — that is what needs the cluster; (2) apply
+    ``min_count`` to drop hapax types (standard practice — they
+    cannot influence early merges' argmax and shrink the type table
+    by the Zipf tail); (3) the cutoff table is a few-hundred-MB
+    artifact — collect it once and run the merge loop driver-side
+    (or single-partition), exactly like every production tokenizer
+    trainer does after its own distributed counting pass.  This
+    function keeps the per-merge-job form because its merge counts
+    are analysis-scale and each step stays oracle-checkable."""
     from ..session import iter_checkpoint
 
     spark = df.sparkSession
+    wf = word_frequencies(df, text_col)
+    if min_count > 1:
+        wf = wf.where(F.col("cnt") >= min_count)
     cur = iter_checkpoint(
-        word_frequencies(df, text_col).select(
-            _char_seq(F.col("w")).alias("seq"), "cnt"
-        )
+        wf.select(_char_seq(F.col("w")).alias("seq"), "cnt")
     )
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, num_merges + 1):
