@@ -104,3 +104,38 @@ def test_leakage_split_adds_no_extra_exchange(spark):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert not any("md5" in ln for ln in exchanges), exchanges
+
+
+def test_stream_quality_gate_plan_is_stateless(spark, tmp_path):
+    """The gate claims stateless append: its streaming plan must
+    contain no stateful operator (no StateStore, no aggregation
+    before the sink) — just the codegen map over each micro-batch."""
+    import json as _json
+
+    from cdp_spark.streaming.analytics import stream_quality_gate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "the quick brown fox " * 20})
+        + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q = (
+        stream_quality_gate(stream)
+        .writeStream.format("memory")
+        .queryName("qgate_plan")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # stateOperators in the progress report is the engine's own
+    # statement of what state the query keeps
+    progress = q.lastProgress
+    assert progress is not None
+    assert progress["stateOperators"] == [], progress["stateOperators"]
