@@ -64,6 +64,49 @@ _HASH_FNS = {
 }
 
 
+def _survivors(
+    increment_docs: DataFrame, flagged_ids: DataFrame, id_col: str
+) -> DataFrame:
+    """The increment minus its flagged duplicates, joined on the id
+    column's NATURAL type.  ``flagged_ids`` comes back from a flagging
+    run (its first column is the id), so its type normally matches the
+    increment's already; when it doesn't, cast toward the increment's
+    type and REFUSE the fold if the cast nulled any non-null id — a
+    silently-nulled cast would anti-join nothing and fold every
+    flagged duplicate into the index, violating the fold-then-flag ==
+    flag-against-rebuilt-corpus contract without an error."""
+    src = flagged_ids.columns[0]
+    inc_type = dict(increment_docs.dtypes)[id_col]
+    if dict(flagged_ids.dtypes)[src] == inc_type:
+        flagged = flagged_ids.select(F.col(src).alias("_flag_id"))
+    else:
+        # try_cast, not cast: under ANSI a malformed id would throw a
+        # generic SparkNumberFormatException mid-job; without ANSI it
+        # would silently null.  try_cast + the null check below gives
+        # the same loud, specific refusal in both regimes.
+        flagged = flagged_ids.select(
+            F.col(src).try_cast(inc_type).alias("_flag_id"),
+            F.col(src).alias("_flag_raw"),
+        )
+        nulled = flagged.where(
+            F.col("_flag_id").isNull() & F.col("_flag_raw").isNotNull()
+        ).limit(1)
+        if nulled.count() > 0:
+            bad = nulled.first()["_flag_raw"]
+            raise ValueError(
+                f"flagged id {bad!r} does not cast to the increment's "
+                f"{id_col} type ({inc_type}); folding would silently "
+                "treat flagged duplicates as survivors — pass flagged "
+                "ids in the id column's own type"
+            )
+        flagged = flagged.select("_flag_id")
+    return increment_docs.join(
+        F.broadcast(flagged),
+        increment_docs[id_col] == F.col("_flag_id"),
+        "left_anti",
+    )
+
+
 def _hash_name(hash_fn) -> str:
     for name, fn in _HASH_FNS.items():
         if hash_fn is fn:
@@ -179,14 +222,7 @@ def minhash_index_fold(
     The corpus is never read or rewritten."""
     meta = _read_meta(path, "minhash")
     hash_fn = _HASH_FNS[meta["hash"]]
-    flagged = flagged_ids.select(
-        F.col(flagged_ids.columns[0]).cast("long").alias("_flag_id")
-    )
-    survivors = increment_docs.join(
-        F.broadcast(flagged),
-        increment_docs[id_col] == F.col("_flag_id"),
-        "left_anti",
-    )
+    survivors = _survivors(increment_docs, flagged_ids, id_col)
     _signature_frame(
         survivors, id_col, text_col, meta["num_perm"], meta["n"], hash_fn
     ).write.mode("append").parquet(os.path.join(path, "sigs"))
@@ -215,6 +251,12 @@ def flag_against_minhash_index(
     verified candidates.  Output: (id, dup_of, jaccard)."""
     hash_fn = _HASH_FNS[meta["hash"]]
     num_perm, n = meta["num_perm"], meta["n"]
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} does not divide the index's num_perm="
+            f"{num_perm}; lsh_band_keys would band only a prefix of "
+            "the signature and silently cut recall"
+        )
     rows = num_perm // bands
     bucket_fn = None if hash_fn is ddp.default_hash64 else hash_fn
 
@@ -391,14 +433,7 @@ def substring_index_fold(
     the stop-gram filter after a fold is exactly the rebuilt one."""
     meta = _read_meta(path, "substring")
     hash_fn = _HASH_FNS[meta["hash"]]
-    flagged = flagged_ids.select(
-        F.col(flagged_ids.columns[0]).cast("long").alias("_flag_id")
-    )
-    survivors = increment_docs.join(
-        F.broadcast(flagged),
-        increment_docs[id_col] == F.col("_flag_id"),
-        "left_anti",
-    )
+    survivors = _survivors(increment_docs, flagged_ids, id_col)
     fps = _doc_fingerprints(
         survivors, id_col, text_col, meta["k"], meta["w"], hash_fn
     )

@@ -270,7 +270,23 @@ def embedding_near_dup_pairs_multiband(
     import numpy as np
 
     if n_bands is None:
-        n_bands = suggest_bands(threshold, n_planes, target_recall)
+        try:
+            n_bands = suggest_bands(threshold, n_planes, target_recall)
+        except ValueError as e:
+            # ADVICE r9: n_bands=None derives since r9 (it was a fixed
+            # 8 before), so a pre-r9 call shape like threshold=0.3 with
+            # default planes now lands here.  We keep the loud raise —
+            # silently running the adversarial regime at the old fixed
+            # band count is the failure mode suggest_bands exists to
+            # prevent — but the error names the exact one-line
+            # migration for callers who want the old behavior back.
+            raise ValueError(
+                f"{e}  (Callers relying on the pre-r9 fixed default "
+                "can restore it explicitly with n_bands=8 — at this "
+                "threshold that config's recall at-threshold is "
+                f"~{1.0 - (1.0 - plane_collision_prob(threshold) ** n_planes) ** 8:.3f}, "
+                "which is what the derivation refused to run silently.)"
+            ) from None
         p_band = plane_collision_prob(threshold) ** n_planes
         predicted = 1.0 - (1.0 - p_band) ** n_bands
         logger.info(

@@ -110,20 +110,40 @@ def _documents_replica(table: pa.Table, k: int, mode: str = "suffix") -> pa.Tabl
         # the winnow threshold (measured: output 3,584x at 10x), so
         # substring-threshold probes need THIS mode for a shape-true
         # scaling curve.
+        # ADVICE r9: translate the UTF-8 DATA BUFFER bytes directly
+        # (one C-level bytes.translate per chunk) instead of
+        # round-tripping every string through Python.  Safe because
+        # the rotation maps single ASCII bytes to single ASCII bytes
+        # (all < 0x80) and leaves everything else — including any
+        # multi-byte UTF-8 lead/continuation bytes, all >= 0x80 —
+        # untouched, so offsets and validity carry over unchanged.
         lo = "abcdefghijklmnopqrstuvwxyz"
         hi = lo.upper()
         dg = "0123456789"
-        trans = str.maketrans(
-            lo + hi + dg,
+        rotated = (
             lo[k % 26:] + lo[: k % 26]
             + hi[k % 26:] + hi[: k % 26]
-            + dg[k % 10:] + dg[: k % 10],
+            + dg[k % 10:] + dg[: k % 10]
         )
-        tagged = pa.array(
-            [None if s is None else s.translate(trans)
-             for s in table.column("text").to_pylist()],
-            type=pa.string(),
+        byte_trans = bytes.maketrans(
+            (lo + hi + dg).encode("ascii"), rotated.encode("ascii")
         )
+        col = table.column("text")
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        out_chunks = []
+        for arr in chunks:
+            validity, offsets, data = arr.buffers()
+            translated = pa.py_buffer(data.to_pybytes().translate(byte_trans))
+            out_chunks.append(
+                pa.Array.from_buffers(
+                    arr.type,
+                    len(arr),
+                    [validity, offsets, translated],
+                    null_count=arr.null_count,
+                    offset=arr.offset,
+                )
+            )
+        tagged = pa.chunked_array(out_chunks, type=chunks[0].type)
     else:
         raise ValueError(f"unknown documents replica mode {mode!r}")
     table = table.set_column(idx, "text", tagged)

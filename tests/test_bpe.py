@@ -27,6 +27,42 @@ def test_bpe_two_pass_merge_handles_alternating_runs(spark):
     assert out[0]["n_bpe_tokens"] == 3  # 'ab ab ab'
 
 
+def test_bpe_two_pass_same_symbol_run_divergence_is_pinned(spark):
+    """ADVICE r9: the two-pass leftmost replace deviates from
+    canonical sequential BPE on SAME-symbol runs — deterministically,
+    identically in Spark and the DuckDB oracle.  Pin the known
+    divergence cases so the deviation stays intentional: if
+    _apply_merge ever changes semantics (e.g. toward canonical), this
+    test fails loudly and the oracle SQL must change in lockstep."""
+    cases = [
+        # (symbol seq, two-pass result, canonical sequential result)
+        ("a a a", "aa a", "aa a"),            # agree
+        ("a a a a", "aa aa", "aa aa"),        # agree
+        ("a a a a a", "aa a aa", "aa aa a"),  # diverge: 3rd a pairs right
+        ("a a a a a a", "aa a aa a", "aa aa aa"),  # diverge: count too
+        ("a b a b a b", "a b a b a b", "a b a b a b"),  # no (a,a) pair
+        ("a a b a a", "aa b aa", "aa b aa"),  # agree across separator
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s, _, _ in cases], "seq string"
+    )
+    got = {
+        r["seq"]: r["merged"]
+        for r in df.select(
+            "seq", bpe._apply_merge(F.col("seq"), "a", "a").alias("merged")
+        ).collect()
+    }
+    for seq, two_pass, _canonical in cases:
+        assert got[seq] == two_pass, (
+            f"{seq!r}: two-pass semantics drifted "
+            f"({got[seq]!r} != pinned {two_pass!r})"
+        )
+    # the divergence is real (not a stale comment): exactly the two
+    # >=5-symbol runs differ from canonical
+    diverging = [s for s, tp, c in cases if tp != c]
+    assert diverging == ["a a a a a", "a a a a a a"]
+
+
 def test_bpe_token_counts_apply_in_training_order(spark):
     # merges [(a,b), (ab,c)]: 'abc' -> 'ab c' -> 'abc' = 1 token;
     # 'cab' -> 'c ab' = 2 tokens (no (c,ab) merge learned).

@@ -146,6 +146,62 @@ def test_index_meta_validation(spark, tmp_path):
         )
 
 
+def test_fold_joins_string_ids_on_natural_type(spark, tmp_path):
+    """ADVICE r9 (medium): the fold used to cast flagged ids to long,
+    so string ids nulled out, the anti-join matched nothing, and every
+    flagged duplicate was silently folded in.  With natural-type joins
+    a string-id corpus folds exactly its survivors."""
+    rows = [
+        ("doc-a", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("doc-b", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("doc-c", "one two three four five six seven eight nine ten"),
+    ]
+    inc = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [("doc-z", "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_str")
+    di.minhash_index_write(corpus, path, hash_fn=ddp.md5_hash60)
+    idx, meta = di.minhash_index_load(spark, path)
+    flagged = di.flag_against_minhash_index(
+        inc, idx, meta, threshold=0.5, bands=8
+    )
+    flagged_ids = {r["doc_id"] for r in flagged.collect()}
+    assert flagged_ids == {"doc-a", "doc-b"}
+    di.minhash_index_fold(inc, flagged.select("doc_id"), path)
+    idx2, _ = di.minhash_index_load(spark, path)
+    assert {r["id"] for r in idx2.select("id").collect()} == {
+        "doc-z",
+        "doc-c",
+    }
+
+
+def test_fold_rejects_uncastable_flagged_ids(spark, tmp_path):
+    """When flagged ids MUST be cast (type mismatch) and the cast
+    nulls a non-null id, the fold refuses instead of silently folding
+    flagged duplicates."""
+    corpus, inc1, _ = _roles(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus.limit(20), path, hash_fn=ddp.md5_hash60)
+    bogus = spark.createDataFrame([("not-a-number",)], ["doc_id"])
+    with pytest.raises(ValueError, match="does not cast"):
+        di.minhash_index_fold(inc1, bogus, path)
+
+
+def test_flag_rejects_nondivisible_bands(spark, tmp_path):
+    """ADVICE r9: num_perm % bands != 0 used to band only a prefix of
+    the signature, silently cutting recall."""
+    corpus, inc1, _ = _roles(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(
+        corpus.limit(20), path, num_perm=32, hash_fn=ddp.md5_hash60
+    )
+    idx, meta = di.minhash_index_load(spark, path)
+    with pytest.raises(ValueError, match="does not divide"):
+        di.flag_against_minhash_index(inc1, idx, meta, bands=5)
+
+
 def test_bm25_index_fold_equals_rebuild(spark, tmp_path):
     """The retrieval twin: a folded BM25 index serves scores
     bit-identical to (a) a from-scratch index over the full corpus

@@ -176,6 +176,12 @@ def test_multiband_auto_bands_rejects_adversarial_threshold(spark):
     emb = load_table(spark, SF, "embeddings").limit(10)
     with _pytest.raises(ValueError, match="adversarial"):
         sim.embedding_near_dup_pairs_multiband(emb, dim=DIM, threshold=0.3)
+    # ADVICE r9: pre-r9 call shapes (threshold<~0.45, default planes)
+    # hit this raise where they used to run with a fixed n_bands=8 —
+    # the error must name the exact migration (explicit n_bands=8)
+    # so the break is a one-line fix, not a dead end.
+    with _pytest.raises(ValueError, match="n_bands=8"):
+        sim.embedding_near_dup_pairs_multiband(emb, dim=DIM, threshold=0.3)
 
 
 def test_multiband_candidate_join_carries_ids_only(spark):
