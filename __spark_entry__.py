@@ -2485,6 +2485,65 @@ def q_fold_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_fold_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTOMATED fold lifecycle (VERDICT r9 #2 — the production
+    loop q_fold_incremental_dedup drives by hand):
+    ``streaming.fold_runner.IncrementFoldRunner`` flags each
+    micro-batch against the persisted MinHash index, detects increment
+    completion from its trigger count (``fold_every_batches=2``),
+    folds the increment's survivors into the index, and opens the next
+    increment against the grown snapshot — two full automatic cycles:
+    increment 1 (doc_id % 10 == 0) streams in as 2 micro-batches and
+    auto-folds, then increment 2 (doc_id % 10 == 5) streams against
+    the folded index and auto-folds too.
+
+    Output: every increment's flags, labeled by increment.  Oracle
+    contract: cycle-0 flags equal flagging inc1 against the corpus
+    (doc_id % 5 != 0) alone; cycle-1 flags equal flagging inc2 against
+    corpus ∪ survivors(inc1) built from scratch — the DuckDB replay
+    never folds anything, exactly like fold_incremental_dedup's."""
+    import tempfile
+
+    from cdp_spark.datapipe import dedup_index as di
+    from cdp_spark.streaming.fold_runner import IncrementFoldRunner
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc1 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    inc2 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+
+    path = _fold_index_dir("cdp_autofold_idx_")
+    di.minhash_index_write(
+        corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60
+    )
+    src = _fold_index_dir("cdp_autofold_src_")
+    ckpt = tempfile.mkdtemp(prefix="cdp_autofold_ck_")
+    work = _fold_index_dir("cdp_autofold_work_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    runner = IncrementFoldRunner(
+        stream, path, work,
+        threshold=0.5, bands=8, fold_every_batches=2,
+    )
+    for inc in (inc1, inc2):
+        inc.repartition(2).write.mode("append").json(src)
+        q = runner.start(checkpoint_dir=ckpt, available_now=True)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("auto-fold pass still running after 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert runner.folds_done == 2, runner.folds_done
+    return runner.flags().select(
+        "doc_id",
+        "dup_of",
+        "jaccard",
+        F.col("inc").cast("int").alias("inc"),
+    )
+
+
 def q_fold_substring_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The winnow-index FOLD lifecycle (VERDICT r8 #3, exact-substring
     twin of fold_incremental_dedup): build the persisted fingerprint
@@ -3539,6 +3598,10 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_quality_gate": q_stream_quality_gate,
 }
 
+_ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "auto_fold_lifecycle": q_auto_fold_lifecycle,
+}
+
 
 # Round-9 driver window (VERDICT r8 "next round" #1): the external driver
 # gate checks the FIRST 50 queries() entries only.  Leads with the 12
@@ -3678,6 +3741,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_ROUND6_QUERIES)
     q.update(_ROUND7_QUERIES)
     q.update(_ROUND8_QUERIES)
+    q.update(_ROUND10_QUERIES)
     # --- r05-green (50): the leading entries fill the window to 50;
     # ordering inside this block puts a representative mix (sessions,
     # jq/jsonnet, dedup, timestamps) nearest the window edge ---
@@ -4645,6 +4709,67 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY partner) AS rn
               FROM cand2)
             SELECT id AS doc_id, partner AS dup_of, jaccard
+            FROM ranked2 WHERE rn = 1
+    """
+    # Automated fold lifecycle (r10, VERDICT r9 #2): BOTH increments'
+    # flags, labeled by cycle.  The oracle still never folds — cycle 0
+    # is inc1 (doc_id%10==0) flagged against the corpus alone; cycle 1
+    # is inc2 (doc_id%10==5) flagged against corpus ∪ survivors(inc1)
+    # built from scratch.  Matching Spark's runner output proves the
+    # automatic trigger folded at exactly the increment boundary (a
+    # late fold would leak inc1 docs out of cycle-1's index; an early
+    # one would flag inc1 against itself).
+    oracles["auto_fold_lifecycle"] = f"""
+            WITH {_mh_cands},
+            counts AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY p.id_a, p.id_b
+            ),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     round(coalesce(i.i, 0) * 1.0
+                           / (ca.c + cb.c - coalesce(i.i, 0)), 6) AS jaccard
+              FROM pairs p
+              LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              JOIN counts ca ON ca.doc_id = p.id_a
+              JOIN counts cb ON cb.doc_id = p.id_b
+              WHERE round(coalesce(i.i, 0) * 1.0
+                          / (ca.c + cb.c - coalesce(i.i, 0)), 6) >= 0.5
+            ),
+            vb AS (
+              SELECT id_a AS a, id_b AS b, jaccard FROM j
+              UNION ALL SELECT id_b, id_a, jaccard FROM j
+            ),
+            cand1 AS (
+              SELECT b AS id, a AS partner, jaccard FROM vb
+              WHERE b % 10 = 0 AND a % 5 <> 0
+            ),
+            ranked1 AS (
+              SELECT id, partner, jaccard,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY partner) AS rn
+              FROM cand1),
+            flagged1 AS (SELECT DISTINCT id FROM cand1),
+            cand2 AS (
+              SELECT b AS id, a AS partner, jaccard FROM vb
+              WHERE b % 10 = 5
+                AND (a % 5 <> 0
+                     OR (a % 10 = 0
+                         AND a NOT IN (SELECT id FROM flagged1)))
+            ),
+            ranked2 AS (
+              SELECT id, partner, jaccard,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY partner) AS rn
+              FROM cand2)
+            SELECT id AS doc_id, partner AS dup_of, jaccard, 0 AS inc
+            FROM ranked1 WHERE rn = 1
+            UNION ALL
+            SELECT id AS doc_id, partner AS dup_of, jaccard, 1 AS inc
             FROM ranked2 WHERE rn = 1
     """
     # Winnowing exact-substring family (r8): char-30-gram md5 hashes,

@@ -228,6 +228,42 @@ def minhash_index_fold(
     ).write.mode("append").parquet(os.path.join(path, "sigs"))
 
 
+def minhash_banded_index(
+    index: DataFrame, meta: dict, bands: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """The two join-ready projections of a loaded MinHash index:
+    ``(idx_bands, idx_sh)`` — the (id, band, bucket) triples the
+    candidate equi-join shuffles (3 longs/row, never the payload) and
+    the (id, shingles) frame verified candidates fetch by id.  Split
+    out so multi-batch consumers (the stream-static path here, the
+    fold runner's per-cycle snapshot) can materialize the banded
+    triples ONCE instead of re-banding the corpus per micro-batch."""
+    hash_fn = _HASH_FNS[meta["hash"]]
+    num_perm = meta["num_perm"]
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} does not divide the index's num_perm="
+            f"{num_perm}; lsh_band_keys would band only a prefix of "
+            "the signature and silently cut recall"
+        )
+    rows = num_perm // bands
+    bucket_fn = None if hash_fn is ddp.default_hash64 else hash_fn
+    idx_bands = index.select(
+        F.col("id").alias("_old_id"),
+        F.explode(
+            ddp.lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
+        ).alias("bk"),
+    ).select(
+        "_old_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    idx_sh = index.select(
+        F.col("id").alias("_old_id"), F.col("shingles").alias("_old_sh")
+    )
+    return idx_bands, idx_sh
+
+
 def flag_against_minhash_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -249,30 +285,7 @@ def flag_against_minhash_index(
     Scale shape: the (band, bucket) join carries the index's (id,
     band, bucket) triples only; shingle arrays join in by id for
     verified candidates.  Output: (id, dup_of, jaccard)."""
-    hash_fn = _HASH_FNS[meta["hash"]]
-    num_perm, n = meta["num_perm"], meta["n"]
-    if num_perm % bands != 0:
-        raise ValueError(
-            f"bands={bands} does not divide the index's num_perm="
-            f"{num_perm}; lsh_band_keys would band only a prefix of "
-            "the signature and silently cut recall"
-        )
-    rows = num_perm // bands
-    bucket_fn = None if hash_fn is ddp.default_hash64 else hash_fn
-
-    idx_bands = index.select(
-        F.col("id").alias("_old_id"),
-        F.explode(
-            ddp.lsh_band_keys(F.col("signature"), bands, rows, bucket_fn)
-        ).alias("bk"),
-    ).select(
-        "_old_id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bucket").alias("bucket"),
-    )
-    idx_sh = index.select(
-        F.col("id").alias("_old_id"), F.col("shingles").alias("_old_sh")
-    )
+    idx_bands, idx_sh = minhash_banded_index(index, meta, bands)
     if new_docs.isStreaming:
         # the static side's plan re-executes on EVERY micro-batch of a
         # stream-static join — materialize the banded (id, band,
@@ -283,6 +296,37 @@ def flag_against_minhash_index(
         from ..session import iter_checkpoint
 
         idx_bands = iter_checkpoint(idx_bands)
+    return flag_against_banded_minhash(
+        new_docs, idx_bands, idx_sh, meta,
+        id_col=id_col, text_col=text_col,
+        threshold=threshold, bands=bands,
+    )
+
+
+def flag_against_banded_minhash(
+    new_docs: DataFrame,
+    idx_bands: DataFrame,
+    idx_sh: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 8,
+) -> DataFrame:
+    """The flagging tail of :func:`flag_against_minhash_index`,
+    taking pre-built (and possibly pre-materialized) index
+    projections — the entry point for callers that flag MANY batches
+    against one index snapshot (the fold runner)."""
+    hash_fn = _HASH_FNS[meta["hash"]]
+    num_perm, n = meta["num_perm"], meta["n"]
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} does not divide the index's num_perm="
+            f"{num_perm}; lsh_band_keys would band only a prefix of "
+            "the signature and silently cut recall"
+        )
+    rows = num_perm // bands
+    bucket_fn = None if hash_fn is ddp.default_hash64 else hash_fn
 
     s = (
         new_docs.select(
@@ -443,6 +487,18 @@ def substring_index_fold(
     ).parquet(os.path.join(path, "df"))
 
 
+def substring_surviving_index(
+    fps: DataFrame, df: DataFrame, meta: dict
+) -> DataFrame:
+    """The stop-gram-filtered (id, fp) index — document frequency
+    summed over the per-fold deltas, fingerprints with df > max_df
+    dropped BEFORE any join sees them.  Split out so multi-batch
+    consumers (stream-static flagging, the fold runner) can
+    materialize it once per index snapshot."""
+    good = df.where(F.col("df") <= meta["max_df"]).select("fp")
+    return fps.join(good, "fp", "left_semi")
+
+
 def flag_against_substring_index(
     new_docs: DataFrame,
     fps: DataFrame,
@@ -458,15 +514,30 @@ def flag_against_substring_index(
     filter (summed df > max_df) prunes the index side BEFORE the
     join, so boilerplate fingerprints never enter the exchange.
     Works for batch and streaming ``new_docs``."""
-    hash_fn = _HASH_FNS[meta["hash"]]
-    good = df.where(F.col("df") <= meta["max_df"]).select("fp")
-    idx = fps.join(good, "fp", "left_semi")
+    idx = substring_surviving_index(fps, df, meta)
     if new_docs.isStreaming:
         # materialize the stop-gram-filtered index once (stream-static
         # joins re-run the static plan per micro-batch)
         from ..session import iter_checkpoint
 
         idx = iter_checkpoint(idx)
+    return flag_against_surviving_substrings(
+        new_docs, idx, meta, id_col=id_col, text_col=text_col
+    )
+
+
+def flag_against_surviving_substrings(
+    new_docs: DataFrame,
+    idx: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The flagging tail of :func:`flag_against_substring_index`,
+    taking the pre-filtered (and possibly pre-materialized) index —
+    the entry point for callers that flag MANY batches against one
+    index snapshot (the fold runner)."""
+    hash_fn = _HASH_FNS[meta["hash"]]
     s_fps = new_docs.select(
         F.col(id_col).alias("_new_id"),
         F.explode(
