@@ -3171,6 +3171,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_production_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-regime BPE trainer (VERDICT r9 #3): one
+    distributed counting pass builds the word-type table, which is
+    collected once and merged driver-side — zero Spark jobs per merge,
+    the shape a 32k-merge vocabulary needs (the per-merge-job twin
+    would cost 32k job pairs).  Semantics identical to bpe_merges by
+    construction (same tie-break total order, same two-pass leftmost
+    merge application), so the oracle IS bpe_merges' verbatim and a
+    library test pins equality on a shared 50-merge prefix."""
+    from cdp_spark.datapipe import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_merges_production(
+        docs, num_merges=_BPE_NUM_MERGES
+    ).select("step", "left_sym", "right_sym", "n")
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merges to every document — the tokenize
     serve path: per-source BPE token totals.  Tokenization is a pure
@@ -3600,6 +3617,7 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auto_fold_lifecycle": q_auto_fold_lifecycle,
+    "bpe_production_merges": q_bpe_production_merges,
 }
 
 
@@ -5405,6 +5423,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT step, left_sym, right_sym, n
             FROM ({_bpe_union})
     """
+    # The production-regime trainer (r10, VERDICT r9 #3) learns the
+    # SAME merge sequence by construction — the oracle is shared
+    # verbatim, so a semantic drift between the two trainers fails
+    # the driver gate, not just the library equality test.
+    oracles["bpe_production_merges"] = oracles["bpe_merges"]
     oracles["bpe_token_counts"] = f"""
             WITH {_bpe_layers(_BPE_NUM_MERGES)},
             docw AS (
