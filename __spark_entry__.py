@@ -3621,19 +3621,83 @@ _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# Round-9 driver window (VERDICT r8 "next round" #1): the external driver
-# gate checks the FIRST 50 queries() entries only.  Leads with the 12
-# round-8 additions that have DRIVERSIM/judge rows but no hard driver row
-# yet, then the 7 r05-era queries deferred from the r8 window
-# (agg_rollup, agg_cube, topk_per_group, set_ops, percentiles,
-# regexp_extract_parts, join_full_outer), then 31 of the 41 queries whose
-# last driver row is r06 (registry order).  The 10 r06-era queries that
-# did not fit (doc_repetition, pii_redact, embedding_near_dup_multiband,
-# unigram_logprob, ann_ivf_kmeans, ann_ivf_kmeans_indexed,
-# stream_enrich_events, stream_keyed_windows, cms_heavy_users,
-# bloom_filter_parts) lead the r10 window, together with any round-9
-# additions.  Everything stays regression-guarded every round by
-# scripts/driver_sim.py + tests/test_oracle.py.
+# Round-10 driver window (VERDICT r9 "next round" #1): the external
+# driver gate checks the FIRST 50 queries() entries only.  Leads with
+# the 2 round-10 additions, then the 10 round-9 additions that have
+# DRIVERSIM/judge rows but no hard driver row yet, then the 10
+# r06-era queries deferred from the r9 window, then 28 of the 50
+# queries whose last driver row is r07 (registry order).  The 22
+# r07-era queries that did not fit lead the r11 window
+# (stream_cms_users, incremental_dedup, embedding_outliers,
+# quantiles_by_type, stream_pipeline_keyed_stateful,
+# min_cost_supplier, large_orders, order_priority_exists,
+# rich_inactive_customers, q6_revenue_change, q7_nation_volume,
+# q8_market_share, q9_product_profit, q10_returned_items,
+# q12_late_shipments, q14_promo_share, q15_top_supplier,
+# q16_part_supplier_counts, zscore_outliers, window_nav_funcs,
+# q13_customer_distribution, q19_disjunctive_revenue), together with
+# any round-10 additions still unchecked.  Everything stays
+# regression-guarded every round by scripts/driver_sim.py +
+# tests/test_oracle.py.
+_R10_WINDOW: tuple[str, ...] = (
+    # -- round-10 additions --
+    "auto_fold_lifecycle",
+    "bpe_production_merges",
+    # -- never driver-checked: the 10 round-9 additions --
+    "fold_incremental_dedup",
+    "fold_substring_flags",
+    "bm25_index_fold",
+    "langid_ngram_separation",
+    "bpe_merges",
+    "bpe_token_counts",
+    "bpe_fertility",
+    "leakage_safe_split",
+    "ngram_novelty",
+    "stream_quality_gate",
+    # -- last driver row r06: the 10 deferred from the r9 window --
+    "doc_repetition",
+    "pii_redact",
+    "embedding_near_dup_multiband",
+    "unigram_logprob",
+    "ann_ivf_kmeans",
+    "ann_ivf_kmeans_indexed",
+    "stream_enrich_events",
+    "stream_keyed_windows",
+    "cms_heavy_users",
+    "bloom_filter_parts",
+    # -- last driver row r07 (28 of 50, registry order) --
+    "dedup_exact_docs",
+    "dup_clusters",
+    "text_stats",
+    "minhash_pairs",
+    "ann_ivf_indexed",
+    "stream_dedup_events",
+    "kmeans_centroids",
+    "near_dedup_corpus",
+    "hll_distinct_users",
+    "stream_hll_users",
+    "pipeline_template_e2e",
+    "minhash_dedup_corpus",
+    "curation_filter",
+    "salted_user_totals",
+    "salted_join_revenue",
+    "approx_quantiles_value",
+    "stream_stream_join",
+    "semantic_dedup",
+    "weighted_sample",
+    "pagerank_nations",
+    "hll_union_entities",
+    "dsir_sample",
+    "stream_stream_left_join",
+    "hll_users_by_type",
+    "rollup_reaggregate",
+    "oov_rate",
+    "training_corpus_e2e",
+    "triangle_count_nations",
+)
+
+# Historical r9 window, kept for artifact cross-reference (the judge
+# diffs CORRECTNESS keys against the declared window of that round).
 _R09_WINDOW: tuple[str, ...] = (
     # -- never driver-checked: the 12 round-8 additions --
     "bm25_multi_query",
@@ -3694,7 +3758,7 @@ _R09_WINDOW: tuple[str, ...] = (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _all_queries()
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: full[name] for name in _R09_WINDOW
+        name: full[name] for name in _R10_WINDOW
     }
     q.update(full)  # existing keys keep their (window) position
     return q

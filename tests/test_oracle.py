@@ -99,34 +99,43 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-9 rotation (VERDICT r8 #1) puts the 12 round-8
-    additions that have never had a hard driver row at the front,
-    then the 7 r05-era queries deferred from the r8 window, then 31
-    of the 41 queries whose last driver row is r06.  Pin the window
-    membership so a later edit appending to the wrong dict cannot
-    silently rotate them out, and pin that the window is exactly the
-    declared list."""
+    entries; round-10 rotation (VERDICT r9 #1) puts the 2 round-10
+    additions and the 10 round-9 additions that have never had a hard
+    driver row at the front, then the 10 r06-era queries deferred
+    from the r9 window, then 28 of the 50 queries whose last driver
+    row is r07.  Pin the window membership so a later edit appending
+    to the wrong dict cannot silently rotate them out, and pin that
+    the window is exactly the declared list."""
     names = list(entrymod.queries())
     window = names[:50]
-    assert window == list(entrymod._R09_WINDOW), (
-        "driver window drifted from _R09_WINDOW"
+    assert window == list(entrymod._R10_WINDOW), (
+        "driver window drifted from _R10_WINDOW"
     )
     must_lead = {
-        # never driver-checked before r9: the 12 round-8 additions
-        "bm25_multi_query", "exact_substring_pairs",
-        "exact_substring_dedup", "stream_near_dup",
-        "stream_incremental_dedup", "stream_substring_flags",
-        "ann_ivf_incremental", "bm25_passages", "pmi_collocations",
-        "bigram_logprob", "hll_overlap_segments",
-        "langid_ngram_confusion",
-        # the 7 r05-era queries deferred from the r8 window
-        "agg_rollup", "agg_cube", "topk_per_group", "set_ops",
-        "percentiles", "regexp_extract_parts", "join_full_outer",
-        # r06-era representatives across the families
-        "stratified_sample", "ann_ivf", "decontaminate_docs",
-        "near_dup_verified", "simhash_docs", "vocabulary",
+        # round-10 additions
+        "auto_fold_lifecycle", "bpe_production_merges",
+        # never driver-checked before r10: the 10 round-9 additions
+        "fold_incremental_dedup", "fold_substring_flags",
+        "bm25_index_fold", "langid_ngram_separation", "bpe_merges",
+        "bpe_token_counts", "bpe_fertility", "leakage_safe_split",
+        "ngram_novelty", "stream_quality_gate",
+        # the 10 r06-era queries deferred from the r9 window
+        "doc_repetition", "pii_redact",
+        "embedding_near_dup_multiband", "unigram_logprob",
+        "ann_ivf_kmeans", "ann_ivf_kmeans_indexed",
+        "stream_enrich_events", "stream_keyed_windows",
+        "cms_heavy_users", "bloom_filter_parts",
+        # r07-era representatives across the families
+        "dedup_exact_docs", "minhash_pairs", "pagerank_nations",
+        "stream_stream_join", "pipeline_template_e2e",
+        "triangle_count_nations",
     }
     missing = must_lead - set(window)
     assert not missing, f"never-checked leaders fell out of the first 50: {missing}"
     # the full registry is unchanged by the reorder
     assert len(names) == len(set(names)) == len(entrymod._all_queries())
+    # no registered query's last hard driver row may age past two
+    # rounds once this window lands: everything outside it was checked
+    # in r08 or r09 (see CORRECTNESS_r0*.json), and the r07 leftovers
+    # deferred to r11 are named in the _R10_WINDOW comment.
+    assert len(window) == 50
