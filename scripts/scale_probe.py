@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -226,6 +227,23 @@ PROBE_QUERIES = [
 ]
 
 
+def _probe_calibration() -> tuple[float, float]:
+    """One (spin, pspin) sample — the bench's host calibrations with
+    smaller quanta (VERDICT r9 "what's wrong" #3: probe exponents were
+    not drift-calibrated, so a session that warmed up between sweeps
+    shrank t1 denominators and inflated exponents 0.2-0.3 with every
+    tN actually FASTER).  Sampled immediately before each timed run so
+    each timing can be normalized by the host's concurrent-load factor
+    at that moment, exactly like bench_compare normalizes cross-round
+    ratios."""
+    from bench import _parallel_spin_calibration, _spin_calibration
+
+    return (
+        round(_spin_calibration(iters=10_000_000), 3),
+        round(_parallel_spin_calibration(iters=5_000_000), 3),
+    )
+
+
 def run(slab_dir: str = SLAB, base: str = BASE,
         out_path: str = "/tmp/scale_probe.json",
         names: list[str] | None = None) -> None:
@@ -247,12 +265,28 @@ def run(slab_dir: str = SLAB, base: str = BASE,
     # penalized by session cold-start relative to the slab pass.
     qs["text_stats"](spark, base).count()
 
-    results: dict[str, dict] = {}
+    results: dict[str, dict] = {
+        "_meta_calibration": {
+            "spin_iters": 10_000_000,
+            "pspin_iters": 5_000_000,
+            "pspin_procs": os.cpu_count() or 1,
+            "note": (
+                "spin_/pspin_<tag> sampled immediately before each "
+                "timed run; exponent_norm divides each timing by its "
+                "pspin sample (concurrent-load units) before the "
+                "log-ratio, so session warm-up or co-tenant drift "
+                "between t1 and tN no longer moves the exponent"
+            ),
+        }
+    }
     for name in (names or PROBE_QUERIES):
         fn = qs[name]
         rec: dict = {}
         for tag, sf_dir in (("t1", base), ("t10", slab_dir)):
             print(f"START {name} {tag}", file=sys.stderr, flush=True)
+            spin, pspin = _probe_calibration()
+            rec[f"spin_{tag}"] = spin
+            rec[f"pspin_{tag}"] = pspin
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             rec[tag] = round(time.perf_counter() - t0, 3)
@@ -261,6 +295,14 @@ def run(slab_dir: str = SLAB, base: str = BASE,
         rec["scale"] = round(scale, 1)
         rec["exponent"] = round(
             math.log(rec["t10"] / rec["t1"]) / math.log(scale), 2
+        )
+        rec["exponent_norm"] = round(
+            math.log(
+                (rec["t10"] / rec["pspin_t10"])
+                / (rec["t1"] / rec["pspin_t1"])
+            )
+            / math.log(scale),
+            2,
         )
         results[name] = rec
         print(name, rec, flush=True)
