@@ -1094,6 +1094,40 @@ def q_bm25_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ri.bm25_index_topk(spark, path, list(_BM25_TERMS), k=20)
 
 
+def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 index ingest (r10): the whole documents table
+    arrives as a 4-micro-batch stream into an EMPTY initialized index;
+    every batch folds directly (all BM25 statistics are additive — the
+    degenerate, flag-free case of the fold lifecycle).  The served
+    top-20 equals the scan-computed bm25_top_docs, so the oracle is
+    shared VERBATIM — matching proves per-batch folds compose to the
+    from-scratch corpus statistics regardless of batch boundaries."""
+    import tempfile
+
+    from cdp_spark.datapipe import retrieval_index as ri
+    from cdp_spark.streaming.fold_runner import run_bm25_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = os.path.join(_fold_index_dir("cdp_bm25_stream_"), "idx")
+    ri.bm25_index_init(path)
+    src = _fold_index_dir("cdp_bm25_stream_src_")
+    docs.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="cdp_bm25_stream_ck_")
+    q = run_bm25_ingest_stream(
+        stream, path, checkpoint_dir=ckpt, available_now=True
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("bm25 ingest stream still running after 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return ri.bm25_index_topk(spark, path, list(_BM25_TERMS), k=20)
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus 5-gram novelty per document — the memorization /
     boilerplate complement of doc_repetition's within-doc fractions:
@@ -3618,17 +3652,18 @@ _ROUND8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auto_fold_lifecycle": q_auto_fold_lifecycle,
     "bpe_production_merges": q_bpe_production_merges,
+    "stream_bm25_ingest": q_stream_bm25_ingest,
 }
 
 
 # Round-10 driver window (VERDICT r9 "next round" #1): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 2 round-10 additions, then the 10 round-9 additions that have
+# the 3 round-10 additions, then the 10 round-9 additions that have
 # DRIVERSIM/judge rows but no hard driver row yet, then the 10
-# r06-era queries deferred from the r9 window, then 28 of the 50
-# queries whose last driver row is r07 (registry order).  The 22
+# r06-era queries deferred from the r9 window, then 27 of the 50
+# queries whose last driver row is r07 (registry order).  The 23
 # r07-era queries that did not fit lead the r11 window
-# (stream_cms_users, incremental_dedup, embedding_outliers,
+# (triangle_count_nations, stream_cms_users, incremental_dedup, embedding_outliers,
 # quantiles_by_type, stream_pipeline_keyed_stateful,
 # min_cost_supplier, large_orders, order_priority_exists,
 # rich_inactive_customers, q6_revenue_change, q7_nation_volume,
@@ -3643,6 +3678,7 @@ _R10_WINDOW: tuple[str, ...] = (
     # -- round-10 additions --
     "auto_fold_lifecycle",
     "bpe_production_merges",
+    "stream_bm25_ingest",
     # -- never driver-checked: the 10 round-9 additions --
     "fold_incremental_dedup",
     "fold_substring_flags",
@@ -3693,7 +3729,6 @@ _R10_WINDOW: tuple[str, ...] = (
     "rollup_reaggregate",
     "oov_rate",
     "training_corpus_e2e",
-    "triangle_count_nations",
 )
 
 # Historical r9 window, kept for artifact cross-reference (the judge
@@ -5575,6 +5610,9 @@ def oracle_sql() -> dict[str, str]:
     # fold-then-query == scan the full table — bm25_top_docs' oracle
     # is shared verbatim.
     oracles["bm25_index_fold"] = oracles["bm25_top_docs"]
+    # Streaming ingest (r10): per-batch folds compose to the same
+    # corpus statistics — the oracle stays the scan-computed one.
+    oracles["stream_bm25_ingest"] = oracles["bm25_top_docs"]
     # Cross-corpus n-gram novelty (r9): distinct 5-gram df over the
     # corpus, novel = df==1, one rounded division (floor-half-up 6).
     oracles["ngram_novelty"] = r"""

@@ -106,6 +106,22 @@ def bm25_index_write(
         )
 
 
+def bm25_index_init(path: str) -> None:
+    """Initialize an EMPTY BM25 index (meta only) so a streaming
+    ingest can build it fold-by-fold from the first micro-batch —
+    parquet appends create the statistic directories on first write.
+    A query before any fold has no postings to read; fold at least
+    once first."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(
+            {"kind": "bm25", "tokenizer": "lower split [^a-z0-9]+"},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+
 def bm25_index_fold(
     increment_docs: DataFrame,
     path: str,

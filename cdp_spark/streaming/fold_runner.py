@@ -71,6 +71,55 @@ from ..session import iter_checkpoint
 logger = logging.getLogger(__name__)
 
 
+def run_bm25_ingest_stream(
+    source_stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = False,
+    trigger_seconds: Optional[float] = None,
+) -> StreamingQuery:
+    """Streaming BM25 index ingest — the retrieval twin of the dedup
+    fold lifecycle, DEGENERATE because every BM25 statistic is
+    additive: there are no duplicates to flag and no survivors to
+    compute, so each micro-batch folds directly (tf/dl rows plus
+    df/scalar deltas append, O(batch)).  The served index after any
+    prefix of batches equals a from-scratch build over those batches'
+    union (the fold contract, oracled via the shared bm25_top_docs
+    oracle).  Initialize the index first — ``bm25_index_write`` over
+    an existing corpus or ``bm25_index_init`` for empty — then point
+    this at the document stream.  Zero streaming state; each document
+    must arrive in exactly one micro-batch (re-delivery would
+    double-count its statistics)."""
+    import json as _json
+    import os as _os
+
+    from ..datapipe import retrieval_index as ri
+
+    with open(_os.path.join(index_path, ri._META_NAME)) as f:
+        kind = _json.load(f).get("kind")
+    if kind != "bm25":
+        raise ValueError(
+            f"index at {index_path} is kind={kind!r}, expected 'bm25'"
+        )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.select(F.col(id_col), F.col(text_col))
+        if not docs.take(1):
+            return
+        ri.bm25_index_fold(docs, index_path, id_col=id_col, text_col=text_col)
+
+    writer = source_stream.writeStream.foreachBatch(_fold)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 class IncrementFoldRunner:
     """Flag a document stream against a persisted dedup index and
     fold completed increments' survivors back in, automatically.

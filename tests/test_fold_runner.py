@@ -175,6 +175,68 @@ def test_substring_auto_fold_two_cycles_match_hand_driven(spark, tmp_path):
     assert got2 == expected2 and expected2, "cycle-2 flags drifted"
 
 
+def test_bm25_stream_ingest_equals_from_scratch(spark, tmp_path):
+    """run_bm25_ingest_stream: per-batch folds into an empty
+    initialized index compose to exactly the from-scratch corpus
+    statistics — served top-k is bit-identical to a one-shot build
+    AND the scan-computed bm25_topk, regardless of batch boundaries."""
+    from cdp_spark.datapipe import retrieval_index as ri
+    from cdp_spark.datapipe.analytics import bm25_topk
+    from cdp_spark.streaming.fold_runner import run_bm25_ingest_stream
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    terms = ["hash", "join", "stream", "vector"]
+
+    path = str(tmp_path / "bm25")
+    ri.bm25_index_init(path)
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = run_bm25_ingest_stream(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    assert q.awaitTermination(120)
+
+    streamed = [
+        tuple(r) for r in ri.bm25_index_topk(spark, path, terms, k=20).collect()
+    ]
+    rebuilt_path = str(tmp_path / "bm25_rebuilt")
+    ri.bm25_index_write(docs, rebuilt_path)
+    rebuilt = [
+        tuple(r)
+        for r in ri.bm25_index_topk(spark, rebuilt_path, terms, k=20).collect()
+    ]
+    scanned = [
+        tuple(r)
+        for r in bm25_topk(
+            load_table(spark, SF, "documents"), terms, k=20
+        ).collect()
+    ]
+    assert streamed == rebuilt == scanned
+    assert streamed
+
+
+def test_bm25_ingest_rejects_wrong_kind(spark, tmp_path):
+    from cdp_spark.streaming.fold_runner import run_bm25_ingest_stream
+    import pytest
+
+    corpus, _, _ = _roles(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus.limit(10), path, hash_fn=ddp.md5_hash60)
+    src = tmp_path / "emptysrc"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    with pytest.raises(ValueError, match="bm25"):
+        run_bm25_ingest_stream(stream, path)
+
+
 def test_explicit_fold_signal_and_empty_flags_schema(spark, tmp_path):
     """request_fold() folds at the next batch boundary even without a
     count trigger, and flags() is empty-but-typed before anything is
