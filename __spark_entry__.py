@@ -3579,6 +3579,100 @@ def _drive_memory_stream(
     return spark.table(name)
 
 
+# ---------------------------------------------------------------------------
+# round-10 additions: Gopher rules / CCNet buckets / edit-distance
+# near-dup / hard negatives / temperature mix
+
+# Driver-query thresholds for gopher_quality: the canonical Gopher
+# cutoffs (quality_rules.GOPHER_DEFAULTS) relaxed where the synthetic
+# corpus sits outside web-text norms (single-line docs with one
+# stopword and ~20-80 words), plus a tightened top-2-gram cutoff so
+# the pass/fail split exercises the repetition axis.
+_GOPHER_OVERRIDES: dict[str, float] = {
+    "min_words": 10,
+    "min_stop_hits": 1,
+    "max_top_2gram_char_frac": 0.06,
+}
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae 2021 A1.1): every repetition /
+    formatting signal per document plus the pass verdict — all pure
+    Column algebra over one sorted-array run-length fold per n-gram
+    order (cdp_spark/datapipe/quality_rules.py), a narrow map with no
+    shuffle.  The oracle recomputes each signal with DuckDB list
+    lambdas under the identical documented semantics."""
+    from cdp_spark.datapipe import quality_rules as qr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    sig = docs.select("doc_id", qr.gopher_signals(F.col("text")).alias("g"))
+    return sig.select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("g.mean_word_len").alias("mean_word_len"),
+        F.col("g.symbol_word_ratio").alias("symbol_word_ratio"),
+        F.col("g.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("g.stop_hits").alias("stop_hits"),
+        F.col("g.n_lines").alias("n_lines"),
+        F.col("g.bullet_line_frac").alias("bullet_line_frac"),
+        F.col("g.ellipsis_line_frac").alias("ellipsis_line_frac"),
+        F.col("g.dup_line_frac").alias("dup_line_frac"),
+        F.col("g.dup_line_char_frac").alias("dup_line_char_frac"),
+        F.col("g.top_2gram_char_frac").alias("top_2gram_char_frac"),
+        F.col("g.top_3gram_char_frac").alias("top_3gram_char_frac"),
+        F.col("g.top_4gram_char_frac").alias("top_4gram_char_frac"),
+        F.col("g.dup_5gram_char_frac").alias("dup_5gram_char_frac"),
+        F.col("g.dup_10gram_char_frac").alias("dup_10gram_char_frac"),
+        qr.gopher_filter(F.col("g"), **_GOPHER_OVERRIDES).alias("passes"),
+    )
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek 2019):
+    unigram-LM score per doc, then ONE ntile window per language over
+    (rounded score DESC, doc_id) — total order, so both engines
+    tie-break identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.perplexity_buckets(docs)
+
+
+def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: MinHash-LSH candidates
+    (md5 cross-engine hash, same banding as minhash_pairs) verified
+    by THRESHOLDED levenshtein — banded DP, early exit at
+    ceil(ratio * maxlen), so the verifier is candidate-bounded AND
+    per-pair bounded at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ddp.edit_distance_near_dups(
+        docs, "doc_id", "text", max_ratio=0.6,
+        num_perm=32, bands=8, hash_fn=ddp.md5_hash60,
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (every 50th vector), top-5 cosine neighbors strictly below the
+    0.95 near-dup ceiling — broadcast anchors, WindowGroupLimit
+    top-k, corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.hard_negatives(emb, anchors, k=5, max_sim=0.95)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (XLM-R alpha=0.5): epoch
+    weights derived FROM the per-language counts inside the plan
+    (integer-exact share units, one IEEE division), fractional epochs
+    as deterministic md5 subsamples — the oracle replays the weight
+    derivation and the mix row-for-row."""
+    from cdp_spark.datapipe.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, "doc_id", "lang", alpha=0.5).select(
+        "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_multiband": q_embedding_near_dup_multiband,
     "stream_dedup_events": q_stream_dedup_events,
@@ -3653,17 +3747,24 @@ _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auto_fold_lifecycle": q_auto_fold_lifecycle,
     "bpe_production_merges": q_bpe_production_merges,
     "stream_bm25_ingest": q_stream_bm25_ingest,
+    "gopher_quality": q_gopher_quality,
+    "perplexity_buckets": q_perplexity_buckets,
+    "edit_distance_near_dup": q_edit_distance_near_dup,
+    "hard_negatives": q_hard_negatives,
+    "temperature_mix": q_temperature_mix,
 }
 
 
 # Round-10 driver window (VERDICT r9 "next round" #1): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 3 round-10 additions, then the 10 round-9 additions that have
+# the 8 round-10 additions, then the 10 round-9 additions that have
 # DRIVERSIM/judge rows but no hard driver row yet, then the 10
-# r06-era queries deferred from the r9 window, then 27 of the 50
-# queries whose last driver row is r07 (registry order).  The 23
+# r06-era queries deferred from the r9 window, then 22 of the 50
+# queries whose last driver row is r07 (registry order).  The 28
 # r07-era queries that did not fit lead the r11 window
-# (triangle_count_nations, stream_cms_users, incremental_dedup, embedding_outliers,
+# (stream_stream_left_join, hll_users_by_type, rollup_reaggregate,
+# oov_rate, training_corpus_e2e, triangle_count_nations,
+# stream_cms_users, incremental_dedup, embedding_outliers,
 # quantiles_by_type, stream_pipeline_keyed_stateful,
 # min_cost_supplier, large_orders, order_priority_exists,
 # rich_inactive_customers, q6_revenue_change, q7_nation_volume,
@@ -3671,7 +3772,7 @@ _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # q12_late_shipments, q14_promo_share, q15_top_supplier,
 # q16_part_supplier_counts, zscore_outliers, window_nav_funcs,
 # q13_customer_distribution, q19_disjunctive_revenue), together with
-# any round-10 additions still unchecked.  Everything stays
+# any round-11 additions still unchecked.  Everything stays
 # regression-guarded every round by scripts/driver_sim.py +
 # tests/test_oracle.py.
 _R10_WINDOW: tuple[str, ...] = (
@@ -3679,6 +3780,11 @@ _R10_WINDOW: tuple[str, ...] = (
     "auto_fold_lifecycle",
     "bpe_production_merges",
     "stream_bm25_ingest",
+    "gopher_quality",
+    "perplexity_buckets",
+    "edit_distance_near_dup",
+    "hard_negatives",
+    "temperature_mix",
     # -- never driver-checked: the 10 round-9 additions --
     "fold_incremental_dedup",
     "fold_substring_flags",
@@ -3701,7 +3807,7 @@ _R10_WINDOW: tuple[str, ...] = (
     "stream_keyed_windows",
     "cms_heavy_users",
     "bloom_filter_parts",
-    # -- last driver row r07 (28 of 50, registry order) --
+    # -- last driver row r07 (22 of 50, registry order) --
     "dedup_exact_docs",
     "dup_clusters",
     "text_stats",
@@ -3724,11 +3830,6 @@ _R10_WINDOW: tuple[str, ...] = (
     "pagerank_nations",
     "hll_union_entities",
     "dsir_sample",
-    "stream_stream_left_join",
-    "hll_users_by_type",
-    "rollup_reaggregate",
-    "oov_rate",
-    "training_corpus_e2e",
 )
 
 # Historical r9 window, kept for artifact cross-reference (the judge
@@ -6356,5 +6457,205 @@ def oracle_sql() -> dict[str, str]:
         ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
         SELECT est.n_registers, est.hll_estimate, ex.n_exact FROM est, ex
     """
+    # --- round-10 additions ---------------------------------------------
+
+    # Gopher quality rules: every signal recomputed with DuckDB list
+    # lambdas under the semantics documented in
+    # cdp_spark/datapipe/quality_rules.py (char MASS of repeated
+    # n-grams, top-gram zero below 2 occurrences, trimmed non-blank
+    # lines); `passes` replays gopher_filter with the driver query's
+    # _GOPHER_OVERRIDES on the rounded fractions.
+    def _grams_sql(n: int) -> str:
+        return (
+            f"CASE WHEN len(words) >= {n} THEN "
+            f"list_transform(generate_series(1, len(words) - {n} + 1), "
+            f"i -> array_to_string(words[i:i+{n - 1}], ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    def _gcounts_sql(src: str) -> str:
+        return (
+            f"list_transform(list_distinct({src}), "
+            f"d -> struct_pack(g := d, c := len(list_filter({src}, e -> e = d))))"
+        )
+
+    _gram_ns = (2, 3, 4, 5, 10)
+    _g_layer = ",\n               ".join(
+        f"{_grams_sql(n)} AS g{n}" for n in _gram_ns
+    )
+    _c_layer = ",\n               ".join(
+        [f"{_gcounts_sql(f'g{n}')} AS c{n}" for n in _gram_ns]
+        + [_gcounts_sql("lines") + " AS clines"]
+    )
+    _top_cols = ",\n               ".join(
+        "CASE WHEN nonspace > 0 THEN round(CAST("
+        f"(CASE WHEN coalesce(list_max(list_transform(c{n}, s -> s.c)), 0) >= 2 "
+        f"THEN coalesce(list_max(list_transform(c{n}, s -> s.c)), 0) "
+        f"* length(replace(list_min(list_transform(list_filter(c{n}, "
+        f"s -> s.c = list_max(list_transform(c{n}, x -> x.c))), s -> s.g)), ' ', '')) "
+        f"ELSE 0 END) AS DOUBLE) / nonspace, 6) ELSE 0.0 END AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    _dup_cols = ",\n               ".join(
+        f"CASE WHEN nonspace > 0 THEN round(CAST(coalesce(list_sum("
+        f"list_transform(list_filter(c{n}, s -> s.c >= 2), "
+        f"s -> s.c * length(replace(s.g, ' ', '')))), 0) AS DOUBLE) / nonspace, 6) "
+        f"ELSE 0.0 END AS dup_{n}gram_char_frac"
+        for n in (5, 10)
+    )
+    oracles["gopher_quality"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(text), '\\s+') AS words,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            l -> trim(l)),
+                             l -> length(l) > 0) AS lines,
+                 CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+                   AS nonspace
+          FROM documents WHERE length(trim(text)) > 0),
+        g AS (
+          SELECT doc_id, text, words, lines, nonspace,
+               {_g_layer}
+          FROM base),
+        c AS (
+          SELECT doc_id, text, words, lines, nonspace,
+               {_c_layer}
+          FROM g),
+        sig AS (
+          SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+                          AS DOUBLE) / len(words), 6) AS mean_word_len,
+               round(CAST((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3
+                          AS DOUBLE) / len(words), 6) AS symbol_word_ratio,
+               round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                          AS DOUBLE) / len(words), 6) AS alpha_word_frac,
+               CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                    s -> list_contains(list_transform(words, w -> lower(w)), s)))
+                    AS BIGINT) AS stop_hits,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CASE WHEN len(lines) > 0 THEN round(CAST(
+                 len(list_filter(lines, l -> substr(l, 1, 1) = '-'
+                                          OR substr(l, 1, 1) = '*'
+                                          OR substr(l, 1, 1) = '•'))
+                 AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS bullet_line_frac,
+               CASE WHEN len(lines) > 0 THEN round(CAST(
+                 len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))
+                 AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS ellipsis_line_frac,
+               CASE WHEN len(lines) > 0 THEN round(CAST(
+                 len(lines) - len(list_distinct(lines))
+                 AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+                 THEN round(CAST(coalesce(list_sum(list_transform(clines,
+                        s -> (s.c - 1) * length(s.g))), 0) AS DOUBLE)
+                      / list_sum(list_transform(lines, l -> length(l))), 6)
+                 ELSE 0.0 END AS dup_line_char_frac,
+               {_top_cols},
+               {_dup_cols}
+          FROM c)
+        SELECT *,
+               (n_words >= 10 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_word_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND stop_hits >= 1
+                AND dup_line_frac <= 0.3
+                AND dup_line_char_frac <= 0.2
+                AND top_2gram_char_frac <= 0.06
+                AND top_3gram_char_frac <= 0.18
+                AND top_4gram_char_frac <= 0.16
+                AND dup_5gram_char_frac <= 0.15
+                AND dup_10gram_char_frac <= 0.10) AS passes
+        FROM sig
+    """
+
+    # CCNet perplexity buckets: the unigram-LM oracle wrapped in one
+    # ntile window per language — total order (rounded score DESC,
+    # doc_id), so tie-break parity is exact.
+    oracles["perplexity_buckets"] = f"""
+        WITH lp AS ({oracles["unigram_logprob"]})
+        SELECT lp.doc_id, d.lang, lp.avg_logprob,
+               round(exp(-lp.avg_logprob), 4) AS perplexity,
+               CASE ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY lp.avg_logprob DESC, lp.doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM lp JOIN documents d USING (doc_id)
+    """
+
+    # Edit-distance near-dup: the SAME md5 MinHash banding CTE as
+    # minhash_pairs generates candidates; DuckDB's full levenshtein
+    # equals Spark's thresholded one on every kept pair (the -1
+    # early-exit only removes pairs the rounded-ratio filter cuts).
+    oracles["edit_distance_near_dup"] = f"""
+        WITH {_mh_cands},
+        t AS (SELECT doc_id, text FROM documents),
+        d AS (
+          SELECT p.id_a, p.id_b,
+                 levenshtein(x.text, y.text) AS edit_distance,
+                 greatest(length(x.text), length(y.text)) AS maxlen
+          FROM pairs p
+          JOIN t x ON p.id_a = x.doc_id
+          JOIN t y ON p.id_b = y.doc_id)
+        SELECT id_a, id_b,
+               CAST(edit_distance AS INTEGER) AS edit_distance,
+               CASE WHEN maxlen > 0
+                 THEN round(CAST(edit_distance AS DOUBLE) / maxlen, 6)
+                 ELSE 0.0 END AS edit_ratio
+        FROM d
+        WHERE (CASE WHEN maxlen > 0
+                 THEN round(CAST(edit_distance AS DOUBLE) / maxlen, 6)
+                 ELSE 0.0 END) <= 0.6
+    """
+
+    # Hard negatives: exact brute-force cosine per anchor with the
+    # near-dup ceiling, row_number over (sim DESC, id).
+    oracles["hard_negatives"] = """
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                      FROM embeddings),
+        anchors AS (SELECT vec_id AS anchor_id, emb AS aemb
+                    FROM base WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT a.anchor_id, b.vec_id,
+                 round(list_cosine_similarity(b.emb, a.aemb), 4) AS cosine_sim
+          FROM anchors a JOIN base b ON b.vec_id <> a.anchor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine_sim DESC, vec_id) AS rn
+          FROM scored WHERE cosine_sim < 0.95)
+        SELECT anchor_id, vec_id, cosine_sim FROM ranked WHERE rn <= 5
+    """
+
+    # Temperature mix: replays the integer-exact weight derivation
+    # (round(pow(n, alpha)) share units, ONE IEEE division, exact
+    # power-of-two fractional threshold) and the md5-bucket epochs.
+    oracles["temperature_mix"] = """
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        s AS (SELECT lang, n, CAST(round(pow(n, 0.5)) AS BIGINT) AS sn FROM c),
+        t AS (SELECT sum(n) AS tot, sum(sn) AS stot FROM s),
+        w AS (SELECT lang,
+                     CAST(floor(CAST(sn * tot AS DOUBLE)
+                                / CAST(stot * n AS DOUBLE)) AS BIGINT) AS whole,
+                     CAST(floor((CAST(sn * tot AS DOUBLE)
+                                 / CAST(stot * n AS DOUBLE)
+                                 - floor(CAST(sn * tot AS DOUBLE)
+                                         / CAST(stot * n AS DOUBLE)))
+                                * 65536) AS BIGINT) AS thr
+              FROM s, t),
+        b AS (SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                          AS BIGINT) AS bi
+              FROM documents),
+        e AS (SELECT b.doc_id, b.lang,
+                     w.whole + CASE WHEN b.bi < w.thr THEN 1 ELSE 0 END AS ne
+              FROM b JOIN w USING (lang))
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, ne)) AS BIGINT) AS epoch
+        FROM e WHERE ne > 0
+    """
+
     oracles.update(_SHARED_SQL)
     return oracles

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "auto_fold_lifecycle",
     "stratified_sample",
     "dataset_mix",
+    "temperature_mix",
     "decontaminate_docs",
     "contamination_score",
     "token_kl_drift",
@@ -119,6 +120,9 @@ BENCH_QUERIES = [
     "chunk_tokens",
     "doc_repetition",
     "ngram_novelty",
+    "gopher_quality",
+    "perplexity_buckets",
+    "edit_distance_near_dup",
     "pii_redact",
     "jq_window_stats",
     "jsonnet_window_stats",
@@ -133,6 +137,7 @@ BENCH_QUERIES = [
     "hopping_window_agg",
     "embedding_near_dup",
     "embedding_near_dup_multiband",
+    "hard_negatives",
     "kmeans_centroids",
     "unigram_logprob",
     "bigram_logprob",

@@ -296,6 +296,66 @@ def jaccard(col_a: Column, col_b: Column, n: int = 3) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def edit_distance_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_ratio: float = 0.3,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+    hash_fn=default_hash64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs verified by NORMALIZED EDIT DISTANCE —
+    the character-level verifier for templated / lightly-edited
+    duplicates that word-shingle Jaccard under-scores (a one-token
+    edit in every shingle window zeroes Jaccard but barely moves
+    Levenshtein).  Pairs (id_a < id_b) keep when
+    ``levenshtein(a, b) / max(len(a), len(b)) <= max_ratio``.
+
+    Scale shape: candidates come from the SAME MinHash-LSH banding as
+    :func:`minhash_candidate_pairs` (bucketed, never all-pairs), so
+    the O(len^2) distance touches only LSH-collision pairs.  The
+    verify uses Spark's THRESHOLDED levenshtein (banded DP: cost
+    O(threshold * len), early exit at ``ceil(max_ratio * maxlen)``)
+    — at 100 TB the expensive verifier is both candidate-bounded and
+    per-pair bounded.  Output: (id_a, id_b, edit_distance,
+    edit_ratio), edit_ratio rounded for cross-engine parity.
+    """
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, n=n,
+        seed=seed, hash_fn=hash_fn,
+    )
+    texts_a = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+    )
+    texts_b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+    )
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
+    joined = (
+        pairs.join(texts_a, "id_a")
+        .join(texts_b, "id_b")
+        .withColumn("_thr", F.ceil(maxlen * F.lit(float(max_ratio))).cast("int"))
+    )
+    dist = F.expr("levenshtein(_ta, _tb, _thr)")
+    return (
+        joined.withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") >= 0)  # -1 = exceeded threshold
+        .withColumn(
+            "edit_ratio",
+            F.when(
+                maxlen > 0,
+                F.round(F.col("edit_distance") / maxlen.cast("double"), round_digits),
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("edit_ratio") <= float(max_ratio))
+        .select("id_a", "id_b", "edit_distance", "edit_ratio")
+    )
+
+
 def verified_near_dups(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,300 @@
+"""Gopher-style document quality rules (Rae et al. 2021, "Scaling
+Language Models: Methods, Analysis & Insights from Training Gopher",
+appendix A1.1) — the canonical repetition + formatting filter set a
+pretraining pipeline applies before anything expensive sees the text.
+
+Everything here is pure ``pyspark.sql.functions`` Column algebra: per
+document the signals cost one pass over its sorted token n-grams /
+lines (``array_sort`` + a single ``F.aggregate`` run-length fold), so
+the whole operator is a narrow map — no shuffle, no UDF, stays inside
+whole-stage codegen, and scales embarrassingly at 100 TB.
+
+Documented divergences from the paper (shared by the Spark
+implementation, the DuckDB oracle, and the pure-Python test model, so
+they are pinned rather than accidental):
+
+- "fraction of characters in duplicate n-grams" counts the n-grams'
+  character mass (occurrences x non-space gram length over total
+  non-space characters) instead of the paper's positional union of
+  covered character spans; overlapping grams are therefore counted
+  once per occurrence, not once per character position.
+- the top-n-gram fraction is 0 when the most frequent n-gram occurs
+  only once (a gram seen once is not repetition).
+- lines are ``\\n``-split and trimmed; blank lines are dropped before
+  any line statistic (otherwise empty lines dominate the duplicate
+  counts).
+
+No analog in the reference (its quality filtering is per-event
+``keep-when`` predicates, src/step-functions/keep-when.ts); this is
+part of the LLM-curation surface the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .curate import _let, word_ngrams
+from .text import tokens
+
+# The eight "stop words" Gopher requires at least two of (A1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+BULLET_PREFIXES = ("-", "*", "•")
+ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def _run_stats(sorted_arr: Column, char_len) -> Column:
+    """Run-length statistics over a SORTED string array in one linear
+    ``F.aggregate`` fold (the sort is the only super-linear step —
+    O(n log n) per document, all JVM-side):
+
+    - ``max_cnt`` / ``max_item``: the highest occurrence count and,
+      among ties, the lexicographically smallest item reaching it
+      (ascending sort + strict improvement = first argmax wins).
+    - ``dup_extra_count``: sum of (count - 1) over repeated items —
+      occurrences beyond each first.
+    - ``dup_extra_chars``: same, weighted by ``char_len(item)``.
+    - ``dup_total_chars``: sum of count * char_len(item) over items
+      with count >= 2 (the full character mass of repeated items).
+
+    ``char_len`` maps an item Column to its character-length Column
+    (lines count all characters; word n-grams exclude the joining
+    spaces).
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("max_cnt"),
+        F.lit(None).cast("string").alias("max_item"),
+        F.lit(0).cast("long").alias("dup_extra_count"),
+        F.lit(0).cast("long").alias("dup_extra_chars"),
+        F.lit(0).cast("long").alias("dup_total_chars"),
+    )
+
+    def close_run(acc: Column) -> Column:
+        """Fold the open run (acc.prev x acc.run) into the stats."""
+        run, prev = acc["run"], acc["prev"]
+        plen = char_len(prev).cast("long")
+        is_dup = run >= 2
+        better = run > acc["max_cnt"]
+        return F.struct(
+            prev.alias("prev"),  # caller overwrites
+            run.alias("run"),  # caller overwrites
+            F.when(better, run).otherwise(acc["max_cnt"]).alias("max_cnt"),
+            F.when(better, prev).otherwise(acc["max_item"]).alias("max_item"),
+            (acc["dup_extra_count"] + F.when(is_dup, run - 1).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_extra_count"),
+            (acc["dup_extra_chars"] + F.when(is_dup, (run - 1) * plen).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_extra_chars"),
+            (acc["dup_total_chars"] + F.when(is_dup, run * plen).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_total_chars"),
+        )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = (acc["run"] > 0) & acc["prev"].eqNullSafe(x)
+        closed = close_run(acc)
+
+        def carry(field: str) -> Column:
+            return F.when(same, acc[field]).otherwise(closed[field])
+
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            carry("max_cnt").alias("max_cnt"),
+            carry("max_item").alias("max_item"),
+            carry("dup_extra_count").alias("dup_extra_count"),
+            carry("dup_extra_chars").alias("dup_extra_chars"),
+            carry("dup_total_chars").alias("dup_total_chars"),
+        )
+
+    def finish(acc: Column) -> Column:
+        final = F.when(acc["run"] > 0, close_run(acc)).otherwise(acc)
+        return F.struct(
+            final["max_cnt"].alias("max_cnt"),
+            final["max_item"].alias("max_item"),
+            final["dup_extra_count"].alias("dup_extra_count"),
+            final["dup_extra_chars"].alias("dup_extra_chars"),
+            final["dup_total_chars"].alias("dup_total_chars"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, finish)
+
+
+def _gram_nospace_len(g: Column) -> Column:
+    return F.length(F.replace(g, F.lit(" "), F.lit("")))
+
+
+def _frac(num: Column, den: Column, digits: int = 6) -> Column:
+    return F.when(
+        den > 0, F.round(num.cast("double") / den.cast("double"), digits)
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_signals(
+    col: Column,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> Column:
+    """All Gopher A1.1 quality signals for one text column as a struct
+    (fractions rounded to 6 digits; thresholds stay caller policy —
+    see :func:`gopher_filter`):
+
+    n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+    stop_hits, n_lines, bullet_line_frac, ellipsis_line_frac,
+    dup_line_frac, dup_line_char_frac, top_{n}gram_char_frac for n in
+    ``top_ns``, dup_{n}gram_char_frac for n in ``dup_ns``.
+    """
+
+    def build_words(words: Column) -> Column:
+        n_words = F.size(words).cast("long")
+        word_chars = F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        lowered = F.transform(words, F.lower)
+        stop_hits = F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(lowered, s),
+            )
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            _frac(word_chars, n_words).alias("mean_word_len"),
+            alpha_words.cast("long").alias("alpha_words"),
+            stop_hits.cast("long").alias("stop_hits"),
+        )
+
+    def build_lines(lines: Column) -> Column:
+        n_lines = F.size(lines).cast("long")
+        line_chars = F.aggregate(
+            lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+        )
+        bullets = F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(l, 1, 1).isin(*BULLET_PREFIXES),
+            )
+        )
+        ellipses = F.size(
+            F.filter(
+                lines,
+                lambda l: F.endswith(l, F.lit(ELLIPSIS_SUFFIXES[0]))
+                | F.endswith(l, F.lit(ELLIPSIS_SUFFIXES[1])),
+            )
+        )
+        rs = _run_stats(F.array_sort(lines), F.length)
+        return F.struct(
+            n_lines.alias("n_lines"),
+            line_chars.alias("line_chars"),
+            bullets.cast("long").alias("bullets"),
+            ellipses.cast("long").alias("ellipses"),
+            rs["dup_extra_count"].alias("dup_extra_count"),
+            rs["dup_extra_chars"].alias("dup_extra_chars"),
+        )
+
+    words_stats = _let(tokens(col), build_words)
+    # NB: F.transform(arr, F.trim) silently no-ops (trim's optional
+    # second parameter captures the lambda variable) — use an
+    # explicit lambda.
+    lines_arr = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    lines_stats = _let(lines_arr, build_lines)
+
+    nonspace = F.length(F.regexp_replace(col, r"\s", "")).cast("long")
+    hash_chars = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    ellipsis_occurrences = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+
+    def gram_fields(ws: Column, ls: Column, ns: Column) -> Column:
+        n_words = ws["n_words"]
+        fields = [
+            n_words.alias("n_words"),
+            ws["mean_word_len"].alias("mean_word_len"),
+            _frac((hash_chars + ellipsis_occurrences).cast("double"), n_words).alias(
+                "symbol_word_ratio"
+            ),
+            _frac(ws["alpha_words"], n_words).alias("alpha_word_frac"),
+            ws["stop_hits"].alias("stop_hits"),
+            ls["n_lines"].alias("n_lines"),
+            _frac(ls["bullets"], ls["n_lines"]).alias("bullet_line_frac"),
+            _frac(ls["ellipses"], ls["n_lines"]).alias("ellipsis_line_frac"),
+            _frac(ls["dup_extra_count"], ls["n_lines"]).alias("dup_line_frac"),
+            _frac(ls["dup_extra_chars"], ls["line_chars"]).alias("dup_line_char_frac"),
+        ]
+        for n in top_ns:
+            rs = _run_stats(F.array_sort(word_ngrams(col, n)), _gram_nospace_len)
+            top_mass = F.when(
+                rs["max_cnt"] >= 2,
+                rs["max_cnt"] * _gram_nospace_len(rs["max_item"]).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            fields.append(_frac(top_mass, ns).alias(f"top_{n}gram_char_frac"))
+        for n in dup_ns:
+            rs = _run_stats(F.array_sort(word_ngrams(col, n)), _gram_nospace_len)
+            fields.append(_frac(rs["dup_total_chars"], ns).alias(f"dup_{n}gram_char_frac"))
+        return F.struct(*fields)
+
+    return _let(
+        F.struct(words_stats.alias("w"), lines_stats.alias("l"), nonspace.alias("ns")),
+        lambda packed: gram_fields(packed["w"], packed["l"], packed["ns"]),
+    )
+
+
+# Canonical Gopher thresholds (A1.1).  Keys match gopher_signals fields.
+GOPHER_DEFAULTS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+    "max_top_2gram_char_frac": 0.2,
+    "max_top_3gram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+    "max_dup_5gram_char_frac": 0.15,
+    "max_dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_filter(signals: Column, **overrides: float) -> Column:
+    """Boolean pass/fail from a :func:`gopher_signals` struct under
+    the canonical Gopher thresholds (override any by keyword).
+    Thresholds apply to the struct's rounded fractions so both
+    engines decide identically at the boundaries."""
+    unknown = set(overrides) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher_filter thresholds: {sorted(unknown)}")
+    t = {**GOPHER_DEFAULTS, **overrides}
+    return (
+        (signals["n_words"] >= F.lit(int(t["min_words"])))
+        & (signals["n_words"] <= F.lit(int(t["max_words"])))
+        & (signals["mean_word_len"] >= F.lit(float(t["min_mean_word_len"])))
+        & (signals["mean_word_len"] <= F.lit(float(t["max_mean_word_len"])))
+        & (signals["symbol_word_ratio"] <= F.lit(float(t["max_symbol_word_ratio"])))
+        & (signals["bullet_line_frac"] <= F.lit(float(t["max_bullet_line_frac"])))
+        & (signals["ellipsis_line_frac"] <= F.lit(float(t["max_ellipsis_line_frac"])))
+        & (signals["alpha_word_frac"] >= F.lit(float(t["min_alpha_word_frac"])))
+        & (signals["stop_hits"] >= F.lit(int(t["min_stop_hits"])))
+        & (signals["dup_line_frac"] <= F.lit(float(t["max_dup_line_frac"])))
+        & (signals["dup_line_char_frac"] <= F.lit(float(t["max_dup_line_char_frac"])))
+        & (signals["top_2gram_char_frac"] <= F.lit(float(t["max_top_2gram_char_frac"])))
+        & (signals["top_3gram_char_frac"] <= F.lit(float(t["max_top_3gram_char_frac"])))
+        & (signals["top_4gram_char_frac"] <= F.lit(float(t["max_top_4gram_char_frac"])))
+        & (signals["dup_5gram_char_frac"] <= F.lit(float(t["max_dup_5gram_char_frac"])))
+        & (
+            signals["dup_10gram_char_frac"]
+            <= F.lit(float(t["max_dup_10gram_char_frac"]))
+        )
+    )

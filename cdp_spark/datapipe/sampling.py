@@ -104,6 +104,68 @@ def dataset_mix(
     return df.withColumn("epoch", F.explode(epochs))
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    chars: int = 4,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual
+    balancing rule of XLM-R / mT5: sample stratum ``i`` with
+    probability proportional to ``p_i ** alpha``): computes the
+    per-stratum epoch weights FROM THE DATA and replicates rows like
+    :func:`dataset_mix` — whole epochs explode, the fractional epoch
+    is a deterministic md5-bucket subsample.  The output totals
+    approximately the input size, redistributed toward small strata
+    (alpha < 1) — epochs_i = (q_i / p_i) with q ∝ p^alpha.
+
+    Everything stays IN the plan (no driver collect): one tiny
+    groupBy(stratum) count, one single-row total, and a broadcast
+    join of the per-stratum weight frame back onto the data — the
+    weight table is O(#strata) regardless of corpus size.
+
+    Cross-engine determinism: p^alpha is rounded to the nearest
+    integer "share unit" before any ratio (integer products, then ONE
+    IEEE division), the fractional threshold is
+    ``floor(frac * 16**chars)`` (multiplying by a power of two is
+    exact), and the md5 bucket compares as an integer — every step is
+    bit-reproducible in any IEEE engine, so the oracle replays the
+    mix row-for-row.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    scaled = counts.withColumn(
+        "_sn", F.round(F.pow(F.col("_n"), F.lit(float(alpha)))).cast("long")
+    )
+    totals = scaled.agg(
+        F.sum("_n").alias("_tot"), F.sum("_sn").alias("_stot")
+    )
+    epochs_raw = (F.col("_sn") * F.col("_tot")).cast("double") / (
+        F.col("_stot") * F.col("_n")
+    ).cast("double")
+    weights = (
+        scaled.crossJoin(F.broadcast(totals))
+        .withColumn("_whole", F.floor(epochs_raw).cast("long"))
+        .withColumn(
+            "_thr",
+            F.floor((epochs_raw - F.col("_whole")) * F.lit(16**chars)).cast("long"),
+        )
+        .select(stratum_col, "_whole", "_thr")
+    )
+    bucket_int = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, chars), 16, 10
+    ).cast("long")
+    n_epochs = F.col("_whole") + F.when(bucket_int < F.col("_thr"), 1).otherwise(0)
+    epochs = F.when(
+        n_epochs >= 1, F.sequence(F.lit(1).cast("long"), n_epochs)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.join(F.broadcast(weights), stratum_col)
+        .withColumn("epoch", F.explode(epochs))
+        .drop("_whole", "_thr")
+    )
+
+
 # Hash-derived uniform for the samplers.  md5_hash60 (the audited
 # cross-engine 60-bit hash) reduced mod a prime: u in (0, 1), exact
 # integer arithmetic with NO overflow for any id (a multiplicative

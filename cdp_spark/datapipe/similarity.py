@@ -112,6 +112,55 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    max_sim: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training
+    (e.g. DPR, Karpukhin et al. 2020): for every anchor vector, the
+    top-``k`` most similar corpus vectors whose cosine stays BELOW
+    ``max_sim`` — close enough to be hard, not so close they are
+    near-duplicates (false negatives).  The anchor itself is excluded
+    by id.
+
+    Scale shape: the anchor set is the small side by construction (a
+    query batch), so it broadcasts — one BroadcastNestedLoopJoin, no
+    shuffle of the corpus — and the per-anchor top-k is a window
+    rank that AQE executes as WindowGroupLimit (partial top-k before
+    the exchange, so only k rows per anchor per partition shuffle).
+    For web-scale corpora compose with the IVF index
+    (:func:`ivf_topk_indexed`) to prune candidate cells first; this
+    exact form is the oracle baseline.
+
+    Output: (anchor_id, id, cosine_sim) — ``k`` rows per anchor,
+    ties broken by id.
+    """
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_avec")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("_avec")), round_digits)
+    scored = (
+        df.join(F.broadcast(a), F.col(id_col) != F.col("anchor_id"))
+        .select(F.col("anchor_id"), F.col(id_col), sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") < float(max_sim))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rnd = random.Random(seed)
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

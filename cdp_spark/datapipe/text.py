@@ -161,6 +161,60 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def perplexity_buckets(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    round_digits: int = 4,
+):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document under a unigram LM, then split each
+    language into equal-count head / middle / tail buckets by
+    perplexity rank — the standard quality axis a pretraining mix
+    samples from ("head+middle only", "downweight tail").
+
+    CCNet uses an external KenLM per language; here the LM is the
+    corpus's own unigram distribution (:func:`unigram_logprob`), which
+    keeps the operator self-contained — swap in any (doc_id,
+    avg_logprob) frame for an external scorer.
+
+    Scale shape: the LM pass is unigram_logprob's (one vocab
+    aggregate + one token-keyed join); the bucketing is ONE window
+    per language partition — ntile over (avg_logprob DESC, id), both
+    rounded/total-ordered so engines tie-break identically.  The
+    window shuffles only (id, lang, score) — never the text.
+
+    Output: (id, lang, avg_logprob, perplexity, bucket) with bucket in
+    {'head','middle','tail'} for n_buckets=3 (else 'b<k>').
+    """
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(df, text_col, id_col, round_digits)
+    scored = lp.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    tile = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = (
+            F.when(tile == 1, F.lit("head"))
+            .when(tile == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        bucket = F.concat(F.lit("b"), tile.cast("string"))
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("avg_logprob"),
+        F.round(F.exp(-F.col("avg_logprob")), round_digits).alias("perplexity"),
+        bucket.alias("bucket"),
+    )
+
+
 def dsir_logratio(df, target_col, text_col: str = "text", id_col: str = "doc_id"):
     """DSIR-style importance scores (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every POOL

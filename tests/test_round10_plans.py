@@ -102,3 +102,78 @@ def test_fold_runner_batch_flag_reuses_materialized_snapshot(spark, tmp_path):
         f"shingle-side scan reads the signature column: {sig_scans[0]}"
     )
     assert not any("signature#" in cols for cols in scans), scans
+
+
+def test_gopher_signals_are_a_narrow_map(spark):
+    """The whole Gopher signal battery (five n-gram orders, line
+    stats, filter verdict) must stay a narrow map over the scan — no
+    Exchange anywhere.  At 100 TB the quality pass is the first gate
+    every document flows through; a shuffle here would be a
+    corpus-wide re-partition for per-row arithmetic."""
+    from cdp_spark.datapipe import quality_rules as qr
+
+    docs = load_table(spark, SF, "documents").filter(F.length(F.trim("text")) > 0)
+    sig = docs.select(
+        "doc_id",
+        qr.gopher_signals(F.col("text")).alias("g"),
+    ).select("doc_id", "g.*", )
+    plan = _executed(sig)
+    assert "Exchange" not in plan, plan[:3000]
+    assert "FileScan parquet" in plan
+
+
+def test_hard_negatives_broadcasts_anchors_and_limits_topk(spark):
+    """hard_negatives must broadcast the anchor batch (the corpus
+    never shuffles for scoring) and execute the per-anchor top-k as
+    WindowGroupLimit (partial top-k before the final rank), so the
+    exchange carries at most k rows per anchor per partition."""
+    from cdp_spark.datapipe.similarity import hard_negatives
+
+    emb = load_table(spark, SF, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = _executed(hard_negatives(emb, anchors, k=5, max_sim=0.95))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mix_broadcasts_weights(spark):
+    """temperature_mix's weight table is O(#strata): it must reach the
+    corpus through a BroadcastHashJoin — the corpus side of the plan
+    may not shuffle (the only Exchanges feed the tiny counts/totals
+    aggregation)."""
+    from cdp_spark.datapipe.sampling import temperature_mix
+
+    docs = load_table(spark, SF, "documents")
+    plan = _executed(temperature_mix(docs, "doc_id", "lang", alpha=0.5))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    # corpus-side scan feeds the broadcast join directly: every
+    # Exchange in the plan belongs to the counts aggregation (whose
+    # scan prunes to the stratum column only)
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert any("text" not in s and "lang" in s and "doc_id" not in s for s in scans), (
+        f"counts-side scan should prune to the stratum column: {scans}"
+    )
+
+
+def test_edit_distance_verify_is_candidate_bounded_and_thresholded(spark):
+    """edit_distance_near_dups must verify only LSH-candidate pairs
+    (no CartesianProduct / BroadcastNestedLoopJoin over the corpus)
+    and use the THRESHOLDED levenshtein (banded DP with early exit) —
+    the two properties that bound the O(len^2) verifier at 100 TB."""
+    from cdp_spark.datapipe import dedup as ddp
+
+    docs = load_table(spark, SF, "documents")
+    out = ddp.edit_distance_near_dups(
+        docs, "doc_id", "text", max_ratio=0.3, num_perm=32, bands=8,
+        hash_fn=ddp.md5_hash60,
+    )
+    plan = _executed(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the optimizer inlines the _thr column: the 3-arg form prints as
+    # levenshtein(_ta, _tb, Some(cast(CEIL(...))))
+    assert re.search(r"levenshtein\(_ta#\d+, _tb#\d+, Some\(", plan), (
+        "thresholded levenshtein (3-arg) not in the plan:\n" + plan[:2000]
+    )
