@@ -3673,6 +3673,50 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel 2020 §2.2: keep lines ending in
+    terminal punctuation with >= 5 words; drop pages under 3
+    sentences or containing '{' / 'lorem ipsum').  The raw synthetic
+    documents are single-line and unpunctuated, so the query first
+    derives a multi-line punctuated view — '.\\n' inserted after every
+    occurrence of the word 'line' — the same deterministic-fixture
+    pattern as the langid rotation; the oracle applies the identical
+    rewrite before replaying every rule."""
+    from cdp_spark.datapipe import quality_rules as qr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
+    sig = docs.select("doc_id", qr.c4_signals(t).alias("c"))
+    return sig.select(
+        "doc_id",
+        F.col("c.n_lines").alias("n_lines"),
+        F.col("c.n_kept_lines").alias("n_kept_lines"),
+        F.col("c.n_sentences").alias("n_sentences"),
+        F.col("c.has_brace").alias("has_brace"),
+        F.col("c.has_lorem").alias("has_lorem"),
+        qr.c4_page_filter(F.col("c")).alias("keeps"),
+    )
+
+
+def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document line dedup (the CCNet/C4 repeated-boilerplate
+    strip): first-occurrence-wins, order preserved.  Driven over a
+    word-per-line view of the corpus (spaces rewritten to newlines —
+    deterministic fixture, replayed by the oracle) so duplicate lines
+    actually occur; the result fingerprint pins content AND order."""
+    from cdp_spark.datapipe import quality_rules as qr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
+    deduped = qr.dedup_lines(t)
+    return docs.select(
+        "doc_id",
+        F.size(qr._trimmed_lines(t)).cast("long").alias("n_lines"),
+        F.size(F.split(deduped, "\n")).cast("long").alias("n_kept_lines"),
+        F.md5(deduped).alias("fp"),
+    )
+
+
 _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_multiband": q_embedding_near_dup_multiband,
     "stream_dedup_events": q_stream_dedup_events,
@@ -3752,17 +3796,20 @@ _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_near_dup": q_edit_distance_near_dup,
     "hard_negatives": q_hard_negatives,
     "temperature_mix": q_temperature_mix,
+    "c4_quality": q_c4_quality,
+    "dedup_lines_docs": q_dedup_lines_docs,
 }
 
 
 # Round-10 driver window (VERDICT r9 "next round" #1): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 8 round-10 additions, then the 10 round-9 additions that have
+# the 10 round-10 additions, then the 10 round-9 additions that have
 # DRIVERSIM/judge rows but no hard driver row yet, then the 10
-# r06-era queries deferred from the r9 window, then 22 of the 50
-# queries whose last driver row is r07 (registry order).  The 28
+# r06-era queries deferred from the r9 window, then 20 of the 50
+# queries whose last driver row is r07 (registry order).  The 30
 # r07-era queries that did not fit lead the r11 window
-# (stream_stream_left_join, hll_users_by_type, rollup_reaggregate,
+# (hll_union_entities, dsir_sample,
+# stream_stream_left_join, hll_users_by_type, rollup_reaggregate,
 # oov_rate, training_corpus_e2e, triangle_count_nations,
 # stream_cms_users, incremental_dedup, embedding_outliers,
 # quantiles_by_type, stream_pipeline_keyed_stateful,
@@ -3785,6 +3832,8 @@ _R10_WINDOW: tuple[str, ...] = (
     "edit_distance_near_dup",
     "hard_negatives",
     "temperature_mix",
+    "c4_quality",
+    "dedup_lines_docs",
     # -- never driver-checked: the 10 round-9 additions --
     "fold_incremental_dedup",
     "fold_substring_flags",
@@ -3807,7 +3856,7 @@ _R10_WINDOW: tuple[str, ...] = (
     "stream_keyed_windows",
     "cms_heavy_users",
     "bloom_filter_parts",
-    # -- last driver row r07 (22 of 50, registry order) --
+    # -- last driver row r07 (20 of 50, registry order) --
     "dedup_exact_docs",
     "dup_clusters",
     "text_stats",
@@ -3828,8 +3877,6 @@ _R10_WINDOW: tuple[str, ...] = (
     "semantic_dedup",
     "weighted_sample",
     "pagerank_nations",
-    "hll_union_entities",
-    "dsir_sample",
 )
 
 # Historical r9 window, kept for artifact cross-reference (the judge
@@ -6627,6 +6674,67 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY cosine_sim DESC, vec_id) AS rn
           FROM scored WHERE cosine_sim < 0.95)
         SELECT anchor_id, vec_id, cosine_sim FROM ranked WHERE rn <= 5
+    """
+
+    # C4 cleaning rules over the derived punctuated multi-line view
+    # (the ' line ' -> ' line.\n' rewrite is applied identically on
+    # both sides; left-to-right non-overlapping replace in every
+    # engine).
+    oracles["c4_quality"] = """
+        WITH base AS (
+          SELECT doc_id, replace(text, ' line ', ' line.' || chr(10)) AS t
+          FROM documents WHERE length(trim(text)) > 0),
+        l AS (
+          SELECT doc_id, t,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                                            x -> trim(x)),
+                             x -> length(x) > 0) AS lines
+          FROM base),
+        k AS (
+          SELECT doc_id, t, lines,
+                 list_filter(lines,
+                             x -> substr(x, length(x), 1) IN ('.', '!', '?', '"')
+                                  AND len(string_split_regex(x, '\\s+')) >= 5) AS kept
+          FROM l),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                 CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+                      - length(regexp_replace(
+                          coalesce(array_to_string(kept, chr(10)), ''),
+                          '[.!?]', '', 'g')) AS BIGINT)
+                   AS n_sentences,
+                 contains(t, '{') AS has_brace,
+                 contains(lower(t), 'lorem ipsum') AS has_lorem
+          FROM k)
+        SELECT *,
+               (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS keeps
+        FROM s
+    """
+
+    # Line dedup over the word-per-line view: first occurrence wins
+    # (list_position = 1-based first index, DuckDB's indexed lambda is
+    # 1-based where Spark's is 0-based).
+    oracles["dedup_lines_docs"] = """
+        WITH base AS (
+          SELECT doc_id, replace(text, ' ', chr(10)) AS t
+          FROM documents WHERE length(trim(text)) > 0),
+        l AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                                            x -> trim(x)),
+                             x -> length(x) > 0) AS lines
+          FROM base),
+        d AS (
+          SELECT doc_id, lines,
+                 list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+          FROM l)
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               md5(array_to_string(kept, chr(10))) AS fp
+        FROM d
     """
 
     # Temperature mix: replays the integer-exact weight derivation

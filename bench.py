@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "ngram_novelty",
     "gopher_quality",
+    "c4_quality",
+    "dedup_lines_docs",
     "perplexity_buckets",
     "edit_distance_near_dup",
     "pii_redact",

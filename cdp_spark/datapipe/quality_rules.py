@@ -198,13 +198,7 @@ def gopher_signals(
         )
 
     words_stats = _let(tokens(col), build_words)
-    # NB: F.transform(arr, F.trim) silently no-ops (trim's optional
-    # second parameter captures the lambda variable) — use an
-    # explicit lambda.
-    lines_arr = F.filter(
-        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
+    lines_arr = _trimmed_lines(col)
     lines_stats = _let(lines_arr, build_lines)
 
     nonspace = F.length(F.regexp_replace(col, r"\s", "")).cast("long")
@@ -244,6 +238,104 @@ def gopher_signals(
     return _let(
         F.struct(words_stats.alias("w"), lines_stats.alias("l"), nonspace.alias("ns")),
         lambda packed: gram_fields(packed["w"], packed["l"], packed["ns"]),
+    )
+
+
+# --- C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", §2.2) -----------------------------------------
+#
+# Documented simplifications (shared with the oracle and the Python
+# test model): "sentences" are counted as terminal-punctuation
+# occurrences ([.!?]) in the KEPT text rather than via a sentence
+# tokenizer, and the bad-word list is out of scope (licensing).
+
+C4_TERMINAL_SUFFIXES = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def _trimmed_lines(col: Column) -> Column:
+    """Non-blank, space-trimmed lines — the shared line view.
+    NB: F.transform(arr, F.trim) silently no-ops (trim's optional
+    second parameter captures the lambda variable) — the explicit
+    lambda is load-bearing."""
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def c4_kept_lines(col: Column, min_words: int = C4_MIN_LINE_WORDS) -> Column:
+    """Lines surviving C4's line rules: terminal punctuation at the
+    end AND at least ``min_words`` whitespace words."""
+    def keep(l: Column) -> Column:
+        last = F.substring(l, -1, 1)
+        return last.isin(*C4_TERMINAL_SUFFIXES) & (
+            F.size(F.split(l, r"\s+")) >= min_words
+        )
+
+    return F.filter(_trimmed_lines(col), keep)
+
+
+def c4_clean(col: Column, min_words: int = C4_MIN_LINE_WORDS) -> Column:
+    """The C4-cleaned text: kept lines re-joined with newlines."""
+    return F.array_join(c4_kept_lines(col, min_words), "\n")
+
+
+def c4_signals(col: Column, min_words: int = C4_MIN_LINE_WORDS) -> Column:
+    """C4 page-level signals as a struct: n_lines, n_kept_lines,
+    n_sentences (terminal-punct occurrences in the kept text),
+    has_brace ('{' anywhere — C4 drops code-ish pages), has_lorem
+    ('lorem ipsum', case-insensitive)."""
+
+    def build(packed: Column) -> Column:
+        lines, kept = packed["lines"], packed["kept"]
+        kt = F.array_join(kept, "\n")
+        return F.struct(
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept_lines"),
+            (
+                F.length(kt) - F.length(F.regexp_replace(kt, r"[.!?]", ""))
+            ).cast("long").alias("n_sentences"),
+            F.contains(col, F.lit("{")).alias("has_brace"),
+            F.contains(F.lower(col), F.lit("lorem ipsum")).alias("has_lorem"),
+        )
+
+    return _let(
+        F.struct(
+            _trimmed_lines(col).alias("lines"),
+            c4_kept_lines(col, min_words).alias("kept"),
+        ),
+        build,
+    )
+
+
+def c4_page_filter(
+    signals: Column, min_sentences: int = C4_MIN_SENTENCES
+) -> Column:
+    """C4's page verdict over :func:`c4_signals`: at least
+    ``min_sentences`` sentences in the kept text, no '{', no 'lorem
+    ipsum'."""
+    return (
+        (signals["n_sentences"] >= int(min_sentences))
+        & ~signals["has_brace"]
+        & ~signals["has_lorem"]
+    )
+
+
+def dedup_lines(col: Column) -> Column:
+    """Within-document line deduplication (the CCNet/C4 cleaning pass
+    that strips repeated headers / boilerplate lines): keep the FIRST
+    occurrence of every line, preserve order, re-join with newlines.
+    Pure Column algebra — array_position finds the first index, the
+    indexed filter keeps it; O(lines^2) per document in the worst
+    case, bounded by document size, no shuffle."""
+    return F.array_join(
+        _let(
+            _trimmed_lines(col),
+            lambda l: F.filter(l, lambda x, i: F.array_position(l, x) == i + 1),
+        ),
+        "\n",
     )
 
 

@@ -306,3 +306,70 @@ def test_perplexity_buckets_properties(spark):
         assert h <= t or abs(h - t) < 1e-9
     for r in out:
         assert abs(r["perplexity"] - _r(math.exp(-r["avg_logprob"]), 4)) < 1e-9
+
+
+def _py_c4(text: str, min_words: int = 5) -> dict:
+    import re
+
+    lines = [l.strip(" ") for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    kept = [
+        l
+        for l in lines
+        if l[-1:] in (".", "!", "?", '"') and len(re.split(r"\s+", l)) >= min_words
+    ]
+    kt = "\n".join(kept)
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": sum(kt.count(c) for c in ".!?"),
+        "has_brace": "{" in text,
+        "has_lorem": "lorem ipsum" in text.lower(),
+    }
+
+
+def test_c4_signals_match_python_model(spark):
+    from cdp_spark.datapipe.quality_rules import c4_page_filter, c4_signals
+
+    rnd = random.Random(31337)
+    docs = [(i, _random_doc(rnd)) for i in range(60)]
+    docs += [
+        (100, "This page has code { inside }. And a sentence here too."),
+        (101, "Lorem Ipsum dolor sit amet consectetur adipiscing elit."),
+        (102, "One good sentence with enough words here.\nshort.\nAnother full sentence with many words follows!\nAnd a third full sentence rounds it out?"),
+    ]
+    docs = [(i, t) for i, t in docs if t.strip()]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = (
+        df.select(
+            "doc_id",
+            "text",
+            c4_signals(F.col("text")).alias("c"),
+        )
+        .select("doc_id", "text", "c.*", c4_page_filter(F.col("c")).alias("keeps"))
+        .collect()
+    )
+    for row in rows:
+        want = _py_c4(row["text"])
+        for k, v in want.items():
+            assert row[k] == v, f"doc {row['doc_id']} {k}: {row[k]} != {v}"
+        want_keep = (
+            want["n_sentences"] >= 3
+            and not want["has_brace"]
+            and not want["has_lorem"]
+        )
+        assert row["keeps"] == want_keep
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[100]["keeps"] is False  # brace
+    assert by_id[101]["keeps"] is False  # lorem ipsum
+    assert by_id[102]["keeps"] is True
+    assert by_id[102]["n_kept_lines"] == 3  # 'short.' fails min_words
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    from cdp_spark.datapipe.quality_rules import dedup_lines
+
+    text = "alpha\nbeta\nalpha\ngamma\nbeta\n  \ndelta\nalpha"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    out = df.select(dedup_lines(F.col("text")).alias("d")).collect()[0]["d"]
+    assert out == "alpha\nbeta\ngamma\ndelta"
