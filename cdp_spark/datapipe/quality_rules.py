@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .curate import _let, word_ngrams
+from .curate import _let
 from .text import tokens
 
 # The eight "stop words" Gopher requires at least two of (A1.1).
@@ -149,7 +149,23 @@ def gopher_signals(
     ``top_ns``, dup_{n}gram_char_frac for n in ``dup_ns``.
     """
 
-    def build_words(words: Column) -> Column:
+    nonspace = F.length(F.regexp_replace(col, r"\s", "")).cast("long")
+    hash_chars = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    ellipsis_occurrences = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+
+    def ngrams_of(tk: Column, n: int) -> Column:
+        """word_ngrams over an already-bound token array — the text is
+        tokenized ONCE for all five gram orders (the unbound form
+        would re-split per order)."""
+        starts = F.when(
+            F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda i: F.array_join(F.slice(tk, i, n), " "))
+
+    def build(packed: Column) -> Column:
+        words, lines, ns = packed["toks"], packed["lines"], packed["ns"]
         n_words = F.size(words).cast("long")
         word_chars = F.aggregate(
             words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
@@ -161,24 +177,13 @@ def gopher_signals(
                 F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
                 lambda s: F.array_contains(lowered, s),
             )
-        )
-        return F.struct(
-            n_words.alias("n_words"),
-            _frac(word_chars, n_words).alias("mean_word_len"),
-            alpha_words.cast("long").alias("alpha_words"),
-            stop_hits.cast("long").alias("stop_hits"),
-        )
-
-    def build_lines(lines: Column) -> Column:
+        ).cast("long")
         n_lines = F.size(lines).cast("long")
         line_chars = F.aggregate(
             lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
         )
         bullets = F.size(
-            F.filter(
-                lines,
-                lambda l: F.substring(l, 1, 1).isin(*BULLET_PREFIXES),
-            )
+            F.filter(lines, lambda l: F.substring(l, 1, 1).isin(*BULLET_PREFIXES))
         )
         ellipses = F.size(
             F.filter(
@@ -187,57 +192,42 @@ def gopher_signals(
                 | F.endswith(l, F.lit(ELLIPSIS_SUFFIXES[1])),
             )
         )
-        rs = _run_stats(F.array_sort(lines), F.length)
-        return F.struct(
-            n_lines.alias("n_lines"),
-            line_chars.alias("line_chars"),
-            bullets.cast("long").alias("bullets"),
-            ellipses.cast("long").alias("ellipses"),
-            rs["dup_extra_count"].alias("dup_extra_count"),
-            rs["dup_extra_chars"].alias("dup_extra_chars"),
-        )
-
-    words_stats = _let(tokens(col), build_words)
-    lines_arr = _trimmed_lines(col)
-    lines_stats = _let(lines_arr, build_lines)
-
-    nonspace = F.length(F.regexp_replace(col, r"\s", "")).cast("long")
-    hash_chars = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
-    ellipsis_occurrences = (
-        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
-
-    def gram_fields(ws: Column, ls: Column, ns: Column) -> Column:
-        n_words = ws["n_words"]
+        lrs = _run_stats(F.array_sort(lines), F.length)
         fields = [
             n_words.alias("n_words"),
-            ws["mean_word_len"].alias("mean_word_len"),
+            _frac(word_chars, n_words).alias("mean_word_len"),
             _frac((hash_chars + ellipsis_occurrences).cast("double"), n_words).alias(
                 "symbol_word_ratio"
             ),
-            _frac(ws["alpha_words"], n_words).alias("alpha_word_frac"),
-            ws["stop_hits"].alias("stop_hits"),
-            ls["n_lines"].alias("n_lines"),
-            _frac(ls["bullets"], ls["n_lines"]).alias("bullet_line_frac"),
-            _frac(ls["ellipses"], ls["n_lines"]).alias("ellipsis_line_frac"),
-            _frac(ls["dup_extra_count"], ls["n_lines"]).alias("dup_line_frac"),
-            _frac(ls["dup_extra_chars"], ls["line_chars"]).alias("dup_line_char_frac"),
+            _frac(alpha_words.cast("long"), n_words).alias("alpha_word_frac"),
+            stop_hits.alias("stop_hits"),
+            n_lines.alias("n_lines"),
+            _frac(bullets.cast("long"), n_lines).alias("bullet_line_frac"),
+            _frac(ellipses.cast("long"), n_lines).alias("ellipsis_line_frac"),
+            _frac(lrs["dup_extra_count"], n_lines).alias("dup_line_frac"),
+            _frac(lrs["dup_extra_chars"], line_chars).alias("dup_line_char_frac"),
         ]
         for n in top_ns:
-            rs = _run_stats(F.array_sort(word_ngrams(col, n)), _gram_nospace_len)
+            rs = _run_stats(F.array_sort(ngrams_of(words, n)), _gram_nospace_len)
             top_mass = F.when(
                 rs["max_cnt"] >= 2,
                 rs["max_cnt"] * _gram_nospace_len(rs["max_item"]).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
             fields.append(_frac(top_mass, ns).alias(f"top_{n}gram_char_frac"))
         for n in dup_ns:
-            rs = _run_stats(F.array_sort(word_ngrams(col, n)), _gram_nospace_len)
-            fields.append(_frac(rs["dup_total_chars"], ns).alias(f"dup_{n}gram_char_frac"))
+            rs = _run_stats(F.array_sort(ngrams_of(words, n)), _gram_nospace_len)
+            fields.append(
+                _frac(rs["dup_total_chars"], ns).alias(f"dup_{n}gram_char_frac")
+            )
         return F.struct(*fields)
 
     return _let(
-        F.struct(words_stats.alias("w"), lines_stats.alias("l"), nonspace.alias("ns")),
-        lambda packed: gram_fields(packed["w"], packed["l"], packed["ns"]),
+        F.struct(
+            tokens(col).alias("toks"),
+            _trimmed_lines(col).alias("lines"),
+            nonspace.alias("ns"),
+        ),
+        build,
     )
 
 
