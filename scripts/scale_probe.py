@@ -224,6 +224,10 @@ PROBE_QUERIES = [
     "triangle_count_nations",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    # round 10: the curation battery + candidate-bounded verifiers
+    "gopher_quality",
+    "edit_distance_near_dup",
+    "hard_negatives",
 ]
 
 
