@@ -3717,6 +3717,57 @@ def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 curation battery end to end, ONE declarative
+    plan: Gopher gate (raw text) AND C4 page gate (punctuated view) →
+    C4 line filter → within-doc line dedup → corpus exact dedup on
+    the cleaned fingerprint (min doc_id wins) → temperature-scaled
+    language mix over the SURVIVORS (weights derived from survivor
+    counts, in-plan).  Scale shape: two fused narrow-map gates over
+    the scan, one (fp) shuffle for the exact dedup, one tiny
+    broadcast for the mix weights — the whole cleaning story costs
+    one wide stage.  The oracle chains the same steps as CTEs."""
+    from cdp_spark.datapipe import quality_rules as qr
+    from cdp_spark.datapipe.curate import _let
+    from cdp_spark.datapipe.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
+    # Bind each signal struct ONCE (_let): the filters read lambda
+    # variables, not 16 inlined copies of the signal tree — without
+    # this the optimizer's expression canonicalization blows up on
+    # the combined plan.
+    keep = _let(
+        qr.gopher_signals(F.col("text")),
+        lambda s: qr.gopher_filter(s, **_GOPHER_OVERRIDES),
+    ) & _let(qr.c4_signals(t), lambda c: qr.c4_page_filter(c))
+    # within-doc line dedup over the C4-kept line ARRAY (same
+    # first-occurrence rule as dedup_lines, minus a join/split
+    # round-trip)
+    cleaned = F.array_join(
+        _let(
+            qr.c4_kept_lines(t),
+            lambda l: F.filter(l, lambda x, i: F.array_position(l, x) == i + 1),
+        ),
+        "\n",
+    )
+    kept = (
+        docs.select("doc_id", "lang", cleaned.alias("_clean"), keep.alias("_keep"))
+        .filter(F.col("_keep") & (F.length("_clean") > 0))
+        .withColumn("fp", F.md5("_clean"))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "fp")
+    )
+    mixed = temperature_mix(survivors, "doc_id", "lang", alpha=0.5)
+    return mixed.select(
+        "doc_id", "lang", "fp", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 _ROUND6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_multiband": q_embedding_near_dup_multiband,
     "stream_dedup_events": q_stream_dedup_events,
@@ -3798,17 +3849,18 @@ _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "c4_quality": q_c4_quality,
     "dedup_lines_docs": q_dedup_lines_docs,
+    "clean_corpus_e2e": q_clean_corpus_e2e,
 }
 
 
 # Round-10 driver window (VERDICT r9 "next round" #1): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 10 round-10 additions, then the 10 round-9 additions that have
+# the 11 round-10 additions, then the 10 round-9 additions that have
 # DRIVERSIM/judge rows but no hard driver row yet, then the 10
-# r06-era queries deferred from the r9 window, then 20 of the 50
-# queries whose last driver row is r07 (registry order).  The 30
+# r06-era queries deferred from the r9 window, then 19 of the 50
+# queries whose last driver row is r07 (registry order).  The 31
 # r07-era queries that did not fit lead the r11 window
-# (hll_union_entities, dsir_sample,
+# (pagerank_nations, hll_union_entities, dsir_sample,
 # stream_stream_left_join, hll_users_by_type, rollup_reaggregate,
 # oov_rate, training_corpus_e2e, triangle_count_nations,
 # stream_cms_users, incremental_dedup, embedding_outliers,
@@ -3834,6 +3886,7 @@ _R10_WINDOW: tuple[str, ...] = (
     "temperature_mix",
     "c4_quality",
     "dedup_lines_docs",
+    "clean_corpus_e2e",
     # -- never driver-checked: the 10 round-9 additions --
     "fold_incremental_dedup",
     "fold_substring_flags",
@@ -3856,7 +3909,7 @@ _R10_WINDOW: tuple[str, ...] = (
     "stream_keyed_windows",
     "cms_heavy_users",
     "bloom_filter_parts",
-    # -- last driver row r07 (20 of 50, registry order) --
+    # -- last driver row r07 (19 of 50, registry order) --
     "dedup_exact_docs",
     "dup_clusters",
     "text_stats",
@@ -3876,7 +3929,6 @@ _R10_WINDOW: tuple[str, ...] = (
     "stream_stream_join",
     "semantic_dedup",
     "weighted_sample",
-    "pagerank_nations",
 )
 
 # Historical r9 window, kept for artifact cross-reference (the judge
@@ -6735,6 +6787,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(kept) AS BIGINT) AS n_kept_lines,
                md5(array_to_string(kept, chr(10))) AS fp
         FROM d
+    """
+
+    # End-to-end cleaning pipeline: the gopher_quality oracle supplies
+    # the raw-text gate; the C4 line/page steps, the within-doc line
+    # dedup, the exact dedup on the cleaned fingerprint, and the
+    # survivor-count temperature mix chain as CTEs in the same order
+    # the Spark plan applies them.
+    oracles["clean_corpus_e2e"] = f"""
+        WITH g AS ({oracles["gopher_quality"]}),
+        base AS (
+          SELECT doc_id, lang,
+                 replace(text, ' line ', ' line.' || chr(10)) AS t
+          FROM documents WHERE length(trim(text)) > 0),
+        l AS (
+          SELECT doc_id, lang, t,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                                            x -> trim(x)),
+                             x -> length(x) > 0) AS lines
+          FROM base),
+        k AS (
+          SELECT doc_id, lang, t,
+                 list_filter(lines,
+                             x -> substr(x, length(x), 1) IN ('.', '!', '?', '"')
+                                  AND len(string_split_regex(x, '\\s+')) >= 5) AS kept
+          FROM l),
+        c4 AS (
+          SELECT doc_id, lang, kept,
+                 CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+                      - length(regexp_replace(
+                          coalesce(array_to_string(kept, chr(10)), ''),
+                          '[.!?]', '', 'g')) AS BIGINT) AS n_sent,
+                 contains(t, '{{') AS hb,
+                 contains(lower(t), 'lorem ipsum') AS hl
+          FROM k),
+        dd AS (
+          SELECT doc_id, lang,
+                 list_filter(kept, (x, i) -> list_position(kept, x) = i) AS dl
+          FROM c4 WHERE n_sent >= 3 AND NOT hb AND NOT hl),
+        pass AS (
+          SELECT d.doc_id, d.lang,
+                 md5(array_to_string(d.dl, chr(10))) AS fp
+          FROM dd d JOIN g ON d.doc_id = g.doc_id
+          WHERE g.passes AND len(d.dl) > 0),
+        su AS (
+          SELECT doc_id, lang, fp FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM pass) WHERE rn = 1),
+        cnt AS (SELECT lang, count(*) AS n FROM su GROUP BY lang),
+        s AS (SELECT lang, n, CAST(round(pow(n, 0.5)) AS BIGINT) AS sn FROM cnt),
+        t2 AS (SELECT sum(n) AS tot, sum(sn) AS stot FROM s),
+        w AS (SELECT lang,
+                     CAST(floor(CAST(sn * tot AS DOUBLE)
+                                / CAST(stot * n AS DOUBLE)) AS BIGINT) AS whole,
+                     CAST(floor((CAST(sn * tot AS DOUBLE)
+                                 / CAST(stot * n AS DOUBLE)
+                                 - floor(CAST(sn * tot AS DOUBLE)
+                                         / CAST(stot * n AS DOUBLE)))
+                                * 65536) AS BIGINT) AS thr
+              FROM s, t2),
+        b AS (SELECT su.doc_id, su.lang, su.fp,
+                     CAST('0x' || substr(md5(CAST(su.doc_id AS VARCHAR)), 1, 4)
+                          AS BIGINT) AS bi
+              FROM su),
+        e AS (SELECT b.doc_id, b.lang, b.fp,
+                     w.whole + CASE WHEN b.bi < w.thr THEN 1 ELSE 0 END AS ne
+              FROM b JOIN w USING (lang))
+        SELECT doc_id, lang, fp,
+               CAST(unnest(generate_series(1, ne)) AS BIGINT) AS epoch
+        FROM e WHERE ne > 0
     """
 
     # Temperature mix: replays the integer-exact weight derivation

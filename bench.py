@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "c4_quality",
     "dedup_lines_docs",
+    "clean_corpus_e2e",
     "perplexity_buckets",
     "edit_distance_near_dup",
     "pii_redact",

@@ -8,12 +8,22 @@ column plumbing.  All hot paths are JVM-side Column expressions
 Python appears only in clearly-marked stubs.
 """
 
-from . import dedup, graph, multimodal, sampling, similarity, sketches, text
+from . import (
+    dedup,
+    graph,
+    multimodal,
+    quality_rules,
+    sampling,
+    similarity,
+    sketches,
+    text,
+)
 
 __all__ = [
     "dedup",
     "graph",
     "multimodal",
+    "quality_rules",
     "sampling",
     "similarity",
     "sketches",

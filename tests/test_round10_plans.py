@@ -177,3 +177,26 @@ def test_edit_distance_verify_is_candidate_bounded_and_thresholded(spark):
     assert re.search(r"levenshtein\(_ta#\d+, _tb#\d+, Some\(", plan), (
         "thresholded levenshtein (3-arg) not in the plan:\n" + plan[:2000]
     )
+
+
+def test_clean_corpus_e2e_is_one_wide_stage(spark):
+    """The composed cleaning pipeline (Gopher gate + C4 gate + line
+    dedup + exact dedup + temperature mix) must stay: narrow gates
+    fused over the scan, ONE hash exchange for the fingerprint dedup,
+    broadcast joins for the tiny mix-weight frames — never a
+    SortMergeJoin over the corpus."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_clean_corpus_e2e(spark, SF)
+    df.collect()  # AQE: exchange reuse only materializes at runtime
+    plan = _executed(df)
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the fp shuffle materializes ONCE; the mix's two survivor
+    # consumers (count aggregation + final join) read it via
+    # ReusedExchange instead of recomputing the gates
+    reused = re.findall(
+        r"ReusedExchange \[[^\]]*fp#[^\]]*\], Exchange hashpartitioning\(fp#",
+        plan,
+    )
+    assert len(reused) >= 2, plan[:3000]
