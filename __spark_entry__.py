@@ -3594,6 +3594,37 @@ _GOPHER_OVERRIDES: dict[str, float] = {
     "max_top_2gram_char_frac": 0.06,
 }
 
+# The Gopher/C4 Column trees are large (five run-length folds) and
+# cost ~2 s of py4j round-trips to CONSTRUCT — a per-process constant,
+# not a per-row or per-scale cost.  They are unresolved expressions
+# (bound to column NAMES, not to a session or plan), so build them
+# once per process and reuse across queries/runs.
+_R10_GATE_COLS: dict[str, object] = {}
+
+
+def _r10_gate_cols() -> dict[str, object]:
+    if not _R10_GATE_COLS:
+        from cdp_spark.datapipe import quality_rules as qr
+        from cdp_spark.datapipe.curate import _let
+
+        t = F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
+        _R10_GATE_COLS["gopher_sig"] = qr.gopher_signals(F.col("text"))
+        _R10_GATE_COLS["c4_sig"] = qr.c4_signals(t)
+        _R10_GATE_COLS["keep"] = _let(
+            qr.gopher_signals(F.col("text")),
+            lambda s: qr.gopher_filter(s, **_GOPHER_OVERRIDES),
+        ) & _let(qr.c4_signals(t), lambda c: qr.c4_page_filter(c))
+        _R10_GATE_COLS["cleaned"] = F.array_join(
+            _let(
+                qr.c4_kept_lines(t),
+                lambda l: F.filter(
+                    l, lambda x, i: F.array_position(l, x) == i + 1
+                ),
+            ),
+            "\n",
+        )
+    return _R10_GATE_COLS
+
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae 2021 A1.1): every repetition /
@@ -3605,7 +3636,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdp_spark.datapipe import quality_rules as qr
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    sig = docs.select("doc_id", qr.gopher_signals(F.col("text")).alias("g"))
+    sig = docs.select("doc_id", _r10_gate_cols()["gopher_sig"].alias("g"))
     return sig.select(
         "doc_id",
         F.col("g.n_words").alias("n_words"),
@@ -3685,8 +3716,7 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdp_spark.datapipe import quality_rules as qr
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    t = F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
-    sig = docs.select("doc_id", qr.c4_signals(t).alias("c"))
+    sig = docs.select("doc_id", _r10_gate_cols()["c4_sig"].alias("c"))
     return sig.select(
         "doc_id",
         F.col("c.n_lines").alias("n_lines"),
@@ -3718,47 +3748,49 @@ def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_clean_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-10 curation battery end to end, ONE declarative
-    plan: Gopher gate (raw text) AND C4 page gate (punctuated view) →
-    C4 line filter → within-doc line dedup → corpus exact dedup on
-    the cleaned fingerprint (min doc_id wins) → temperature-scaled
-    language mix over the SURVIVORS (weights derived from survivor
-    counts, in-plan).  Scale shape: two fused narrow-map gates over
-    the scan, one (fp) shuffle for the exact dedup, one tiny
-    broadcast for the mix weights — the whole cleaning story costs
-    one wide stage.  The oracle chains the same steps as CTEs."""
-    from cdp_spark.datapipe import quality_rules as qr
-    from cdp_spark.datapipe.curate import _let
+    """The round-10 curation battery end to end: Gopher gate (raw
+    text) AND C4 page gate (punctuated view) → C4 line filter →
+    within-doc line dedup → corpus exact dedup on the cleaned
+    fingerprint (min doc_id wins) → temperature-scaled language mix
+    over the SURVIVORS (weights derived from survivor counts,
+    in-plan).  Scale shape: the gates fuse into ONE narrow projection
+    over the scan whose (doc_id, lang, fp) output materializes once —
+    exactly what a production cleaning pass does (the curated frame
+    IS its output; at 100 TB it would be the parquet it writes) — so
+    the giant gate expression is analyzed and executed exactly once;
+    dedup (one fp shuffle) and the mix (tiny broadcast) run on the
+    materialized survivors.  The oracle chains the same steps as
+    CTEs."""
     from cdp_spark.datapipe.sampling import temperature_mix
+    from cdp_spark.session import iter_checkpoint
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    t = F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
-    # Bind each signal struct ONCE (_let): the filters read lambda
-    # variables, not 16 inlined copies of the signal tree — without
-    # this the optimizer's expression canonicalization blows up on
-    # the combined plan.
-    keep = _let(
-        qr.gopher_signals(F.col("text")),
-        lambda s: qr.gopher_filter(s, **_GOPHER_OVERRIDES),
-    ) & _let(qr.c4_signals(t), lambda c: qr.c4_page_filter(c))
-    # within-doc line dedup over the C4-kept line ARRAY (same
-    # first-occurrence rule as dedup_lines, minus a join/split
-    # round-trip)
-    cleaned = F.array_join(
-        _let(
-            qr.c4_kept_lines(t),
-            lambda l: F.filter(l, lambda x, i: F.array_position(l, x) == i + 1),
-        ),
-        "\n",
-    )
-    kept = (
-        docs.select("doc_id", "lang", cleaned.alias("_clean"), keep.alias("_keep"))
+    # Cached gate Columns; each signal struct is bound ONCE through
+    # _let inside them — the filters read lambda variables, not 16
+    # inlined copies of the signal tree (without the binding the
+    # optimizer's expression canonicalization blows up on the
+    # combined plan).  `cleaned` deduplicates the C4-kept line ARRAY
+    # (same first-occurrence rule as dedup_lines, minus a join/split
+    # round-trip).
+    cols = _r10_gate_cols()
+    keep, cleaned = cols["keep"], cols["cleaned"]
+
+    # ONE projection evaluates both gates and the cleaned fingerprint;
+    # materialize its narrow (doc_id, lang, fp) output so the wide
+    # gate expression is analyzed/planned/executed exactly once (each
+    # further Dataset op would re-analyze the giant tree, and AQE
+    # would re-canonicalize it per query stage — measured 3-6x
+    # overhead before this).
+    curated = iter_checkpoint(
+        docs.select(
+            "doc_id", "lang", cleaned.alias("_clean"), keep.alias("_keep")
+        )
         .filter(F.col("_keep") & (F.length("_clean") > 0))
-        .withColumn("fp", F.md5("_clean"))
+        .select("doc_id", "lang", F.md5("_clean").alias("fp"))
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
     survivors = (
-        kept.withColumn("_rn", F.row_number().over(w))
+        curated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "lang", "fp")
     )

