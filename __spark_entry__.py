@@ -3681,12 +3681,15 @@ def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per anchor
-    (every 50th vector), top-5 cosine neighbors strictly below the
-    0.95 near-dup ceiling — broadcast anchors, WindowGroupLimit
-    top-k, corpus never shuffles."""
+    """Hard-negative mining for contrastive training: per anchor,
+    top-5 cosine neighbors strictly below the 0.95 near-dup ceiling —
+    broadcast anchors, WindowGroupLimit top-k, corpus never shuffles.
+    The anchor set is a FIXED-SIZE batch (every 50th vector below id
+    2000, i.e. <= 40 anchors at any scale) — the realistic mining
+    shape is a bounded query batch against a growing corpus, so work
+    scales linearly with the corpus, not quadratically."""
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    anchors = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     return sim.hard_negatives(emb, anchors, k=5, max_sim=0.95)
 
 
@@ -6748,7 +6751,7 @@ def oracle_sql() -> dict[str, str]:
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                       FROM embeddings),
         anchors AS (SELECT vec_id AS anchor_id, emb AS aemb
-                    FROM base WHERE vec_id % 50 = 0),
+                    FROM base WHERE vec_id % 50 = 0 AND vec_id < 2000),
         scored AS (
           SELECT a.anchor_id, b.vec_id,
                  round(list_cosine_similarity(b.emb, a.aemb), 4) AS cosine_sim

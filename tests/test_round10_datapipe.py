@@ -373,3 +373,23 @@ def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
     out = df.select(dedup_lines(F.col("text")).alias("d")).collect()[0]["d"]
     assert out == "alpha\nbeta\ngamma\ndelta"
+
+
+def test_hard_negatives_vectorized_equals_column_path(spark):
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((80, 12)).round(2).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    anchors = df.filter(F.col("vec_id") % 25 == 0)
+    fast = sorted(
+        map(tuple, hard_negatives(df, anchors, k=6, max_sim=0.9).collect())
+    )
+    slow = sorted(
+        map(
+            tuple,
+            hard_negatives(
+                df, anchors, k=6, max_sim=0.9, vectorized=False
+            ).collect(),
+        )
+    )
+    assert fast == slow

@@ -122,19 +122,28 @@ def test_gopher_signals_are_a_narrow_map(spark):
     assert "FileScan parquet" in plan
 
 
-def test_hard_negatives_broadcasts_anchors_and_limits_topk(spark):
-    """hard_negatives must broadcast the anchor batch (the corpus
-    never shuffles for scoring) and execute the per-anchor top-k as
-    WindowGroupLimit (partial top-k before the final rank), so the
-    exchange carries at most k rows per anchor per partition."""
+def test_hard_negatives_scores_in_one_vectorized_map(spark):
+    """The default hard_negatives path must score every anchor in ONE
+    Arrow-batched numpy matmul map over the corpus — no join of the
+    corpus at all — and rank the per-anchor top-k as WindowGroupLimit,
+    so the only exchange carries at most ~k rows per anchor per
+    batch.  The pure-Column fallback keeps the broadcast join shape
+    (the corpus still never shuffles for scoring)."""
     from cdp_spark.datapipe.similarity import hard_negatives
 
     emb = load_table(spark, SF, "embeddings")
     anchors = emb.filter(F.col("vec_id") % 50 == 0)
     plan = _executed(hard_negatives(emb, anchors, k=5, max_sim=0.95))
-    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "MapInPandas" in plan, plan[:3000]
     assert "WindowGroupLimit" in plan, plan[:3000]
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, plan[:3000]
+
+    fallback = _executed(
+        hard_negatives(emb, anchors, k=5, max_sim=0.95, vectorized=False)
+    )
+    assert "BroadcastNestedLoopJoin" in fallback, fallback[:3000]
+    assert "WindowGroupLimit" in fallback, fallback[:3000]
+    assert "SortMergeJoin" not in fallback
 
 
 def test_temperature_mix_broadcasts_weights(spark):
