@@ -1076,6 +1076,39 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery on ingest (r10): docs (doc_id % 3 ==
+    0) flow through the stateless full-signal gate in 4 micro-batches
+    with the driver's relaxed thresholds; the materialized per-doc
+    decisions reduce to a per-source audit (n_docs, n_passed,
+    total_words, max_top2).  Stateless map = micro-batch boundaries
+    cannot change any row, so the batch oracle (the gopher_quality
+    oracle aggregated per source) replays it exactly."""
+    import tempfile
+
+    from cdp_spark.streaming.analytics import stream_gopher_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    streamed = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", "text"
+    )
+    src = tempfile.mkdtemp(prefix="cdp_ggate_src_")
+    streamed.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    gated = stream_gopher_gate(stream, **_GOPHER_OVERRIDES)
+    mat = _drive_memory_stream(spark, gated, "cdp_ggate_", src)
+    return mat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("passes")).alias("n_passed"),
+        F.sum("n_words").alias("total_words"),
+        F.max("top_2gram_char_frac").alias("max_top2"),
+    )
+
+
 def q_bm25_index_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted BM25 index lifecycle (r9, the retrieval twin of
     fold_incremental_dedup): build the inverted index over the corpus
@@ -3885,17 +3918,18 @@ _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_quality": q_c4_quality,
     "dedup_lines_docs": q_dedup_lines_docs,
     "clean_corpus_e2e": q_clean_corpus_e2e,
+    "stream_gopher_gate": q_stream_gopher_gate,
 }
 
 
 # Round-10 driver window (VERDICT r9 "next round" #1): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 11 round-10 additions, then the 10 round-9 additions that have
+# the 12 round-10 additions, then the 10 round-9 additions that have
 # DRIVERSIM/judge rows but no hard driver row yet, then the 10
-# r06-era queries deferred from the r9 window, then 19 of the 50
-# queries whose last driver row is r07 (registry order).  The 31
+# r06-era queries deferred from the r9 window, then 18 of the 50
+# queries whose last driver row is r07 (registry order).  The 32
 # r07-era queries that did not fit lead the r11 window
-# (pagerank_nations, hll_union_entities, dsir_sample,
+# (weighted_sample, pagerank_nations, hll_union_entities, dsir_sample,
 # stream_stream_left_join, hll_users_by_type, rollup_reaggregate,
 # oov_rate, training_corpus_e2e, triangle_count_nations,
 # stream_cms_users, incremental_dedup, embedding_outliers,
@@ -3922,6 +3956,7 @@ _R10_WINDOW: tuple[str, ...] = (
     "c4_quality",
     "dedup_lines_docs",
     "clean_corpus_e2e",
+    "stream_gopher_gate",
     # -- never driver-checked: the 10 round-9 additions --
     "fold_incremental_dedup",
     "fold_substring_flags",
@@ -3944,7 +3979,7 @@ _R10_WINDOW: tuple[str, ...] = (
     "stream_keyed_windows",
     "cms_heavy_users",
     "bloom_filter_parts",
-    # -- last driver row r07 (19 of 50, registry order) --
+    # -- last driver row r07 (18 of 50, registry order) --
     "dedup_exact_docs",
     "dup_clusters",
     "text_stats",
@@ -3963,7 +3998,6 @@ _R10_WINDOW: tuple[str, ...] = (
     "approx_quantiles_value",
     "stream_stream_join",
     "semantic_dedup",
-    "weighted_sample",
 )
 
 # Historical r9 window, kept for artifact cross-reference (the judge
@@ -6704,6 +6738,22 @@ def oracle_sql() -> dict[str, str]:
                 AND dup_5gram_char_frac <= 0.15
                 AND dup_10gram_char_frac <= 0.10) AS passes
         FROM sig
+    """
+
+    # Streaming Gopher gate: stateless map, so the batch replay IS the
+    # gopher_quality oracle aggregated per source over the streamed
+    # subset.
+    oracles["stream_gopher_gate"] = f"""
+        WITH g AS ({oracles["gopher_quality"]})
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_passed,
+               CAST(sum(g.n_words) AS BIGINT) AS total_words,
+               max(g.top_2gram_char_frac) AS max_top2
+        FROM g JOIN documents d USING (doc_id)
+        WHERE d.doc_id % 3 = 0
+        GROUP BY d.source
     """
 
     # CCNet perplexity buckets: the unigram-LM oracle wrapped in one

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans_indexed",
     "rolling_active_users",
     "stream_quality_gate",
+    "stream_gopher_gate",
     # round 6: graph / sampling / semantic dedup / sketch merge
     "semantic_dedup",
     "embedding_outliers",

@@ -553,6 +553,39 @@ def reduce_substring_flags(
     )
 
 
+def stream_gopher_gate(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    **thresholds: float,
+) -> DataFrame:
+    """The full Gopher A1.1 rule battery as a curation-on-ingest
+    gate (the heavyweight sibling of :func:`stream_quality_gate`):
+    per streamed document every repetition/formatting signal
+    (datapipe.quality_rules.gopher_signals) plus the threshold
+    verdict — still pure Column expressions, so the gate stays
+    STATELESS (append mode, no watermark, no state store) and costs
+    one narrow map per micro-batch; micro-batch boundaries cannot
+    change any row, so a batch frame replays it exactly (the oracle
+    discipline).  ``thresholds`` override gopher_filter's canonical
+    cutoffs.
+
+    Output: the input columns plus the flattened signal battery and
+    ``passes``.
+    """
+    from ..datapipe.curate import _let
+    from ..datapipe.quality_rules import gopher_filter, gopher_signals
+
+    sig = gopher_signals(F.col(text_col))
+    passes = _let(sig, lambda s: gopher_filter(s, **thresholds))
+    return (
+        stream_docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("g", sig)
+        .withColumn("passes", passes)
+        .select("*", "g.*")
+        .drop("g")
+    )
+
+
 def stream_quality_gate(
     stream_docs: DataFrame,
     text_col: str = "text",

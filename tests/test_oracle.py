@@ -99,10 +99,10 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-10 rotation (VERDICT r9 #1) puts the 11 round-10
+    entries; round-10 rotation (VERDICT r9 #1) puts the 12 round-10
     additions and the 10 round-9 additions that have never had a hard
     driver row at the front, then the 10 r06-era queries deferred
-    from the r9 window, then 19 of the 50 queries whose last driver
+    from the r9 window, then 18 of the 50 queries whose last driver
     row is r07.  Pin the window membership so a later edit appending
     to the wrong dict cannot silently rotate them out, and pin that
     the window is exactly the declared list."""
@@ -117,6 +117,7 @@ def test_driver_window_leads_with_never_checked_queries():
         "stream_bm25_ingest", "gopher_quality", "perplexity_buckets",
         "edit_distance_near_dup", "hard_negatives", "temperature_mix",
         "c4_quality", "dedup_lines_docs", "clean_corpus_e2e",
+        "stream_gopher_gate",
         # never driver-checked before r10: the 10 round-9 additions
         "fold_incremental_dedup", "fold_substring_flags",
         "bm25_index_fold", "langid_ngram_separation", "bpe_merges",
@@ -129,7 +130,7 @@ def test_driver_window_leads_with_never_checked_queries():
         "stream_enrich_events", "stream_keyed_windows",
         "cms_heavy_users", "bloom_filter_parts",
         # r07-era representatives across the families
-        "dedup_exact_docs", "minhash_pairs", "weighted_sample",
+        "dedup_exact_docs", "minhash_pairs", "salted_join_revenue",
         "stream_stream_join", "pipeline_template_e2e",
         "semantic_dedup",
     }

@@ -238,3 +238,62 @@ def test_clean_corpus_e2e_downstream_runs_on_materialized_survivors(spark):
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert len(re.findall(r"Exchange hashpartitioning\(fp#", plan)) <= 3, plan[:3000]
+
+
+def test_stream_gopher_gate_is_stateless_and_matches_batch(spark, tmp_path):
+    """The Gopher ingest gate claims stateless append: the engine's
+    own progress report must show zero state operators, and the
+    streamed decisions must equal the batch gopher_filter over the
+    same rows (stateless map ⇒ micro-batch boundaries cannot
+    matter)."""
+    import json as _json
+
+    from cdp_spark.datapipe.quality_rules import gopher_filter, gopher_signals
+    from cdp_spark.streaming.analytics import stream_gopher_gate
+
+    docs = [
+        {"doc_id": i, "text": ("the cat sat with a dog and " + " ".join(f"w{i}x{j}" for j in range(60)))}
+        for i in range(6)
+    ] + [{"doc_id": 99, "text": "tiny"}]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, d in enumerate(docs):
+        (src / f"b{i}.json").write_text(_json.dumps(d) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 3)
+        .json(str(src))
+    )
+    q = (
+        stream_gopher_gate(stream, min_stop_hits=1)
+        .writeStream.format("memory")
+        .queryName("ggate_plan")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.lastProgress
+    assert progress is not None
+    assert progress["stateOperators"] == [], progress["stateOperators"]
+
+    streamed = {
+        r["doc_id"]: r["passes"] for r in spark.table("ggate_plan").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], ["doc_id", "text"]
+    )
+    batch = {
+        r["doc_id"]: r["p"]
+        for r in batch_df.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            gopher_filter(
+                gopher_signals(F.col("text")), min_stop_hits=1
+            ).alias("p"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+    assert streamed[0] is True and streamed[99] is False
