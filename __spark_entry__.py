@@ -3772,14 +3772,29 @@ def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually occur; the result fingerprint pins content AND order."""
     from cdp_spark.datapipe import quality_rules as qr
 
+    from cdp_spark.datapipe.curate import _let
+
     docs = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     t = F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
-    deduped = qr.dedup_lines(t)
+    # bind the kept ARRAY once: n_kept_lines is its size (an empty doc
+    # counts 0, where size(split(joined)) would count 1 — ADVICE r10)
+    # and fp hashes its join, so the two can never disagree
+    kept = _let(
+        qr.dedup_lines_array(t),
+        lambda a: F.struct(
+            F.size(a).cast("long").alias("n"),
+            F.md5(F.array_join(a, "\n")).alias("fp"),
+        ),
+    )
     return docs.select(
         "doc_id",
         F.size(qr._trimmed_lines(t)).cast("long").alias("n_lines"),
-        F.size(F.split(deduped, "\n")).cast("long").alias("n_kept_lines"),
-        F.md5(deduped).alias("fp"),
+        kept.alias("_k"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        F.col("_k.n").alias("n_kept_lines"),
+        F.col("_k.fp").alias("fp"),
     )
 
 
@@ -6870,7 +6885,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(len(lines) AS BIGINT) AS n_lines,
                CAST(len(kept) AS BIGINT) AS n_kept_lines,
-               md5(array_to_string(kept, chr(10))) AS fp
+               -- array_to_string([]) is NULL in DuckDB; Spark's
+               -- array_join([]) is '' — coalesce so both hash md5('')
+               -- for a document with zero kept lines
+               md5(coalesce(array_to_string(kept, chr(10)), '')) AS fp
         FROM d
     """
 

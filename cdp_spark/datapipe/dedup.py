@@ -335,10 +335,17 @@ def edit_distance_near_dups(
         F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
     )
     maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
+    # The early-exit threshold carries half-a-rounding-ulp of slack
+    # (max_ratio + 0.5 * 10^-round_digits): the final filter keeps a
+    # pair when its ROUNDED ratio passes, and for multi-megabyte
+    # documents distance/maxlen can sit in (ceil(r*maxlen)/maxlen,
+    # r + 0.5*10^-rd] — a bare ceil(r*maxlen) would -1 a pair the
+    # rounded-ratio filter accepts (ADVICE r10).
+    slack_ratio = float(max_ratio) + 0.5 * 10.0 ** (-round_digits)
     joined = (
         pairs.join(texts_a, "id_a")
         .join(texts_b, "id_b")
-        .withColumn("_thr", F.ceil(maxlen * F.lit(float(max_ratio))).cast("int"))
+        .withColumn("_thr", F.ceil(maxlen * F.lit(slack_ratio)).cast("int"))
     )
     dist = F.expr("levenshtein(_ta, _tb, _thr)")
     return (

@@ -313,6 +313,18 @@ def c4_page_filter(
     )
 
 
+def dedup_lines_array(col: Column) -> Column:
+    """The kept-line ARRAY of :func:`dedup_lines` — exposed so callers
+    needing both the deduped text and its line count (or any other
+    derived stat) bind the array once instead of re-splitting the
+    joined string, which miscounts the empty document
+    (``F.size(F.split("", "\\n")) == 1``, not 0 — ADVICE r10)."""
+    return _let(
+        _trimmed_lines(col),
+        lambda l: F.filter(l, lambda x, i: F.array_position(l, x) == i + 1),
+    )
+
+
 def dedup_lines(col: Column) -> Column:
     """Within-document line deduplication (the CCNet/C4 cleaning pass
     that strips repeated headers / boilerplate lines): keep the FIRST
@@ -320,13 +332,7 @@ def dedup_lines(col: Column) -> Column:
     Pure Column algebra — array_position finds the first index, the
     indexed filter keeps it; O(lines^2) per document in the worst
     case, bounded by document size, no shuffle."""
-    return F.array_join(
-        _let(
-            _trimmed_lines(col),
-            lambda l: F.filter(l, lambda x, i: F.array_position(l, x) == i + 1),
-        ),
-        "\n",
-    )
+    return F.array_join(dedup_lines_array(col), "\n")
 
 
 # Canonical Gopher thresholds (A1.1).  Keys match gopher_signals fields.

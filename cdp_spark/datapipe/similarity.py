@@ -112,6 +112,37 @@ def cosine_topk(
     )
 
 
+def _round_half_up(a, digits: int):
+    """Round a numpy array the way Spark's ``F.round`` rounds doubles:
+    HALF_UP on the value's SHORTEST DECIMAL representation
+    (``BigDecimal.valueOf`` goes through ``Double.toString``), not on
+    the exact binary value and not numpy's half-to-even — so the
+    vectorized scorer and the pure-Column fallback agree bit-for-bit
+    at ``digits`` even on .5-boundary values (ADVICE r10).
+
+    Fast path: ``floor(|x|*s + 0.5)`` — HALF_UP on the binary value,
+    which equals HALF_UP-on-shortest-decimal everywhere except when
+    the scaled fraction sits essentially ON .5; those rare entries are
+    re-rounded exactly via ``Decimal(repr(x))``."""
+    import numpy as np
+
+    s = float(10**digits)
+    v = np.abs(a) * s
+    fast = np.floor(v + 0.5)
+    suspect = np.abs(v - np.floor(v) - 0.5) < 1e-6
+    if suspect.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-digits)
+        for t in zip(*np.nonzero(suspect)):
+            xi = abs(float(a[t]))
+            fast[t] = float(
+                Decimal(repr(xi)).quantize(q, rounding=ROUND_HALF_UP).scaleb(digits)
+            )
+    # + 0.0 normalizes -0.0 (sign * 0) to +0.0, F.round's output
+    return np.sign(a) * fast / s + 0.0
+
+
 def hard_negatives(
     df: DataFrame,
     anchors: DataFrame,
@@ -153,19 +184,20 @@ def hard_negatives(
     if vectorized:
         import numpy as np
 
+        # derive the output schema from the corpus id type BEFORE the
+        # empty-anchor early return, so both paths type identically
+        # for non-long id columns (ADVICE r10)
+        id_type = dict(df.dtypes)[id_col]
+        out_schema = f"anchor_id {id_type}, {id_col} {id_type}, cosine_sim double"
         a_rows = anchors.select(id_col, vec_col).collect()
         if not a_rows:
-            return df.sparkSession.createDataFrame(
-                [], f"anchor_id long, {id_col} long, cosine_sim double"
-            )
+            return df.sparkSession.createDataFrame([], out_schema)
         aids = np.array([r[0] for r in a_rows])
         amat = np.array([list(r[1]) for r in a_rows], dtype=np.float64)
         anorm = np.linalg.norm(amat, axis=1)
         # zero-norm anchors score 0 everywhere (cosine()'s convention)
         safe = np.where(anorm > 0, anorm, 1.0)
         amat_n = amat / safe[:, None]
-        id_type = dict(df.dtypes)[id_col]
-        out_schema = f"anchor_id {id_type}, {id_col} {id_type}, cosine_sim double"
         kk, cut = int(k), float(max_sim)
 
         def score(batches):
@@ -179,7 +211,7 @@ def hard_negatives(
                 sims = (x / xsafe[:, None]) @ amat_n.T  # (rows, anchors)
                 sims[xnorm == 0, :] = 0.0
                 sims[:, anorm == 0] = 0.0
-                sims = np.round(sims, round_digits)
+                sims = _round_half_up(sims, round_digits)
                 frames = []
                 for j, aid in enumerate(aids):
                     col = sims[:, j]
