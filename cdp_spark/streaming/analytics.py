@@ -553,6 +553,22 @@ def reduce_substring_flags(
     )
 
 
+# Process-wide cache of the constructed Gopher signal Column, keyed
+# by text column.  Building the battery's Column tree costs ~3 s of
+# py4j round trips (the expression is huge); the tree is an immutable
+# unresolved expression, so one instance serves every gate/query in
+# the process (the _r10_gate_cols precedent — VERDICT r10 #3).
+_GOPHER_SIG_COLS: dict = {}
+
+
+def _gopher_sig_col(text_col: str):
+    if text_col not in _GOPHER_SIG_COLS:
+        from ..datapipe.quality_rules import gopher_signals
+
+        _GOPHER_SIG_COLS[text_col] = gopher_signals(F.col(text_col))
+    return _GOPHER_SIG_COLS[text_col]
+
+
 def stream_gopher_gate(
     stream_docs: DataFrame,
     text_col: str = "text",
@@ -571,16 +587,19 @@ def stream_gopher_gate(
 
     Output: the input columns plus the flattened signal battery and
     ``passes``.
-    """
-    from ..datapipe.curate import _let
-    from ..datapipe.quality_rules import gopher_filter, gopher_signals
 
-    sig = gopher_signals(F.col(text_col))
-    passes = _let(sig, lambda s: gopher_filter(s, **thresholds))
+    Plan-size discipline (VERDICT r10 #3/#4): the signal Column is
+    built once per process (``_gopher_sig_col``) and ``passes`` reads
+    the MATERIALIZED ``g`` struct column — field references, not a
+    second copy of the signal tree — so the per-micro-batch
+    optimizer/planner walks one battery expression, not two.
+    """
+    from ..datapipe.quality_rules import gopher_filter
+
     return (
         stream_docs.where(F.length(F.trim(F.col(text_col))) > 0)
-        .withColumn("g", sig)
-        .withColumn("passes", passes)
+        .withColumn("g", _gopher_sig_col(text_col))
+        .withColumn("passes", gopher_filter(F.col("g"), **thresholds))
         .select("*", "g.*")
         .drop("g")
     )
