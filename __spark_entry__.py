@@ -1161,6 +1161,45 @@ def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ri.bm25_index_topk(spark, path, list(_BM25_TERMS), k=20)
 
 
+def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index ingest (r11, VERDICT r10 next #3): the
+    whole embeddings table arrives as a 4-micro-batch parquet stream
+    into an EMPTY meta-initialized IVF index; every batch folds
+    directly (coarse assignment is a pure function of (vector,
+    anchors) — the flag-free case of the fold lifecycle, like BM25),
+    each fold epoch-keyed for replay idempotency.  The served top-10
+    over the probed lists equals ann_ivf over the full table, so the
+    oracle is shared VERBATIM — matching proves per-batch
+    centroid-partitioned appends compose to the from-scratch index
+    regardless of batch boundaries."""
+    import tempfile
+
+    from cdp_spark.streaming.fold_runner import run_ivf_ingest_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    path = os.path.join(_fold_index_dir("cdp_ivf_stream_"), "idx")
+    sim.ivf_index_init(path, dim=64, n_centroids=16, seed=7)
+    src = _fold_index_dir("cdp_ivf_stream_src_")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="cdp_ivf_stream_ck_")
+    q = run_ivf_ingest_stream(
+        stream, path, checkpoint_dir=ckpt, available_now=True
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ivf ingest stream still running after 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return sim.ivf_index_topk(spark, path, qvec, k=10, n_probe=4, round_digits=4)
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus 5-gram novelty per document — the memorization /
     boilerplate complement of doc_repetition's within-doc fractions:
@@ -3936,6 +3975,10 @@ _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_gopher_gate": q_stream_gopher_gate,
 }
 
+_ROUND11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_ivf_ingest": q_stream_ivf_ingest,
+}
+
 
 # Round-10 driver window (VERDICT r9 "next round" #1): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
@@ -4143,6 +4186,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_ROUND7_QUERIES)
     q.update(_ROUND8_QUERIES)
     q.update(_ROUND10_QUERIES)
+    q.update(_ROUND11_QUERIES)
     # --- r05-green (50): the leading entries fill the window to 50;
     # ordering inside this block puts a representative mix (sessions,
     # jq/jsonnet, dedup, timestamps) nearest the window edge ---
@@ -4954,6 +4998,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["ann_ivf_indexed"] = oracles["ann_ivf"]
     # append-then-probe equals from-scratch build over the full table
     oracles["ann_ivf_incremental"] = oracles["ann_ivf"]
+    # streamed per-batch folds compose to the from-scratch index
+    # (assignment is a pure function of (vector, anchors)), so the
+    # served top-k shares ann_ivf's oracle verbatim — the bm25 trick
+    oracles["stream_ivf_ingest"] = oracles["ann_ivf"]
 
     # MinHash-LSH / SimHash oracles: the driver queries use the
     # md5-based 60-bit hash (ddp.md5_hash60) whose exact value DuckDB

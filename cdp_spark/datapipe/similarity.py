@@ -1248,6 +1248,130 @@ def ivf_append(
     assigned.write.mode("append").partitionBy("centroid").parquet(path)
 
 
+# -------------------------------------------- IVF index fold lifecycle
+#
+# The runner-managed form of ivf_write/ivf_append (VERDICT r10 next
+# #3): a meta file pins the assignment model (dim, anchors seed,
+# n_centroids, columns) so folds can never silently mix assignment
+# spaces, and folds given an ``epoch`` are IDEMPOTENT under
+# foreachBatch replay — the same fold=e<epoch> + meta-watermark
+# pattern as dedup_index/retrieval_index.  Layout:
+#
+#     <path>/_cdp_index_meta.json
+#     <path>/fold=e<epoch>/centroid=<c>/   per-fold, per-list parquet
+#
+# Both ``fold`` and ``centroid`` are partition directories, so a
+# query's ``centroid IN (probed)`` still prunes at file-listing time
+# across every fold (PartitionFilters), and an increment append stays
+# O(increment): assign + write, no re-cluster, no rewrite.  Re-fit
+# stays a deliberate operation: monitor list occupancy (ivf_counts)
+# and rebuild with ivf_kmeans_write when drift degrades balance —
+# assignment is a pure function of (vector, anchors), so until then
+# the folded index equals a from-scratch build over the union.
+
+
+def ivf_index_init(
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Initialize an EMPTY fold-lifecycle IVF index (meta only) so a
+    streaming ingest builds it fold-by-fold from the first
+    micro-batch.  Query after at least one fold."""
+    from .dedup_index import _write_meta
+
+    _write_meta(
+        path,
+        {
+            "kind": "ivf",
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "seed": seed,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+
+
+def ivf_index_fold(
+    increment: DataFrame,
+    path: str,
+    epoch: int | None = None,
+) -> None:
+    """FOLD an embedding increment into the persisted IVF index:
+    assign against the meta-pinned anchor set and write the
+    centroid-partitioned rows into this fold's subdirectory.
+    O(increment); committed epochs skip (meta watermark), half-written
+    ones overwrite their own ``fold=e<epoch>`` directory — see the
+    module-level lifecycle note."""
+    import os as _os
+
+    from .dedup_index import (
+        _commit_epoch,
+        _epoch_already_folded,
+        _migrate_to_fold_layout,
+        _read_meta,
+    )
+
+    meta = _read_meta(path, "ivf")
+    if _epoch_already_folded(meta, epoch):
+        return
+    assigned = ivf_assign(
+        increment.select(meta["id_col"], meta["vec_col"]),
+        meta["dim"],
+        meta["n_centroids"],
+        meta["id_col"],
+        meta["vec_col"],
+        meta["seed"],
+    )
+    if epoch is None:
+        _migrate_to_fold_layout(path)
+        assigned.write.mode("append").partitionBy("centroid").parquet(
+            _os.path.join(path, "fold=base")
+        )
+    else:
+        _migrate_to_fold_layout(path)
+        assigned.write.mode("overwrite").partitionBy("centroid").parquet(
+            _os.path.join(path, f"fold=e{int(epoch)}")
+        )
+    _commit_epoch(path, meta, epoch)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vector: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query a fold-lifecycle IVF index: rank the meta-pinned anchors
+    driver-side, read ONLY the probed centroid partitions — the
+    ``centroid IN`` filter prunes at file-listing time across every
+    fold directory — exact cosine top-k within them.  Equals
+    :func:`ivf_topk` over the union of all folded increments."""
+    from .dedup_index import _read_meta
+
+    meta = _read_meta(path, "ivf")
+    anchors = _anchor_set(len(query_vector), meta["n_centroids"], meta["seed"])
+    qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
+    scored = sorted(
+        range(meta["n_centroids"]),
+        key=lambda i: -sum(a * b for a, b in zip(anchors[i], query_vector)) / qn,
+    )
+    probe = [int(i) for i in scored[:n_probe]]
+    pruned = spark.read.parquet(path).filter(F.col("centroid").isin(*probe))
+    sim = F.round(cosine_to(F.col(meta["vec_col"]), query_vector), round_digits)
+    return (
+        pruned.select(F.col(meta["id_col"]), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(meta["id_col"]))
+        .limit(k)
+    )
+
+
 def ivf_kmeans_write(
     df: DataFrame,
     path: str,

@@ -152,6 +152,61 @@ def run_bm25_ingest_stream(
     return writer.start()
 
 
+def run_ivf_ingest_stream(
+    source_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = False,
+    trigger_seconds: Optional[float] = None,
+) -> StreamingQuery:
+    """Streaming IVF index ingest — the embedding twin of
+    :func:`run_bm25_ingest_stream`, equally DEGENERATE: coarse
+    assignment is a pure function of (vector, anchors), so there are
+    no duplicates to flag and each micro-batch folds directly into
+    the centroid-partitioned layout (O(batch), no re-cluster, no
+    rewrite).  The served top-k after any prefix of batches equals a
+    from-scratch index over those batches' union — embeddings get the
+    same automatic ingest loop documents (IncrementFoldRunner) and
+    BM25 statistics have (VERDICT r10 next #3).  Initialize with
+    ``similarity.ivf_index_init`` (the meta pins the assignment
+    model), then point this at the embedding stream; query with
+    ``similarity.ivf_index_topk`` after at least one fold.  Re-fit
+    (re-clustering) stays a deliberate operation — monitor list
+    occupancy with ``ivf_counts`` and rebuild when drift degrades
+    balance.
+
+    Batch REPLAY (foreachBatch's at-least-once) is safe: folds are
+    keyed by ``epoch_id`` (fold=e<epoch> overwrite + meta watermark),
+    so a crash-replayed batch never double-inserts vectors.  Same
+    one-checkpoint-lineage-per-index caveat as the BM25 ingest."""
+    import json as _json
+    import os as _os
+
+    from ..datapipe import similarity as si
+    from ..datapipe.dedup_index import _META_NAME
+
+    with open(_os.path.join(index_path, _META_NAME)) as f:
+        kind = _json.load(f).get("kind")
+    if kind != "ivf":
+        raise ValueError(
+            f"index at {index_path} is kind={kind!r}, expected 'ivf'"
+        )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        si.ivf_index_fold(batch_df, index_path, epoch=epoch_id)
+
+    writer = source_stream.writeStream.foreachBatch(_fold)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 class IncrementFoldRunner:
     """Flag a document stream against a persisted dedup index and
     fold completed increments' survivors back in, automatically.
