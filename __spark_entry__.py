@@ -3996,27 +3996,84 @@ _ROUND11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# Round-10 driver window (VERDICT r9 "next round" #1): the external
+# Round-11 driver window (VERDICT r10 "next round" #1a): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 12 round-10 additions, then the 10 round-9 additions that have
-# DRIVERSIM/judge rows but no hard driver row yet, then the 10
-# r06-era queries deferred from the r9 window, then 18 of the 50
-# queries whose last driver row is r07 (registry order).  The 32
-# r07-era queries that did not fit lead the r11 window
-# (weighted_sample, pagerank_nations, hll_union_entities, dsir_sample,
-# stream_stream_left_join, hll_users_by_type, rollup_reaggregate,
-# oov_rate, training_corpus_e2e, triangle_count_nations,
-# stream_cms_users, incremental_dedup, embedding_outliers,
-# quantiles_by_type, stream_pipeline_keyed_stateful,
-# min_cost_supplier, large_orders, order_priority_exists,
-# rich_inactive_customers, q6_revenue_change, q7_nation_volume,
-# q8_market_share, q9_product_profit, q10_returned_items,
-# q12_late_shipments, q14_promo_share, q15_top_supplier,
-# q16_part_supplier_counts, zscore_outliers, window_nav_funcs,
-# q13_customer_distribution, q19_disjunctive_revenue), together with
-# any round-11 additions still unchecked.  Everything stays
-# regression-guarded every round by scripts/driver_sim.py +
-# tests/test_oracle.py.
+# the 2 round-11 additions, then ALL 32 r07-era deferrals named in
+# the r10 window comment (their last hard row is r07 — the window's
+# whole purpose this round), then the 16 stalest r08-era queries in
+# registry order.  The 34 r08-era queries that did not fit lead the
+# r12 window (jq_window_stats_keyed, jsonnet_window_stats_keyed,
+# pattern_match_drop, pattern_match_composite, rename_affix,
+# window_reduce_agg, window_flatmap_slide, window_reduce_keyed,
+# window_flatmap_keyed, unpivot_measures, keep_last_per_window,
+# keep_when_filter, keep_when_combinators, json_extract_props,
+# q3_shipping_priority, top_customers, join_semi, join_anti,
+# cohort_retention, funnel_steps, value_histogram,
+# embedding_centroids, pareto_customers, hopping_window_agg,
+# stream_tumbling_agg, stream_session_windows, rolling_active_users,
+# q5_local_supplier, range_join_events, window_running_funcs,
+# q11_important_stock, q17_small_qty_revenue, q20_excess_suppliers,
+# q21_waiting_suppliers), together with any round-12 additions.
+# Everything stays regression-guarded every round by
+# scripts/driver_sim.py + tests/test_oracle.py.
+_R11_WINDOW: tuple[str, ...] = (
+    # -- round-11 additions --
+    "stream_ivf_ingest",
+    "exact_ngram_dedup",
+    # -- last driver row r07: all 32 deferrals from the r10 window --
+    "weighted_sample",
+    "pagerank_nations",
+    "hll_union_entities",
+    "dsir_sample",
+    "stream_stream_left_join",
+    "hll_users_by_type",
+    "rollup_reaggregate",
+    "oov_rate",
+    "training_corpus_e2e",
+    "triangle_count_nations",
+    "stream_cms_users",
+    "incremental_dedup",
+    "embedding_outliers",
+    "quantiles_by_type",
+    "stream_pipeline_keyed_stateful",
+    "min_cost_supplier",
+    "large_orders",
+    "order_priority_exists",
+    "rich_inactive_customers",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "zscore_outliers",
+    "window_nav_funcs",
+    "q13_customer_distribution",
+    "q19_disjunctive_revenue",
+    # -- last driver row r08 (16 of 50, registry order) --
+    "bm25_top_docs",
+    "contamination_score",
+    "token_kl_drift",
+    "session_gap",
+    "count_or_time_sessions",
+    "jsonnet_window_stats",
+    "jq_window_stats",
+    "dedup_exact_events",
+    "asof_join",
+    "embedding_near_dup",
+    "tfidf_top_terms",
+    "q1_pricing_summary",
+    "time_window_agg",
+    "multimodal_bytes",
+    "multimodal_features",
+    "multimodal_resize",
+)
+
+# Historical r10 window, kept for artifact cross-reference (the judge
+# diffs CORRECTNESS keys against the declared window of that round).
 _R10_WINDOW: tuple[str, ...] = (
     # -- round-10 additions --
     "auto_fold_lifecycle",
@@ -4136,7 +4193,7 @@ _R09_WINDOW: tuple[str, ...] = (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _all_queries()
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: full[name] for name in _R10_WINDOW
+        name: full[name] for name in _R11_WINDOW
     }
     q.update(full)  # existing keys keep their (window) position
     return q

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "exact_substring_pairs",
     "exact_substring_dedup",
+    "exact_ngram_dedup",
     "fold_incremental_dedup",
     "fold_substring_flags",
     "auto_fold_lifecycle",
@@ -114,6 +115,7 @@ BENCH_QUERIES = [
     "bm25_passages",
     "bm25_index_fold",
     "stream_bm25_ingest",
+    "stream_ivf_ingest",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

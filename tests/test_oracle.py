@@ -99,47 +99,45 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-10 rotation (VERDICT r9 #1) puts the 12 round-10
-    additions and the 10 round-9 additions that have never had a hard
-    driver row at the front, then the 10 r06-era queries deferred
-    from the r9 window, then 18 of the 50 queries whose last driver
-    row is r07.  Pin the window membership so a later edit appending
-    to the wrong dict cannot silently rotate them out, and pin that
-    the window is exactly the declared list."""
+    entries; round-11 rotation (VERDICT r10 #1a) puts the 2 round-11
+    additions and ALL 32 r07-era deferrals (the queries whose last
+    hard driver row is r07 — named in the r10 window comment) at the
+    front, then the 16 stalest r08-era queries in registry order.
+    Pin the window membership so a later edit appending to the wrong
+    dict cannot silently rotate them out, and pin that the window is
+    exactly the declared list."""
     names = list(entrymod.queries())
     window = names[:50]
-    assert window == list(entrymod._R10_WINDOW), (
-        "driver window drifted from _R10_WINDOW"
+    assert window == list(entrymod._R11_WINDOW), (
+        "driver window drifted from _R11_WINDOW"
     )
     must_lead = {
-        # round-10 additions
-        "auto_fold_lifecycle", "bpe_production_merges",
-        "stream_bm25_ingest", "gopher_quality", "perplexity_buckets",
-        "edit_distance_near_dup", "hard_negatives", "temperature_mix",
-        "c4_quality", "dedup_lines_docs", "clean_corpus_e2e",
-        "stream_gopher_gate",
-        # never driver-checked before r10: the 10 round-9 additions
-        "fold_incremental_dedup", "fold_substring_flags",
-        "bm25_index_fold", "langid_ngram_separation", "bpe_merges",
-        "bpe_token_counts", "bpe_fertility", "leakage_safe_split",
-        "ngram_novelty", "stream_quality_gate",
-        # the 10 r06-era queries deferred from the r9 window
-        "doc_repetition", "pii_redact",
-        "embedding_near_dup_multiband", "unigram_logprob",
-        "ann_ivf_kmeans", "ann_ivf_kmeans_indexed",
-        "stream_enrich_events", "stream_keyed_windows",
-        "cms_heavy_users", "bloom_filter_parts",
-        # r07-era representatives across the families
-        "dedup_exact_docs", "minhash_pairs", "salted_join_revenue",
-        "stream_stream_join", "pipeline_template_e2e",
-        "semantic_dedup",
+        # round-11 additions (never driver-checked)
+        "stream_ivf_ingest", "exact_ngram_dedup",
+        # all 32 r07-era deferrals — the rotation's whole purpose
+        "weighted_sample", "pagerank_nations", "hll_union_entities",
+        "dsir_sample", "stream_stream_left_join", "hll_users_by_type",
+        "rollup_reaggregate", "oov_rate", "training_corpus_e2e",
+        "triangle_count_nations", "stream_cms_users",
+        "incremental_dedup", "embedding_outliers", "quantiles_by_type",
+        "stream_pipeline_keyed_stateful", "min_cost_supplier",
+        "large_orders", "order_priority_exists",
+        "rich_inactive_customers", "q6_revenue_change",
+        "q7_nation_volume", "q8_market_share", "q9_product_profit",
+        "q10_returned_items", "q12_late_shipments", "q14_promo_share",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "zscore_outliers", "window_nav_funcs",
+        "q13_customer_distribution", "q19_disjunctive_revenue",
+        # r08-era representatives across the families
+        "bm25_top_docs", "session_gap", "multimodal_bytes",
+        "jsonnet_window_stats", "asof_join", "embedding_near_dup",
     }
     missing = must_lead - set(window)
-    assert not missing, f"never-checked leaders fell out of the first 50: {missing}"
+    assert not missing, f"stale leaders fell out of the first 50: {missing}"
     # the full registry is unchanged by the reorder
     assert len(names) == len(set(names)) == len(entrymod._all_queries())
     # no registered query's last hard driver row may age past two
     # rounds once this window lands: everything outside it was checked
-    # in r08 or r09 (see CORRECTNESS_r0*.json), and the r07 leftovers
-    # deferred to r11 are named in the _R10_WINDOW comment.
+    # in r09 or r10 (see CORRECTNESS_r09/r10.json), and the r08
+    # leftovers deferred to r12 are named in the _R11_WINDOW comment.
     assert len(window) == 50
