@@ -3694,11 +3694,15 @@ def _r10_gate_cols() -> dict[str, object]:
         from cdp_spark.datapipe import quality_rules as qr
         from cdp_spark.datapipe.curate import _let
 
+        from cdp_spark.streaming.analytics import _gopher_sig_col
+
         t = F.replace(F.col("text"), F.lit(" line "), F.lit(" line.\n"))
-        _R10_GATE_COLS["gopher_sig"] = qr.gopher_signals(F.col("text"))
+        # shared with stream_gopher_gate's process-wide cache — the
+        # battery Column costs ~3 s of py4j round trips to build
+        _R10_GATE_COLS["gopher_sig"] = _gopher_sig_col("text")
         _R10_GATE_COLS["c4_sig"] = qr.c4_signals(t)
         _R10_GATE_COLS["keep"] = _let(
-            qr.gopher_signals(F.col("text")),
+            _gopher_sig_col("text"),
             lambda s: qr.gopher_filter(s, **_GOPHER_OVERRIDES),
         ) & _let(qr.c4_signals(t), lambda c: qr.c4_page_filter(c))
         _R10_GATE_COLS["cleaned"] = F.array_join(
