@@ -2665,6 +2665,56 @@ def q_auto_fold_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_exact_ngram_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The automated fold lifecycle over the EXACT n-gram index (r11:
+    the true Lee 2022 semantics get the same production loop MinHash
+    and winnow indexes have): ``IncrementFoldRunner`` flags each
+    micro-batch against the persisted seen-gram set — any >= 20-token
+    verbatim overlap with the indexed corpus flags, exactly — folds
+    each completed increment's survivors' gram-count deltas, and
+    opens the next increment against the grown set.  Two automatic
+    cycles: inc1 (doc_id % 10 == 0) then inc2 (% 10 == 5), the
+    auto_fold_lifecycle drive.  Oracle contract: cycle-0 flags equal
+    flagging inc1 against the corpus (doc_id % 5 != 0) alone; cycle-1
+    flags equal flagging inc2 against corpus ∪ survivors(inc1) built
+    from scratch — the DuckDB replay never folds anything."""
+    import tempfile
+
+    from cdp_spark.datapipe import dedup_index as di
+    from cdp_spark.streaming.fold_runner import IncrementFoldRunner
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc1 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    inc2 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+
+    path = _fold_index_dir("cdp_engram_idx_")
+    di.exactngram_index_write(corpus, path, k=20)
+    src = _fold_index_dir("cdp_engram_src_")
+    ckpt = tempfile.mkdtemp(prefix="cdp_engram_ck_")
+    work = _fold_index_dir("cdp_engram_work_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    runner = IncrementFoldRunner(stream, path, work, fold_every_batches=2)
+    for inc in (inc1, inc2):
+        inc.repartition(2).write.mode("append").json(src)
+        q = runner.start(checkpoint_dir=ckpt, available_now=True)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("exact-ngram fold pass still running after 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert runner.folds_done == 2, runner.folds_done
+    return runner.flags().select(
+        "doc_id",
+        "n_dup_grams",
+        "max_span_tokens",
+        F.col("inc").cast("int").alias("inc"),
+    )
+
+
 def q_fold_substring_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The winnow-index FOLD lifecycle (VERDICT r8 #3, exact-substring
     twin of fold_incremental_dedup): build the persisted fingerprint
@@ -3997,15 +4047,16 @@ _ROUND10_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ROUND11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ivf_ingest": q_stream_ivf_ingest,
     "exact_ngram_dedup": q_exact_ngram_dedup,
+    "auto_exact_ngram_lifecycle": q_auto_exact_ngram_lifecycle,
 }
 
 
 # Round-11 driver window (VERDICT r10 "next round" #1a): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 2 round-11 additions, then ALL 32 r07-era deferrals named in
+# the 3 round-11 additions, then ALL 32 r07-era deferrals named in
 # the r10 window comment (their last hard row is r07 — the window's
-# whole purpose this round), then the 16 stalest r08-era queries in
-# registry order.  The 34 r08-era queries that did not fit lead the
+# whole purpose this round), then the 15 stalest r08-era queries in
+# registry order.  The 35 r08-era queries that did not fit lead the
 # r12 window (jq_window_stats_keyed, jsonnet_window_stats_keyed,
 # pattern_match_drop, pattern_match_composite, rename_affix,
 # window_reduce_agg, window_flatmap_slide, window_reduce_keyed,
@@ -4024,6 +4075,7 @@ _R11_WINDOW: tuple[str, ...] = (
     # -- round-11 additions --
     "stream_ivf_ingest",
     "exact_ngram_dedup",
+    "auto_exact_ngram_lifecycle",
     # -- last driver row r07: all 32 deferrals from the r10 window --
     "weighted_sample",
     "pagerank_nations",
@@ -4073,7 +4125,6 @@ _R11_WINDOW: tuple[str, ...] = (
     "time_window_agg",
     "multimodal_bytes",
     "multimodal_features",
-    "multimodal_resize",
 )
 
 # Historical r10 window, kept for artifact cross-reference (the judge
@@ -5342,6 +5393,64 @@ def oracle_sql() -> dict[str, str]:
     oracles["exact_substring_pairs"] = f"""
             WITH {_wn_fps}
             SELECT id_a, id_b, n_shared FROM wpairs
+    """
+
+    # Automated exact n-gram fold lifecycle: the oracle never folds —
+    # cycle 0 flags inc1 against the corpus's distinct gram set,
+    # cycle 1 flags inc2 against corpus ∪ survivors(inc1) computed
+    # from scratch; matched positions fold into maximal spans via
+    # gaps-and-islands (the flag-vs-rebuilt contract shared with
+    # auto_fold_lifecycle / fold_substring_flags).
+    oracles["auto_exact_ngram_lifecycle"] = """
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+          FROM documents WHERE length(trim(text)) > 0),
+        g AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(tk) - 19)) - 1 AS pos,
+                 unnest(list_transform(
+                   generate_series(1, len(tk) - 19),
+                   i -> md5(array_to_string(tk[i : i + 19], ' '))
+                 )) AS fp
+          FROM base WHERE len(tk) >= 20),
+        corpusfp AS (SELECT DISTINCT fp FROM g WHERE doc_id % 5 <> 0),
+        m1 AS (
+          SELECT doc_id, pos FROM g
+          WHERE doc_id % 10 = 0 AND fp IN (SELECT fp FROM corpusfp)),
+        i1 AS (
+          SELECT doc_id, pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM m1),
+        f1 AS (
+          SELECT doc_id,
+                 CAST(SUM(rl) AS BIGINT) AS n_dup_grams,
+                 CAST(MAX(rl) + 19 AS BIGINT) AS max_span_tokens
+          FROM (SELECT doc_id, grp, COUNT(*) AS rl
+                FROM i1 GROUP BY doc_id, grp)
+          GROUP BY doc_id),
+        surv1fp AS (
+          SELECT DISTINCT fp FROM g
+          WHERE doc_id % 10 = 0
+            AND doc_id NOT IN (SELECT doc_id FROM f1)),
+        seen2 AS (
+          SELECT fp FROM corpusfp UNION SELECT fp FROM surv1fp),
+        m2 AS (
+          SELECT doc_id, pos FROM g
+          WHERE doc_id % 10 = 5 AND fp IN (SELECT fp FROM seen2)),
+        i2 AS (
+          SELECT doc_id, pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM m2),
+        f2 AS (
+          SELECT doc_id,
+                 CAST(SUM(rl) AS BIGINT) AS n_dup_grams,
+                 CAST(MAX(rl) + 19 AS BIGINT) AS max_span_tokens
+          FROM (SELECT doc_id, grp, COUNT(*) AS rl
+                FROM i2 GROUP BY doc_id, grp)
+          GROUP BY doc_id)
+        SELECT doc_id, n_dup_grams, max_span_tokens, 0 AS inc FROM f1
+        UNION ALL
+        SELECT doc_id, n_dup_grams, max_span_tokens, 1 AS inc FROM f2
     """
 
     # True exact >= 20-token duplicated substrings (Lee 2022): every

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "fold_incremental_dedup",
     "fold_substring_flags",
     "auto_fold_lifecycle",
+    "auto_exact_ngram_lifecycle",
     "stratified_sample",
     "dataset_mix",
     "temperature_mix",

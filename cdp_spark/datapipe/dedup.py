@@ -695,6 +695,28 @@ def exact_substring_dedup_corpus(
     return near_dedup_survivors(df, id_col, comps)
 
 
+def ngram_fingerprints(col: Column, k: int) -> Column:
+    """The md5 fingerprint of every k-token gram (stride 1) of a
+    document — the exact-substring unit of Lee et al. 2022: two
+    documents share a >= k-token verbatim substring iff they share at
+    least one of these fingerprints.  Total on ANY input (documents
+    shorter than k tokens yield an empty array) because generator
+    inference pushes derived size() predicates below row filters; the
+    token array is let-bound (the shingles() lesson).  Output:
+    array<string>, index i = 0-based gram start position."""
+
+    def build(tk: Column) -> Column:
+        starts = F.when(
+            F.size(tk) >= k, F.sequence(F.lit(1), F.size(tk) - k + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda i: F.md5(F.array_join(F.slice(tk, i, k), " ")),
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+
+
 def _dup_span_fold(positions: Column, k: int) -> Column:
     """Fold a SORTED array of 0-based duplicated-gram start positions
     into (n_spans, max_run, covered_tokens):
@@ -789,32 +811,14 @@ def exact_ngram_dup_stats(
     """
     base = _ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    ).select("id", tokens(F.col("_t")).alias("_tk"))
-    base = base.where(F.size("_tk") >= k).select(
-        "id", F.size("_tk").alias("_n"), "_tk"
-    )
-
-    def build(tk: Column) -> Column:
-        # total on ANY input (the winnow_fingerprints pattern):
-        # InferFiltersFromGenerate pushes a size(_g) > 0 conjunct
-        # below the n >= k row filter, so this expression also runs
-        # on short documents — an unguarded sequence(1, n-k+1) there
-        # is descending and slices from 0
-        starts = F.when(
-            F.size(tk) >= k, F.sequence(F.lit(1), F.size(tk) - k + 1)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            starts,
-            lambda i: F.md5(F.array_join(F.slice(tk, i, k), " ")),
-        )
-
-    # let-bind the token array (the shingles() lesson) and project the
-    # gram array BEFORE posexplode so it evaluates once per row
-    grams = base.select(
+    ).select(
         "id",
-        "_n",
-        F.element_at(F.transform(F.array("_tk"), build), 1).alias("_g"),
-    ).select("id", "_n", F.posexplode("_g").alias("pos", "fp"))
+        F.size(tokens(F.col("_t"))).alias("_n"),
+        ngram_fingerprints(F.col("_t"), k).alias("_g"),
+    ).where(F.col("_n") >= k)
+    # the gram array is projected BEFORE posexplode so it evaluates
+    # once per row
+    grams = base.select("id", "_n", F.posexplode("_g").alias("pos", "fp"))
     grams = iter_checkpoint(grams)  # feeds the count AND the join
 
     dup = (

@@ -605,6 +605,136 @@ def substring_index_fold(
     _commit_epoch(path, meta, epoch)
 
 
+# ------------------------------------------------------------ exact n-gram
+#
+# The TRUE Lee et al. 2022 ExactSubstr unit (>= k-token verbatim
+# match — dedup.exact_ngram_dup_stats is the batch analysis) as a
+# PERSISTED index with the same LSM fold lifecycle as the winnow
+# index: ``df/`` holds per-fold (fp, c) gram-count DELTAS — counts
+# are additive, so a fold appends the survivors' counts and the
+# seen-gram set at flag time is exactly what a from-scratch build
+# over corpus ∪ survivors would compute.  Flagging a new document =
+# join its gram fingerprints against the seen set, fold the matched
+# positions into maximal spans; ANY match is a >= k-token verbatim
+# overlap with the indexed corpus (exact, not probabilistic — the
+# winnow index trades this exactness for ~1/w the index rows).
+
+
+def exactngram_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> None:
+    """Build the persisted exact n-gram index over the corpus: one
+    (fp, c) delta table of k-token-gram md5 counts."""
+    meta = {"kind": "exactngram", "k": k}
+    _gram_counts(docs, id_col, text_col, k).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "df"))
+    _write_meta(path, meta)
+
+
+def _gram_counts(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    g = ddp._ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.explode(
+            ddp.ngram_fingerprints(F.col(text_col), k)
+        ).alias("fp")
+    )
+    return g.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+
+
+def exactngram_index_load(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """(summed (fp, df) frame, meta) — gram document frequencies over
+    corpus ∪ every folded increment (deltas summed, the LSM read)."""
+    meta = _read_meta(path, "exactngram")
+    df = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .groupBy("fp")
+        .agg(F.sum("c").alias("df"))
+    )
+    return df, meta
+
+
+def exactngram_index_fold(
+    increment_docs: DataFrame,
+    flagged_ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epoch: int | None = None,
+) -> None:
+    """FOLD a completed increment's SURVIVORS into the exact n-gram
+    index: append their gram-count deltas.  Counts are additive, so
+    post-fold flagging equals flagging against a from-scratch build
+    over corpus ∪ survivors.  ``epoch``: see
+    :func:`minhash_index_fold` — committed epochs skip, half-written
+    ones overwrite their own subdirectory."""
+    meta = _read_meta(path, "exactngram")
+    if _epoch_already_folded(meta, epoch):
+        return
+    survivors = _survivors(increment_docs, flagged_ids, id_col)
+    _fold_write(
+        _gram_counts(survivors, id_col, text_col, meta["k"]),
+        os.path.join(path, "df"),
+        epoch,
+    )
+    _commit_epoch(path, meta, epoch)
+
+
+def exactngram_seen_index(df: DataFrame) -> DataFrame:
+    """The flag-time projection of a loaded exact n-gram index: the
+    distinct seen-gram fingerprints.  Split out so multi-batch
+    consumers (the fold runner) can materialize it once per
+    snapshot."""
+    return df.select("fp")
+
+
+def flag_against_exactngram_index(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag new documents sharing ANY >= k-token verbatim substring
+    with the indexed corpus — exact semantics, every gram checked.
+    Output, one row per flagged document: (id_col, n_dup_grams,
+    max_span_tokens) — the matched positions folded into maximal
+    spans exactly like ``exact_ngram_dup_stats``.  Works for batch
+    and streaming ``new_docs`` (stateless up to the final per-doc
+    aggregate).
+
+    Scale shape: the join shuffles (id, pos, fp) gram rows against
+    the (fp) seen set — O(total new tokens), the exactness price; the
+    span fold is one groupBy collecting matched positions only."""
+    k = meta["k"]
+    g = new_docs.select(
+        F.col(id_col).alias("_new_id"),
+        F.posexplode(
+            ddp.ngram_fingerprints(F.col(text_col), k)
+        ).alias("pos", "fp"),
+    )
+    matched = g.join(seen, "fp").groupBy("_new_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sort_array(F.collect_list("pos")).alias("_ps"),
+    )
+    return matched.select(
+        F.col("_new_id").alias(id_col),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        (ddp._dup_span_fold(F.col("_ps"), k)["max_run"] + k - 1)
+        .cast("long")
+        .alias("max_span_tokens"),
+    )
+
+
 def substring_surviving_index(
     fps: DataFrame, df: DataFrame, meta: dict
 ) -> DataFrame:

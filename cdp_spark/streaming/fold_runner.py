@@ -214,8 +214,9 @@ class IncrementFoldRunner:
     ``source_stream``: streaming DataFrame carrying ``id_col`` and
     ``text_col``; each document must arrive in exactly one micro-batch
     (re-deliveries would be re-flagged and, if surviving, re-folded).
-    ``index_path``: an index written by ``minhash_index_write`` or
-    ``substring_index_write`` — the kind is read from its meta.
+    ``index_path``: an index written by ``minhash_index_write``,
+    ``substring_index_write``, or ``exactngram_index_write`` — the
+    kind is read from its meta.
     ``work_dir``: runner-owned spool; ``increments/inc=<k>/epoch=<e>/``
     holds each increment's documents per source epoch,
     ``flags/inc=<k>/epoch=<e>/`` its flags, and
@@ -269,7 +270,7 @@ class IncrementFoldRunner:
 
         with open(os.path.join(index_path, di._META_NAME)) as f:
             self._kind = json.load(f)["kind"]
-        if self._kind not in ("minhash", "substring"):
+        if self._kind not in ("minhash", "substring", "exactngram"):
             raise ValueError(
                 f"index at {index_path} has unsupported kind "
                 f"{self._kind!r} for the fold lifecycle"
@@ -340,6 +341,10 @@ class IncrementFoldRunner:
             self._meta = meta
             self._idx_bands = iter_checkpoint(bands_df)
             self._idx_sh = sh_df
+        elif self._kind == "exactngram":
+            dfc, meta = di.exactngram_index_load(self._spark, self._path)
+            self._meta = meta
+            self._idx = iter_checkpoint(di.exactngram_seen_index(dfc))
         else:
             fps, dfc, meta = di.substring_index_load(
                 self._spark, self._path
@@ -374,6 +379,13 @@ class IncrementFoldRunner:
                 text_col=self._text,
                 threshold=self._threshold,
                 bands=self._bands,
+            )
+        if self._kind == "exactngram":
+            # any match IS a >= k-token verbatim overlap — every
+            # returned doc is a duplicate by the exact rule
+            return di.flag_against_exactngram_index(
+                docs, self._idx, self._meta,
+                id_col=self._id, text_col=self._text,
             )
         from .analytics import reduce_substring_flags
 
@@ -484,6 +496,11 @@ class IncrementFoldRunner:
             flagged = inc_docs.select(self._id).limit(0)
         if self._kind == "minhash":
             di.minhash_index_fold(
+                inc_docs, flagged, self._path,
+                id_col=self._id, text_col=self._text, epoch=upto_epoch,
+            )
+        elif self._kind == "exactngram":
+            di.exactngram_index_fold(
                 inc_docs, flagged, self._path,
                 id_col=self._id, text_col=self._text, epoch=upto_epoch,
             )

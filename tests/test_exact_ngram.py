@@ -151,3 +151,97 @@ def test_fixture_corpus_sanity(spark):
         assert r["n_spans"] >= 1
         assert 0.0 < r["dup_token_frac"] <= 1.0
         assert r["n_removed_tokens"] <= r["n_tokens"]
+
+
+def test_exactngram_auto_fold_two_cycles_match_hand_driven(spark, tmp_path):
+    """IncrementFoldRunner with an exactngram index: two automatic
+    cycles equal the hand-driven flag -> fold -> flag sequence (which
+    the auto_exact_ngram_lifecycle oracle checks against a rebuilt
+    corpus)."""
+    from cdp_spark.datapipe import dedup_index as di
+    from cdp_spark.streaming.fold_runner import IncrementFoldRunner
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc1 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    inc2 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+
+    path = str(tmp_path / "eg")
+    di.exactngram_index_write(corpus, path, k=20)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    inc1.repartition(2).write.mode("append").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    runner = IncrementFoldRunner(
+        stream, path, str(tmp_path / "work"), fold_every_batches=2
+    )
+    q = runner.start(checkpoint_dir=ckpt, available_now=True)
+    assert q.awaitTermination(120)
+    inc2.repartition(2).write.mode("append").json(src)
+    q = runner.start(checkpoint_dir=ckpt, available_now=True)
+    assert q.awaitTermination(120)
+    assert runner.folds_done == 2 and runner.cycle == 2
+
+    # hand-driven on a fresh index copy
+    hand = str(tmp_path / "eg_hand")
+    di.exactngram_index_write(corpus, hand, k=20)
+    seen1, meta = di.exactngram_index_load(spark, hand)
+    f1 = di.flag_against_exactngram_index(
+        inc1, di.exactngram_seen_index(seen1), meta
+    )
+    expected1 = {tuple(r) for r in f1.collect()}
+    di.exactngram_index_fold(inc1, f1.select("doc_id"), hand)
+    seen2, meta2 = di.exactngram_index_load(spark, hand)
+    expected2 = {
+        tuple(r)
+        for r in di.flag_against_exactngram_index(
+            inc2, di.exactngram_seen_index(seen2), meta2
+        ).collect()
+    }
+
+    flags = runner.flags()
+    cols = ["doc_id", "n_dup_grams", "max_span_tokens"]
+    got1 = {
+        tuple(r)
+        for r in flags.where(F.col("inc") == 0).select(*cols).collect()
+    }
+    got2 = {
+        tuple(r)
+        for r in flags.where(F.col("inc") == 1).select(*cols).collect()
+    }
+    assert got1 == expected1 and expected1, "cycle-1 flags drifted"
+    assert got2 == expected2 and expected2, "cycle-2 flags drifted"
+
+
+def test_exactngram_fold_replay_idempotent(spark, tmp_path):
+    """exactngram_index_fold(epoch=...): committed epochs skip,
+    half-written ones overwrite — gram counts never double."""
+    from cdp_spark.datapipe import dedup_index as di
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    path = str(tmp_path / "eg")
+    di.exactngram_index_write(corpus, path, k=20)
+    none_flagged = inc.select("doc_id").limit(0)
+
+    # half-written: the delta lands, the watermark does not
+    import os as _os
+    meta = di._read_meta(path, "exactngram")
+    di._fold_write(
+        di._gram_counts(inc, "doc_id", "text", 20),
+        _os.path.join(path, "df"),
+        epoch=4,
+    )
+    di.exactngram_index_fold(inc, none_flagged, path, epoch=4)
+    dfc, _ = di.exactngram_index_load(spark, path)
+    counts = {r["fp"]: r["df"] for r in dfc.collect()}
+
+    di.exactngram_index_fold(inc, none_flagged, path, epoch=4)  # replay
+    dfc2, _ = di.exactngram_index_load(spark, path)
+    assert {r["fp"]: r["df"] for r in dfc2.collect()} == counts
+    assert meta["k"] == 20
