@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "dataset_mix",
     "temperature_mix",
+    "token_budget_sample",
     "decontaminate_docs",
     "contamination_score",
     "token_kl_drift",

@@ -323,3 +323,96 @@ def leakage_safe_split(
         else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    budget_tokens: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic TOKEN-BUDGET sampling per stratum — the "take N
+    tokens of each language" pretraining-mix primitive (the token
+    sibling of ``stratified_sample``'s row rates): order each
+    stratum's documents by a stable md5 shuffle key, accumulate token
+    counts, and keep every document that STARTS below the budget (so
+    the crossing document is included and the selection reaches the
+    budget whenever the stratum can).  Same-key ties break on the id
+    — a total order, so re-runs and other engines select the same
+    rows, and raising the budget only ever ADDS documents.
+
+    Scale shape — the naive formulation is one running-sum window per
+    stratum, which serializes each stratum onto a single task (a
+    1-stratum 100 TB corpus would sort on one core).  Instead the
+    shuffle key's leading 16 bits bucket each stratum into
+    ``n_buckets`` ORDER-PRESERVING ranges (bucket = prefix div
+    (65536/n_buckets), monotone in the key, so bucket-major order ==
+    key order): per-(stratum, bucket) token sums are a tiny
+    aggregate, bucket offsets a window over n_buckets rows, and the
+    per-document running sum windows over (stratum, bucket)
+    partitions — n_buckets-way parallel, each partition ~1/n_buckets
+    of the stratum.  Buckets wholly past the budget are dropped by a
+    filter BEFORE the document window ever sorts them.
+
+    Output: (id_col, stratum_col, n_tokens, cum_tokens) for the
+    selected documents; ``cum_tokens`` is the stratum-wide running
+    total INCLUDING the row (== the naive single-window formulation,
+    which is what the oracle replays).
+    """
+    from .text import tokens
+
+    if 65536 % n_buckets != 0:
+        raise ValueError(
+            f"n_buckets={n_buckets} must divide 65536 so the bucket "
+            "is an order-preserving function of the shuffle key"
+        )
+    width = 65536 // n_buckets
+    base = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("_key"),
+        )
+        .withColumn(
+            "_b",
+            (F.conv(F.substring("_key", 1, 4), 16, 10).cast("long")
+             / width).cast("int"),
+        )
+    )
+    # tiny per-(stratum, bucket) totals -> cumulative bucket offsets
+    boff = (
+        base.groupBy(stratum_col, "_b")
+        .agg(F.sum("n_tokens").alias("_bsum"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bsum").over(
+                    Window.partitionBy(stratum_col)
+                    .orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(stratum_col, "_b", "_off")
+    )
+    scoped = base.join(F.broadcast(boff), [stratum_col, "_b"]).where(
+        # buckets that START past the budget can never contain a
+        # selected document — pruned before the document window
+        F.col("_off") < F.lit(int(budget_tokens))
+    )
+    w = (
+        Window.partitionBy(stratum_col, "_b")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = scoped.withColumn(
+        "cum_tokens", (F.col("_off") + F.sum("n_tokens").over(w)).cast("long")
+    )
+    return out.where(
+        F.col("cum_tokens") - F.col("n_tokens") < F.lit(int(budget_tokens))
+    ).select(id_col, stratum_col, "n_tokens", "cum_tokens")

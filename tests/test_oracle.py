@@ -99,10 +99,10 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-11 rotation (VERDICT r10 #1a) puts the 3 round-11
+    entries; round-11 rotation (VERDICT r10 #1a) puts the 4 round-11
     additions and ALL 32 r07-era deferrals (the queries whose last
     hard driver row is r07 — named in the r10 window comment) at the
-    front, then the 15 stalest r08-era queries in registry order.
+    front, then the 14 stalest r08-era queries in registry order.
     Pin the window membership so a later edit appending to the wrong
     dict cannot silently rotate them out, and pin that the window is
     exactly the declared list."""
@@ -114,7 +114,7 @@ def test_driver_window_leads_with_never_checked_queries():
     must_lead = {
         # round-11 additions (never driver-checked)
         "stream_ivf_ingest", "exact_ngram_dedup",
-        "auto_exact_ngram_lifecycle",
+        "auto_exact_ngram_lifecycle", "token_budget_sample",
         # all 32 r07-era deferrals — the rotation's whole purpose
         "weighted_sample", "pagerank_nations", "hll_union_entities",
         "dsir_sample", "stream_stream_left_join", "hll_users_by_type",
