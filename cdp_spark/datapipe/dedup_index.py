@@ -179,10 +179,27 @@ def _migrate_to_fold_layout(stat_dir: str) -> None:
         os.replace(os.path.join(stat_dir, e), os.path.join(base, e))
 
 
-def _fold_write(df: DataFrame, stat_dir: str, epoch) -> None:
+def _lineage_label(lineage) -> str:
+    """Validated lineage tag for fold-directory and watermark keys.
+    A LINEAGE names one checkpoint's epoch sequence: epoch ids are
+    monotone only within a checkpoint, so when SEVERAL ingest streams
+    fold into one index each needs its own watermark and its own
+    fold-directory namespace (two streams both at epoch 3 must not
+    overwrite each other)."""
+    s = str(lineage)
+    if not s or not all(c.isalnum() or c in "-_." for c in s):
+        raise ValueError(
+            f"lineage {lineage!r} must be a non-empty [alnum-_.] tag "
+            "(it becomes a partition-directory component)"
+        )
+    return s
+
+
+def _fold_write(df: DataFrame, stat_dir: str, epoch, lineage=None) -> None:
     """Write one stat table for a fold.  ``epoch=None`` = historical
     append; an integer epoch = overwrite of that epoch's subdir (the
-    idempotent replay path)."""
+    idempotent replay path), namespaced by ``lineage`` when several
+    checkpoint lineages fold into one index."""
     if epoch is None:
         if _has_fold_layout(stat_dir):
             df.write.mode("append").parquet(
@@ -191,27 +208,37 @@ def _fold_write(df: DataFrame, stat_dir: str, epoch) -> None:
         else:
             df.write.mode("append").parquet(stat_dir)
     else:
+        prefix = f"{_lineage_label(lineage)}-" if lineage is not None else ""
         _migrate_to_fold_layout(stat_dir)
         df.write.mode("overwrite").parquet(
-            os.path.join(stat_dir, f"fold=e{int(epoch)}")
+            os.path.join(stat_dir, f"fold={prefix}e{int(epoch)}")
         )
 
 
-def _epoch_already_folded(meta: dict, epoch) -> bool:
+def _watermark_key(lineage) -> str:
+    return (
+        "last_epoch"
+        if lineage is None
+        else f"last_epoch:{_lineage_label(lineage)}"
+    )
+
+
+def _epoch_already_folded(meta: dict, epoch, lineage=None) -> bool:
     """True when the index meta's watermark says this epoch's fold
     fully committed (stat writes AND meta update) — the replay can
     skip it entirely.  Epoch ids are monotone per checkpoint
-    (foreachBatch's batchId), so a single watermark suffices."""
+    (foreachBatch's batchId), so one watermark per lineage suffices;
+    the default lineage covers the one-stream-per-index case."""
     if epoch is None:
         return False
-    last = meta.get("last_epoch")
+    last = meta.get(_watermark_key(lineage))
     return last is not None and int(epoch) <= int(last)
 
 
-def _commit_epoch(path: str, meta: dict, epoch) -> None:
+def _commit_epoch(path: str, meta: dict, epoch, lineage=None) -> None:
     if epoch is None:
         return
-    meta["last_epoch"] = int(epoch)
+    meta[_watermark_key(lineage)] = int(epoch)
     _write_meta(path, meta)
 
 
@@ -303,6 +330,7 @@ def minhash_index_fold(
     id_col: str = "doc_id",
     text_col: str = "text",
     epoch: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     """FOLD a completed increment into the index: append the
     signature rows of the increment's SURVIVORS (documents NOT in
@@ -320,9 +348,12 @@ def minhash_index_fold(
     ``epoch``: pass foreachBatch's batch id to make the fold
     IDEMPOTENT under at-least-once replay — an already-committed epoch
     is skipped (meta watermark), a half-written one is overwritten in
-    its own ``fold=e<epoch>`` subdirectory."""
+    its own ``fold=e<epoch>`` subdirectory.  ``lineage`` namespaces
+    the watermark and fold directories when several checkpoint
+    lineages fold into ONE index (epoch ids are only monotone within
+    a checkpoint)."""
     meta = _read_meta(path, "minhash")
-    if _epoch_already_folded(meta, epoch):
+    if _epoch_already_folded(meta, epoch, lineage):
         return
     hash_fn = _HASH_FNS[meta["hash"]]
     survivors = _survivors(increment_docs, flagged_ids, id_col)
@@ -332,8 +363,9 @@ def minhash_index_fold(
         ),
         os.path.join(path, "sigs"),
         epoch,
+        lineage,
     )
-    _commit_epoch(path, meta, epoch)
+    _commit_epoch(path, meta, epoch, lineage)
 
 
 def minhash_banded_index(
@@ -578,6 +610,7 @@ def substring_index_fold(
     id_col: str = "doc_id",
     text_col: str = "text",
     epoch: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     """FOLD a completed increment into the winnow index: append the
     survivors' (id, fp) pairs to ``fps/`` and their per-fp counts as
@@ -589,20 +622,21 @@ def substring_index_fold(
     half-written ones overwrite their own subdirectories (a crash
     between the fps and df writes replays both cleanly)."""
     meta = _read_meta(path, "substring")
-    if _epoch_already_folded(meta, epoch):
+    if _epoch_already_folded(meta, epoch, lineage):
         return
     hash_fn = _HASH_FNS[meta["hash"]]
     survivors = _survivors(increment_docs, flagged_ids, id_col)
     fps = _doc_fingerprints(
         survivors, id_col, text_col, meta["k"], meta["w"], hash_fn
     )
-    _fold_write(fps, os.path.join(path, "fps"), epoch)
+    _fold_write(fps, os.path.join(path, "fps"), epoch, lineage)
     _fold_write(
         fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")),
         os.path.join(path, "df"),
         epoch,
+        lineage,
     )
-    _commit_epoch(path, meta, epoch)
+    _commit_epoch(path, meta, epoch, lineage)
 
 
 # ------------------------------------------------------------ exact n-gram
@@ -670,6 +704,7 @@ def exactngram_index_fold(
     id_col: str = "doc_id",
     text_col: str = "text",
     epoch: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     """FOLD a completed increment's SURVIVORS into the exact n-gram
     index: append their gram-count deltas.  Counts are additive, so
@@ -678,15 +713,16 @@ def exactngram_index_fold(
     :func:`minhash_index_fold` — committed epochs skip, half-written
     ones overwrite their own subdirectory."""
     meta = _read_meta(path, "exactngram")
-    if _epoch_already_folded(meta, epoch):
+    if _epoch_already_folded(meta, epoch, lineage):
         return
     survivors = _survivors(increment_docs, flagged_ids, id_col)
     _fold_write(
         _gram_counts(survivors, id_col, text_col, meta["k"]),
         os.path.join(path, "df"),
         epoch,
+        lineage,
     )
-    _commit_epoch(path, meta, epoch)
+    _commit_epoch(path, meta, epoch, lineage)
 
 
 def exactngram_seen_index(df: DataFrame) -> DataFrame:

@@ -75,6 +75,7 @@ def _write_or_fold(
     text_col: str,
     mode: str,
     epoch: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     from ..session import iter_checkpoint
     from .dedup_index import _fold_write
@@ -96,10 +97,10 @@ def _write_or_fold(
         # the historical append, an integer epoch overwrites its own
         # fold=e<epoch> subdirectory so a foreachBatch replay of a
         # half-written fold leaves no duplicate statistics
-        _fold_write(tf_sorted, os.path.join(path, "tf"), epoch)
-        _fold_write(dl, os.path.join(path, "dl"), epoch)
-        _fold_write(df_delta, os.path.join(path, "df"), epoch)
-        _fold_write(sc_delta, os.path.join(path, "sc"), epoch)
+        _fold_write(tf_sorted, os.path.join(path, "tf"), epoch, lineage)
+        _fold_write(dl, os.path.join(path, "dl"), epoch, lineage)
+        _fold_write(df_delta, os.path.join(path, "df"), epoch, lineage)
+        _fold_write(sc_delta, os.path.join(path, "sc"), epoch, lineage)
     else:
         tf_sorted.write.mode(mode).parquet(os.path.join(path, "tf"))
         dl.write.mode(mode).parquet(os.path.join(path, "dl"))
@@ -148,6 +149,7 @@ def bm25_index_fold(
     id_col: str = "doc_id",
     text_col: str = "text",
     epoch: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     """FOLD an increment into the index: append its tf/dl rows and
     df/scalar deltas.  O(increment); every statistic is additive, so
@@ -158,8 +160,11 @@ def bm25_index_fold(
     IDEMPOTENT under at-least-once replay — a committed epoch is
     skipped via the meta watermark, a half-written one (crash between
     the four stat writes) is overwritten in its own ``fold=e<epoch>``
-    subdirectories.  Without it, a replayed batch double-counts
-    tf/df/N (VERDICT r10 "what's wrong" #1)."""
+    subdirectories.  ``lineage`` namespaces the watermark and fold
+    directories when several checkpoint lineages (several ingest
+    streams) fold into ONE index — epoch ids are only monotone within
+    a checkpoint.  Without the epoch key, a replayed batch
+    double-counts tf/df/N (VERDICT r10 "what's wrong" #1)."""
     from .dedup_index import _commit_epoch, _epoch_already_folded
 
     with open(os.path.join(path, _META_NAME)) as f:
@@ -168,10 +173,12 @@ def bm25_index_fold(
         raise ValueError(
             f"index at {path} is kind={meta.get('kind')!r}, expected 'bm25'"
         )
-    if _epoch_already_folded(meta, epoch):
+    if _epoch_already_folded(meta, epoch, lineage):
         return
-    _write_or_fold(increment_docs, path, id_col, text_col, "append", epoch)
-    _commit_epoch(path, meta, epoch)
+    _write_or_fold(
+        increment_docs, path, id_col, text_col, "append", epoch, lineage
+    )
+    _commit_epoch(path, meta, epoch, lineage)
 
 
 def bm25_index_topk(

@@ -1300,6 +1300,7 @@ def ivf_index_fold(
     increment: DataFrame,
     path: str,
     epoch: int | None = None,
+    lineage: str | None = None,
 ) -> None:
     """FOLD an embedding increment into the persisted IVF index:
     assign against the meta-pinned anchor set and write the
@@ -1317,7 +1318,7 @@ def ivf_index_fold(
     )
 
     meta = _read_meta(path, "ivf")
-    if _epoch_already_folded(meta, epoch):
+    if _epoch_already_folded(meta, epoch, lineage):
         return
     assigned = ivf_assign(
         increment.select(meta["id_col"], meta["vec_col"]),
@@ -1327,17 +1328,19 @@ def ivf_index_fold(
         meta["vec_col"],
         meta["seed"],
     )
+    _migrate_to_fold_layout(path)
     if epoch is None:
-        _migrate_to_fold_layout(path)
         assigned.write.mode("append").partitionBy("centroid").parquet(
             _os.path.join(path, "fold=base")
         )
     else:
-        _migrate_to_fold_layout(path)
+        from .dedup_index import _lineage_label
+
+        prefix = f"{_lineage_label(lineage)}-" if lineage is not None else ""
         assigned.write.mode("overwrite").partitionBy("centroid").parquet(
-            _os.path.join(path, f"fold=e{int(epoch)}")
+            _os.path.join(path, f"fold={prefix}e{int(epoch)}")
         )
-    _commit_epoch(path, meta, epoch)
+    _commit_epoch(path, meta, epoch, lineage)
 
 
 def ivf_index_topk(

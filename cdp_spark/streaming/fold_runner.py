@@ -101,6 +101,7 @@ def run_bm25_ingest_stream(
     checkpoint_dir: Optional[str] = None,
     available_now: bool = False,
     trigger_seconds: Optional[float] = None,
+    lineage: Optional[str] = None,
 ) -> StreamingQuery:
     """Streaming BM25 index ingest — the retrieval twin of the dedup
     fold lifecycle, DEGENERATE because every BM25 statistic is
@@ -117,10 +118,11 @@ def run_bm25_ingest_stream(
     ``epoch_id`` — committed epochs skip via the index meta watermark,
     half-written ones overwrite their own ``fold=e<epoch>``
     subdirectories — so a crash-replayed batch never double-counts
-    tf/df/N (VERDICT r10 #1).  The watermark assumes ONE checkpoint
-    lineage per index: epoch ids restart from 0 under a fresh
-    checkpoint, so point a new checkpoint at a new (or re-initialized)
-    index, never at one mid-ingest."""
+    tf/df/N (VERDICT r10 #1).  Each watermark covers ONE checkpoint
+    lineage (epoch ids restart from 0 under a fresh checkpoint): give
+    every stream its own ``lineage`` tag when several streams — or a
+    re-created checkpoint — fold into the same index; the default
+    (None) covers the common one-stream-per-index case."""
     import json as _json
     import os as _os
 
@@ -139,7 +141,7 @@ def run_bm25_ingest_stream(
             return
         ri.bm25_index_fold(
             docs, index_path, id_col=id_col, text_col=text_col,
-            epoch=epoch_id,
+            epoch=epoch_id, lineage=lineage,
         )
 
     writer = source_stream.writeStream.foreachBatch(_fold)
@@ -158,6 +160,7 @@ def run_ivf_ingest_stream(
     checkpoint_dir: Optional[str] = None,
     available_now: bool = False,
     trigger_seconds: Optional[float] = None,
+    lineage: Optional[str] = None,
 ) -> StreamingQuery:
     """Streaming IVF index ingest — the embedding twin of
     :func:`run_bm25_ingest_stream`, equally DEGENERATE: coarse
@@ -178,7 +181,8 @@ def run_ivf_ingest_stream(
     Batch REPLAY (foreachBatch's at-least-once) is safe: folds are
     keyed by ``epoch_id`` (fold=e<epoch> overwrite + meta watermark),
     so a crash-replayed batch never double-inserts vectors.  Same
-    one-checkpoint-lineage-per-index caveat as the BM25 ingest."""
+    per-lineage watermark rule as the BM25 ingest: tag each stream
+    with its own ``lineage`` when several fold into one index."""
     import json as _json
     import os as _os
 
@@ -195,7 +199,7 @@ def run_ivf_ingest_stream(
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        si.ivf_index_fold(batch_df, index_path, epoch=epoch_id)
+        si.ivf_index_fold(batch_df, index_path, epoch=epoch_id, lineage=lineage)
 
     writer = source_stream.writeStream.foreachBatch(_fold)
     if checkpoint_dir is not None:
@@ -221,9 +225,11 @@ class IncrementFoldRunner:
     holds each increment's documents per source epoch,
     ``flags/inc=<k>/epoch=<e>/`` its flags, and
     ``_runner_state.json`` the persisted lifecycle state (see
-    ``_save_state``).  The epoch watermark assumes ONE checkpoint
-    lineage per work_dir — epoch ids restart under a fresh checkpoint,
-    so pair a new checkpoint with a new work_dir.
+    ``_save_state``).  One checkpoint lineage per work_dir (epoch ids
+    restart under a fresh checkpoint — pair a new checkpoint with a
+    new work_dir); when several runners share one INDEX, give each a
+    ``lineage`` tag so their index-side fold watermarks and fold
+    directories never collide.
     """
 
     def __init__(
@@ -237,6 +243,7 @@ class IncrementFoldRunner:
         bands: int = 8,
         fold_every_batches: Optional[int] = None,
         fold_every_rows: Optional[int] = None,
+        lineage: Optional[str] = None,
     ) -> None:
         if not source_stream.isStreaming:
             raise ValueError("source_stream must be a streaming DataFrame")
@@ -258,6 +265,7 @@ class IncrementFoldRunner:
         self._bands = bands
         self._every_batches = fold_every_batches
         self._every_rows = fold_every_rows
+        self._lineage = lineage
         self._fold_asked = threading.Event()
         self.cycle = 0
         self.folds_done = 0
@@ -498,16 +506,19 @@ class IncrementFoldRunner:
             di.minhash_index_fold(
                 inc_docs, flagged, self._path,
                 id_col=self._id, text_col=self._text, epoch=upto_epoch,
+                lineage=self._lineage,
             )
         elif self._kind == "exactngram":
             di.exactngram_index_fold(
                 inc_docs, flagged, self._path,
                 id_col=self._id, text_col=self._text, epoch=upto_epoch,
+                lineage=self._lineage,
             )
         else:
             di.substring_index_fold(
                 inc_docs, flagged, self._path,
                 id_col=self._id, text_col=self._text, epoch=upto_epoch,
+                lineage=self._lineage,
             )
         self.folds_done += 1
         self.cycle += 1

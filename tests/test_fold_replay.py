@@ -226,3 +226,57 @@ def test_old_root_layout_migrates_under_labeled_folds(spark, tmp_path):
     # and an unlabeled fold AFTER migration appends into fold=base
     di.minhash_index_fold(b0.limit(0), none_flagged, path)
     assert os.path.isdir(os.path.join(path, "sigs", "fold=base"))
+
+
+def test_multi_lineage_streams_share_one_bm25_index(spark, tmp_path):
+    """Two checkpoint lineages fold into ONE index: each lineage's
+    epoch watermark is independent (lineage A's epoch-0 replay skips
+    even after lineage B committed epoch 1), fold directories never
+    collide, and the served result equals a from-scratch build over
+    the union."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a0 = docs.where(F.col("doc_id") % 4 == 0)
+    a1 = docs.where(F.col("doc_id") % 4 == 1)
+    b0 = docs.where(F.col("doc_id") % 4 == 2)
+    b1 = docs.where(F.col("doc_id") % 4 == 3)
+    terms = ["hash", "join", "stream", "vector"]
+
+    path = str(tmp_path / "bm25")
+    ri.bm25_index_init(path)
+    # interleaved epochs from two lineages — same epoch NUMBERS
+    ri.bm25_index_fold(a0, path, epoch=0, lineage="src-a")
+    ri.bm25_index_fold(b0, path, epoch=0, lineage="src-b")
+    ri.bm25_index_fold(a1, path, epoch=1, lineage="src-a")
+    ri.bm25_index_fold(b1, path, epoch=1, lineage="src-b")
+    served = [
+        tuple(r) for r in ri.bm25_index_topk(spark, path, terms, k=20).collect()
+    ]
+
+    # replays of every (lineage, epoch): all no-ops
+    for inc, ep, lin in ((a0, 0, "src-a"), (b0, 0, "src-b"),
+                         (a1, 1, "src-a"), (b1, 1, "src-b")):
+        ri.bm25_index_fold(inc, path, epoch=ep, lineage=lin)
+    assert [
+        tuple(r) for r in ri.bm25_index_topk(spark, path, terms, k=20).collect()
+    ] == served
+
+    rebuilt = str(tmp_path / "rebuilt")
+    ri.bm25_index_write(docs, rebuilt)
+    assert served == [
+        tuple(r)
+        for r in ri.bm25_index_topk(spark, rebuilt, terms, k=20).collect()
+    ]
+    # both lineages' watermarks recorded independently
+    import json
+    meta = json.load(open(os.path.join(path, ri._META_NAME)))
+    assert meta["last_epoch:src-a"] == 1 and meta["last_epoch:src-b"] == 1
+
+
+def test_lineage_tag_validated(spark, tmp_path):
+    import pytest
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "bm25")
+    ri.bm25_index_init(path)
+    with pytest.raises(ValueError, match="lineage"):
+        ri.bm25_index_fold(docs.limit(1), path, epoch=0, lineage="a/b")
