@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "exact_substring_pairs",
     "exact_substring_dedup",
     "exact_ngram_dedup",
+    "exact_ngram_clean",
     "fold_incremental_dedup",
     "fold_substring_flags",
     "auto_fold_lifecycle",

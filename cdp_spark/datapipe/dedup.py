@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..session import iter_checkpoint
+from .curate import _let as curate_let
 from .text import tokens
 
 # Mersenne prime modulus for the universal-hash permutations.  31-bit
@@ -715,6 +716,93 @@ def ngram_fingerprints(col: Column, k: int) -> Column:
         )
 
     return F.element_at(F.transform(F.array(tokens(col)), build), 1)
+
+
+def exact_ngram_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """The REMOVAL ACTION of Lee et al. 2022's ExactSubstr dedup —
+    the cleaned corpus, not just the statistics
+    (:func:`exact_ngram_dup_stats`): from every document, remove the
+    tokens covered by duplicated >= k-token grams whose occurrence is
+    NOT the corpus-wide first ((doc, pos)-minimal), so every
+    duplicated substring survives exactly once and every document
+    keeps its unique text.  Non-duplicated documents (and documents
+    shorter than k tokens) pass through untouched.
+
+    Scale shape: the gram/count pipeline is shared with the stats
+    operator (one gram row per token, two fp shuffles); the removal
+    itself is a narrow per-doc map — the non-first positions join
+    back by id (duplicate-density-sized, broadcastable) and one
+    indexed ``F.filter`` + ``F.exists`` drops covered tokens,
+    O(tokens x removed-positions) per doc, no further shuffle.
+
+    Output: (id_col, n_tokens, n_kept_tokens, cleaned_fp) for EVERY
+    non-empty document; ``cleaned_fp`` = md5 of the space-rejoined
+    kept tokens (md5('') for a fully-removed document), and
+    ``n_tokens - n_kept_tokens`` equals the stats operator's
+    ``n_removed_tokens`` (pinned by test).
+    """
+    base = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select(
+        "id",
+        tokens(F.col("_t")).alias("_tk"),
+        ngram_fingerprints(F.col("_t"), k).alias("_g"),
+    ).where(F.size("_tk") > 0)
+    base = iter_checkpoint(base)  # feeds the gram pipeline AND the rejoin
+
+    grams = base.select("id", F.posexplode("_g").alias("pos", "fp"))
+    grams = iter_checkpoint(grams)
+    dup = (
+        grams.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col("id"), F.col("pos"))).alias("_first"),
+        )
+        .where(F.col("_c") >= min_count)
+        .select("fp", "_first")
+    )
+    rm = (
+        grams.join(dup, "fp")
+        .where(
+            (F.col("id") != F.col("_first.id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_rm"))
+    )
+    joined = base.join(F.broadcast(rm), "id", "left").select(
+        "id",
+        "_tk",
+        F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
+    )
+    kept = F.filter(
+        F.col("_tk"),
+        lambda x, i: ~F.exists(
+            F.col("_rm"), lambda p: (p <= i) & (i <= p + F.lit(k - 1))
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        curate_let(
+            kept,
+            lambda a: F.struct(
+                F.size(a).cast("long").alias("n"),
+                F.md5(F.array_join(a, " ")).alias("fp"),
+            ),
+        ).alias("_k"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("_k.n").alias("n_kept_tokens"),
+        F.col("_k.fp").alias("cleaned_fp"),
+    )
 
 
 def _dup_span_fold(positions: Column, k: int) -> Column:

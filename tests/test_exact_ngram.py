@@ -274,3 +274,45 @@ def test_winnow_recall_against_exact_ground_truth(spark):
     assert exact_docs, "fixture lost its planted duplicates"
     missed = exact_docs - wdocs
     assert not missed, f"winnowing missed exact duplicates: {sorted(missed)}"
+
+
+def test_clean_consistent_with_stats_and_model(spark):
+    """exact_ngram_clean: (a) n_tokens - n_kept_tokens equals the
+    stats operator's n_removed_tokens on every document; (b) on a
+    planted corpus the kept text matches the independent model's
+    splice (first occurrence keeps its text verbatim, later
+    occurrences lose exactly the covered tokens)."""
+    docs = load_table(spark, SF, "documents")
+    clean = ddp.exact_ngram_clean(docs, "doc_id", "text", k=20)
+    stats = ddp.exact_ngram_dup_stats(docs, "doc_id", "text", k=20)
+    j = clean.join(
+        stats.select("doc_id", "n_removed_tokens"), "doc_id", "left"
+    ).fillna(0, ["n_removed_tokens"])
+    bad = j.where(
+        F.col("n_tokens") - F.col("n_kept_tokens")
+        != F.col("n_removed_tokens")
+    ).count()
+    assert bad == 0
+    assert clean.count() == docs.where(
+        F.length(F.trim("text")) > 0
+    ).count()
+
+    # planted model check, k=4: doc 2 copies doc 1's run
+    a = "p q r s t u"
+    docs2 = {1: f"w1 w2 {a} w3", 2: f"z1 {a} z2 z3", 3: "solo text here ok"}
+    sdf = spark.createDataFrame(
+        [(d, t) for d, t in docs2.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_kept_tokens"], r["cleaned_fp"])
+        for r in ddp.exact_ngram_clean(sdf, "doc_id", "text", k=4).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1 holds the first occurrence: untouched
+    assert got[1] == (9, md5(docs2[1]))
+    # doc 2 loses exactly the 6 covered tokens
+    assert got[2] == (3, md5("z1 z2 z3"))
+    # doc 3 untouched
+    assert got[3] == (4, md5(docs2[3]))

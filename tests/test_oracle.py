@@ -99,10 +99,10 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-11 rotation (VERDICT r10 #1a) puts the 4 round-11
+    entries; round-11 rotation (VERDICT r10 #1a) puts the 5 round-11
     additions and ALL 32 r07-era deferrals (the queries whose last
     hard driver row is r07 — named in the r10 window comment) at the
-    front, then the 14 stalest r08-era queries in registry order.
+    front, then the 13 stalest r08-era queries in registry order.
     Pin the window membership so a later edit appending to the wrong
     dict cannot silently rotate them out, and pin that the window is
     exactly the declared list."""
@@ -115,6 +115,7 @@ def test_driver_window_leads_with_never_checked_queries():
         # round-11 additions (never driver-checked)
         "stream_ivf_ingest", "exact_ngram_dedup",
         "auto_exact_ngram_lifecycle", "token_budget_sample",
+        "exact_ngram_clean",
         # all 32 r07-era deferrals — the rotation's whole purpose
         "weighted_sample", "pagerank_nations", "hll_union_entities",
         "dsir_sample", "stream_stream_left_join", "hll_users_by_type",
@@ -130,7 +131,7 @@ def test_driver_window_leads_with_never_checked_queries():
         "zscore_outliers", "window_nav_funcs",
         "q13_customer_distribution", "q19_disjunctive_revenue",
         # r08-era representatives across the families
-        "bm25_top_docs", "session_gap", "multimodal_bytes",
+        "bm25_top_docs", "session_gap",
         "jsonnet_window_stats", "asof_join", "embedding_near_dup",
     }
     missing = must_lead - set(window)
