@@ -223,20 +223,47 @@ def _watermark_key(lineage) -> str:
     )
 
 
-def _epoch_already_folded(meta: dict, epoch, lineage=None) -> bool:
-    """True when the index meta's watermark says this epoch's fold
-    fully committed (stat writes AND meta update) — the replay can
+def _watermark_sidecar(path: str, lineage) -> str:
+    """Per-lineage watermark file: each labeled lineage commits its
+    epoch watermark into its OWN ``_watermark.<lineage>.json`` (atomic
+    temp + rename), so two lineages folding concurrently into one
+    index can never lose each other's watermark to a meta
+    read-modify-write race (ADVICE r11).  The default (unlabeled)
+    lineage keeps the historical meta key — one stream per index by
+    contract, nothing to race."""
+    return os.path.join(path, f"_watermark.{_lineage_label(lineage)}.json")
+
+
+def _epoch_already_folded(path: str, meta: dict, epoch, lineage=None) -> bool:
+    """True when the lineage's watermark says this epoch's fold fully
+    committed (stat writes AND watermark commit) — the replay can
     skip it entirely.  Epoch ids are monotone per checkpoint
-    (foreachBatch's batchId), so one watermark per lineage suffices;
-    the default lineage covers the one-stream-per-index case."""
+    (foreachBatch's batchId), so one watermark per lineage suffices.
+    Labeled lineages read their sidecar file (falling back to the
+    legacy ``last_epoch:<lineage>`` meta key for pre-sidecar
+    indexes); the default lineage reads the meta key."""
     if epoch is None:
         return False
-    last = meta.get(_watermark_key(lineage))
+    last = None
+    if lineage is not None:
+        sidecar = _watermark_sidecar(path, lineage)
+        if os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                last = json.load(f).get("last_epoch")
+    if last is None:
+        last = meta.get(_watermark_key(lineage))
     return last is not None and int(epoch) <= int(last)
 
 
 def _commit_epoch(path: str, meta: dict, epoch, lineage=None) -> None:
     if epoch is None:
+        return
+    if lineage is not None:
+        sidecar = _watermark_sidecar(path, lineage)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_epoch": int(epoch)}, f)
+        os.replace(tmp, sidecar)
         return
     meta[_watermark_key(lineage)] = int(epoch)
     _write_meta(path, meta)
@@ -353,7 +380,7 @@ def minhash_index_fold(
     lineages fold into ONE index (epoch ids are only monotone within
     a checkpoint)."""
     meta = _read_meta(path, "minhash")
-    if _epoch_already_folded(meta, epoch, lineage):
+    if _epoch_already_folded(path, meta, epoch, lineage):
         return
     hash_fn = _HASH_FNS[meta["hash"]]
     survivors = _survivors(increment_docs, flagged_ids, id_col)
@@ -622,7 +649,7 @@ def substring_index_fold(
     half-written ones overwrite their own subdirectories (a crash
     between the fps and df writes replays both cleanly)."""
     meta = _read_meta(path, "substring")
-    if _epoch_already_folded(meta, epoch, lineage):
+    if _epoch_already_folded(path, meta, epoch, lineage):
         return
     hash_fn = _HASH_FNS[meta["hash"]]
     survivors = _survivors(increment_docs, flagged_ids, id_col)
@@ -713,7 +740,7 @@ def exactngram_index_fold(
     :func:`minhash_index_fold` — committed epochs skip, half-written
     ones overwrite their own subdirectory."""
     meta = _read_meta(path, "exactngram")
-    if _epoch_already_folded(meta, epoch, lineage):
+    if _epoch_already_folded(path, meta, epoch, lineage):
         return
     survivors = _survivors(increment_docs, flagged_ids, id_col)
     _fold_write(

@@ -173,7 +173,7 @@ def bm25_index_fold(
         raise ValueError(
             f"index at {path} is kind={meta.get('kind')!r}, expected 'bm25'"
         )
-    if _epoch_already_folded(meta, epoch, lineage):
+    if _epoch_already_folded(path, meta, epoch, lineage):
         return
     _write_or_fold(
         increment_docs, path, id_col, text_col, "append", epoch, lineage

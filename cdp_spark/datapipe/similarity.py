@@ -1318,7 +1318,7 @@ def ivf_index_fold(
     )
 
     meta = _read_meta(path, "ivf")
-    if _epoch_already_folded(meta, epoch, lineage):
+    if _epoch_already_folded(path, meta, epoch, lineage):
         return
     assigned = ivf_assign(
         increment.select(meta["id_col"], meta["vec_col"]),
@@ -1359,7 +1359,13 @@ def ivf_index_topk(
     from .dedup_index import _read_meta
 
     meta = _read_meta(path, "ivf")
-    anchors = _anchor_set(len(query_vector), meta["n_centroids"], meta["seed"])
+    if len(query_vector) != int(meta["dim"]):
+        raise ValueError(
+            f"query vector has dim {len(query_vector)}, but the index at "
+            f"{path} pins dim {meta['dim']} — a mismatched query would "
+            "silently probe a different anchor space (ADVICE r11)"
+        )
+    anchors = _anchor_set(int(meta["dim"]), meta["n_centroids"], meta["seed"])
     qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
     scored = sorted(
         range(meta["n_centroids"]),

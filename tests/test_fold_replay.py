@@ -266,10 +266,103 @@ def test_multi_lineage_streams_share_one_bm25_index(spark, tmp_path):
         tuple(r)
         for r in ri.bm25_index_topk(spark, rebuilt, terms, k=20).collect()
     ]
-    # both lineages' watermarks recorded independently
+    # both lineages' watermarks recorded independently — in their OWN
+    # sidecar files (ADVICE r11: per-lineage sidecars remove the meta
+    # read-modify-write race between concurrently-folding lineages)
     import json
+    for lin in ("src-a", "src-b"):
+        with open(di._watermark_sidecar(path, lin)) as f:
+            assert json.load(f)["last_epoch"] == 1
     meta = json.load(open(os.path.join(path, ri._META_NAME)))
-    assert meta["last_epoch:src-a"] == 1 and meta["last_epoch:src-b"] == 1
+    assert "last_epoch:src-a" not in meta and "last_epoch:src-b" not in meta
+
+
+def test_lineage_watermark_commits_cannot_clobber_each_other(spark, tmp_path):
+    """ADVICE r11: _commit_epoch was an unlocked read-modify-write of
+    the shared meta — two lineages committing concurrently could lose
+    each other's watermark.  Sidecar files make each lineage's commit
+    touch only its own file; pin that a commit for lineage B between
+    lineage A's meta read and A's commit leaves BOTH watermarks
+    intact, and that replay-skip reads them."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "bm25")
+    ri.bm25_index_init(path)
+    import json
+    with open(os.path.join(path, ri._META_NAME)) as f:
+        meta_a = json.load(f)  # lineage A's stale in-memory meta
+    # B commits first; A then commits with its STALE meta copy — the
+    # exact interleaving that lost B's watermark under the meta key
+    di._commit_epoch(path, dict(meta_a), 7, lineage="lin-b")
+    di._commit_epoch(path, meta_a, 4, lineage="lin-a")
+    with open(os.path.join(path, ri._META_NAME)) as f:
+        fresh_meta = json.load(f)
+    assert di._epoch_already_folded(path, fresh_meta, 7, lineage="lin-b")
+    assert di._epoch_already_folded(path, fresh_meta, 4, lineage="lin-a")
+    assert not di._epoch_already_folded(path, fresh_meta, 8, lineage="lin-b")
+    # legacy pre-sidecar indexes: the meta key still honored
+    legacy = dict(fresh_meta)
+    legacy["last_epoch:lin-old"] = 2
+    assert di._epoch_already_folded(path, legacy, 2, lineage="lin-old")
+    assert not di._epoch_already_folded(path, legacy, 3, lineage="lin-old")
+
+
+def _drive_available_now(runner, checkpoint_dir):
+    q = runner.start(checkpoint_dir=checkpoint_dir, available_now=True)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("runner stream still running after 120s")
+
+
+def test_mismatched_checkpoint_resume_fails_fast(spark, tmp_path):
+    """VERDICT r11 missing #4: a work_dir silently assumed exactly one
+    checkpoint lineage — resuming it against a FRESH checkpoint would
+    restart epoch ids at 0 and collide with the spooled state.  The
+    runner now records the checkpoint's query id in
+    _runner_state.json at the first batch and start() refuses a
+    mismatched checkpoint loudly."""
+    import pytest
+
+    corpus, b0, _ = _corpus_and_batches(spark)
+    path = str(tmp_path / "mh")
+    di.minhash_index_write(corpus, path, num_perm=32, n=3, hash_fn=ddp.md5_hash60)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    b0.coalesce(1).write.mode("overwrite").json(str(src / "batch0"))
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src / "batch0")
+    )
+    work = str(tmp_path / "work")
+    runner = IncrementFoldRunner(
+        stream, path, work, threshold=0.5, bands=8, fold_every_batches=100,
+    )
+    ckpt_a = str(tmp_path / "ckpt_a")
+    _drive_available_now(runner, ckpt_a)
+    import json
+    st = json.load(open(os.path.join(work, "_runner_state.json")))
+    assert st["checkpoint_id"], "checkpoint identity not recorded"
+
+    # same work_dir, FRESH checkpoint: refused before the query starts
+    runner2 = IncrementFoldRunner(
+        stream, path, work, threshold=0.5, bands=8, fold_every_batches=100,
+    )
+    with pytest.raises(ValueError, match="FRESH checkpoint"):
+        runner2.start(
+            checkpoint_dir=str(tmp_path / "ckpt_b"), available_now=True
+        )
+    # a DIFFERENT stream's checkpoint (valid metadata, wrong id): refused
+    other_ckpt = str(tmp_path / "ckpt_c")
+    os.makedirs(other_ckpt)
+    with open(os.path.join(other_ckpt, "metadata"), "w") as f:
+        json.dump({"id": "00000000-0000-0000-0000-000000000000"}, f)
+    with pytest.raises(ValueError, match="different checkpoint"):
+        runner2.start(checkpoint_dir=other_ckpt, available_now=True)
+
+    # the ORIGINAL checkpoint resumes fine (no new files -> no batches)
+    runner3 = IncrementFoldRunner(
+        stream, path, work, threshold=0.5, bands=8, fold_every_batches=100,
+    )
+    _drive_available_now(runner3, ckpt_a)
 
 
 def test_lineage_tag_validated(spark, tmp_path):
