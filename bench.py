@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "exact_substring_dedup",
     "exact_ngram_dedup",
     "exact_ngram_clean",
+    "exact_ngram_clean_text",
     "fold_incremental_dedup",
     "fold_substring_flags",
     "auto_fold_lifecycle",
@@ -119,6 +120,7 @@ BENCH_QUERIES = [
     "bm25_index_fold",
     "stream_bm25_ingest",
     "stream_ivf_ingest",
+    "ivf_refit_lifecycle",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

@@ -1277,22 +1277,58 @@ def ivf_index_init(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Initialize an EMPTY fold-lifecycle IVF index (meta only) so a
     streaming ingest builds it fold-by-fold from the first
-    micro-batch.  Query after at least one fold."""
+    micro-batch.  Query after at least one fold.
+
+    ``centroids`` pins a TRAINED coarse quantizer (k-means lists)
+    instead of the seeded random anchors: folds then assign by
+    squared-L2 argmin against these lists (ties to the lowest id —
+    :func:`kmeans_fit`'s rule) and queries rank probe lists the same
+    way.  The model is k*dim floats — meta-sized state, exactly like
+    the anchors' (seed, dim) pin."""
     from .dedup_index import _write_meta
 
-    _write_meta(
-        path,
-        {
-            "kind": "ivf",
-            "dim": dim,
-            "n_centroids": n_centroids,
-            "seed": seed,
-            "id_col": id_col,
-            "vec_col": vec_col,
-        },
+    meta = {
+        "kind": "ivf",
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    if centroids is not None:
+        if len(centroids) != n_centroids:
+            raise ValueError(
+                f"{len(centroids)} trained centroids != n_centroids="
+                f"{n_centroids}"
+            )
+        meta["centroids"] = [[float(x) for x in c] for c in centroids]
+    _write_meta(path, meta)
+
+
+def _ivf_meta_assign(df: DataFrame, meta: dict) -> DataFrame:
+    """Coarse assignment under the meta-pinned model: TRAINED
+    centroids when present (squared-L2 argmin, first-minimum
+    tie-break — bit-identical to :func:`kmeans_fit`'s final
+    assignment), else the seeded random anchors (:func:`ivf_assign`).
+    Pure codegen map either way — no shuffle."""
+    cents = meta.get("centroids")
+    if cents is None:
+        return ivf_assign(
+            df,
+            meta["dim"],
+            meta["n_centroids"],
+            meta["id_col"],
+            meta["vec_col"],
+            meta["seed"],
+        )
+    dists = _sq_dists_to(F.col(meta["vec_col"]), cents)
+    return df.withColumn(
+        "centroid",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("long"),
     )
 
 
@@ -1301,13 +1337,20 @@ def ivf_index_fold(
     path: str,
     epoch: int | None = None,
     lineage: str | None = None,
-) -> None:
+    return_counts: bool = False,
+) -> dict[int, int] | None:
     """FOLD an embedding increment into the persisted IVF index:
-    assign against the meta-pinned anchor set and write the
-    centroid-partitioned rows into this fold's subdirectory.
-    O(increment); committed epochs skip (meta watermark), half-written
-    ones overwrite their own ``fold=e<epoch>`` directory — see the
-    module-level lifecycle note."""
+    assign against the meta-pinned model (trained centroids or the
+    anchor set) and write the centroid-partitioned rows into this
+    fold's subdirectory.  O(increment); committed epochs skip (meta
+    watermark), half-written ones overwrite their own ``fold=e<epoch>``
+    directory — see the module-level lifecycle note.
+
+    ``return_counts=True`` additionally returns the increment's rows
+    per centroid (the occupancy delta the refit policy accumulates —
+    n_centroids small ints, model-state-sized) or None when the epoch
+    was skipped as already committed, so a replay never double-counts
+    occupancy."""
     import os as _os
 
     from .dedup_index import (
@@ -1319,15 +1362,12 @@ def ivf_index_fold(
 
     meta = _read_meta(path, "ivf")
     if _epoch_already_folded(path, meta, epoch, lineage):
-        return
-    assigned = ivf_assign(
-        increment.select(meta["id_col"], meta["vec_col"]),
-        meta["dim"],
-        meta["n_centroids"],
-        meta["id_col"],
-        meta["vec_col"],
-        meta["seed"],
+        return None
+    assigned = _ivf_meta_assign(
+        increment.select(meta["id_col"], meta["vec_col"]), meta
     )
+    if return_counts:
+        assigned = assigned.persist()
     _migrate_to_fold_layout(path)
     if epoch is None:
         assigned.write.mode("append").partitionBy("centroid").parquet(
@@ -1340,7 +1380,17 @@ def ivf_index_fold(
         assigned.write.mode("overwrite").partitionBy("centroid").parquet(
             _os.path.join(path, f"fold={prefix}e{int(epoch)}")
         )
+    counts = None
+    if return_counts:
+        counts = {
+            int(r["centroid"]): int(r["n"])
+            for r in assigned.groupBy("centroid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assigned.unpersist()
     _commit_epoch(path, meta, epoch, lineage)
+    return counts
 
 
 def ivf_index_topk(
@@ -1351,11 +1401,14 @@ def ivf_index_topk(
     n_probe: int = 4,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Query a fold-lifecycle IVF index: rank the meta-pinned anchors
-    driver-side, read ONLY the probed centroid partitions — the
-    ``centroid IN`` filter prunes at file-listing time across every
-    fold directory — exact cosine top-k within them.  Equals
-    :func:`ivf_topk` over the union of all folded increments."""
+    """Query a fold-lifecycle IVF index: rank the meta-pinned lists
+    driver-side — trained centroids by squared-L2 (ties to the lower
+    id, :func:`ivf_kmeans_topk_indexed`'s rule) when the meta pins
+    them, else the anchors by cosine — read ONLY the probed centroid
+    partitions (the ``centroid IN`` filter prunes at file-listing
+    time across every fold directory), exact cosine top-k within
+    them.  Equals :func:`ivf_topk` / the trained probe over the union
+    of all folded increments."""
     from .dedup_index import _read_meta
 
     meta = _read_meta(path, "ivf")
@@ -1365,13 +1418,28 @@ def ivf_index_topk(
             f"{path} pins dim {meta['dim']} — a mismatched query would "
             "silently probe a different anchor space (ADVICE r11)"
         )
-    anchors = _anchor_set(int(meta["dim"]), meta["n_centroids"], meta["seed"])
-    qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
-    scored = sorted(
-        range(meta["n_centroids"]),
-        key=lambda i: -sum(a * b for a, b in zip(anchors[i], query_vector)) / qn,
-    )
-    probe = [int(i) for i in scored[:n_probe]]
+    cents = meta.get("centroids")
+    if cents is not None:
+        qd = [
+            (cid, sum((a - b) ** 2 for a, b in zip(query_vector, c)))
+            for cid, c in enumerate(cents)
+        ]
+        probe = [
+            int(cid)
+            for cid, _ in sorted(qd, key=lambda t: (t[1], t[0]))[:n_probe]
+        ]
+    else:
+        anchors = _anchor_set(
+            int(meta["dim"]), meta["n_centroids"], meta["seed"]
+        )
+        qn = math.sqrt(sum(x * x for x in query_vector)) or 1.0
+        scored = sorted(
+            range(meta["n_centroids"]),
+            key=lambda i: -sum(
+                a * b for a, b in zip(anchors[i], query_vector)
+            ) / qn,
+        )
+        probe = [int(i) for i in scored[:n_probe]]
     pruned = spark.read.parquet(path).filter(F.col("centroid").isin(*probe))
     sim = F.round(cosine_to(F.col(meta["vec_col"]), query_vector), round_digits)
     return (
@@ -1379,6 +1447,186 @@ def ivf_index_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(meta["id_col"]))
         .limit(k)
     )
+
+
+# ------------------------------------------------- IVF serving + re-fit
+#
+# The SERVED form of the fold-lifecycle IVF index (VERDICT r11 next
+# #4: automate the re-fit policy).  A serving root holds immutable
+# index GENERATIONS plus one atomic pointer:
+#
+#     <root>/_cdp_serving.json      {"gen": N}  (temp + rename swap)
+#     <root>/gen-0/                 fold-lifecycle index (anchors)
+#     <root>/gen-1/                 rebuilt index (trained centroids)
+#
+# Ingest folds into the CURRENT generation (O(batch), epoch-
+# idempotent); a RE-FIT trains k-means on everything folded so far,
+# builds the next generation completely (data, meta with the trained
+# centroids, carried epoch watermarks), and only then swaps the
+# pointer — a crash mid-refit leaves the old generation serving,
+# never a torn index.  Post-refit folds assign new vectors to the
+# TRAINED lists (a pure (vector, centroids) map), so the lifecycle
+# continues without re-clustering until the next deliberate or
+# policy-triggered re-fit (occupancy skew — see
+# streaming.fold_runner.run_ivf_serving_stream).
+
+_SERVING_NAME = "_cdp_serving.json"
+
+
+def _read_serving(root: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(root, _SERVING_NAME)) as f:
+        return _json.load(f)
+
+
+def _write_serving(root: str, state: dict) -> None:
+    import json as _json
+    import os as _os
+
+    _os.makedirs(root, exist_ok=True)
+    tmp = _os.path.join(root, _SERVING_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump(state, f, indent=1, sort_keys=True)
+    _os.replace(tmp, _os.path.join(root, _SERVING_NAME))
+
+
+def ivf_serving_path(root: str) -> str:
+    """The currently-served generation's index directory."""
+    import os as _os
+
+    return _os.path.join(root, f"gen-{int(_read_serving(root)['gen'])}")
+
+
+def ivf_serving_init(
+    root: str,
+    dim: int,
+    n_centroids: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Create a serving root with an empty anchor-based generation 0;
+    returns the generation's path."""
+    import os as _os
+
+    gen0 = _os.path.join(root, "gen-0")
+    ivf_index_init(gen0, dim, n_centroids, seed, id_col, vec_col)
+    _write_serving(root, {"gen": 0})
+    return gen0
+
+
+def ivf_serving_fold(
+    increment: DataFrame,
+    root: str,
+    epoch: int | None = None,
+    lineage: str | None = None,
+    return_counts: bool = False,
+) -> dict[int, int] | None:
+    """Fold an increment into the SERVED generation — assignment
+    follows the generation's pinned model (anchors before the first
+    re-fit, trained centroids after), everything else is
+    :func:`ivf_index_fold`."""
+    return ivf_index_fold(
+        increment,
+        ivf_serving_path(root),
+        epoch=epoch,
+        lineage=lineage,
+        return_counts=return_counts,
+    )
+
+
+def ivf_serving_topk(
+    spark,
+    root: str,
+    query_vector: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query the served generation (:func:`ivf_index_topk`)."""
+    return ivf_index_topk(
+        spark,
+        ivf_serving_path(root),
+        query_vector,
+        k=k,
+        n_probe=n_probe,
+        round_digits=round_digits,
+    )
+
+
+def ivf_serving_refit(
+    spark,
+    root: str,
+    iters: int = 2,
+) -> tuple[list[list[float]], dict[int, int]]:
+    """RE-FIT the served index: train Lloyd's k-means
+    (:func:`kmeans_fit` — same n_centroids/seed the meta pins) on
+    every vector folded so far, build the next generation with the
+    TRAINED lists, and atomically swap the serving pointer.  Returns
+    ``(centroids, occupancy_counts)`` of the rebuilt index.
+
+    The rebuilt generation IS a from-scratch trained build over the
+    union of all folded increments (assignment is :func:`kmeans_fit`'s
+    own final assignment), so the served top-k afterwards equals
+    :func:`ivf_kmeans_write` + :func:`ivf_kmeans_topk_indexed` over
+    the same data — pinned by test.  Epoch watermarks (meta keys AND
+    per-lineage sidecars) carry over to the new generation: the
+    rebuild already contains every committed epoch, so a replayed
+    epoch must keep skipping after the swap.  O(all folded data) by
+    design — the deliberate, rare operation the O(batch) folds avoid;
+    run it from the occupancy-skew policy or by hand.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from .dedup_index import _read_meta, _write_meta
+
+    state = _read_serving(root)
+    cur = _os.path.join(root, f"gen-{int(state['gen'])}")
+    meta = _read_meta(cur, "ivf")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    vectors = spark.read.parquet(cur).select(id_col, vec_col)
+    cents, assigned = kmeans_fit(
+        vectors,
+        int(meta["dim"]),
+        id_col,
+        vec_col,
+        k=int(meta["n_centroids"]),
+        iters=iters,
+        seed=int(meta["seed"]),
+    )
+    new_gen = _os.path.join(root, f"gen-{int(state['gen']) + 1}")
+    if _os.path.isdir(new_gen):  # a crashed earlier attempt; rebuild clean
+        _shutil.rmtree(new_gen)
+    out = assigned.select(
+        F.col(id_col),
+        F.col("_v").alias(vec_col),
+        F.col("cid").cast("long").alias("centroid"),
+    ).persist()
+    out.write.mode("overwrite").partitionBy("centroid").parquet(new_gen)
+    counts = {
+        int(r["centroid"]): int(r["n"])
+        for r in out.groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out.unpersist()
+    # carry replay state: watermark sidecars + meta keys, then the
+    # trained model; meta lands AFTER the data (the gen's commit mark)
+    for entry in _os.listdir(cur):
+        if entry.startswith("_watermark.") and entry.endswith(".json"):
+            _shutil.copy2(
+                _os.path.join(cur, entry), _os.path.join(new_gen, entry)
+            )
+    new_meta = {
+        k: v for k, v in meta.items() if k != "centroids"
+    }
+    new_meta["centroids"] = [[float(x) for x in c] for c in cents]
+    _write_meta(new_gen, new_meta)
+    _write_serving(root, {**state, "gen": int(state["gen"]) + 1})
+    return cents, counts
 
 
 def ivf_kmeans_write(

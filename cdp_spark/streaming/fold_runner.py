@@ -211,6 +211,114 @@ def run_ivf_ingest_stream(
     return writer.start()
 
 
+def run_ivf_serving_stream(
+    source_stream: DataFrame,
+    root: str,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = False,
+    trigger_seconds: Optional[float] = None,
+    lineage: Optional[str] = None,
+    refit_skew: Optional[float] = None,
+    refit_min_rows: int = 1000,
+    refit_iters: int = 2,
+) -> StreamingQuery:
+    """Streaming IVF ingest with an AUTOMATED re-fit policy (VERDICT
+    r11 next #4): each micro-batch folds into the served generation
+    (:func:`~cdp_spark.datapipe.similarity.ivf_serving_fold`,
+    O(batch), epoch-idempotent), and per-centroid occupancy
+    accumulates in ``<root>/_ivf_occupancy.json`` from the folds'
+    count deltas — n_centroids small ints, never a job over the
+    index.  When ``refit_skew`` is set, the max list holds at least
+    ``refit_skew`` times its fair share (total/n_centroids), and at
+    least ``refit_min_rows`` vectors arrived SINCE the last re-fit
+    (so a skewed-but-static index never re-fits every batch — the
+    re-fit is O(index), the growth gate keeps it rare), the runner
+    re-fits: trains k-means on everything folded, builds the next
+    generation, atomically swaps the pointer
+    (:func:`~cdp_spark.datapipe.similarity.ivf_serving_refit`), and
+    resets the occupancy counters to the rebuilt index's — folds that
+    follow assign to the TRAINED lists.  ``refit_skew=None`` keeps
+    re-fit fully manual (the r11 behavior).
+
+    Replay semantics: a replayed (already-committed) epoch's fold
+    returns None and is NOT re-counted, so occupancy never double-
+    counts; occupancy itself is monitoring state — a crash between
+    the fold commit and the counter write loses only that batch's
+    delta (the policy fires one batch later), never correctness.
+    Initialize with ``similarity.ivf_serving_init``; query with
+    ``similarity.ivf_serving_topk``."""
+    import json as _json
+    import os as _os
+
+    from ..datapipe import similarity as si
+
+    si.ivf_serving_path(root)  # validates the root eagerly
+
+    occ_path = _os.path.join(root, "_ivf_occupancy.json")
+
+    def _load_occ() -> dict:
+        if not _os.path.isfile(occ_path):
+            return {"counts": {}, "total": 0}
+        with open(occ_path) as f:
+            return _json.load(f)
+
+    def _save_occ(occ: dict) -> None:
+        tmp = occ_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(occ, f, indent=1, sort_keys=True)
+        _os.replace(tmp, occ_path)
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        delta = si.ivf_serving_fold(
+            batch_df, root, epoch=epoch_id, lineage=lineage,
+            return_counts=True,
+        )
+        if delta is None:  # replayed committed epoch — already counted
+            return
+        occ = _load_occ()
+        for cid, n in delta.items():
+            key = str(int(cid))
+            occ["counts"][key] = occ["counts"].get(key, 0) + int(n)
+        occ["total"] = occ.get("total", 0) + sum(delta.values())
+        occ["since_refit"] = occ.get("since_refit", 0) + sum(delta.values())
+        _save_occ(occ)
+        if refit_skew is None or occ["since_refit"] < refit_min_rows:
+            return
+        from ..datapipe.dedup_index import _read_meta
+
+        k = int(_read_meta(si.ivf_serving_path(root), "ivf")["n_centroids"])
+        fair = occ["total"] / k
+        skew = max(
+            occ["counts"].get(str(c), 0) for c in range(k)
+        ) / fair
+        if skew < refit_skew:
+            return
+        logger.info(
+            "occupancy skew %.2f >= %.2f at %d rows; re-fitting",
+            skew, refit_skew, occ["total"],
+        )
+        _, counts = si.ivf_serving_refit(
+            batch_df.sparkSession, root, iters=refit_iters
+        )
+        _save_occ({
+            "counts": {str(c): int(n) for c, n in counts.items()},
+            "total": int(sum(counts.values())),
+            "since_refit": 0,
+            "refits": int(occ.get("refits", 0)) + 1,
+        })
+
+    writer = source_stream.writeStream.foreachBatch(_fold)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 class IncrementFoldRunner:
     """Flag a document stream against a persisted dedup index and
     fold completed increments' survivors back in, automatically.

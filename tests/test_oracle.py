@@ -99,47 +99,47 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-11 rotation (VERDICT r10 #1a) puts the 5 round-11
-    additions and ALL 32 r07-era deferrals (the queries whose last
-    hard driver row is r07 — named in the r10 window comment) at the
-    front, then the 13 stalest r08-era queries in registry order.
-    Pin the window membership so a later edit appending to the wrong
-    dict cannot silently rotate them out, and pin that the window is
-    exactly the declared list."""
+    entries; round-12 rotation (VERDICT r11 #1a) puts the 2 round-12
+    additions and ALL 37 r08-era deferrals (the queries whose last
+    hard driver row is r08 — named in the r11 window comment and
+    recomputed from CORRECTNESS_r01..r11) at the front, then the 11
+    stalest r09-era queries in registry order.  Pin the window
+    membership so a later edit appending to the wrong dict cannot
+    silently rotate them out, and pin that the window is exactly the
+    declared list."""
     names = list(entrymod.queries())
     window = names[:50]
-    assert window == list(entrymod._R11_WINDOW), (
-        "driver window drifted from _R11_WINDOW"
+    assert window == list(entrymod._R12_WINDOW), (
+        "driver window drifted from _R12_WINDOW"
     )
     must_lead = {
-        # round-11 additions (never driver-checked)
-        "stream_ivf_ingest", "exact_ngram_dedup",
-        "auto_exact_ngram_lifecycle", "token_budget_sample",
-        "exact_ngram_clean",
-        # all 32 r07-era deferrals — the rotation's whole purpose
-        "weighted_sample", "pagerank_nations", "hll_union_entities",
-        "dsir_sample", "stream_stream_left_join", "hll_users_by_type",
-        "rollup_reaggregate", "oov_rate", "training_corpus_e2e",
-        "triangle_count_nations", "stream_cms_users",
-        "incremental_dedup", "embedding_outliers", "quantiles_by_type",
-        "stream_pipeline_keyed_stateful", "min_cost_supplier",
-        "large_orders", "order_priority_exists",
-        "rich_inactive_customers", "q6_revenue_change",
-        "q7_nation_volume", "q8_market_share", "q9_product_profit",
-        "q10_returned_items", "q12_late_shipments", "q14_promo_share",
-        "q15_top_supplier", "q16_part_supplier_counts",
-        "zscore_outliers", "window_nav_funcs",
-        "q13_customer_distribution", "q19_disjunctive_revenue",
-        # r08-era representatives across the families
-        "bm25_top_docs", "session_gap",
-        "jsonnet_window_stats", "asof_join", "embedding_near_dup",
+        # round-12 additions (never driver-checked)
+        "exact_ngram_clean_text", "ivf_refit_lifecycle",
+        # all 37 r08-era deferrals — the rotation's whole purpose
+        "multimodal_bytes", "multimodal_features", "multimodal_resize",
+        "jq_window_stats_keyed", "jsonnet_window_stats_keyed",
+        "pattern_match_drop", "pattern_match_composite", "rename_affix",
+        "window_reduce_agg", "window_flatmap_slide",
+        "window_reduce_keyed", "window_flatmap_keyed",
+        "unpivot_measures", "keep_last_per_window", "keep_when_filter",
+        "keep_when_combinators", "json_extract_props",
+        "q3_shipping_priority", "top_customers", "join_semi",
+        "join_anti", "cohort_retention", "funnel_steps",
+        "value_histogram", "embedding_centroids", "pareto_customers",
+        "hopping_window_agg", "stream_tumbling_agg",
+        "stream_session_windows", "rolling_active_users",
+        "q5_local_supplier", "range_join_events",
+        "window_running_funcs", "q11_important_stock",
+        "q17_small_qty_revenue", "q20_excess_suppliers",
+        "q21_waiting_suppliers",
     }
     missing = must_lead - set(window)
     assert not missing, f"stale leaders fell out of the first 50: {missing}"
     # the full registry is unchanged by the reorder
     assert len(names) == len(set(names)) == len(entrymod._all_queries())
-    # no registered query's last hard driver row may age past two
+    # no registered query's last hard driver row may age past three
     # rounds once this window lands: everything outside it was checked
-    # in r09 or r10 (see CORRECTNESS_r09/r10.json), and the r08
-    # leftovers deferred to r12 are named in the _R11_WINDOW comment.
+    # in r09, r10, or r11 (CORRECTNESS_r09/r10/r11.json); the 39
+    # r09-era leftovers lead the r13 window (see the _R12_WINDOW
+    # comment).
     assert len(window) == 50
