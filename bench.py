@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "exact_ngram_dedup",
     "exact_ngram_clean",
     "exact_ngram_clean_text",
+    "exact_ngram_index_clean",
     "fold_incremental_dedup",
     "fold_substring_flags",
     "auto_fold_lifecycle",

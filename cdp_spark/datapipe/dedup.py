@@ -794,12 +794,29 @@ def exact_ngram_clean(
         "_tk",
         F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
     )
+    return _splice_removed(joined, "id", id_col, k, emit_text)
+
+
+def _splice_removed(
+    joined: DataFrame,
+    src_id: str,
+    id_col: str,
+    k: int,
+    emit_text: bool,
+) -> DataFrame:
+    """The removal SPLICE shared by :func:`exact_ngram_clean` and the
+    index-based cleaner (``dedup_index.clean_against_exactngram_index``):
+    given (src_id, ``_tk`` token array, ``_rm`` sorted removal-start
+    positions), drop every token covered by a removed gram's
+    [p, p + k - 1] interval via one indexed ``F.filter`` + ``F.exists``
+    and summarize — a narrow per-doc map, no shuffle."""
     kept = F.filter(
         F.col("_tk"),
         lambda x, i: ~F.exists(
             F.col("_rm"), lambda p: (p <= i) & (i <= p + F.lit(k - 1))
         ),
     )
+
     def summarize(a: Column) -> Column:
         if not emit_text:
             return F.struct(
@@ -816,7 +833,7 @@ def exact_ngram_clean(
         )
 
     out = joined.select(
-        F.col("id").alias(id_col),
+        F.col(src_id).alias(id_col),
         F.size("_tk").cast("long").alias("n_tokens"),
         curate_let(kept, summarize).alias("_k"),
     )

@@ -798,6 +798,58 @@ def flag_against_exactngram_index(
     )
 
 
+def clean_against_exactngram_index(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit_text: bool = False,
+) -> DataFrame:
+    """The REMOVAL ACTION against a persisted exact n-gram index —
+    the incremental form of ``dedup.exact_ngram_clean``: splice out
+    of each new document every token covered by a >= k-token gram
+    ALREADY IN the indexed corpus, so an increment keeps only its
+    novel text and the indexed copy stays the canonical one (the
+    "first occurrence wins" rule, with the whole corpus as the first
+    occurrence).  This is how the Lee et al. 2022 removal pass runs
+    in production: the corpus index grows by O(increment) folds and
+    each arriving increment is cleaned against it — the corpus-wide
+    operator never re-runs.
+
+    Output matches ``exact_ngram_clean``: (id_col, n_tokens,
+    n_kept_tokens[, cleaned_text], cleaned_fp) for every non-empty
+    new document; documents sharing nothing pass through untouched.
+    Works for batch and streaming ``new_docs`` (stateless up to the
+    one per-doc aggregate — drive streams through foreachBatch, the
+    fold runner's pattern).
+
+    Scale shape: one gram row per new token joins the (fp) seen set
+    — the increment shuffles, the INDEX side is the join's build
+    relation; the splice is the shared narrow per-doc map
+    (``dedup._splice_removed``), no further shuffle."""
+    k = meta["k"]
+    base = ddp._ensure_parallelism(
+        new_docs.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("_new_id"),
+        ddp.tokens(F.col(text_col)).alias("_tk"),
+        ddp.ngram_fingerprints(F.col(text_col), k).alias("_g"),
+    ).where(F.size("_tk") > 0)
+    g = base.select("_new_id", F.posexplode("_g").alias("pos", "fp"))
+    rm = (
+        g.join(seen, "fp")
+        .groupBy("_new_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_rm"))
+    )
+    joined = base.join(rm, "_new_id", "left").select(
+        "_new_id",
+        "_tk",
+        F.coalesce(F.col("_rm"), F.array().cast("array<int>")).alias("_rm"),
+    )
+    return ddp._splice_removed(joined, "_new_id", id_col, k, emit_text)
+
+
 def substring_surviving_index(
     fps: DataFrame, df: DataFrame, meta: dict
 ) -> DataFrame:

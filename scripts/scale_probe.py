@@ -145,6 +145,17 @@ def _documents_replica(table: pa.Table, k: int, mode: str = "suffix") -> pa.Tabl
                 )
             )
         tagged = pa.chunked_array(out_chunks, type=chunks[0].type)
+    elif mode == "dup":
+        # HIGH-DUPLICATION slab (VERDICT r11 wrong #1 done-condition):
+        # replicas keep their text VERBATIM (only doc_id shifts), so
+        # every >= k-token gram duplicates across all replicas and the
+        # ExactSubstr removal frame (one row per duplicated document,
+        # with its full position array) grows ~linearly with the
+        # corpus — the regime the suffix/remap modes deliberately
+        # avoid (they preserve dup DENSITY).  Use this mode ONLY for
+        # the removal-action operators; it is shape-false for
+        # everything else.
+        tagged = table.column("text")
     else:
         raise ValueError(f"unknown documents replica mode {mode!r}")
     table = table.set_column(idx, "text", tagged)

@@ -99,10 +99,10 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-12 rotation (VERDICT r11 #1a) puts the 2 round-12
+    entries; round-12 rotation (VERDICT r11 #1a) puts the 3 round-12
     additions and ALL 37 r08-era deferrals (the queries whose last
     hard driver row is r08 — named in the r11 window comment and
-    recomputed from CORRECTNESS_r01..r11) at the front, then the 11
+    recomputed from CORRECTNESS_r01..r11) at the front, then the 10
     stalest r09-era queries in registry order.  Pin the window
     membership so a later edit appending to the wrong dict cannot
     silently rotate them out, and pin that the window is exactly the
@@ -115,6 +115,7 @@ def test_driver_window_leads_with_never_checked_queries():
     must_lead = {
         # round-12 additions (never driver-checked)
         "exact_ngram_clean_text", "ivf_refit_lifecycle",
+        "exact_ngram_index_clean",
         # all 37 r08-era deferrals — the rotation's whole purpose
         "multimodal_bytes", "multimodal_features", "multimodal_resize",
         "jq_window_stats_keyed", "jsonnet_window_stats_keyed",

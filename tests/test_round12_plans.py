@@ -84,6 +84,51 @@ def test_exact_ngram_clean_text_hash_contract(spark):
     )
 
 
+def test_clean_against_index_removes_all_indexed_grams(spark, tmp_path):
+    """clean_against_exactngram_index: after the splice, NO k-gram of
+    any cleaned document may remain in the index's seen set (the
+    defining postcondition), untouched documents pass through
+    verbatim, and n_tokens - n_kept_tokens accounting is consistent
+    with the emitted text."""
+    from cdp_spark.datapipe import dedup_index as di
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    path = str(tmp_path / "eg")
+    di.exactngram_index_write(corpus, path, k=20)
+    dfc, meta = di.exactngram_index_load(spark, path)
+    seen = di.exactngram_seen_index(dfc)
+    out = di.clean_against_exactngram_index(
+        inc, seen, meta, emit_text=True
+    )
+    # postcondition: the cleaned text's own 20-gram set is disjoint
+    # from the index
+    residue = (
+        out.select(
+            "doc_id",
+            F.explode(
+                ddp.ngram_fingerprints(F.col("cleaned_text"), 20)
+            ).alias("fp"),
+        )
+        .join(seen, "fp")
+        .count()
+    )
+    assert residue == 0
+    # every non-empty increment doc keeps a row; clean docs unchanged
+    n_inc = inc.where(F.size(ddp.tokens(F.col("text"))) > 0).count()
+    assert out.count() == n_inc
+    untouched = out.where(F.col("n_kept_tokens") == F.col("n_tokens"))
+    joined = untouched.join(inc, "doc_id").where(
+        F.col("cleaned_text") != F.array_join(ddp.tokens(F.col("text")), " ")
+    )
+    assert joined.count() == 0
+    # accounting: kept count equals the emitted text's token count
+    assert out.where(
+        F.size(ddp.tokens(F.col("cleaned_text"))) != F.col("n_kept_tokens")
+    ).where(F.col("n_kept_tokens") > 0).count() == 0
+
+
 def test_ivf_index_topk_rejects_mismatched_dim(spark, tmp_path):
     """ADVICE r11: a query vector of the wrong dimensionality must
     fail fast, not silently probe a different anchor space."""
