@@ -98,6 +98,28 @@ def test_committed_epochs_skip_replay_across_the_swap(spark, tmp_path):
     assert spark.read.parquet(gen).count() == n_before
 
 
+def test_post_refit_serving_prunes_partitions(spark, tmp_path):
+    """The trained generation must keep the listing-time pruning: the
+    served query's scan carries PartitionFilters on centroid and
+    reads ONLY the probed lists — across both the refit-written base
+    rows and a post-refit epoch fold."""
+    emb = _emb(spark)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(emb.where(F.col("vec_id") % 2 == 0), root, epoch=0)
+    sim.ivf_serving_refit(spark, root, iters=1)
+    sim.ivf_serving_fold(emb.where(F.col("vec_id") % 2 == 1), root, epoch=1)
+    out = sim.ivf_serving_topk(spark, root, qv, k=5, n_probe=2,
+                               round_digits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid" in m.group(1), plan[:2000]
+    assert out.count() == 5
+
+
 def test_streaming_skew_policy_fires_and_advances_generation(
     spark, tmp_path
 ):
