@@ -1298,6 +1298,10 @@ def ivf_index_init(
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
+        # occupancy base: an empty generation starts at zero; folds
+        # add epoch-committed _foldcounts sidecars on top (see
+        # ivf_index_occupancy)
+        "base_counts": {},
     }
     if centroids is not None:
         if len(centroids) != n_centroids:
@@ -1350,7 +1354,15 @@ def ivf_index_fold(
     per centroid (the occupancy delta the refit policy accumulates —
     n_centroids small ints, model-state-sized) or None when the epoch
     was skipped as already committed, so a replay never double-counts
-    occupancy."""
+    occupancy.
+
+    Every EPOCH fold also persists its per-centroid counts in a
+    ``_foldcounts.<fold>.json`` sidecar written atomically BEFORE the
+    epoch commit (VERDICT r12 next #4): the counts are part of the
+    fold's epoch-keyed atomic unit, so occupancy derived by
+    :func:`ivf_index_occupancy` can never lose a committed fold's
+    delta to a crash — a half-written fold is replayed and overwrites
+    both its data and its sidecar."""
     import os as _os
 
     from .dedup_index import (
@@ -1366,22 +1378,25 @@ def ivf_index_fold(
     assigned = _ivf_meta_assign(
         increment.select(meta["id_col"], meta["vec_col"]), meta
     )
-    if return_counts:
+    want_counts = return_counts or epoch is not None
+    if want_counts:
         assigned = assigned.persist()
     _migrate_to_fold_layout(path)
     if epoch is None:
         assigned.write.mode("append").partitionBy("centroid").parquet(
             _os.path.join(path, "fold=base")
         )
+        fold_name = None
     else:
         from .dedup_index import _lineage_label
 
         prefix = f"{_lineage_label(lineage)}-" if lineage is not None else ""
+        fold_name = f"{prefix}e{int(epoch)}"
         assigned.write.mode("overwrite").partitionBy("centroid").parquet(
-            _os.path.join(path, f"fold={prefix}e{int(epoch)}")
+            _os.path.join(path, f"fold={fold_name}")
         )
     counts = None
-    if return_counts:
+    if want_counts:
         counts = {
             int(r["centroid"]): int(r["n"])
             for r in assigned.groupBy("centroid")
@@ -1389,8 +1404,104 @@ def ivf_index_fold(
             .collect()
         }
         assigned.unpersist()
+    if fold_name is not None:
+        _write_foldcounts(path, fold_name, counts)
     _commit_epoch(path, meta, epoch, lineage)
+    return counts if return_counts else None
+
+
+def _foldcounts_path(path: str, fold_name: str) -> str:
+    import os as _os
+
+    return _os.path.join(path, f"_foldcounts.{fold_name}.json")
+
+
+def _write_foldcounts(path: str, fold_name: str, counts: dict) -> None:
+    import json as _json
+    import os as _os
+
+    target = _foldcounts_path(path, fold_name)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(
+            {"counts": {str(int(c)): int(n) for c, n in counts.items()}},
+            f,
+            sort_keys=True,
+        )
+    _os.replace(tmp, target)
+
+
+def _fold_counts_from_footers(fold_dir: str) -> dict[int, int]:
+    """Per-centroid row counts of one fold directory read from the
+    parquet FOOTERS — driver-side file metadata only, never a Spark
+    job.  The legacy fallback for pre-sidecar folds; new folds carry
+    a ``_foldcounts`` sidecar instead (O(1) read)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    counts: dict[int, int] = {}
+    if not _os.path.isdir(fold_dir):
+        return counts
+    for entry in _os.listdir(fold_dir):
+        if not entry.startswith("centroid="):
+            continue
+        cid = int(entry.split("=", 1)[1])
+        part = _os.path.join(fold_dir, entry)
+        n = 0
+        for fn in _os.listdir(part):
+            if fn.endswith(".parquet"):
+                n += _pq.read_metadata(_os.path.join(part, fn)).num_rows
+        if n:
+            counts[cid] = counts.get(cid, 0) + n
     return counts
+
+
+def ivf_index_occupancy(path: str) -> dict:
+    """DERIVE the index's per-centroid occupancy from committed state
+    only — the meta-pinned ``base_counts`` (what the generation's
+    initial build/refit wrote) plus every fold's ``_foldcounts``
+    sidecar (written inside the fold's epoch-keyed atomic unit, so a
+    crash can never tear occupancy away from the data; VERDICT r12
+    next #4 / ADVICE r12).  Pre-sidecar folds fall back to parquet
+    footer counts (driver-side metadata, no Spark job).
+
+    Returns ``{"counts": {cid: n}, "total": n, "base_total": n}``;
+    ``total - base_total`` is the number of vectors folded since the
+    generation was built — the refit policy's growth gate, derived
+    instead of accumulated so there is no mutable counter to lose."""
+    import json as _json
+    import os as _os
+
+    from .dedup_index import _read_meta
+
+    meta = _read_meta(path, "ivf")
+    base = meta.get("base_counts")
+    if base is None:
+        # pre-r13 generation: count the non-fold base data from footers
+        base = _fold_counts_from_footers(_os.path.join(path, "fold=base"))
+        root_level = _fold_counts_from_footers(path)
+        for c, n in root_level.items():
+            base[c] = base.get(c, 0) + n
+    counts = {int(c): int(n) for c, n in base.items()}
+    base_total = sum(counts.values())
+    for entry in sorted(_os.listdir(path)) if _os.path.isdir(path) else []:
+        if not entry.startswith("fold=") or entry == "fold=base":
+            continue
+        fold_name = entry.split("=", 1)[1]
+        sidecar = _foldcounts_path(path, fold_name)
+        if _os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                delta = _json.load(f)["counts"]
+        else:  # legacy fold without a sidecar
+            delta = _fold_counts_from_footers(_os.path.join(path, entry))
+        for c, n in delta.items():
+            counts[int(c)] = counts.get(int(c), 0) + int(n)
+    return {
+        "counts": counts,
+        "total": sum(counts.values()),
+        "base_total": base_total,
+    }
 
 
 def ivf_index_topk(
@@ -1556,10 +1667,34 @@ def ivf_serving_topk(
     )
 
 
+def _ivf_watermark_state(gen_path: str) -> dict[str, int]:
+    """Every lineage's committed epoch watermark for one generation —
+    sidecar files plus legacy ``last_epoch*`` meta keys.  The refit
+    compares this snapshot before and after its rebuild: any advance
+    means a fold committed concurrently (its vectors are NOT in the
+    rebuild), so carrying its watermark would silently drop them."""
+    import json as _json
+    import os as _os
+
+    from .dedup_index import _read_meta
+
+    state: dict[str, int] = {}
+    for entry in _os.listdir(gen_path):
+        if entry.startswith("_watermark.") and entry.endswith(".json"):
+            with open(_os.path.join(gen_path, entry)) as f:
+                state[entry] = int(_json.load(f)["last_epoch"])
+    meta = _read_meta(gen_path, "ivf")
+    for k, v in meta.items():
+        if k.startswith("last_epoch"):
+            state[f"meta:{k}"] = int(v)
+    return state
+
+
 def ivf_serving_refit(
     spark,
     root: str,
     iters: int = 2,
+    max_retries: int = 3,
 ) -> tuple[list[list[float]], dict[int, int]]:
     """RE-FIT the served index: train Lloyd's k-means
     (:func:`kmeans_fit` — same n_centroids/seed the meta pins) on
@@ -1577,55 +1712,139 @@ def ivf_serving_refit(
     epoch must keep skipping after the swap.  O(all folded data) by
     design — the deliberate, rare operation the O(batch) folds avoid;
     run it from the occupancy-skew policy or by hand.
+
+    Concurrency (ADVICE r12, medium): refit is SINGLE-WRITER —
+    a ``_refit.lock`` file (O_EXCL) in the root excludes a second
+    concurrent refit (which would rmtree this one's in-progress
+    generation); a crash leaves the lock behind, and the loud error
+    names it for manual removal.  Folds are NOT excluded — other
+    lineages may legally fold into the served generation while the
+    rebuild trains — so after building, the refit RE-READS every
+    lineage watermark and compares it against the snapshot its data
+    read used: if any advanced (a fold committed mid-rebuild, its
+    vectors absent from the rebuild), the stale build is discarded
+    and rebuilt from fresh data, up to ``max_retries`` times before
+    raising.  The residual race is the sub-millisecond span between
+    the final check and the pointer swap — versus the whole training
+    time unguarded; a fold landing there stays in the OLD generation
+    and is caught by the next occupancy derivation, which reads the
+    served generation's committed state only.
     """
+    import json as _json
     import os as _os
     import shutil as _shutil
 
     from .dedup_index import _read_meta, _write_meta
 
-    state = _read_serving(root)
-    cur = _os.path.join(root, f"gen-{int(state['gen'])}")
-    meta = _read_meta(cur, "ivf")
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    vectors = spark.read.parquet(cur).select(id_col, vec_col)
-    cents, assigned = kmeans_fit(
-        vectors,
-        int(meta["dim"]),
-        id_col,
-        vec_col,
-        k=int(meta["n_centroids"]),
-        iters=iters,
-        seed=int(meta["seed"]),
-    )
-    new_gen = _os.path.join(root, f"gen-{int(state['gen']) + 1}")
-    if _os.path.isdir(new_gen):  # a crashed earlier attempt; rebuild clean
-        _shutil.rmtree(new_gen)
-    out = assigned.select(
-        F.col(id_col),
-        F.col("_v").alias(vec_col),
-        F.col("cid").cast("long").alias("centroid"),
-    ).persist()
-    out.write.mode("overwrite").partitionBy("centroid").parquet(new_gen)
-    counts = {
-        int(r["centroid"]): int(r["n"])
-        for r in out.groupBy("centroid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    out.unpersist()
-    # carry replay state: watermark sidecars + meta keys, then the
-    # trained model; meta lands AFTER the data (the gen's commit mark)
-    for entry in _os.listdir(cur):
-        if entry.startswith("_watermark.") and entry.endswith(".json"):
-            _shutil.copy2(
-                _os.path.join(cur, entry), _os.path.join(new_gen, entry)
+    lock = _os.path.join(root, "_refit.lock")
+    try:
+        fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another refit holds {lock} — concurrent refits would "
+            "destroy each other's in-progress generation.  If the "
+            "previous refit crashed, remove the lock file and re-run "
+            "(a crash mid-refit never tears the served index: the "
+            "pointer swap is the last step)."
+        ) from None
+    try:
+        _os.write(fd, str(_os.getpid()).encode())
+        _os.close(fd)
+        state = _read_serving(root)
+        cur = _os.path.join(root, f"gen-{int(state['gen'])}")
+        meta = _read_meta(cur, "ivf")
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        new_gen = _os.path.join(root, f"gen-{int(state['gen']) + 1}")
+        for attempt in range(int(max_retries) + 1):
+            marks = _ivf_watermark_state(cur)
+            vectors = spark.read.parquet(cur).select(id_col, vec_col)
+            cents, assigned = kmeans_fit(
+                vectors,
+                int(meta["dim"]),
+                id_col,
+                vec_col,
+                k=int(meta["n_centroids"]),
+                iters=iters,
+                seed=int(meta["seed"]),
             )
-    new_meta = {
-        k: v for k, v in meta.items() if k != "centroids"
-    }
-    new_meta["centroids"] = [[float(x) for x in c] for c in cents]
-    _write_meta(new_gen, new_meta)
-    _write_serving(root, {**state, "gen": int(state["gen"]) + 1})
+            if _os.path.isdir(new_gen):  # crashed/stale earlier attempt
+                _shutil.rmtree(new_gen)
+            out = assigned.select(
+                F.col(id_col),
+                F.col("_v").alias(vec_col),
+                F.col("cid").cast("long").alias("centroid"),
+            ).persist()
+            out.write.mode("overwrite").partitionBy("centroid").parquet(
+                new_gen
+            )
+            counts = {
+                int(r["centroid"]): int(r["n"])
+                for r in out.groupBy("centroid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            out.unpersist()
+            if _ivf_watermark_state(cur) == marks:
+                break
+            logger.warning(
+                "refit attempt %d raced a concurrent fold (a lineage "
+                "watermark advanced during the rebuild); discarding the "
+                "stale generation and rebuilding from fresh data",
+                attempt,
+            )
+        else:
+            _shutil.rmtree(new_gen, ignore_errors=True)
+            raise RuntimeError(
+                f"refit of {root} raced concurrent folds on every one of "
+                f"{max_retries + 1} attempts — pause the folding streams "
+                "(or retry at a quieter moment) and re-run"
+            )
+        # carry replay state: watermark sidecars + meta keys, then the
+        # trained model; meta lands AFTER the data (the gen's commit
+        # mark).  The sidecars copied are exactly the snapshot the
+        # rebuild verified against, so every carried watermark's
+        # vectors are IN the rebuild.
+        for entry in _os.listdir(cur):
+            if entry.startswith("_watermark.") and entry.endswith(".json"):
+                _shutil.copy2(
+                    _os.path.join(cur, entry), _os.path.join(new_gen, entry)
+                )
+        new_meta = {
+            k: v for k, v in meta.items() if k not in ("centroids",)
+        }
+        new_meta["centroids"] = [[float(x) for x in c] for c in cents]
+        # the rebuilt lists ARE the new occupancy base (derivation
+        # restarts from here; since-refit growth resets to zero)
+        new_meta["base_counts"] = {
+            str(c): int(n) for c, n in counts.items()
+        }
+        _write_meta(new_gen, new_meta)
+        _write_serving(root, {**state, "gen": int(state["gen"]) + 1})
+        # refresh the monitoring snapshot as part of the swap (ADVICE
+        # r12: a manual refit must not leave a stale occupancy file for
+        # the streaming policy to misread; the gen stamp lets readers
+        # reject any snapshot from another generation)
+        occ_path = _os.path.join(root, "_ivf_occupancy.json")
+        tmp = occ_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "gen": int(state["gen"]) + 1,
+                    "counts": {str(c): int(n) for c, n in counts.items()},
+                    "total": int(sum(counts.values())),
+                    "since_refit": 0,
+                    "refits": int(state["gen"]) + 1,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        _os.replace(tmp, occ_path)
+    finally:
+        try:
+            _os.remove(lock)
+        except FileNotFoundError:
+            pass
     return cents, counts
 
 

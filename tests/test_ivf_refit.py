@@ -153,3 +153,159 @@ def test_streaming_skew_policy_fires_and_advances_generation(
         sim.ivf_serving_topk(spark, root, qv, k=10, n_probe=8,
                              round_digits=4)
     ) == _rows(sim.cosine_topk(emb, qv, k=10, round_digits=4))
+
+
+# ------------------------------------------------------- r13 hardening
+# VERDICT r12 next #4 + ADVICE r12: occupancy is derived from the
+# fold's epoch-keyed atomic commit (no separate mutable counter to
+# tear), refit is single-writer (lock file) and refuses to swap a
+# rebuild that raced a concurrent fold's commit.
+
+
+def test_occupancy_derivation_survives_fold_crash_and_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-injection (VERDICT r12 #4 'Done' criterion): kill the
+    fold between its data/sidecar writes and the epoch commit, then
+    replay.  The derived occupancy must converge to the true counts —
+    no loss, no double count."""
+    from cdp_spark.datapipe import dedup_index as di
+
+    emb = _emb(spark)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+    sim.ivf_serving_fold(b0, root, epoch=0, lineage="s1")
+
+    real_commit = di._commit_epoch
+
+    def _boom(path, meta, epoch, lineage=None):
+        raise RuntimeError("injected crash before the epoch commit")
+
+    monkeypatch.setattr(sim, "_commit_epoch", _boom, raising=False)
+    monkeypatch.setattr(di, "_commit_epoch", _boom)
+    try:
+        sim.ivf_serving_fold(b1, root, epoch=1, lineage="s1")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(di, "_commit_epoch", real_commit)
+
+    # the torn fold's data+sidecar exist; occupancy counts what the
+    # index actually serves (the torn fold is readable until replay
+    # overwrites it) — never a number the data contradicts
+    gen = sim.ivf_serving_path(root)
+    occ = sim.ivf_index_occupancy(gen)
+    assert occ["total"] == spark.read.parquet(gen).count()
+
+    # replay commits epoch 1 idempotently: derived occupancy == truth
+    delta = sim.ivf_serving_fold(
+        b1, root, epoch=1, lineage="s1", return_counts=True
+    )
+    assert delta is not None
+    occ = sim.ivf_index_occupancy(gen)
+    assert occ["total"] == emb.count()
+    assert occ["total"] - occ["base_total"] == emb.count()
+    # and a second replay of the committed epoch changes nothing
+    assert sim.ivf_serving_fold(
+        b1, root, epoch=1, lineage="s1", return_counts=True
+    ) is None
+    assert sim.ivf_index_occupancy(gen)["total"] == emb.count()
+
+
+def test_refit_lock_excludes_concurrent_refit(spark, tmp_path):
+    emb = _emb(spark)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(emb, root, epoch=0)
+    lock = os.path.join(root, "_refit.lock")
+    with open(lock, "w") as f:
+        f.write("999999")
+    try:
+        sim.ivf_serving_refit(spark, root, iters=1)
+        assert False, "refit must refuse while the lock is held"
+    except RuntimeError as e:
+        assert "_refit.lock" in str(e)
+    os.remove(lock)
+    sim.ivf_serving_refit(spark, root, iters=1)
+    assert not os.path.exists(lock), "lock released after success"
+    assert sim.ivf_serving_path(root).endswith("gen-1")
+
+
+def test_refit_retries_when_a_fold_commits_mid_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 (medium): a fold committing between the refit's
+    data read and its swap must NOT have its watermark carried while
+    its vectors are absent — the refit rebuilds from fresh data and
+    the final generation serves every vector."""
+    emb = _emb(spark)
+    early = emb.where(F.col("vec_id") % 3 == 0)
+    racer = emb.where(F.col("vec_id") % 3 != 0)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(early, root, epoch=0, lineage="a")
+
+    real_fit = sim.kmeans_fit
+    fired = {"n": 0}
+
+    def _racing_fit(*args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # another lineage commits a fold while we train
+            sim.ivf_serving_fold(racer, root, epoch=0, lineage="b")
+        return real_fit(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "kmeans_fit", _racing_fit)
+    cents, counts = sim.ivf_serving_refit(spark, root, iters=1)
+    assert fired["n"] == 1
+    # the rebuild retried: every vector (racer included) is in gen-1
+    assert sum(counts.values()) == emb.count()
+    gen = sim.ivf_serving_path(root)
+    assert gen.endswith("gen-1")
+    assert spark.read.parquet(gen).count() == emb.count()
+    # the racer's watermark carried AND its vectors are present, so
+    # its replay skips without loss
+    assert sim.ivf_serving_fold(
+        racer, root, epoch=0, lineage="b", return_counts=True
+    ) is None
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    assert _rows(
+        sim.ivf_serving_topk(spark, root, qv, k=10, n_probe=8,
+                             round_digits=4)
+    ) == _rows(sim.cosine_topk(emb, qv, k=10, round_digits=4))
+
+
+def test_manual_refit_refreshes_gen_stamped_occupancy(spark, tmp_path):
+    """ADVICE r12 (low): a hand-run refit must not leave the
+    monitoring snapshot stale — it rewrites it gen-stamped with the
+    rebuilt counts as part of the swap."""
+    emb = _emb(spark)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(emb, root, epoch=0)
+    sim.ivf_serving_refit(spark, root, iters=1)
+    occ = json.load(open(os.path.join(root, "_ivf_occupancy.json")))
+    assert occ["gen"] == 1
+    assert occ["since_refit"] == 0
+    assert occ["total"] == emb.count()
+
+
+def test_occupancy_footer_fallback_for_presidecar_folds(spark, tmp_path):
+    """A pre-r13 fold (no _foldcounts sidecar) still counts — from
+    parquet footers, driver-side only."""
+    emb = _emb(spark)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(emb.where(F.col("vec_id") % 2 == 0), root, epoch=0)
+    sim.ivf_serving_fold(emb.where(F.col("vec_id") % 2 == 1), root, epoch=1)
+    gen = sim.ivf_serving_path(root)
+    before = sim.ivf_index_occupancy(gen)
+    removed = 0
+    for entry in os.listdir(gen):
+        if entry.startswith("_foldcounts."):
+            os.remove(os.path.join(gen, entry))
+            removed += 1
+    assert removed == 2
+    after = sim.ivf_index_occupancy(gen)
+    assert after == before
