@@ -36,20 +36,33 @@ def _let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def _word_ngrams_zip(tk: Column, n: int) -> Column:
+    """Space-joined word n-grams from a bound token array, built by
+    ``n-1`` ``zip_with`` passes over shifted views of the array.  The
+    per-position ``slice`` + ``array_join`` formulation allocates an
+    n-element array and runs the join machinery for every position
+    (interpreted, ~2 s per gram order over sf0.1's documents — the
+    Gopher battery's measured hot spot); each zip_with pass is one
+    plain string concat per position, identical output strings at
+    0.4-1.3 s per order."""
+    m = F.greatest(F.size(tk) - n + 1, F.lit(0))
+    g = F.slice(tk, 1, m)
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(tk, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return g
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-grams as space-joined strings (duplicates kept).
 
     Documents shorter than ``n`` tokens yield an empty array — they
     cannot share an n-gram with anything.
     """
-
-    def build(tk: Column) -> Column:
-        starts = F.when(
-            F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - n + 1)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(starts, lambda i: F.array_join(F.slice(tk, i, n), " "))
-
-    return _let(tokens(col), build)
+    return _let(tokens(col), lambda tk: _word_ngrams_zip(tk, n))
 
 
 def decontaminate(

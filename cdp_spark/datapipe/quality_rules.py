@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .curate import _let
+from .curate import _let, _word_ngrams_zip
 from .text import tokens
 
 # The eight "stop words" Gopher requires at least two of (A1.1).
@@ -44,7 +44,20 @@ BULLET_PREFIXES = ("-", "*", "•")
 ELLIPSIS_SUFFIXES = ("...", "…")
 
 
-def _run_stats(sorted_arr: Column, char_len) -> Column:
+_RUN_STAT_FIELDS = (
+    "max_cnt",
+    "max_item",
+    "dup_extra_count",
+    "dup_extra_chars",
+    "dup_total_chars",
+)
+
+
+def _run_stats(
+    sorted_arr: Column,
+    char_len,
+    stats: tuple[str, ...] = _RUN_STAT_FIELDS,
+) -> Column:
     """Run-length statistics over a SORTED string array in one linear
     ``F.aggregate`` fold (the sort is the only super-linear step —
     O(n log n) per document, all JVM-side):
@@ -61,64 +74,73 @@ def _run_stats(sorted_arr: Column, char_len) -> Column:
     ``char_len`` maps an item Column to its character-length Column
     (lines count all characters; word n-grams exclude the joining
     spaces).
-    """
+
+    ``stats`` selects which statistics to ACCUMULATE: the fold runs
+    interpreted (higher-order functions are CodegenFallback), so each
+    accumulator field costs a per-element when-tree evaluation plus a
+    struct slot — the top-gram signals need only ``max_cnt``/
+    ``max_item`` and the dup-gram signals only ``dup_total_chars``;
+    carrying all five was ~1.7x the per-element work of the slices
+    each caller reads."""
+    wanted = tuple(s for s in _RUN_STAT_FIELDS if s in stats)
+    if "max_item" in wanted and "max_cnt" not in wanted:
+        raise ValueError("max_item requires max_cnt (its argmax counter)")
+
+    def stat_init() -> list[Column]:
+        out = []
+        for s in wanted:
+            if s == "max_item":
+                out.append(F.lit(None).cast("string").alias(s))
+            else:
+                out.append(F.lit(0).cast("long").alias(s))
+        return out
+
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("max_cnt"),
-        F.lit(None).cast("string").alias("max_item"),
-        F.lit(0).cast("long").alias("dup_extra_count"),
-        F.lit(0).cast("long").alias("dup_extra_chars"),
-        F.lit(0).cast("long").alias("dup_total_chars"),
+        *stat_init(),
     )
 
-    def close_run(acc: Column) -> Column:
-        """Fold the open run (acc.prev x acc.run) into the stats."""
+    def closed_stat(acc: Column, s: str) -> Column:
+        """The stat's value after folding the open run in."""
         run, prev = acc["run"], acc["prev"]
-        plen = char_len(prev).cast("long")
         is_dup = run >= 2
-        better = run > acc["max_cnt"]
-        return F.struct(
-            prev.alias("prev"),  # caller overwrites
-            run.alias("run"),  # caller overwrites
-            F.when(better, run).otherwise(acc["max_cnt"]).alias("max_cnt"),
-            F.when(better, prev).otherwise(acc["max_item"]).alias("max_item"),
-            (acc["dup_extra_count"] + F.when(is_dup, run - 1).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("dup_extra_count"),
-            (acc["dup_extra_chars"] + F.when(is_dup, (run - 1) * plen).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("dup_extra_chars"),
-            (acc["dup_total_chars"] + F.when(is_dup, run * plen).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("dup_total_chars"),
-        )
+        if s == "max_cnt":
+            return F.when(run > acc["max_cnt"], run).otherwise(acc["max_cnt"])
+        if s == "max_item":
+            return F.when(run > acc["max_cnt"], prev).otherwise(
+                acc["max_item"]
+            )
+        plen = char_len(prev).cast("long")
+        if s == "dup_extra_count":
+            add = F.when(is_dup, run - 1).otherwise(F.lit(0))
+        elif s == "dup_extra_chars":
+            add = F.when(is_dup, (run - 1) * plen).otherwise(F.lit(0))
+        else:  # dup_total_chars
+            add = F.when(is_dup, run * plen).otherwise(F.lit(0))
+        return (acc[s] + add).cast("long")
 
     def merge(acc: Column, x: Column) -> Column:
         same = (acc["run"] > 0) & acc["prev"].eqNullSafe(x)
-        closed = close_run(acc)
-
-        def carry(field: str) -> Column:
-            return F.when(same, acc[field]).otherwise(closed[field])
-
         return F.struct(
             x.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            carry("max_cnt").alias("max_cnt"),
-            carry("max_item").alias("max_item"),
-            carry("dup_extra_count").alias("dup_extra_count"),
-            carry("dup_extra_chars").alias("dup_extra_chars"),
-            carry("dup_total_chars").alias("dup_total_chars"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            *[
+                F.when(same, acc[s]).otherwise(closed_stat(acc, s)).alias(s)
+                for s in wanted
+            ],
         )
 
     def finish(acc: Column) -> Column:
-        final = F.when(acc["run"] > 0, close_run(acc)).otherwise(acc)
         return F.struct(
-            final["max_cnt"].alias("max_cnt"),
-            final["max_item"].alias("max_item"),
-            final["dup_extra_count"].alias("dup_extra_count"),
-            final["dup_extra_chars"].alias("dup_extra_chars"),
-            final["dup_total_chars"].alias("dup_total_chars"),
+            *[
+                F.when(acc["run"] > 0, closed_stat(acc, s))
+                .otherwise(acc[s])
+                .alias(s)
+                for s in wanted
+            ]
         )
 
     return F.aggregate(sorted_arr, init, merge, finish)
@@ -158,11 +180,14 @@ def gopher_signals(
     def ngrams_of(tk: Column, n: int) -> Column:
         """word_ngrams over an already-bound token array — the text is
         tokenized ONCE for all five gram orders (the unbound form
-        would re-split per order)."""
-        starts = F.when(
-            F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - n + 1)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(starts, lambda i: F.array_join(F.slice(tk, i, n), " "))
+        would re-split per order).  Built by ``n-1`` zip_with passes
+        over shifted views instead of per-position slice+array_join:
+        the slice form allocates an n-element array and runs the
+        join machinery PER POSITION (measured 2.1-2.4 s/order at
+        sf0.1 — the whole battery's hot spot), the zip_with form is
+        a plain string concat per position per pass (0.4-1.3 s/order,
+        identical output strings)."""
+        return _word_ngrams_zip(tk, n)
 
     def build(packed: Column) -> Column:
         words, lines, ns = packed["toks"], packed["lines"], packed["ns"]
@@ -192,34 +217,70 @@ def gopher_signals(
                 | F.endswith(l, F.lit(ELLIPSIS_SUFFIXES[1])),
             )
         )
-        lrs = _run_stats(F.array_sort(lines), F.length)
-        fields = [
-            n_words.alias("n_words"),
-            _frac(word_chars, n_words).alias("mean_word_len"),
-            _frac((hash_chars + ellipsis_occurrences).cast("double"), n_words).alias(
-                "symbol_word_ratio"
+        # Bind every multi-field _run_stats struct ONCE (_let): each
+        # field access on a shared aggregate subtree re-runs the WHOLE
+        # fold in the interpreted higher-order path (no common-
+        # subexpression elimination there — measured ~2x per extra
+        # field on the line stats and ~3x on the top-gram signals,
+        # which read max_cnt twice plus max_item).  Single-field reads
+        # (the dup_ns path) need no binding.
+        def finish(lrs: Column) -> Column:
+            fields = [
+                n_words.alias("n_words"),
+                _frac(word_chars, n_words).alias("mean_word_len"),
+                _frac(
+                    (hash_chars + ellipsis_occurrences).cast("double"), n_words
+                ).alias("symbol_word_ratio"),
+                _frac(alpha_words.cast("long"), n_words).alias("alpha_word_frac"),
+                stop_hits.alias("stop_hits"),
+                n_lines.alias("n_lines"),
+                _frac(bullets.cast("long"), n_lines).alias("bullet_line_frac"),
+                _frac(ellipses.cast("long"), n_lines).alias("ellipsis_line_frac"),
+                _frac(lrs["dup_extra_count"], n_lines).alias("dup_line_frac"),
+                _frac(lrs["dup_extra_chars"], line_chars).alias(
+                    "dup_line_char_frac"
+                ),
+            ]
+            for n in top_ns:
+                def top_frac(rs: Column) -> Column:
+                    top_mass = F.when(
+                        rs["max_cnt"] >= 2,
+                        rs["max_cnt"]
+                        * _gram_nospace_len(rs["max_item"]).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    return _frac(top_mass, ns)
+
+                fields.append(
+                    _let(
+                        _run_stats(
+                            F.array_sort(ngrams_of(words, n)),
+                            _gram_nospace_len,
+                            stats=("max_cnt", "max_item"),
+                        ),
+                        top_frac,
+                    ).alias(f"top_{n}gram_char_frac")
+                )
+            for n in dup_ns:
+                rs = _run_stats(
+                    F.array_sort(ngrams_of(words, n)),
+                    _gram_nospace_len,
+                    stats=("dup_total_chars",),
+                )
+                fields.append(
+                    _frac(rs["dup_total_chars"], ns).alias(
+                        f"dup_{n}gram_char_frac"
+                    )
+                )
+            return F.struct(*fields)
+
+        return _let(
+            _run_stats(
+                F.array_sort(lines),
+                F.length,
+                stats=("dup_extra_count", "dup_extra_chars"),
             ),
-            _frac(alpha_words.cast("long"), n_words).alias("alpha_word_frac"),
-            stop_hits.alias("stop_hits"),
-            n_lines.alias("n_lines"),
-            _frac(bullets.cast("long"), n_lines).alias("bullet_line_frac"),
-            _frac(ellipses.cast("long"), n_lines).alias("ellipsis_line_frac"),
-            _frac(lrs["dup_extra_count"], n_lines).alias("dup_line_frac"),
-            _frac(lrs["dup_extra_chars"], line_chars).alias("dup_line_char_frac"),
-        ]
-        for n in top_ns:
-            rs = _run_stats(F.array_sort(ngrams_of(words, n)), _gram_nospace_len)
-            top_mass = F.when(
-                rs["max_cnt"] >= 2,
-                rs["max_cnt"] * _gram_nospace_len(rs["max_item"]).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            fields.append(_frac(top_mass, ns).alias(f"top_{n}gram_char_frac"))
-        for n in dup_ns:
-            rs = _run_stats(F.array_sort(ngrams_of(words, n)), _gram_nospace_len)
-            fields.append(
-                _frac(rs["dup_total_chars"], ns).alias(f"dup_{n}gram_char_frac")
-            )
-        return F.struct(*fields)
+            finish,
+        )
 
     return _let(
         F.struct(
