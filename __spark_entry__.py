@@ -4152,18 +4152,133 @@ _ROUND12_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# Round-12 driver window (VERDICT r11 "next round" #1a): the external
+def q_near_dup_multiband_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adversarial multiband regime WITH the occupancy cap
+    enforced (r13): same 17x4-plane banding as
+    ``embedding_near_dup_multiband`` (threshold 0.3 on
+    near-orthogonal synthetics — the regime whose true pair count is
+    near-quadratic), but every (band, bucket) membership is
+    deterministically truncated to its 24 smallest ids, bounding the
+    candidate stage regardless of how adversarial the data is — the
+    production guard SCALE.md prescribes for this regime.  The oracle
+    replays the identical truncation (row_number over (band, bucket)
+    ordered by id), so the capped recall loss is pinned, not
+    hand-waved."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs_multiband(
+        emb, dim=64, threshold=0.3, n_planes=4, n_bands=17,
+        max_bucket_size=24,
+    )
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe (4 of 16 lists) against brute-force
+    ground truth for every 100th vector as a held-out query set (r13)
+    — the accuracy measurement that decides n_probe in production.
+    Distributed on both sides (one assignment pass + a broadcast
+    probe join vs one broadcast crossJoin for truth); the oracle
+    replays assignment, per-query probe ranking, and both top-k
+    windows with the same (rounded cosine DESC, id) tie rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.ann_recall(
+        emb, queries, dim=64, k=10, n_centroids=16, n_probe=4,
+        round_digits=4,
+    )
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 training shards (r13):
+    every document gets a (shard, pos) from the md5-keyed hash of its
+    id — reproducible across runs and engines, one shuffle + a
+    per-shard sort (exactly the work an ordered shard writer owes).
+    The oracle recomputes the identical hash, assignment, and
+    within-shard order in DuckDB."""
+    from cdp_spark.datapipe.sampling import shuffle_to_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_to_shards(
+        docs.select("doc_id", "lang"), "doc_id", n_shards=16, seed=42
+    )
+
+
+_ROUND13_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "near_dup_multiband_capped": q_near_dup_multiband_capped,
+    "ann_recall_eval": q_ann_recall_eval,
+    "shard_shuffle": q_shard_shuffle,
+}
+
+
+# Round-13 driver window (VERDICT r12 "next round" #1): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 3 round-12 additions, then ALL 37 r08-era deferrals named in
-# the r11 window comment (their last hard row is r08 — the rotation's
-# whole purpose this round; verified programmatically against
-# CORRECTNESS_r01..r11), then the 10 stalest r09-era queries in
-# registry order.  After this round no registered query's last hard
-# driver row is older than r09 (three rounds); the 40 remaining
-# r09-era queries (registry order from ngram_jaccard_pairs through
-# the r09 window's tail) lead the r13 window together with any
-# round-13 additions.  Everything stays regression-guarded every
-# round by scripts/driver_sim.py + tests/test_oracle.py.
+# the 3 round-13 additions, then ALL 40 r09-era deferrals (their last
+# hard driver row is r09 — recomputed programmatically from
+# CORRECTNESS_r01..r12; the count the r12 window comment promised),
+# then the 7 stalest r10-era queries in registry order.  After this
+# round no registered query's last hard driver row is older than r10
+# (three rounds); the 43 remaining r10-era queries (registry order
+# from embedding_near_dup_multiband on) lead the r14 window together
+# with any round-14 additions.  Everything stays
+# regression-guarded every round by scripts/driver_sim.py +
+# tests/test_oracle.py.
+_R13_WINDOW: tuple[str, ...] = (
+    # -- round-13 additions --
+    "near_dup_multiband_capped",
+    "ann_recall_eval",
+    "shard_shuffle",
+    # -- last driver row r09: all 40 deferrals (registry order) --
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+    "simhash_docs",
+    "ann_lsh",
+    "ann_lsh_indexed",
+    "grouping_sets",
+    "sort_limit",
+    "scalar_functions",
+    "pivot_conditional",
+    "topk_frequent",
+    "avg_subquery_join",
+    "ann_pq",
+    "ann_ivf_pq",
+    "ann_ivf_pq_indexed",
+    "ivf_counts",
+    "ann_ivf",
+    "decontaminate_docs",
+    "pack_documents",
+    "vocabulary",
+    "boilerplate_spans",
+    "chunk_tokens",
+    "bm25_multi_query",
+    "exact_substring_pairs",
+    "exact_substring_dedup",
+    "stream_near_dup",
+    "stream_incremental_dedup",
+    "stream_substring_flags",
+    "ann_ivf_incremental",
+    "bm25_passages",
+    "pmi_collocations",
+    "bigram_logprob",
+    "hll_overlap_segments",
+    "langid_ngram_confusion",
+    "agg_rollup",
+    "agg_cube",
+    "topk_per_group",
+    "set_ops",
+    "percentiles",
+    "regexp_extract_parts",
+    "join_full_outer",
+    # -- last driver row r10 (7 stalest, registry order) --
+    "dedup_exact_docs",
+    "dup_clusters",
+    "text_stats",
+    "minhash_pairs",
+    "ann_ivf_indexed",
+    "doc_repetition",
+    "pii_redact",
+)
+
+# Historical r12 window, kept for artifact cross-reference (the judge
+# diffs CORRECTNESS keys against the declared window of that round).
 _R12_WINDOW: tuple[str, ...] = (
     # -- round-12 additions --
     "exact_ngram_clean_text",
@@ -4399,7 +4514,7 @@ _R09_WINDOW: tuple[str, ...] = (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _all_queries()
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: full[name] for name in _R12_WINDOW
+        name: full[name] for name in _R13_WINDOW
     }
     q.update(full)  # existing keys keep their (window) position
     return q
@@ -4467,6 +4582,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_ROUND10_QUERIES)
     q.update(_ROUND11_QUERIES)
     q.update(_ROUND12_QUERIES)
+    q.update(_ROUND13_QUERIES)
     # --- r05-green (50): the leading entries fill the window to 50;
     # ordering inside this block puts a representative mix (sessions,
     # jq/jsonnet, dedup, timestamps) nearest the window edge ---
@@ -5236,6 +5352,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN base y ON p.id_b = y.vec_id
         WHERE round(list_cosine_similarity(x.emb, y.emb), 4) >= 0.3
     """
+    # capped variant (r13): identical banding, every (band, bucket)
+    # membership truncated to its 24 smallest ids before the join —
+    # the deterministic truncation embedding_near_dup_pairs_multiband
+    # applies under max_bucket_size
+    oracles["near_dup_multiband_capped"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        tagged_all AS ({bands_union}),
+        tagged AS (
+          SELECT vec_id, band, bucket FROM tagged_all
+          QUALIFY row_number() OVER (
+            PARTITION BY band, bucket ORDER BY vec_id) <= 24),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM tagged a
+          JOIN tagged c ON a.band = c.band AND a.bucket = c.bucket
+                        AND a.vec_id < c.vec_id)
+        SELECT p.id_a, p.id_b,
+               round(list_cosine_similarity(x.emb, y.emb), 4) AS cosine_sim
+        FROM pairs p
+        JOIN base x ON p.id_a = x.vec_id
+        JOIN base y ON p.id_b = y.vec_id
+        WHERE round(list_cosine_similarity(x.emb, y.emb), 4) >= 0.3
+    """
     oracles["ann_lsh"] = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         b AS (SELECT vec_id, emb, ({bucket_expr}) AS bucket FROM base),
@@ -5271,6 +5410,61 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.centroid IN (SELECT centroid FROM probe)
         ORDER BY cosine_sim DESC, a.vec_id
         LIMIT 10
+    """
+    # ann_recall_eval (r13): replay assignment (argmax dot against the
+    # seeded anchors), per-query probe ranking (dot DESC, anchor id
+    # ASC), and both top-10 windows with the shared (rounded cosine
+    # DESC, vec_id) tie rule; recall = |ivf ∩ truth| / 10 per query.
+    oracles["ann_recall_eval"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        scored AS (SELECT vec_id, emb, {dots_expr} AS dots FROM base),
+        assigned AS (SELECT vec_id, emb,
+                            list_indexof(dots, list_max(dots)) - 1 AS centroid
+                     FROM scored),
+        q AS (SELECT vec_id AS query_id, emb AS qemb, dots AS qdots
+              FROM scored WHERE vec_id % 100 = 0),
+        probe AS (
+          SELECT query_id, ci - 1 AS centroid FROM (
+            SELECT query_id,
+                   unnest(qdots) AS s,
+                   unnest(generate_series(1, len(qdots))) AS ci
+            FROM q)
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, ci) <= 4),
+        truth AS (
+          SELECT q.query_id, b.vec_id
+          FROM base b, q
+          QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY round(list_cosine_similarity(b.emb, q.qemb), 4) DESC,
+                     b.vec_id) <= 10),
+        ivf AS (
+          SELECT q.query_id, a.vec_id
+          FROM assigned a
+          JOIN probe p ON a.centroid = p.centroid
+          JOIN q ON q.query_id = p.query_id
+          QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY round(list_cosine_similarity(a.emb, q.qemb), 4) DESC,
+                     a.vec_id) <= 10)
+        SELECT t.query_id,
+               round(count(i.vec_id) / 10.0, 4) AS recall_at_k
+        FROM truth t
+        LEFT JOIN ivf i ON t.query_id = i.query_id AND t.vec_id = i.vec_id
+        GROUP BY t.query_id
+    """
+    # shard_shuffle (r13): the md5-keyed hash, shard assignment, and
+    # within-shard order replay exactly (60-bit hash is non-negative,
+    # so % equals pmod)
+    oracles["shard_shuffle"] = """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15) AS BIGINT) AS hh
+          FROM documents)
+        SELECT doc_id, lang, hh % 16 AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY hh % 16 ORDER BY hh, doc_id) AS BIGINT) AS pos
+        FROM h
     """
     # Persisted-index variants return identical results (same seeded
     # planes/anchors) — same oracles.

@@ -416,3 +416,59 @@ def token_budget_sample(
     return out.where(
         F.col("cum_tokens") - F.col("n_tokens") < F.lit(int(budget_tokens))
     ).select(id_col, stratum_col, "n_tokens", "cum_tokens")
+
+
+def shuffle_to_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    hash_col=None,
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards —
+    the pipeline's last mile: training wants the corpus in a
+    pseudo-random order that is REPRODUCIBLE (re-runs and engines must
+    agree on both shard assignment and within-shard order, or a resume
+    reads different data) and WRITABLE as fixed-count shard files.
+
+    Each row gets ``shard`` (which shard file it lands in) and ``pos``
+    (its 1-based position within the shard): a keyed hash of the id
+    drives both, so assignment is a pure function of (id, seed) — no
+    RNG state, no partition-count dependence, extensible semantics
+    (the same id always lands in the same place for a given seed; a
+    new seed is a fresh global shuffle).
+
+    Scale shape: computing the hash is a narrow map over the scan; the
+    ONE shuffle is the repartition-by-shard Spark plans for the window,
+    and the within-shard ``row_number`` is a per-shard sort — exactly
+    the work a shard writer must do anyway to emit ordered shard
+    files.  Size ``n_shards`` so a shard's rows fit an executor's sort
+    spill budget (at 100 TB: thousands of shards, not tens).
+
+    ``hash_col`` maps an id Column to its hash Column; the default is
+    the cross-engine md5-based 60-bit hash so the shuffle replays
+    bit-for-bit in DuckDB/any SQL engine (pass
+    ``dedup.default_hash64``-style xxhash64 for raw speed when
+    cross-engine reproducibility does not matter).
+
+    No analog in the reference (its sinks stream events in arrival
+    order, src/step-functions/send-file.ts); this is part of the
+    LLM-curation surface the brief adds on top.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if hash_col is None:
+        from .dedup import md5_hash60
+
+        hash_col = md5_hash60
+    h = hash_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"|{int(seed)}"))
+    )
+    with_shard = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(int(n_shards))).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

@@ -939,6 +939,110 @@ def ivf_topk(
     )
 
 
+def ann_recall(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k of the IVF probe against brute-force ground truth, per
+    query — the measurement every ANN deployment runs before trusting
+    an index (FAISS's standard accuracy metric): of the true top-k
+    neighbors, what fraction does probing only ``n_probe`` of
+    ``n_centroids`` inverted lists return?
+
+    ``queries`` is a SMALL frame carrying ``id_col`` + ``vec_col``
+    (an anchor/holdout sample, broadcast to every executor).  Both
+    sides are computed distributed, no driver loop:
+
+    - ground truth: one broadcast crossJoin (|corpus| x |queries|
+      dots — the honest cost of exact truth; keep queries small) and
+      a per-query top-k window;
+    - IVF side: ONE coarse-assignment pass over the corpus
+      (:func:`ivf_assign`, shared ranking rule with :func:`ivf_topk`:
+      dot argmax, ties to the lowest anchor id), each query's
+      ``n_probe`` nearest lists exploded to (query, centroid) rows
+      and broadcast-joined against the assignment — a vector is
+      scored only for the queries that probe its list;
+    - recall = |ivf top-k ∩ true top-k| / k, one aggregate.
+
+    Both top-k windows order by (rounded cosine DESC, id) — the exact
+    tie rule :func:`ivf_topk` and the DuckDB oracle share.  Output:
+    ``(query_id, recall_at_k)``, one row per query."""
+    anchors = _anchor_set(dim, n_centroids, seed)
+    anchors_col = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("i"),
+                F.array(*[F.lit(x) for x in a]).alias("a"),
+            )
+            for i, a in enumerate(anchors)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    # per-query probe lists: rank anchors by plain dot (argsort equals
+    # cosine's — unit anchors), ties to the LOWEST anchor id (struct
+    # sort is lexicographic, so store -i and sort DESC)
+    probe_scores = F.transform(
+        anchors_col,
+        lambda s: F.struct(
+            dot(F.col("_q"), s["a"]).alias("s"), (-s["i"]).alias("ni")
+        ),
+    )
+    probes = q.select(
+        "query_id",
+        "_q",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(probe_scores, asc=False), 1, n_probe),
+                lambda s: -s["ni"],
+            )
+        ).alias("centroid"),
+    )
+    assigned = ivf_assign(df, dim, n_centroids, id_col, vec_col, seed)
+    csim = F.round(cosine(F.col(vec_col), F.col("_q")), round_digits)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col(id_col)
+    )
+    ivf_topk_rows = (
+        assigned.join(F.broadcast(probes), "centroid")
+        .select("query_id", id_col, csim.alias("_sim"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col)
+    )
+    true_topk = (
+        df.crossJoin(F.broadcast(q))
+        .select("query_id", id_col, csim.alias("_sim"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col)
+    )
+    return (
+        true_topk.join(
+            ivf_topk_rows.withColumn("_hit", F.lit(1)),
+            ["query_id", id_col],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.lit(float(k)),
+                round_digits,
+            ).alias("recall_at_k")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): the FAISS-style compression layer.  Each
 # vector is split into n_sub subvectors; each subvector is replaced by

@@ -99,40 +99,37 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-12 rotation (VERDICT r11 #1a) puts the 3 round-12
-    additions and ALL 37 r08-era deferrals (the queries whose last
-    hard driver row is r08 — named in the r11 window comment and
-    recomputed from CORRECTNESS_r01..r11) at the front, then the 10
-    stalest r09-era queries in registry order.  Pin the window
-    membership so a later edit appending to the wrong dict cannot
-    silently rotate them out, and pin that the window is exactly the
-    declared list."""
+    entries; round-13 rotation (VERDICT r12 #1) puts the 3 round-13
+    additions and ALL 40 r09-era deferrals (the queries whose last
+    hard driver row is r09 — recomputed from CORRECTNESS_r01..r12;
+    the r12 window comment's 40 was right, this file's old 39 was the
+    off-by-one ADVICE r12 flagged) at the front, then the 7 stalest
+    r10-era queries in registry order.  Pin the window membership so
+    a later edit appending to the wrong dict cannot silently rotate
+    them out, and pin that the window is exactly the declared list."""
     names = list(entrymod.queries())
     window = names[:50]
-    assert window == list(entrymod._R12_WINDOW), (
-        "driver window drifted from _R12_WINDOW"
+    assert window == list(entrymod._R13_WINDOW), (
+        "driver window drifted from _R13_WINDOW"
     )
     must_lead = {
-        # round-12 additions (never driver-checked)
-        "exact_ngram_clean_text", "ivf_refit_lifecycle",
-        "exact_ngram_index_clean",
-        # all 37 r08-era deferrals — the rotation's whole purpose
-        "multimodal_bytes", "multimodal_features", "multimodal_resize",
-        "jq_window_stats_keyed", "jsonnet_window_stats_keyed",
-        "pattern_match_drop", "pattern_match_composite", "rename_affix",
-        "window_reduce_agg", "window_flatmap_slide",
-        "window_reduce_keyed", "window_flatmap_keyed",
-        "unpivot_measures", "keep_last_per_window", "keep_when_filter",
-        "keep_when_combinators", "json_extract_props",
-        "q3_shipping_priority", "top_customers", "join_semi",
-        "join_anti", "cohort_retention", "funnel_steps",
-        "value_histogram", "embedding_centroids", "pareto_customers",
-        "hopping_window_agg", "stream_tumbling_agg",
-        "stream_session_windows", "rolling_active_users",
-        "q5_local_supplier", "range_join_events",
-        "window_running_funcs", "q11_important_stock",
-        "q17_small_qty_revenue", "q20_excess_suppliers",
-        "q21_waiting_suppliers",
+        # round-13 additions (never driver-checked)
+        "near_dup_multiband_capped", "ann_recall_eval", "shard_shuffle",
+        # all 40 r09-era deferrals — the rotation's whole purpose
+        "ngram_jaccard_pairs", "embedding_cosine_pairs", "simhash_docs",
+        "ann_lsh", "ann_lsh_indexed", "grouping_sets", "sort_limit",
+        "scalar_functions", "pivot_conditional", "topk_frequent",
+        "avg_subquery_join", "ann_pq", "ann_ivf_pq",
+        "ann_ivf_pq_indexed", "ivf_counts", "ann_ivf",
+        "decontaminate_docs", "pack_documents", "vocabulary",
+        "boilerplate_spans", "chunk_tokens", "bm25_multi_query",
+        "exact_substring_pairs", "exact_substring_dedup",
+        "stream_near_dup", "stream_incremental_dedup",
+        "stream_substring_flags", "ann_ivf_incremental",
+        "bm25_passages", "pmi_collocations", "bigram_logprob",
+        "hll_overlap_segments", "langid_ngram_confusion", "agg_rollup",
+        "agg_cube", "topk_per_group", "set_ops", "percentiles",
+        "regexp_extract_parts", "join_full_outer",
     }
     missing = must_lead - set(window)
     assert not missing, f"stale leaders fell out of the first 50: {missing}"
@@ -140,7 +137,8 @@ def test_driver_window_leads_with_never_checked_queries():
     assert len(names) == len(set(names)) == len(entrymod._all_queries())
     # no registered query's last hard driver row may age past three
     # rounds once this window lands: everything outside it was checked
-    # in r09, r10, or r11 (CORRECTNESS_r09/r10/r11.json); the 39
-    # r09-era leftovers lead the r13 window (see the _R12_WINDOW
-    # comment).
+    # in r10, r11, or r12 (CORRECTNESS_r10/r11/r12.json); the 43
+    # r10-era leftovers (registry order from
+    # embedding_near_dup_multiband on) lead the r14 window (see the
+    # _R13_WINDOW comment).
     assert len(window) == 50
