@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "stream_bm25_ingest",
     "stream_ivf_ingest",
     "ivf_refit_lifecycle",
+    # round 13: shard writer layout, ANN accuracy eval, capped
+    # adversarial multiband
+    "shard_shuffle",
+    "ann_recall_eval",
+    "near_dup_multiband_capped",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

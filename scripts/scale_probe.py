@@ -319,6 +319,24 @@ def run(slab_dir: str = SLAB, base: str = BASE,
             / math.log(scale),
             2,
         )
+        if rec["rows_t1"] and rec["rows_t10"]:
+            # Work-per-OUTPUT-row exponent (VERDICT r12 next #2): for
+            # output-bound regimes (the adversarial multiband LSH,
+            # where the true pair count itself grows super-linearly)
+            # the honest reading divides each load-normalized timing
+            # by the rows it emitted — ~0 means time tracks output
+            # (optimal: no algorithm emits quadratic output in linear
+            # time); anything well above ~0.3 is real per-pair work
+            # growth, i.e. an algorithmic problem the raw exponent
+            # only hints at.
+            rec["exponent_norm_per_row"] = round(
+                math.log(
+                    ((rec["t10"] / rec["pspin_t10"]) / rec["rows_t10"])
+                    / ((rec["t1"] / rec["pspin_t1"]) / rec["rows_t1"])
+                )
+                / math.log(scale),
+                2,
+            )
         results[name] = rec
         print(name, rec, flush=True)
         # incremental dump so a stalled query never loses prior results
