@@ -4202,30 +4202,58 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_refit_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SERVED generation after the full refit
+    lifecycle (r13) — the quality gate a production serving loop runs
+    on a holdout after every re-fit: fold (vec_id % 3 in {0, 1}),
+    re-fit (trained k=8 lists, seed 7), fold the post-refit epoch
+    (% 3 == 2), then measure how much of the brute-force top-10 the
+    4-of-8-list probe returns for every 100th vector.  The served
+    index's STORED assignments are evaluated (never recomputed); the
+    oracle replays the subset-trained Lloyd, assigns all vectors
+    against the final centroids, ranks each query's probe lists by
+    squared-L2 (ties to the lowest id), and computes the same
+    one-window recall."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = _fold_index_dir("cdp_ivf_refit_recall_")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(emb.where(F.col("vec_id") % 3 == 0), root, epoch=0)
+    sim.ivf_serving_fold(emb.where(F.col("vec_id") % 3 == 1), root, epoch=1)
+    sim.ivf_serving_refit(spark, root, iters=2)
+    sim.ivf_serving_fold(emb.where(F.col("vec_id") % 3 == 2), root, epoch=2)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.ivf_serving_recall(
+        spark, root, queries, k=10, n_probe=4, round_digits=4
+    )
+
+
 _ROUND13_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_multiband_capped": q_near_dup_multiband_capped,
     "ann_recall_eval": q_ann_recall_eval,
     "shard_shuffle": q_shard_shuffle,
+    "ivf_refit_recall": q_ivf_refit_recall,
 }
 
 
 # Round-13 driver window (VERDICT r12 "next round" #1): the external
 # driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 3 round-13 additions, then ALL 40 r09-era deferrals (their last
+# the 4 round-13 additions, then ALL 40 r09-era deferrals (their last
 # hard driver row is r09 — recomputed programmatically from
 # CORRECTNESS_r01..r12; the count the r12 window comment promised),
-# then the 7 stalest r10-era queries in registry order.  After this
+# then the 6 stalest r10-era queries in registry order.  After this
 # round no registered query's last hard driver row is older than r10
-# (three rounds); the 43 remaining r10-era queries (registry order
-# from embedding_near_dup_multiband on) lead the r14 window together
-# with any round-14 additions.  Everything stays
-# regression-guarded every round by scripts/driver_sim.py +
-# tests/test_oracle.py.
+# (three rounds); the 44 remaining r10-era queries (registry order
+# from pii_redact on) lead the r14 window together with any round-14
+# additions.  Everything stays regression-guarded every round by
+# scripts/driver_sim.py + tests/test_oracle.py.
 _R13_WINDOW: tuple[str, ...] = (
     # -- round-13 additions --
     "near_dup_multiband_capped",
     "ann_recall_eval",
     "shard_shuffle",
+    "ivf_refit_recall",
     # -- last driver row r09: all 40 deferrals (registry order) --
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
@@ -4267,14 +4295,13 @@ _R13_WINDOW: tuple[str, ...] = (
     "percentiles",
     "regexp_extract_parts",
     "join_full_outer",
-    # -- last driver row r10 (7 stalest, registry order) --
+    # -- last driver row r10 (6 stalest, registry order) --
     "dedup_exact_docs",
     "dup_clusters",
     "text_stats",
     "minhash_pairs",
     "ann_ivf_indexed",
     "doc_repetition",
-    "pii_redact",
 )
 
 # Historical r12 window, kept for artifact cross-reference (the judge
@@ -7005,8 +7032,9 @@ def oracle_sql() -> dict[str, str]:
     # query's 4 nearest trained lists, exact cosine top-10 within them
     # — the same init literals and CTE shapes as km_prefix, filtered.
     km_d1_tb = km_d1  # same init-distance expression, applied to tb rows
-    oracles["ivf_refit_lifecycle"] = f"""
-        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    # the subset-trained Lloyd replay (base..a3), shared by
+    # ivf_refit_lifecycle and ivf_refit_recall
+    refit_prefix = f"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                       FROM embeddings),
         tb AS (SELECT vec_id, emb FROM base WHERE vec_id % 3 <> 2),
         init(cid, c) AS (VALUES {km_init_rows}),
@@ -7057,7 +7085,44 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT *, row_number() OVER
                   (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                 FROM d3)
-          WHERE rn = 1),
+          WHERE rn = 1)"""
+    oracles["ivf_refit_recall"] = f"""
+        WITH {refit_prefix},
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM base
+              WHERE vec_id % 100 = 0),
+        pd AS (
+          SELECT q.query_id, c.cid,
+                 list_sum(list_transform(list_zip(q.qemb, c.c),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+          FROM c2 c, q),
+        probe AS (
+          SELECT query_id, cid FROM pd
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, cid) <= 4),
+        scored AS (
+          SELECT q.query_id, b.vec_id,
+                 round(list_cosine_similarity(b.emb, q.qemb), 4) AS s,
+                 (p.cid IS NOT NULL) AS probed
+          FROM base b
+          JOIN a3 ON a3.vec_id = b.vec_id
+          CROSS JOIN q
+          LEFT JOIN probe p
+            ON p.query_id = q.query_id AND p.cid = a3.cid),
+        ranked AS (
+          SELECT query_id, probed,
+                 row_number() OVER
+                   (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn,
+                 sum(CASE WHEN probed THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY query_id ORDER BY s DESC, vec_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn
+          FROM scored)
+        SELECT query_id,
+               round(sum(CASE WHEN rn <= 10 AND probed AND pn <= 10
+                              THEN 1 ELSE 0 END) / 10.0, 4) AS recall_at_k
+        FROM ranked GROUP BY query_id
+    """
+    oracles["ivf_refit_lifecycle"] = f"""
+        WITH {refit_prefix},
         q AS (SELECT emb AS qemb FROM base WHERE vec_id = 0),
         pd AS (
           SELECT c.cid,

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "shard_shuffle",
     "ann_recall_eval",
     "near_dup_multiband_capped",
+    "ivf_refit_recall",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

@@ -981,18 +981,7 @@ def ann_recall(
     import numpy as np
 
     anchors = _anchor_set(dim, n_centroids, seed)
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
-        raise ValueError("ann_recall needs a non-empty query set")
-    qids = [int(r[id_col]) for r in qrows]
-    qmat = np.asarray(
-        [[float(x) for x in r[vec_col]] for r in qrows], dtype=np.float64
-    ).T  # (dim, Q)
-    if qmat.shape[0] != dim:
-        raise ValueError(
-            f"query vectors have dim {qmat.shape[0]}, expected {dim}"
-        )
-    qnorms = np.linalg.norm(qmat, axis=0)
+    qids, qmat = _collect_query_matrix(queries, dim, id_col, vec_col)
     # per-query probe lists, ranked like ivf_topk: dot DESC (argsort
     # equals cosine's — unit anchors), ties to the lowest anchor id
     amat = np.asarray(anchors, dtype=np.float64)  # (n_centroids, dim)
@@ -1003,6 +992,53 @@ def ann_recall(
             range(n_centroids), key=lambda i: (-adots[i, j], i)
         )
         probe_sets.append(set(order[:n_probe]))
+    assigned = ivf_assign(df, dim, n_centroids, id_col, vec_col, seed)
+    return _recall_at_k(
+        assigned, qids, qmat, probe_sets, k, id_col, vec_col, round_digits
+    )
+
+
+def _collect_query_matrix(queries, dim, id_col, vec_col):
+    """The recall query set, driver-side: (ids, (dim, Q) matrix).
+    Bounded by contract — the query set is model-state-sized (an
+    anchor/holdout sample), like the centroid set itself."""
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("recall evaluation needs a non-empty query set")
+    qids = [int(r[id_col]) for r in qrows]
+    qmat = np.asarray(
+        [[float(x) for x in r[vec_col]] for r in qrows], dtype=np.float64
+    ).T  # (dim, Q)
+    if qmat.shape[0] != dim:
+        raise ValueError(
+            f"query vectors have dim {qmat.shape[0]}, expected {dim}"
+        )
+    return qids, qmat
+
+
+def _recall_at_k(
+    assigned: DataFrame,
+    qids: list[int],
+    qmat,
+    probe_sets: list[set[int]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Shared recall@k core: ``assigned`` carries (id, vector,
+    centroid); every query's cosine per row is ONE numpy matmul per
+    Arrow batch, and both the ground-truth and the probed top-k
+    rankings come off ONE window pass (the global row_number ranks
+    truth; a running count of probed rows IS a probed row's rank
+    among probed rows), so membership needs no second window and the
+    intersection needs no self-join — a row is a hit iff it is in
+    both top-k sets."""
+    import numpy as np
+
+    qnorms = np.linalg.norm(qmat, axis=0)
 
     @F.pandas_udf("array<double>")
     def _qcos(v: pd.Series) -> pd.Series:
@@ -1022,28 +1058,18 @@ def ann_recall(
             for ps in probe_sets
         ]
     )
-    scored = (
-        ivf_assign(df, dim, n_centroids, id_col, vec_col, seed)
-        .select(
-            id_col,
-            "centroid",
-            F.posexplode(_qcos(F.col(vec_col))).alias("_qi", "_cos"),
-        )
-        .select(
-            F.element_at(qid_lit, F.col("_qi") + 1).alias("query_id"),
-            F.col(id_col),
-            F.round(F.col("_cos"), round_digits).alias("_sim"),
-            F.array_contains(
-                F.element_at(probed_lit, F.col("_qi") + 1), F.col("centroid")
-            ).alias("_probed"),
-        )
+    scored = assigned.select(
+        id_col,
+        "centroid",
+        F.posexplode(_qcos(F.col(vec_col))).alias("_qi", "_cos"),
+    ).select(
+        F.element_at(qid_lit, F.col("_qi") + 1).alias("query_id"),
+        F.col(id_col),
+        F.round(F.col("_cos"), round_digits).alias("_sim"),
+        F.array_contains(
+            F.element_at(probed_lit, F.col("_qi") + 1), F.col("centroid")
+        ).alias("_probed"),
     )
-    # Both rankings come off ONE window pass (same partitioning and
-    # ordering -> one shuffle, one sort): the global row_number ranks
-    # ground truth, and a cumulative count of probed rows IS a probed
-    # row's rank among probed rows, so membership in the IVF top-k
-    # needs no second window and the intersection needs no self-join —
-    # a row is a hit iff it is in both top-k sets.
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col(id_col)
     )
@@ -1063,6 +1089,95 @@ def ann_recall(
         F.round(F.sum(hit) / F.lit(float(k)), round_digits).alias(
             "recall_at_k"
         )
+    )
+
+
+def ivf_index_recall(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k of a PERSISTED fold-lifecycle IVF index against
+    brute-force ground truth over the index's own contents — the
+    accuracy measurement a production serving loop runs after every
+    re-fit (is ``n_probe`` still enough on the trained lists?).
+
+    Reads the stored (id, vector, centroid) rows — the assignments
+    the index actually serves, never recomputed — ranks each query's
+    ``n_probe`` probe lists driver-side under the meta-pinned model
+    with :func:`ivf_index_topk`'s exact rules (trained centroids:
+    squared-L2 ASC, ties to the lowest id; anchors: cosine DESC),
+    and evaluates truth and probe top-k with the shared one-window
+    core (:func:`_recall_at_k`).  Output: (query_id, recall_at_k)."""
+    import math as _math
+
+    from .dedup_index import _read_meta
+
+    meta = _read_meta(path, "ivf")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dim = int(meta["dim"])
+    qids, qmat = _collect_query_matrix(queries, dim, id_col, vec_col)
+    cents = meta.get("centroids")
+    n_centroids = int(meta["n_centroids"])
+    probe_sets = []
+    if cents is not None:
+        # the exact per-element sum ivf_index_topk and the DuckDB
+        # oracle use (an expanded |c|^2 - 2c.q + |q|^2 matmul can
+        # differ in the last ulp and flip a probe ranking)
+        for j in range(len(qids)):
+            qv = [float(x) for x in qmat[:, j]]
+            qd = [
+                (cid, sum((a - b) ** 2 for a, b in zip(qv, c)))
+                for cid, c in enumerate(cents)
+            ]
+            probe_sets.append(
+                {
+                    int(cid)
+                    for cid, _ in sorted(qd, key=lambda t: (t[1], t[0]))[
+                        :n_probe
+                    ]
+                }
+            )
+    else:
+        anchors = _anchor_set(dim, n_centroids, int(meta["seed"]))
+        for j in range(len(qids)):
+            qv = qmat[:, j]
+            qn = _math.sqrt(float(qv @ qv)) or 1.0
+            order = sorted(
+                range(n_centroids),
+                key=lambda i: (
+                    -sum(a * b for a, b in zip(anchors[i], qv)) / qn,
+                    i,
+                ),
+            )
+            probe_sets.append(set(order[:n_probe]))
+    assigned = spark.read.parquet(path).select(id_col, vec_col, "centroid")
+    return _recall_at_k(
+        assigned, qids, qmat, probe_sets, k, id_col, vec_col, round_digits
+    )
+
+
+def ivf_serving_recall(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k of the SERVED generation (:func:`ivf_index_recall`
+    against the serving pointer's target) — run it on a holdout after
+    a re-fit to validate the trained lists before trusting them."""
+    return ivf_index_recall(
+        spark,
+        ivf_serving_path(root),
+        queries,
+        k=k,
+        n_probe=n_probe,
+        round_digits=round_digits,
     )
 
 

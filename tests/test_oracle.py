@@ -99,11 +99,11 @@ def test_entry_smoke(spark):
 
 def test_driver_window_leads_with_never_checked_queries():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-13 rotation (VERDICT r12 #1) puts the 3 round-13
+    entries; round-13 rotation (VERDICT r12 #1) puts the 4 round-13
     additions and ALL 40 r09-era deferrals (the queries whose last
     hard driver row is r09 — recomputed from CORRECTNESS_r01..r12;
     the r12 window comment's 40 was right, this file's old 39 was the
-    off-by-one ADVICE r12 flagged) at the front, then the 7 stalest
+    off-by-one ADVICE r12 flagged) at the front, then the 6 stalest
     r10-era queries in registry order.  Pin the window membership so
     a later edit appending to the wrong dict cannot silently rotate
     them out, and pin that the window is exactly the declared list."""
@@ -115,6 +115,7 @@ def test_driver_window_leads_with_never_checked_queries():
     must_lead = {
         # round-13 additions (never driver-checked)
         "near_dup_multiband_capped", "ann_recall_eval", "shard_shuffle",
+        "ivf_refit_recall",
         # all 40 r09-era deferrals — the rotation's whole purpose
         "ngram_jaccard_pairs", "embedding_cosine_pairs", "simhash_docs",
         "ann_lsh", "ann_lsh_indexed", "grouping_sets", "sort_limit",
@@ -137,8 +138,7 @@ def test_driver_window_leads_with_never_checked_queries():
     assert len(names) == len(set(names)) == len(entrymod._all_queries())
     # no registered query's last hard driver row may age past three
     # rounds once this window lands: everything outside it was checked
-    # in r10, r11, or r12 (CORRECTNESS_r10/r11/r12.json); the 43
-    # r10-era leftovers (registry order from
-    # embedding_near_dup_multiband on) lead the r14 window (see the
-    # _R13_WINDOW comment).
+    # in r10, r11, or r12 (CORRECTNESS_r10/r11/r12.json); the 44
+    # r10-era leftovers (registry order from pii_redact on) lead the
+    # r14 window (see the _R13_WINDOW comment).
     assert len(window) == 50

@@ -103,3 +103,59 @@ def test_multiband_cap_yields_subset_of_uncapped_pairs(spark):
         ).select("id_a", "id_b")
     )
     assert huge == uncapped
+
+
+def test_ivf_serving_recall_full_probe_is_exact(spark, tmp_path):
+    """Probing every list of the SERVED generation is brute force —
+    recall 1.0 across folds and a refit."""
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(emb.where(F2.col("vec_id") % 2 == 0), root, epoch=0)
+    sim.ivf_serving_refit(spark, root, iters=1)
+    sim.ivf_serving_fold(emb.where(F2.col("vec_id") % 2 == 1), root, epoch=1)
+    queries = emb.filter(F2.col("vec_id") % 100 == 0)
+    out = sim.ivf_serving_recall(
+        spark, root, queries, k=10, n_probe=8, round_digits=4
+    ).collect()
+    assert len(out) == queries.count()
+    assert all(r["recall_at_k"] == 1.0 for r in out)
+
+
+def test_ivf_serving_recall_matches_served_topk(spark, tmp_path):
+    """The recall measurement must agree with what ivf_serving_topk
+    actually returns: recall@k computed by hand from the served top-k
+    vs the brute-force top-k equals ivf_serving_recall's number."""
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(emb, root, epoch=0)
+    sim.ivf_serving_refit(spark, root, iters=2)
+    queries = emb.filter(F2.col("vec_id").isin(0, 100, 200))
+    got = {
+        r["query_id"]: r["recall_at_k"]
+        for r in sim.ivf_serving_recall(
+            spark, root, queries, k=10, n_probe=3, round_digits=4
+        ).collect()
+    }
+    for qid in (0, 100, 200):
+        qv = [
+            float(x)
+            for x in emb.filter(F2.col("vec_id") == qid).first()["embedding"]
+        ]
+        served = {
+            r["vec_id"]
+            for r in sim.ivf_serving_topk(
+                spark, root, qv, k=10, n_probe=3, round_digits=4
+            ).collect()
+        }
+        truth = [
+            r["vec_id"]
+            for r in sim.cosine_topk(emb, qv, k=10, round_digits=4).collect()
+        ]
+        manual = sum(1 for v in truth if v in served) / 10.0
+        assert abs(got[qid] - manual) < 1e-9, (qid, got[qid], manual)
