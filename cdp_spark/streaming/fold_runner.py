@@ -221,6 +221,10 @@ def run_ivf_serving_stream(
     refit_skew: Optional[float] = None,
     refit_min_rows: int = 1000,
     refit_iters: int = 2,
+    refit_recall_below: Optional[float] = None,
+    recall_holdout: Optional[DataFrame] = None,
+    recall_k: int = 10,
+    recall_n_probe: int = 4,
 ) -> StreamingQuery:
     """Streaming IVF ingest with an AUTOMATED re-fit policy (VERDICT
     r11 next #4): each micro-batch folds into the served generation
@@ -239,6 +243,27 @@ def run_ivf_serving_stream(
     the occupancy base resets to the rebuilt index's — folds that
     follow assign to the TRAINED lists.  ``refit_skew=None`` keeps
     re-fit fully manual (the r11 behavior).
+
+    ``refit_recall_below`` (r13) adds the QUALITY trigger a serving
+    loop pairs with the shape trigger: when set (with a
+    ``recall_holdout`` query frame), each policy check also measures
+    the SERVED generation's recall@``recall_k`` at
+    ``recall_n_probe`` probes over the holdout
+    (:func:`~cdp_spark.datapipe.similarity.ivf_serving_recall`) and
+    re-fits when the MEAN recall drops below the floor.  The recall
+    job is O(index x holdout) — the same growth gate
+    (``refit_min_rows`` new vectors since the last re-fit) bounds
+    how often it runs, exactly like the skew trigger's O(index)
+    re-fit; a low-recall-but-static index never re-measures per
+    batch.  HYSTERESIS (measured, not assumed: without it an
+    UNREACHABLE floor re-fires the O(index) re-fit every
+    ``refit_min_rows`` rows forever): after a recall-fired re-fit
+    the policy immediately re-measures the NEW generation — if the
+    floor is still unmet, re-fitting cannot fix recall at this probe
+    count (the fix is more probes), so the recall trigger MUTES for
+    that generation (a ``_recall_policy.json`` sidecar, restart-
+    safe) with a loud warning; any later generation change (skew
+    trigger, manual re-fit) re-arms it.
 
     Occupancy is DERIVED, never accumulated (VERDICT r12 next #4 /
     ADVICE r12): each fold persists its per-centroid counts inside
@@ -264,8 +289,32 @@ def run_ivf_serving_stream(
     from ..datapipe import similarity as si
 
     si.ivf_serving_path(root)  # validates the root eagerly
+    if refit_recall_below is not None and recall_holdout is None:
+        raise ValueError(
+            "refit_recall_below needs a recall_holdout query frame"
+        )
 
     occ_path = _os.path.join(root, "_ivf_occupancy.json")
+    recall_policy_path = _os.path.join(root, "_recall_policy.json")
+
+    def _recall_muted_gen() -> Optional[int]:
+        if not _os.path.isfile(recall_policy_path):
+            return None
+        with open(recall_policy_path) as f:
+            return _json.load(f).get("muted_gen")
+
+    def _mute_recall(gen: int) -> None:
+        tmp = recall_policy_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"muted_gen": int(gen)}, f)
+        _os.replace(tmp, recall_policy_path)
+
+    def _holdout_recall(session) -> float:
+        rows = si.ivf_serving_recall(
+            session, root, recall_holdout, k=recall_k,
+            n_probe=recall_n_probe,
+        ).collect()
+        return sum(r["recall_at_k"] for r in rows) / len(rows)
 
     def _snapshot_occ(gen: int, occ: dict) -> None:
         """Gen-stamped monitoring view of the derived occupancy."""
@@ -300,24 +349,56 @@ def run_ivf_serving_stream(
         occ = si.ivf_index_occupancy(si.ivf_serving_path(root))
         _snapshot_occ(gen, occ)
         since_refit = occ["total"] - occ["base_total"]
-        if refit_skew is None or since_refit < refit_min_rows:
+        if (refit_skew is None and refit_recall_below is None) or (
+            since_refit < refit_min_rows
+        ):
             return
-        from ..datapipe.dedup_index import _read_meta
+        fire = None
+        recall_fired = False
+        if refit_skew is not None:
+            from ..datapipe.dedup_index import _read_meta
 
-        k = int(_read_meta(si.ivf_serving_path(root), "ivf")["n_centroids"])
-        fair = occ["total"] / k
-        skew = max(
-            occ["counts"].get(c, 0) for c in range(k)
-        ) / fair
-        if skew < refit_skew:
+            k = int(
+                _read_meta(si.ivf_serving_path(root), "ivf")["n_centroids"]
+            )
+            fair = occ["total"] / k
+            skew = max(
+                occ["counts"].get(c, 0) for c in range(k)
+            ) / fair
+            if skew >= refit_skew:
+                fire = f"occupancy skew {skew:.2f} >= {refit_skew:.2f}"
+        if (
+            fire is None
+            and refit_recall_below is not None
+            and _recall_muted_gen() != gen
+        ):
+            mean = _holdout_recall(batch_df.sparkSession)
+            if mean < refit_recall_below:
+                recall_fired = True
+                fire = (
+                    f"holdout recall@{recall_k} {mean:.3f} < "
+                    f"{refit_recall_below:.3f} at {recall_n_probe} probes"
+                )
+        if fire is None:
             return
-        logger.info(
-            "occupancy skew %.2f >= %.2f at %d rows; re-fitting",
-            skew, refit_skew, occ["total"],
-        )
+        logger.info("%s at %d rows; re-fitting", fire, occ["total"])
         si.ivf_serving_refit(batch_df.sparkSession, root, iters=refit_iters)
         # ivf_serving_refit writes the gen-stamped snapshot itself as
         # part of the swap; nothing to reset here.
+        if recall_fired:
+            new_gen = int(si._read_serving(root)["gen"])
+            post = _holdout_recall(batch_df.sparkSession)
+            if post < refit_recall_below:
+                _mute_recall(new_gen)
+                logger.warning(
+                    "holdout recall@%d is still %.3f < %.3f AFTER the "
+                    "re-fit — re-fitting cannot fix recall at "
+                    "n_probe=%d; muting the recall trigger for "
+                    "generation %d (raise recall_n_probe, or a later "
+                    "re-fit re-arms it)",
+                    recall_k, post, refit_recall_below,
+                    recall_n_probe, new_gen,
+                )
 
     writer = source_stream.writeStream.foreachBatch(_fold)
     if checkpoint_dir is not None:

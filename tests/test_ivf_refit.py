@@ -309,3 +309,65 @@ def test_occupancy_footer_fallback_for_presidecar_folds(spark, tmp_path):
     assert removed == 2
     after = sim.ivf_index_occupancy(gen)
     assert after == before
+
+
+def test_streaming_recall_floor_policy_fires_and_advances_generation(
+    spark, tmp_path
+):
+    """The r13 QUALITY trigger: anchor-based generation 0 serves poor
+    recall at 4-of-8 probes on real embeddings (measured ~0.3-0.8 on
+    the fixture), so a recall floor of 0.99 fires the re-fit once the
+    growth gate opens.  The floor is UNREACHABLE on this fixture even
+    trained, so the hysteresis must mute the trigger after ONE
+    re-fit (without it, every further growth-gated batch would pay
+    an O(index) re-fit forever); the served union stays exact under
+    full probing."""
+    from cdp_spark.streaming.fold_runner import run_ivf_serving_stream
+
+    emb = _emb(spark)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    holdout = emb.where(F.col("vec_id") % 100 == 0)
+    q = run_ivf_serving_stream(
+        stream, root, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        refit_recall_below=0.99, recall_holdout=holdout,
+        recall_k=10, recall_n_probe=4, refit_min_rows=10,
+    )
+    assert q.awaitTermination(300), "serving stream still running"
+    assert sim.ivf_serving_path(root).endswith("gen-1"), (
+        "recall floor must fire EXACTLY ONE re-fit, then mute "
+        f"(serving {sim.ivf_serving_path(root)})"
+    )
+    mute = json.load(open(os.path.join(root, "_recall_policy.json")))
+    assert mute["muted_gen"] == 1
+    occ = json.load(open(os.path.join(root, "_ivf_occupancy.json")))
+    assert occ["total"] == emb.count()
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    assert _rows(
+        sim.ivf_serving_topk(spark, root, qv, k=10, n_probe=8,
+                             round_digits=4)
+    ) == _rows(sim.cosine_topk(emb, qv, k=10, round_digits=4))
+
+
+def test_recall_floor_requires_holdout(spark, tmp_path):
+    from cdp_spark.streaming.fold_runner import run_ivf_serving_stream
+
+    emb = _emb(spark)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    src = str(tmp_path / "src")
+    emb.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    try:
+        run_ivf_serving_stream(stream, root, refit_recall_below=0.9)
+        assert False, "must refuse a recall floor without a holdout"
+    except ValueError as e:
+        assert "recall_holdout" in str(e)
