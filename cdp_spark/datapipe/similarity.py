@@ -1620,7 +1620,11 @@ def ivf_index_fold(
     assigned = _ivf_meta_assign(
         increment.select(meta["id_col"], meta["vec_col"]), meta
     )
-    want_counts = return_counts or epoch is not None
+    # epoch-less appends into a base_counts generation must stay
+    # visible to derived occupancy (ADVICE r13): they land in
+    # fold=base, which the derivation reads from meta, not footers
+    track_base = epoch is None and meta.get("base_counts") is not None
+    want_counts = return_counts or epoch is not None or track_base
     if want_counts:
         assigned = assigned.persist()
     _migrate_to_fold_layout(path)
@@ -1648,6 +1652,8 @@ def ivf_index_fold(
         assigned.unpersist()
     if fold_name is not None:
         _write_foldcounts(path, fold_name, counts)
+    elif track_base:
+        _bump_base_foldcounts(path, counts)
     _commit_epoch(path, meta, epoch, lineage)
     return counts if return_counts else None
 
@@ -1670,6 +1676,33 @@ def _write_foldcounts(path: str, fold_name: str, counts: dict) -> None:
             f,
             sort_keys=True,
         )
+    _os.replace(tmp, target)
+
+
+def _bump_base_foldcounts(path: str, counts: dict) -> None:
+    """Accumulate an EPOCH-LESS append's per-centroid delta into the
+    ``_foldcounts.base.json`` sidecar (ADVICE r13): epoch-less folds
+    land in ``fold=base``, whose rows a ``base_counts`` generation
+    derives from META, not footers — without this sidecar they would
+    be invisible to occupancy until a refit rebases.  Epoch-less
+    appends carry no watermark (not replayable by contract), so this
+    is a read-modify-write under the same single-caller contract as
+    the ``mode("append")`` data write itself; the epoch-keyed fold
+    path stays the crash-exact one."""
+    import json as _json
+    import os as _os
+
+    target = _foldcounts_path(path, "base")
+    acc: dict[str, int] = {}
+    if _os.path.isfile(target):
+        with open(target) as f:
+            acc = _json.load(f)["counts"]
+    for c, n in counts.items():
+        key = str(int(c))
+        acc[key] = int(acc.get(key, 0)) + int(n)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"counts": acc}, f, sort_keys=True)
     _os.replace(tmp, target)
 
 
@@ -1706,7 +1739,10 @@ def ivf_index_occupancy(path: str) -> dict:
     sidecar (written inside the fold's epoch-keyed atomic unit, so a
     crash can never tear occupancy away from the data; VERDICT r12
     next #4 / ADVICE r12).  Pre-sidecar folds fall back to parquet
-    footer counts (driver-side metadata, no Spark job).
+    footer counts (driver-side metadata, no Spark job).  Epoch-less
+    appends into a ``base_counts`` generation are read from the
+    ``_foldcounts.base`` sidecar they accumulate into (ADVICE r13)
+    and count as growth, not base.
 
     Returns ``{"counts": {cid: n}, "total": n, "base_total": n}``;
     ``total - base_total`` is the number of vectors folded since the
@@ -1719,14 +1755,26 @@ def ivf_index_occupancy(path: str) -> dict:
 
     meta = _read_meta(path, "ivf")
     base = meta.get("base_counts")
+    base_sidecar_counts: dict[str, int] = {}
     if base is None:
         # pre-r13 generation: count the non-fold base data from footers
         base = _fold_counts_from_footers(_os.path.join(path, "fold=base"))
         root_level = _fold_counts_from_footers(path)
         for c, n in root_level.items():
             base[c] = base.get(c, 0) + n
+    else:
+        # ADVICE r13: epoch-less appends into a base_counts generation
+        # accumulate in the _foldcounts.base sidecar (their rows live
+        # in fold=base, which this branch never footer-counts); they
+        # count as GROWTH, not base — the refit policy must see them
+        base_fc = _foldcounts_path(path, "base")
+        if _os.path.isfile(base_fc):
+            with open(base_fc) as f:
+                base_sidecar_counts = _json.load(f)["counts"]
     counts = {int(c): int(n) for c, n in base.items()}
     base_total = sum(counts.values())
+    for c, n in base_sidecar_counts.items():
+        counts[int(c)] = counts.get(int(c), 0) + int(n)
     for entry in sorted(_os.listdir(path)) if _os.path.isdir(path) else []:
         if not entry.startswith("fold=") or entry == "fold=base":
             continue
@@ -1966,11 +2014,13 @@ def ivf_serving_refit(
     read used: if any advanced (a fold committed mid-rebuild, its
     vectors absent from the rebuild), the stale build is discarded
     and rebuilt from fresh data, up to ``max_retries`` times before
-    raising.  The residual race is the sub-millisecond span between
-    the final check and the pointer swap — versus the whole training
-    time unguarded; a fold landing there stays in the OLD generation
-    and is caught by the next occupancy derivation, which reads the
-    served generation's committed state only.
+    raising.  A fold landing in the residual span between the final
+    check and the pointer swap is NOT lost: the new generation's
+    watermarks are materialized from the verified snapshot (never
+    copied from live files — ADVICE r13), so the late fold's advance
+    stays in the OLD generation only and the stream replays that
+    epoch into the new generation on its next micro-batch
+    (epoch-idempotent by construction).
     """
     import json as _json
     import os as _os
@@ -2041,19 +2091,32 @@ def ivf_serving_refit(
                 f"{max_retries + 1} attempts — pause the folding streams "
                 "(or retry at a quieter moment) and re-run"
             )
-        # carry replay state: watermark sidecars + meta keys, then the
-        # trained model; meta lands AFTER the data (the gen's commit
-        # mark).  The sidecars copied are exactly the snapshot the
-        # rebuild verified against, so every carried watermark's
-        # vectors are IN the rebuild.
-        for entry in _os.listdir(cur):
-            if entry.startswith("_watermark.") and entry.endswith(".json"):
-                _shutil.copy2(
-                    _os.path.join(cur, entry), _os.path.join(new_gen, entry)
-                )
+        # carry replay state MATERIALIZED FROM THE VERIFIED SNAPSHOT
+        # (ADVICE r13): copying live sidecar files (or the live meta's
+        # last_epoch* keys — `meta` was read once, before any retry)
+        # would let a fold committing between the final watermark check
+        # and this point carry its ADVANCED watermark into a generation
+        # that lacks its vectors, so the replay skips the epoch and the
+        # vectors are silently lost.  `marks` is exactly the state the
+        # rebuild's data read was verified against, so every watermark
+        # written here names vectors that ARE in the rebuild; a fold
+        # landing after the check keeps its sidecar in the OLD gen
+        # only, and the new gen's lower watermark makes the stream
+        # replay it.  Meta lands AFTER the data (the gen's commit
+        # mark).
+        for key, epoch in marks.items():
+            if key.startswith("meta:"):
+                continue  # carried via new_meta below, same snapshot
+            tmp_side = _os.path.join(new_gen, key + ".tmp")
+            with open(tmp_side, "w") as f:
+                _json.dump({"last_epoch": int(epoch)}, f)
+            _os.replace(tmp_side, _os.path.join(new_gen, key))
         new_meta = {
             k: v for k, v in meta.items() if k not in ("centroids",)
         }
+        for key, epoch in marks.items():
+            if key.startswith("meta:"):
+                new_meta[key[len("meta:"):]] = int(epoch)
         new_meta["centroids"] = [[float(x) for x in c] for c in cents]
         # the rebuilt lists ARE the new occupancy base (derivation
         # restarts from here; since-refit growth resets to zero)

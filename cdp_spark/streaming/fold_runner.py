@@ -251,11 +251,14 @@ def run_ivf_serving_stream(
     ``recall_n_probe`` probes over the holdout
     (:func:`~cdp_spark.datapipe.similarity.ivf_serving_recall`) and
     re-fits when the MEAN recall drops below the floor.  The recall
-    job is O(index x holdout) — the same growth gate
-    (``refit_min_rows`` new vectors since the last re-fit) bounds
-    how often it runs, exactly like the skew trigger's O(index)
-    re-fit; a low-recall-but-static index never re-measures per
-    batch.  HYSTERESIS (measured, not assumed: without it an
+    job is O(index x holdout) — it is gated on ``refit_min_rows``
+    new vectors since the LAST MEASUREMENT (the measured total is
+    persisted in ``_recall_policy.json``, restart-safe; ADVICE r13:
+    gating on rows-since-refit alone would re-measure every batch
+    once the threshold is crossed with recall healthy — no re-fit
+    means the gate never closes); a low-recall-but-static index
+    never re-measures per batch, and a healthy growing one measures
+    once per ``refit_min_rows`` rows.  HYSTERESIS (measured, not assumed: without it an
     UNREACHABLE floor re-fires the O(index) re-fit every
     ``refit_min_rows`` rows forever): after a recall-fired re-fit
     the policy immediately re-measures the NEW generation — if the
@@ -297,17 +300,37 @@ def run_ivf_serving_stream(
     occ_path = _os.path.join(root, "_ivf_occupancy.json")
     recall_policy_path = _os.path.join(root, "_recall_policy.json")
 
-    def _recall_muted_gen() -> Optional[int]:
+    def _read_recall_policy() -> dict:
         if not _os.path.isfile(recall_policy_path):
-            return None
+            return {}
         with open(recall_policy_path) as f:
-            return _json.load(f).get("muted_gen")
+            return _json.load(f)
 
-    def _mute_recall(gen: int) -> None:
+    def _write_recall_policy(**updates) -> None:
+        pol = _read_recall_policy()
+        pol.update(updates)
         tmp = recall_policy_path + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"muted_gen": int(gen)}, f)
+            _json.dump(pol, f)
         _os.replace(tmp, recall_policy_path)
+
+    def _recall_muted_gen() -> Optional[int]:
+        return _read_recall_policy().get("muted_gen")
+
+    def _mute_recall(gen: int) -> None:
+        _write_recall_policy(muted_gen=int(gen))
+
+    def _mark_recall_measured(gen: int, total: int) -> None:
+        _write_recall_policy(measured_gen=int(gen), measured_total=int(total))
+
+    def _recall_last_measured(gen: int, base_total: int) -> int:
+        """Total rows at the last recall measurement OF THIS generation
+        — a fresh generation starts from its base (so the first
+        measurement needs refit_min_rows of growth, same as ever)."""
+        pol = _read_recall_policy()
+        if pol.get("measured_gen") == int(gen) and "measured_total" in pol:
+            return int(pol["measured_total"])
+        return int(base_total)
 
     def _holdout_recall(session) -> float:
         rows = si.ivf_serving_recall(
@@ -371,8 +394,17 @@ def run_ivf_serving_stream(
             fire is None
             and refit_recall_below is not None
             and _recall_muted_gen() != gen
+            # ADVICE r13: the O(index x holdout) recall job is gated on
+            # growth since the LAST MEASUREMENT (persisted), not since
+            # the last re-fit — otherwise once since_refit crosses the
+            # threshold with recall above the floor (no mute, no
+            # re-fit), every subsequent micro-batch would re-measure.
+            and occ["total"] - _recall_last_measured(
+                gen, occ["base_total"]
+            ) >= refit_min_rows
         ):
             mean = _holdout_recall(batch_df.sparkSession)
+            _mark_recall_measured(gen, occ["total"])
             if mean < refit_recall_below:
                 recall_fired = True
                 fire = (
@@ -388,6 +420,10 @@ def run_ivf_serving_stream(
         if recall_fired:
             new_gen = int(si._read_serving(root)["gen"])
             post = _holdout_recall(batch_df.sparkSession)
+            _mark_recall_measured(
+                new_gen,
+                si.ivf_index_occupancy(si.ivf_serving_path(root))["total"],
+            )
             if post < refit_recall_below:
                 _mute_recall(new_gen)
                 logger.warning(
@@ -569,12 +605,21 @@ class IncrementFoldRunner:
         metadata would never be found there and the pairing guard
         would silently no-op); that path needs an active
         SparkSession — absent one, the guard raises rather than
-        silently skipping."""
-        import json
+        silently skipping.
 
-        if "://" in checkpoint_dir and not checkpoint_dir.startswith(
-            "file://"
-        ):
+        Scheme detection accepts Hadoop's single-slash URI form too
+        (``file:/tmp/ckpt``, ``hdfs:/x`` — ADVICE r13: matching only
+        ``://`` sent those into the local ``os.path`` branch, where
+        the metadata is never found and the pairing guard silently
+        no-ops, the exact failure this guard closes).  A scheme is
+        two-plus leading letters before ``:/`` (one letter would
+        swallow Windows drive paths, Hadoop's own heuristic)."""
+        import json
+        import re
+
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]+):(?=/)", checkpoint_dir)
+        scheme = m.group(1).lower() if m else None
+        if scheme is not None and scheme != "file":
             from pyspark.sql import SparkSession
 
             spark = SparkSession.getActiveSession()
@@ -601,12 +646,13 @@ class IncrementFoldRunner:
             finally:
                 stream.close()
             return json.loads(raw.decode("utf-8")).get("id")
-        meta = os.path.join(
-            checkpoint_dir[len("file://"):]
-            if checkpoint_dir.startswith("file://")
-            else checkpoint_dir,
-            "metadata",
-        )
+        local = checkpoint_dir
+        if scheme == "file":
+            # file:///x, file:/x, file://x -> local path /x
+            from urllib.parse import urlparse
+
+            local = urlparse(checkpoint_dir).path
+        meta = os.path.join(local, "metadata")
         if not os.path.isfile(meta):
             return None
         with open(meta) as f:

@@ -365,6 +365,31 @@ def test_mismatched_checkpoint_resume_fails_fast(spark, tmp_path):
     _drive_available_now(runner3, ckpt_a)
 
 
+def test_checkpoint_id_resolves_single_slash_uris(spark, tmp_path):
+    """ADVICE r13 (low): Hadoop-style single-slash URIs
+    (``file:/tmp/ckpt``, ``hdfs:/x``) contain no ``://`` — scheme
+    detection must still route them correctly, or the pairing guard
+    silently no-ops on exactly the qualified paths it was built
+    for."""
+    import json
+
+    import pytest
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    qid = "11111111-2222-3333-4444-555555555555"
+    with open(ckpt / "metadata", "w") as f:
+        json.dump({"id": qid}, f)
+    read = IncrementFoldRunner._read_checkpoint_id
+    assert read(str(ckpt)) == qid  # plain local path
+    assert read("file://" + str(ckpt)) == qid  # file:///abs form
+    assert read("file:" + str(ckpt)) == qid  # Hadoop single-slash form
+    # a single-slash remote scheme routes through the Hadoop FS API
+    # (here: loudly fails to resolve, never the silent local no-op)
+    with pytest.raises(Exception):
+        read("hdfs:/definitely/missing/ckpt")
+
+
 def test_lineage_tag_validated(spark, tmp_path):
     import pytest
 

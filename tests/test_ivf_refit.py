@@ -276,6 +276,93 @@ def test_refit_retries_when_a_fold_commits_mid_rebuild(
     ) == _rows(sim.cosine_topk(emb, qv, k=10, round_digits=4))
 
 
+def test_post_check_fold_watermark_not_carried(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (medium): a fold committing AFTER the refit's final
+    watermark check (in the check -> swap window) must NOT have its
+    watermark carried into the new generation — the carried state is
+    materialized from the verified snapshot, so the late fold's epoch
+    replays into the new generation instead of being silently lost."""
+    emb = _emb(spark)
+    early = emb.where(F.col("vec_id") % 3 == 0)
+    racer = emb.where(F.col("vec_id") % 3 != 0)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(early, root, epoch=0, lineage="a")
+
+    real_state = sim._ivf_watermark_state
+    calls = {"n": 0}
+
+    def _racy_state(gen_path):
+        snap = real_state(gen_path)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the final post-rebuild check
+            # a fold lands AFTER the check captured its verdict: the
+            # snapshot already returned says "no advance", but the old
+            # generation now holds an advanced _watermark.b.json
+            sim.ivf_serving_fold(racer, root, epoch=0, lineage="b")
+        return snap
+
+    monkeypatch.setattr(sim, "_ivf_watermark_state", _racy_state)
+    sim.ivf_serving_refit(spark, root, iters=1)
+    gen = sim.ivf_serving_path(root)
+    assert gen.endswith("gen-1")
+    # the late fold's watermark stayed in the OLD generation only
+    assert not os.path.exists(os.path.join(gen, "_watermark.b.json"))
+    # so its epoch REPLAYS into the new generation (not skipped) and
+    # nothing is lost
+    assert sim.ivf_serving_fold(
+        racer, root, epoch=0, lineage="b", return_counts=True
+    ) is not None
+    assert spark.read.parquet(gen).count() == emb.count()
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    assert _rows(
+        sim.ivf_serving_topk(spark, root, qv, k=10, n_probe=8,
+                             round_digits=4)
+    ) == _rows(sim.cosine_topk(emb, qv, k=10, round_digits=4))
+
+
+def test_retry_carries_default_lineage_meta_watermark_fresh(
+    spark, tmp_path, monkeypatch
+):
+    """The retry path's meta-key twin of the snapshot fix: `meta` is
+    read once before the retry loop, so a default-lineage fold that
+    forces a retry must have its (meta-key) watermark carried from the
+    fresh snapshot — not the stale pre-loop read, which would replay
+    the epoch into a generation that already holds its vectors."""
+    emb = _emb(spark)
+    early = emb.where(F.col("vec_id") % 3 == 0)
+    racer = emb.where(F.col("vec_id") % 3 != 0)
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    sim.ivf_serving_fold(early, root, epoch=0, lineage="a")
+
+    real_fit = sim.kmeans_fit
+    fired = {"n": 0}
+
+    def _racing_fit(*args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the DEFAULT lineage commits mid-train: watermark lives in
+            # meta (last_epoch), not a sidecar
+            sim.ivf_serving_fold(racer, root, epoch=5)
+        return real_fit(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "kmeans_fit", _racing_fit)
+    cents, counts = sim.ivf_serving_refit(spark, root, iters=1)
+    assert fired["n"] == 1
+    assert sum(counts.values()) == emb.count()
+    gen = sim.ivf_serving_path(root)
+    from cdp_spark.datapipe.dedup_index import _read_meta
+
+    assert int(_read_meta(gen, "ivf")["last_epoch"]) == 5
+    # replay of the racer's epoch skips — its vectors are already in
+    # the rebuild and its watermark carried fresh
+    n_before = spark.read.parquet(gen).count()
+    assert sim.ivf_serving_fold(racer, root, epoch=5,
+                                return_counts=True) is None
+    assert spark.read.parquet(gen).count() == n_before == emb.count()
+
+
 def test_manual_refit_refreshes_gen_stamped_occupancy(spark, tmp_path):
     """ADVICE r12 (low): a hand-run refit must not leave the
     monitoring snapshot stale — it rewrites it gen-stamped with the
@@ -309,6 +396,39 @@ def test_occupancy_footer_fallback_for_presidecar_folds(spark, tmp_path):
     assert removed == 2
     after = sim.ivf_index_occupancy(gen)
     assert after == before
+
+
+def test_epochless_appends_visible_to_derived_occupancy(spark, tmp_path):
+    """ADVICE r13 (low): epoch-less folds (epoch=None) into a
+    base_counts generation land in fold=base — which the derivation
+    reads from META, not footers — so they accumulate into the
+    _foldcounts.base sidecar and count as GROWTH, keeping the refit
+    policy's total/skew honest without waiting for a refit to
+    rebase."""
+    emb = _emb(spark)
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b = emb.where(F.col("vec_id") % 3 == 1)
+    c = emb.where(F.col("vec_id") % 3 == 2)
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_init(path, dim=64, n_centroids=8, seed=7)
+    sim.ivf_index_fold(a, path, epoch=None)  # epoch-less append
+    occ = sim.ivf_index_occupancy(path)
+    assert occ["total"] == a.count()
+    assert occ["base_total"] == 0  # growth, not base
+    sim.ivf_index_fold(b, path, epoch=None)  # accumulates, not replaces
+    sim.ivf_index_fold(c, path, epoch=0)  # epoch fold on top
+    occ = sim.ivf_index_occupancy(path)
+    assert occ["total"] == emb.count()
+    assert occ["base_total"] == 0
+    # the derived per-centroid counts equal the data's actual layout
+    data = spark.read.parquet(path)
+    actual = {
+        int(r["centroid"]): int(r["n"])
+        for r in data.groupBy("centroid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert occ["counts"] == actual
 
 
 def test_streaming_recall_floor_policy_fires_and_advances_generation(
@@ -355,6 +475,61 @@ def test_streaming_recall_floor_policy_fires_and_advances_generation(
         sim.ivf_serving_topk(spark, root, qv, k=10, n_probe=8,
                              round_digits=4)
     ) == _rows(sim.cosine_topk(emb, qv, k=10, round_digits=4))
+
+
+def test_recall_measurement_gated_on_growth_since_last_measurement(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 (low): with recall HEALTHY (no re-fit, no mute), the
+    O(index x holdout) recall job must run once per ``refit_min_rows``
+    of growth — gated on rows since the LAST MEASUREMENT (persisted in
+    _recall_policy.json), not rows since the last re-fit, which never
+    advances when nothing fires and would re-measure every batch."""
+    from cdp_spark.streaming.fold_runner import run_ivf_serving_stream
+
+    emb = _emb(spark)
+    n = emb.count()  # 500 on the sf0.001 fixture
+    root = str(tmp_path / "serve")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    holdout = emb.where(F.col("vec_id") % 100 == 0)
+
+    real_recall = sim.ivf_serving_recall
+    measured = {"n": 0}
+
+    def _counting_recall(*args, **kwargs):
+        measured["n"] += 1
+        return real_recall(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "ivf_serving_recall", _counting_recall)
+    # threshold > one batch (~n/4): the gate opens mid-stream, and the
+    # rows left after the first measurement can't re-open it
+    min_rows = int(n * 0.6)
+    q = run_ivf_serving_stream(
+        stream, root, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        refit_recall_below=0.01, recall_holdout=holdout,
+        recall_k=10, recall_n_probe=8, refit_min_rows=min_rows,
+    )
+    assert q.awaitTermination(300), "serving stream still running"
+    # healthy recall: no re-fit, no mute — and the measurement ran
+    # EXACTLY ONCE (per-batch gating would have run it twice: batches
+    # 3 and 4 both clear the since-refit threshold)
+    assert measured["n"] == 1, measured
+    assert sim.ivf_serving_path(root).endswith("gen-0")
+    pol = json.load(open(os.path.join(root, "_recall_policy.json")))
+    assert pol.get("muted_gen") is None
+    assert pol["measured_gen"] == 0
+    # the persisted measured-total is the fold total at measurement
+    # time (first batch whose cumulative total cleared the gate)
+    assert pol["measured_total"] >= min_rows
+    assert pol["measured_total"] < n
 
 
 def test_recall_floor_requires_holdout(spark, tmp_path):
