@@ -1584,6 +1584,7 @@ def ivf_index_fold(
     epoch: int | None = None,
     lineage: str | None = None,
     return_counts: bool = False,
+    compact_every: int | None = 32,
 ) -> dict[int, int] | None:
     """FOLD an embedding increment into the persisted IVF index:
     assign against the meta-pinned model (trained centroids or the
@@ -1604,7 +1605,13 @@ def ivf_index_fold(
     fold's epoch-keyed atomic unit, so occupancy derived by
     :func:`ivf_index_occupancy` can never lose a committed fold's
     delta to a crash — a half-written fold is replayed and overwrites
-    both its data and its sidecar."""
+    both its data and its sidecar.
+
+    Every ``compact_every`` epoch folds the sidecars are merged into
+    the single ``_foldcounts_compact.json`` (:func:`compact_foldcounts`,
+    VERDICT r13 next #4) so a never-refitted deployment's occupancy
+    derivation reads O(1) files, not O(#folds); ``compact_every=None``
+    disables the automatic compaction."""
     import os as _os
 
     from .dedup_index import (
@@ -1655,6 +1662,16 @@ def ivf_index_fold(
     elif track_base:
         _bump_base_foldcounts(path, counts)
     _commit_epoch(path, meta, epoch, lineage)
+    if fold_name is not None and compact_every is not None:
+        n_sidecars = sum(
+            1
+            for e in _os.listdir(path)
+            if e.startswith("_foldcounts.")
+            and e.endswith(".json")
+            and e != "_foldcounts.base.json"
+        )
+        if n_sidecars >= int(compact_every):
+            compact_foldcounts(path)
     return counts if return_counts else None
 
 
@@ -1706,6 +1723,144 @@ def _bump_base_foldcounts(path: str, counts: dict) -> None:
     _os.replace(tmp, target)
 
 
+def _compact_foldcounts_path(path: str) -> str:
+    import os as _os
+
+    return _os.path.join(path, "_foldcounts_compact.json")
+
+
+def _read_compact_foldcounts(path: str) -> dict:
+    """``{"counts": {cid: n}, "folds": [fold_name, ...]}`` — the
+    merged occupancy of every COVERED fold.  Folds listed here are
+    skipped by the derivation even if their per-fold sidecar still
+    exists (a crash between the compact write and the sidecar
+    deletions, or an uncommitted epoch's replay re-writing its
+    sidecar, must never double-count)."""
+    import json as _json
+    import os as _os
+
+    target = _compact_foldcounts_path(path)
+    if not _os.path.isfile(target):
+        return {"counts": {}, "folds": []}
+    with open(target) as f:
+        return _json.load(f)
+
+
+def _fold_committed(path: str, meta: dict, fold_name: str) -> bool:
+    """Whether this fold's epoch watermark has committed — the gate
+    for compacting a FOOTER-fallback fold (no sidecar): an in-progress
+    fold's directory would footer-count partial rows.  Sidecar'd folds
+    need no gate (the sidecar is written after the data completes, and
+    a replay rewrites identical counts)."""
+    import json as _json
+    import os as _os
+
+    label, sep, ep = fold_name.rpartition("-e")
+    if not sep:
+        if not fold_name.startswith("e"):
+            return False
+        label, ep = None, fold_name[1:]
+    try:
+        epoch = int(ep)
+    except ValueError:
+        return False
+    last = None
+    if label is not None:
+        sidecar = _os.path.join(path, f"_watermark.{label}.json")
+        if _os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                last = _json.load(f).get("last_epoch")
+        if last is None:
+            last = meta.get(f"last_epoch:{label}")
+    else:
+        last = meta.get("last_epoch")
+    return last is not None and int(last) >= epoch
+
+
+def compact_foldcounts(path: str) -> bool:
+    """MERGE per-fold ``_foldcounts`` sidecars (and committed legacy
+    folds' footer counts) into the single ``_foldcounts_compact.json``
+    and delete the merged sidecars, so a never-refitted deployment's
+    policy check reads O(1) files instead of O(#folds) (VERDICT r13
+    next #4 — the one unbounded-growth seam left in the serving
+    loop).  :func:`ivf_index_fold` calls this automatically every
+    ``compact_every`` epoch folds; safe to run manually any time.
+
+    Crash-safe by construction: the compact file lists the covered
+    fold names, and the derivation skips covered folds even when
+    their sidecar file still exists — so a crash after the atomic
+    compact write but before the sidecar deletions only leaves
+    harmless files for the next compaction to clean up.  Concurrent
+    compactions are excluded by an O_EXCL lock (losers skip — the
+    next Nth fold retries); concurrent FOLDS are safe because a fold
+    writes only its own new sidecar, which this merge either sees or
+    leaves for next time.  Returns False when the lock is held."""
+    import json as _json
+    import os as _os
+
+    from .dedup_index import _read_meta
+
+    lock = _os.path.join(path, "_foldcounts_compact.lock")
+    try:
+        fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+    except FileExistsError:
+        return False
+    try:
+        _os.close(fd)
+        meta = _read_meta(path, "ivf")
+        compact = _read_compact_foldcounts(path)
+        covered = set(compact["folds"])
+        acc = {str(int(c)): int(n) for c, n in compact["counts"].items()}
+        merged: list[str] = []
+        stale: list[str] = []
+        for entry in sorted(_os.listdir(path)):
+            if not entry.startswith("fold=") or entry == "fold=base":
+                continue
+            fold_name = entry.split("=", 1)[1]
+            sidecar = _foldcounts_path(path, fold_name)
+            if fold_name in covered:
+                if _os.path.isfile(sidecar):
+                    stale.append(sidecar)  # replay re-wrote it; identical
+                continue
+            if _os.path.isfile(sidecar):
+                with open(sidecar) as f:
+                    delta = _json.load(f)["counts"]
+            elif _fold_committed(path, meta, fold_name):
+                delta = _fold_counts_from_footers(
+                    _os.path.join(path, entry)
+                )
+            else:  # in-progress or unparseable fold: leave it alone
+                continue
+            for c, n in delta.items():
+                key = str(int(c))
+                acc[key] = int(acc.get(key, 0)) + int(n)
+            covered.add(fold_name)
+            if _os.path.isfile(sidecar):
+                merged.append(sidecar)
+        if len(covered) == len(compact["folds"]) and not stale:
+            return True  # nothing new to cover, nothing to clean
+        target = _compact_foldcounts_path(path)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {"counts": acc, "folds": sorted(covered)},
+                f,
+                sort_keys=True,
+            )
+        _os.replace(tmp, target)
+        for sidecar in merged + stale:
+            try:
+                _os.remove(sidecar)
+            except FileNotFoundError:
+                pass
+        return True
+    finally:
+        try:
+            _os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
 def _fold_counts_from_footers(fold_dir: str) -> dict[int, int]:
     """Per-centroid row counts of one fold directory read from the
     parquet FOOTERS — driver-side file metadata only, never a Spark
@@ -1742,7 +1897,11 @@ def ivf_index_occupancy(path: str) -> dict:
     footer counts (driver-side metadata, no Spark job).  Epoch-less
     appends into a ``base_counts`` generation are read from the
     ``_foldcounts.base`` sidecar they accumulate into (ADVICE r13)
-    and count as growth, not base.
+    and count as growth, not base.  Folds merged by
+    :func:`compact_foldcounts` arrive in ONE read of
+    ``_foldcounts_compact.json`` — the derivation stays O(1) in file
+    reads no matter how many folds a never-refitted deployment
+    accumulates (VERDICT r13 next #4).
 
     Returns ``{"counts": {cid: n}, "total": n, "base_total": n}``;
     ``total - base_total`` is the number of vectors folded since the
@@ -1775,10 +1934,20 @@ def ivf_index_occupancy(path: str) -> dict:
     base_total = sum(counts.values())
     for c, n in base_sidecar_counts.items():
         counts[int(c)] = counts.get(int(c), 0) + int(n)
+    # compacted folds in ONE read (VERDICT r13 next #4); their names
+    # are skipped below even if a sidecar lingers (crash between the
+    # compact write and its cleanup, or an uncommitted epoch's replay
+    # re-writing identical counts) — covered wins, never both
+    compact = _read_compact_foldcounts(path)
+    covered = set(compact["folds"])
+    for c, n in compact["counts"].items():
+        counts[int(c)] = counts.get(int(c), 0) + int(n)
     for entry in sorted(_os.listdir(path)) if _os.path.isdir(path) else []:
         if not entry.startswith("fold=") or entry == "fold=base":
             continue
         fold_name = entry.split("=", 1)[1]
+        if fold_name in covered:
+            continue
         sidecar = _foldcounts_path(path, fold_name)
         if _os.path.isfile(sidecar):
             with open(sidecar) as f:
@@ -1924,6 +2093,7 @@ def ivf_serving_fold(
     epoch: int | None = None,
     lineage: str | None = None,
     return_counts: bool = False,
+    compact_every: int | None = 32,
 ) -> dict[int, int] | None:
     """Fold an increment into the SERVED generation — assignment
     follows the generation's pinned model (anchors before the first
@@ -1935,6 +2105,7 @@ def ivf_serving_fold(
         epoch=epoch,
         lineage=lineage,
         return_counts=return_counts,
+        compact_every=compact_every,
     )
 
 

@@ -431,6 +431,108 @@ def test_epochless_appends_visible_to_derived_occupancy(spark, tmp_path):
     assert occ["counts"] == actual
 
 
+def test_foldcounts_compaction_keeps_policy_reads_o1_at_120_folds(
+    tmp_path,
+):
+    """VERDICT r13 next #4: a never-refitted deployment accumulating
+    one _foldcounts sidecar per fold must not pay O(#folds) file reads
+    per policy check.  120 synthetic folds (sidecars + fold dirs, no
+    Spark needed — the derivation is driver-side file IO): compaction
+    merges them into ONE compact file with identical derived
+    occupancy, deletes the merged sidecars, and survives the crash
+    window where a covered fold's sidecar lingers (no double-count)."""
+    path = str(tmp_path / "ivf")
+    os.makedirs(path)
+    sim.ivf_index_init(path, dim=8, n_centroids=4, seed=7)
+    expect: dict[int, int] = {}
+    for i in range(120):
+        fold = f"s-e{i}"
+        os.makedirs(os.path.join(path, f"fold={fold}"))
+        counts = {i % 4: 1 + (i % 3), (i + 1) % 4: 2}
+        sim._write_foldcounts(path, fold, counts)
+        for c, n in counts.items():
+            expect[c] = expect.get(c, 0) + n
+    before = sim.ivf_index_occupancy(path)
+    assert before["counts"] == expect
+
+    assert sim.compact_foldcounts(path) is True
+    sidecars = [
+        e for e in os.listdir(path)
+        if e.startswith("_foldcounts.") and e.endswith(".json")
+        and e != "_foldcounts.base.json"
+    ]
+    assert sidecars == [], sidecars  # all 120 merged + deleted
+    compact = json.load(
+        open(os.path.join(path, "_foldcounts_compact.json"))
+    )
+    assert len(compact["folds"]) == 120
+    after = sim.ivf_index_occupancy(path)
+    assert after == before  # identical derived occupancy, O(1) reads
+
+    # crash window: a covered fold's sidecar re-appears (replay of an
+    # uncommitted epoch re-writes identical counts) — covered wins,
+    # never double-counted; the next compaction cleans the file up
+    sim._write_foldcounts(path, "s-e0", {0: 1, 1: 2})
+    assert sim.ivf_index_occupancy(path) == before
+    sim.compact_foldcounts(path)
+    assert not os.path.isfile(sim._foldcounts_path(path, "s-e0"))
+    assert sim.ivf_index_occupancy(path) == before
+
+    # concurrent-compaction exclusion: the lock makes losers no-op
+    lock = os.path.join(path, "_foldcounts_compact.lock")
+    open(lock, "w").close()
+    assert sim.compact_foldcounts(path) is False
+    os.remove(lock)
+
+
+def test_fold_auto_compaction_in_the_real_lifecycle(spark, tmp_path):
+    """The automatic every-Nth-fold trigger, end to end on real data:
+    folds past compact_every leave at most compact_every-1 sidecars,
+    occupancy stays exact vs the data's actual layout, legacy
+    (footer-fallback) folds compact only once committed, and queries
+    over the compacted index are unchanged."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_init(path, dim=64, n_centroids=8, seed=7)
+    for i in range(6):
+        sim.ivf_index_fold(
+            emb.where(F.col("vec_id") % 6 == i), path,
+            epoch=i, lineage="s", compact_every=4,
+        )
+    sidecars = [
+        e for e in os.listdir(path)
+        if e.startswith("_foldcounts.") and e.endswith(".json")
+        and e != "_foldcounts.base.json"
+    ]
+    assert len(sidecars) < 4, sidecars
+    compact = json.load(
+        open(os.path.join(path, "_foldcounts_compact.json"))
+    )
+    assert len(compact["folds"]) >= 4
+    occ = sim.ivf_index_occupancy(path)
+    data = spark.read.parquet(path)
+    actual = {
+        int(r["centroid"]): int(r["n"])
+        for r in data.groupBy("centroid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert occ["counts"] == actual
+    assert occ["total"] == emb.count()
+    # a legacy fold (sidecar lost, pre-r13 shape): footer-compacted
+    # only once its watermark commits
+    os.remove(sim._foldcounts_path(path, "s-e5")) if os.path.isfile(
+        sim._foldcounts_path(path, "s-e5")
+    ) else None
+    sim.compact_foldcounts(path)
+    assert sim.ivf_index_occupancy(path)["counts"] == actual
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    assert _rows(
+        sim.ivf_index_topk(spark, path, qv, k=10, n_probe=8,
+                           round_digits=4)
+    ) == _rows(sim.cosine_topk(emb, qv, k=10, round_digits=4))
+
+
 def test_streaming_recall_floor_policy_fires_and_advances_generation(
     spark, tmp_path
 ):
