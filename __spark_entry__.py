@@ -4229,6 +4229,60 @@ def q_ivf_refit_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall_refit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-floor SERVING LOOP end-to-end as an oracled query
+    (r14, VERDICT r13 next #3 — the skew-trigger twin had its hard
+    row in r12; this is the quality-trigger lifecycle): each batch
+    runs :func:`ivf_serving_policy_step` — the exact per-batch body
+    ``run_ivf_serving_stream`` executes — with a 0.99 recall floor
+    the fixture cannot reach (measured 0.66-0.76 anchor / 0.70-0.75
+    trained at every SF), so the policy must fire EXACTLY ONE re-fit
+    and then mute.  Epoch 0 (% 3 == 0) folds below the growth gate;
+    epoch 1 (% 3 == 1) opens it — the holdout measurement on the
+    anchor generation comes in under the floor, the re-fit trains
+    k-means (k=8, 2 iters, seed 7) on folds {0, 1}, the post-re-fit
+    re-measure is still under the floor, and the trigger MUTES for
+    generation 1; epoch 2 (% 3 == 2) folds with the mute holding (a
+    second re-fit would retrain on all three folds and serve
+    different recall — the oracle would catch it).  Returns the
+    served generation's per-query recall@10 at 4-of-8 probes plus
+    the policy outcome (gen, muted_gen) read from the committed
+    state; the oracle replays the subset-trained Lloyd
+    (`refit_prefix`), the probe ranking, the one-window recall, and
+    pins gen = muted_gen = 1."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = _fold_index_dir("cdp_ivf_recall_lc_")
+    sim.ivf_serving_init(root, dim=64, n_centroids=8, seed=7)
+    from cdp_spark.streaming.fold_runner import ivf_serving_policy_step
+
+    holdout = emb.filter(F.col("vec_id") % 100 == 0)
+    # the growth gate opens exactly at the epoch-1 step: by then the
+    # fold total IS the training set the oracle's Lloyd replay uses
+    min_rows = emb.where(F.col("vec_id") % 3 != 2).count()
+    policy = dict(
+        refit_recall_below=0.99, recall_holdout=holdout,
+        recall_k=10, recall_n_probe=4,
+        refit_min_rows=min_rows, refit_iters=2,
+    )
+    for i in range(3):
+        ivf_serving_policy_step(
+            emb.where(F.col("vec_id") % 3 == i), root, i, **policy
+        )
+    import json as _json
+    import os as _os
+
+    gen = int(sim._read_serving(root)["gen"])
+    with open(_os.path.join(root, "_recall_policy.json")) as f:
+        muted = _json.load(f).get("muted_gen")
+    return sim.ivf_serving_recall(
+        spark, root, holdout, k=10, n_probe=4, round_digits=4
+    ).withColumn("gen", F.lit(gen).cast("int")).withColumn(
+        "muted_gen", F.lit(muted).cast("int")
+    )
+
+
 _ROUND13_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_multiband_capped": q_near_dup_multiband_capped,
     "ann_recall_eval": q_ann_recall_eval,
@@ -4236,18 +4290,80 @@ _ROUND13_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_refit_recall": q_ivf_refit_recall,
 }
 
+_ROUND14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ivf_recall_refit_lifecycle": q_ivf_recall_refit_lifecycle,
+}
 
-# Round-13 driver window (VERDICT r12 "next round" #1): the external
-# driver gate checks the FIRST 50 queries() entries only.  Leads with
-# the 4 round-13 additions, then ALL 40 r09-era deferrals (their last
-# hard driver row is r09 — recomputed programmatically from
-# CORRECTNESS_r01..r12; the count the r12 window comment promised),
-# then the 6 stalest r10-era queries in registry order.  After this
-# round no registered query's last hard driver row is older than r10
-# (three rounds); the 44 remaining r10-era queries (registry order
-# from pii_redact on) lead the r14 window together with any round-14
-# additions.  Everything stays regression-guarded every round by
-# scripts/driver_sim.py + tests/test_oracle.py.
+
+# Round-14 driver window (VERDICT r13 "next round" #1): the external
+# driver gate checks the FIRST 50 queries() entries only.  EMITTED BY
+# scripts/window_plan.py — the same script that computes the
+# staleness histogram, so the tuple, the counts below, and the
+# tests/test_oracle.py guard can never disagree (the r12/r13
+# hand-written deferral counts were both off by one).  Composition:
+# the 1 round-14 addition, then ALL 44 r10-era deferrals (last hard
+# driver row r10, registry order from pii_redact on — the count the
+# r13 notes got wrong once and VERDICT r13 fixed), then the 5
+# stalest r11-era queries in registry order.  After this round no
+# registered query's last hard driver row is older than r11.
+_R14_WINDOW: tuple[str, ...] = (
+    # -- round-14 additions --
+    "ivf_recall_refit_lifecycle",
+    # -- last driver row r10: all 44 deferrals (registry order) --
+    "pii_redact",
+    "embedding_near_dup_multiband",
+    "stream_dedup_events",
+    "kmeans_centroids",
+    "unigram_logprob",
+    "ann_ivf_kmeans",
+    "ann_ivf_kmeans_indexed",
+    "stream_enrich_events",
+    "near_dedup_corpus",
+    "stream_keyed_windows",
+    "hll_distinct_users",
+    "cms_heavy_users",
+    "bloom_filter_parts",
+    "stream_hll_users",
+    "pipeline_template_e2e",
+    "minhash_dedup_corpus",
+    "curation_filter",
+    "salted_user_totals",
+    "salted_join_revenue",
+    "approx_quantiles_value",
+    "stream_stream_join",
+    "semantic_dedup",
+    "fold_incremental_dedup",
+    "fold_substring_flags",
+    "langid_ngram_separation",
+    "bpe_merges",
+    "bpe_token_counts",
+    "leakage_safe_split",
+    "ngram_novelty",
+    "bpe_fertility",
+    "bm25_index_fold",
+    "stream_quality_gate",
+    "auto_fold_lifecycle",
+    "bpe_production_merges",
+    "stream_bm25_ingest",
+    "gopher_quality",
+    "perplexity_buckets",
+    "edit_distance_near_dup",
+    "hard_negatives",
+    "temperature_mix",
+    "c4_quality",
+    "dedup_lines_docs",
+    "clean_corpus_e2e",
+    "stream_gopher_gate",
+    # -- last driver row r11 (5 stalest, registry order) --
+    "weighted_sample",
+    "pagerank_nations",
+    "hll_union_entities",
+    "dsir_sample",
+    "stream_stream_left_join",
+)
+
+# Historical r13 window, kept for artifact cross-reference (the judge
+# diffs CORRECTNESS keys against the declared window of that round).
 _R13_WINDOW: tuple[str, ...] = (
     # -- round-13 additions --
     "near_dup_multiband_capped",
@@ -4541,7 +4657,7 @@ _R09_WINDOW: tuple[str, ...] = (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _all_queries()
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: full[name] for name in _R13_WINDOW
+        name: full[name] for name in _R14_WINDOW
     }
     q.update(full)  # existing keys keep their (window) position
     return q
@@ -4610,6 +4726,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_ROUND11_QUERIES)
     q.update(_ROUND12_QUERIES)
     q.update(_ROUND13_QUERIES)
+    q.update(_ROUND14_QUERIES)
     # --- r05-green (50): the leading entries fill the window to 50;
     # ordering inside this block puts a representative mix (sessions,
     # jq/jsonnet, dedup, timestamps) nearest the window edge ---
@@ -7119,6 +7236,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id,
                round(sum(CASE WHEN rn <= 10 AND probed AND pn <= 10
                               THEN 1 ELSE 0 END) / 10.0, 4) AS recall_at_k
+        FROM ranked GROUP BY query_id
+    """
+    # the recall-floor serving loop's lifecycle (r14): same served
+    # state as ivf_refit_recall — folds {{0,1}}, ONE trained re-fit,
+    # fold 2 — but the re-fit is POLICY-fired (recall floor) instead
+    # of called; the oracle additionally pins the policy outcome:
+    # exactly one re-fit (gen=1) and the hysteresis mute (muted_gen=1).
+    # A policy misfire (0 or 2 re-fits, no mute) changes gen/muted_gen
+    # or the served centroids and fails the hash.
+    oracles["ivf_recall_refit_lifecycle"] = f"""
+        WITH {refit_prefix},
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM base
+              WHERE vec_id % 100 = 0),
+        pd AS (
+          SELECT q.query_id, c.cid,
+                 list_sum(list_transform(list_zip(q.qemb, c.c),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+          FROM c2 c, q),
+        probe AS (
+          SELECT query_id, cid FROM pd
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, cid) <= 4),
+        scored AS (
+          SELECT q.query_id, b.vec_id,
+                 round(list_cosine_similarity(b.emb, q.qemb), 4) AS s,
+                 (p.cid IS NOT NULL) AS probed
+          FROM base b
+          JOIN a3 ON a3.vec_id = b.vec_id
+          CROSS JOIN q
+          LEFT JOIN probe p
+            ON p.query_id = q.query_id AND p.cid = a3.cid),
+        ranked AS (
+          SELECT query_id, probed,
+                 row_number() OVER
+                   (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn,
+                 sum(CASE WHEN probed THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY query_id ORDER BY s DESC, vec_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn
+          FROM scored)
+        SELECT query_id,
+               round(sum(CASE WHEN rn <= 10 AND probed AND pn <= 10
+                              THEN 1 ELSE 0 END) / 10.0, 4) AS recall_at_k,
+               1 AS gen, 1 AS muted_gen
         FROM ranked GROUP BY query_id
     """
     oracles["ivf_refit_lifecycle"] = f"""

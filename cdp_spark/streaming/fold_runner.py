@@ -211,6 +211,171 @@ def run_ivf_ingest_stream(
     return writer.start()
 
 
+def ivf_serving_policy_step(
+    batch_df: DataFrame,
+    root: str,
+    epoch_id: int,
+    lineage: Optional[str] = None,
+    refit_skew: Optional[float] = None,
+    refit_min_rows: int = 1000,
+    refit_iters: int = 2,
+    refit_recall_below: Optional[float] = None,
+    recall_holdout: Optional[DataFrame] = None,
+    recall_k: int = 10,
+    recall_n_probe: int = 4,
+) -> None:
+    """ONE micro-batch of the serving loop — fold the batch, derive
+    occupancy, and run the skew / recall re-fit policy.  This is the
+    exact per-batch body :func:`run_ivf_serving_stream` executes
+    (extracted r14 so a deterministic batch drive — the oracled
+    `ivf_recall_refit_lifecycle` driver query, replay tests — runs
+    the SAME code path the stream does, not a reimplementation).
+    See :func:`run_ivf_serving_stream` for the full policy
+    semantics."""
+    import json as _json
+    import os as _os
+
+    from ..datapipe import similarity as si
+
+    occ_path = _os.path.join(root, "_ivf_occupancy.json")
+    recall_policy_path = _os.path.join(root, "_recall_policy.json")
+
+    def _read_recall_policy() -> dict:
+        if not _os.path.isfile(recall_policy_path):
+            return {}
+        with open(recall_policy_path) as f:
+            return _json.load(f)
+
+    def _write_recall_policy(**updates) -> None:
+        pol = _read_recall_policy()
+        pol.update(updates)
+        tmp = recall_policy_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(pol, f)
+        _os.replace(tmp, recall_policy_path)
+
+    def _recall_muted_gen() -> Optional[int]:
+        return _read_recall_policy().get("muted_gen")
+
+    def _mute_recall(gen: int) -> None:
+        _write_recall_policy(muted_gen=int(gen))
+
+    def _mark_recall_measured(gen: int, total: int) -> None:
+        _write_recall_policy(measured_gen=int(gen), measured_total=int(total))
+
+    def _recall_last_measured(gen: int, base_total: int) -> int:
+        """Total rows at the last recall measurement OF THIS generation
+        — a fresh generation starts from its base (so the first
+        measurement needs refit_min_rows of growth, same as ever)."""
+        pol = _read_recall_policy()
+        if pol.get("measured_gen") == int(gen) and "measured_total" in pol:
+            return int(pol["measured_total"])
+        return int(base_total)
+
+    def _holdout_recall(session) -> float:
+        rows = si.ivf_serving_recall(
+            session, root, recall_holdout, k=recall_k,
+            n_probe=recall_n_probe,
+        ).collect()
+        return sum(r["recall_at_k"] for r in rows) / len(rows)
+
+    def _snapshot_occ(gen: int, occ: dict) -> None:
+        """Gen-stamped monitoring view of the derived occupancy."""
+        tmp = occ_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "gen": int(gen),
+                    "counts": {
+                        str(c): int(n) for c, n in occ["counts"].items()
+                    },
+                    "total": int(occ["total"]),
+                    "since_refit": int(occ["total"] - occ["base_total"]),
+                    "refits": int(gen),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        _os.replace(tmp, occ_path)
+
+    if not batch_df.take(1):
+        return
+    delta = si.ivf_serving_fold(
+        batch_df, root, epoch=epoch_id, lineage=lineage,
+        return_counts=True,
+    )
+    if delta is None:  # replayed committed epoch — already counted
+        return
+    gen = int(si._read_serving(root)["gen"])
+    occ = si.ivf_index_occupancy(si.ivf_serving_path(root))
+    _snapshot_occ(gen, occ)
+    since_refit = occ["total"] - occ["base_total"]
+    if (refit_skew is None and refit_recall_below is None) or (
+        since_refit < refit_min_rows
+    ):
+        return
+    fire = None
+    recall_fired = False
+    if refit_skew is not None:
+        from ..datapipe.dedup_index import _read_meta
+
+        k = int(
+            _read_meta(si.ivf_serving_path(root), "ivf")["n_centroids"]
+        )
+        fair = occ["total"] / k
+        skew = max(
+            occ["counts"].get(c, 0) for c in range(k)
+        ) / fair
+        if skew >= refit_skew:
+            fire = f"occupancy skew {skew:.2f} >= {refit_skew:.2f}"
+    if (
+        fire is None
+        and refit_recall_below is not None
+        and _recall_muted_gen() != gen
+        # ADVICE r13: the O(index x holdout) recall job is gated on
+        # growth since the LAST MEASUREMENT (persisted), not since
+        # the last re-fit — otherwise once since_refit crosses the
+        # threshold with recall above the floor (no mute, no
+        # re-fit), every subsequent micro-batch would re-measure.
+        and occ["total"] - _recall_last_measured(
+            gen, occ["base_total"]
+        ) >= refit_min_rows
+    ):
+        mean = _holdout_recall(batch_df.sparkSession)
+        _mark_recall_measured(gen, occ["total"])
+        if mean < refit_recall_below:
+            recall_fired = True
+            fire = (
+                f"holdout recall@{recall_k} {mean:.3f} < "
+                f"{refit_recall_below:.3f} at {recall_n_probe} probes"
+            )
+    if fire is None:
+        return
+    logger.info("%s at %d rows; re-fitting", fire, occ["total"])
+    si.ivf_serving_refit(batch_df.sparkSession, root, iters=refit_iters)
+    # ivf_serving_refit writes the gen-stamped snapshot itself as
+    # part of the swap; nothing to reset here.
+    if recall_fired:
+        new_gen = int(si._read_serving(root)["gen"])
+        post = _holdout_recall(batch_df.sparkSession)
+        _mark_recall_measured(
+            new_gen,
+            si.ivf_index_occupancy(si.ivf_serving_path(root))["total"],
+        )
+        if post < refit_recall_below:
+            _mute_recall(new_gen)
+            logger.warning(
+                "holdout recall@%d is still %.3f < %.3f AFTER the "
+                "re-fit — re-fitting cannot fix recall at "
+                "n_probe=%d; muting the recall trigger for "
+                "generation %d (raise recall_n_probe, or a later "
+                "re-fit re-arms it)",
+                recall_k, post, refit_recall_below,
+                recall_n_probe, new_gen,
+            )
+
+
 def run_ivf_serving_stream(
     source_stream: DataFrame,
     root: str,
@@ -286,9 +451,6 @@ def run_ivf_serving_stream(
     returns None and its sidecar is untouched, so occupancy never
     double-counts.  Initialize with ``similarity.ivf_serving_init``;
     query with ``similarity.ivf_serving_topk``."""
-    import json as _json
-    import os as _os
-
     from ..datapipe import similarity as si
 
     si.ivf_serving_path(root)  # validates the root eagerly
@@ -297,144 +459,18 @@ def run_ivf_serving_stream(
             "refit_recall_below needs a recall_holdout query frame"
         )
 
-    occ_path = _os.path.join(root, "_ivf_occupancy.json")
-    recall_policy_path = _os.path.join(root, "_recall_policy.json")
-
-    def _read_recall_policy() -> dict:
-        if not _os.path.isfile(recall_policy_path):
-            return {}
-        with open(recall_policy_path) as f:
-            return _json.load(f)
-
-    def _write_recall_policy(**updates) -> None:
-        pol = _read_recall_policy()
-        pol.update(updates)
-        tmp = recall_policy_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(pol, f)
-        _os.replace(tmp, recall_policy_path)
-
-    def _recall_muted_gen() -> Optional[int]:
-        return _read_recall_policy().get("muted_gen")
-
-    def _mute_recall(gen: int) -> None:
-        _write_recall_policy(muted_gen=int(gen))
-
-    def _mark_recall_measured(gen: int, total: int) -> None:
-        _write_recall_policy(measured_gen=int(gen), measured_total=int(total))
-
-    def _recall_last_measured(gen: int, base_total: int) -> int:
-        """Total rows at the last recall measurement OF THIS generation
-        — a fresh generation starts from its base (so the first
-        measurement needs refit_min_rows of growth, same as ever)."""
-        pol = _read_recall_policy()
-        if pol.get("measured_gen") == int(gen) and "measured_total" in pol:
-            return int(pol["measured_total"])
-        return int(base_total)
-
-    def _holdout_recall(session) -> float:
-        rows = si.ivf_serving_recall(
-            session, root, recall_holdout, k=recall_k,
-            n_probe=recall_n_probe,
-        ).collect()
-        return sum(r["recall_at_k"] for r in rows) / len(rows)
-
-    def _snapshot_occ(gen: int, occ: dict) -> None:
-        """Gen-stamped monitoring view of the derived occupancy."""
-        tmp = occ_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(
-                {
-                    "gen": int(gen),
-                    "counts": {
-                        str(c): int(n) for c, n in occ["counts"].items()
-                    },
-                    "total": int(occ["total"]),
-                    "since_refit": int(occ["total"] - occ["base_total"]),
-                    "refits": int(gen),
-                },
-                f,
-                indent=1,
-                sort_keys=True,
-            )
-        _os.replace(tmp, occ_path)
-
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        delta = si.ivf_serving_fold(
-            batch_df, root, epoch=epoch_id, lineage=lineage,
-            return_counts=True,
+        ivf_serving_policy_step(
+            batch_df, root, epoch_id,
+            lineage=lineage,
+            refit_skew=refit_skew,
+            refit_min_rows=refit_min_rows,
+            refit_iters=refit_iters,
+            refit_recall_below=refit_recall_below,
+            recall_holdout=recall_holdout,
+            recall_k=recall_k,
+            recall_n_probe=recall_n_probe,
         )
-        if delta is None:  # replayed committed epoch — already counted
-            return
-        gen = int(si._read_serving(root)["gen"])
-        occ = si.ivf_index_occupancy(si.ivf_serving_path(root))
-        _snapshot_occ(gen, occ)
-        since_refit = occ["total"] - occ["base_total"]
-        if (refit_skew is None and refit_recall_below is None) or (
-            since_refit < refit_min_rows
-        ):
-            return
-        fire = None
-        recall_fired = False
-        if refit_skew is not None:
-            from ..datapipe.dedup_index import _read_meta
-
-            k = int(
-                _read_meta(si.ivf_serving_path(root), "ivf")["n_centroids"]
-            )
-            fair = occ["total"] / k
-            skew = max(
-                occ["counts"].get(c, 0) for c in range(k)
-            ) / fair
-            if skew >= refit_skew:
-                fire = f"occupancy skew {skew:.2f} >= {refit_skew:.2f}"
-        if (
-            fire is None
-            and refit_recall_below is not None
-            and _recall_muted_gen() != gen
-            # ADVICE r13: the O(index x holdout) recall job is gated on
-            # growth since the LAST MEASUREMENT (persisted), not since
-            # the last re-fit — otherwise once since_refit crosses the
-            # threshold with recall above the floor (no mute, no
-            # re-fit), every subsequent micro-batch would re-measure.
-            and occ["total"] - _recall_last_measured(
-                gen, occ["base_total"]
-            ) >= refit_min_rows
-        ):
-            mean = _holdout_recall(batch_df.sparkSession)
-            _mark_recall_measured(gen, occ["total"])
-            if mean < refit_recall_below:
-                recall_fired = True
-                fire = (
-                    f"holdout recall@{recall_k} {mean:.3f} < "
-                    f"{refit_recall_below:.3f} at {recall_n_probe} probes"
-                )
-        if fire is None:
-            return
-        logger.info("%s at %d rows; re-fitting", fire, occ["total"])
-        si.ivf_serving_refit(batch_df.sparkSession, root, iters=refit_iters)
-        # ivf_serving_refit writes the gen-stamped snapshot itself as
-        # part of the swap; nothing to reset here.
-        if recall_fired:
-            new_gen = int(si._read_serving(root)["gen"])
-            post = _holdout_recall(batch_df.sparkSession)
-            _mark_recall_measured(
-                new_gen,
-                si.ivf_index_occupancy(si.ivf_serving_path(root))["total"],
-            )
-            if post < refit_recall_below:
-                _mute_recall(new_gen)
-                logger.warning(
-                    "holdout recall@%d is still %.3f < %.3f AFTER the "
-                    "re-fit — re-fitting cannot fix recall at "
-                    "n_probe=%d; muting the recall trigger for "
-                    "generation %d (raise recall_n_probe, or a later "
-                    "re-fit re-arms it)",
-                    recall_k, post, refit_recall_below,
-                    recall_n_probe, new_gen,
-                )
 
     writer = source_stream.writeStream.foreachBatch(_fold)
     if checkpoint_dir is not None:

@@ -97,48 +97,51 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
-def test_driver_window_leads_with_never_checked_queries():
+def test_driver_window_matches_script_emitted_plan():
     """The external driver gate checks only the FIRST 50 queries()
-    entries; round-13 rotation (VERDICT r12 #1) puts the 4 round-13
-    additions and ALL 40 r09-era deferrals (the queries whose last
-    hard driver row is r09 — recomputed from CORRECTNESS_r01..r12;
-    the r12 window comment's 40 was right, this file's old 39 was the
-    off-by-one ADVICE r12 flagged) at the front, then the 6 stalest
-    r10-era queries in registry order.  Pin the window membership so
-    a later edit appending to the wrong dict cannot silently rotate
-    them out, and pin that the window is exactly the declared list."""
+    entries.  From r14 on (VERDICT r13 #1/#2: two rounds of
+    hand-written deferral counts were off by one) the window is
+    EMITTED by scripts/window_plan.py — additions first (no hard
+    driver row yet), then the stalest cohorts by last-hard-row round,
+    registry order within each — and this guard pins the declared
+    tuple, the live queries() ordering, and the script's plan to each
+    other, so the three bookkeeping sites cannot disagree."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "window_plan",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "window_plan.py",
+        ),
+    )
+    window_plan = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(window_plan)
+    _, last, planned, breakdown = window_plan.plan()
+
     names = list(entrymod.queries())
     window = names[:50]
-    assert window == list(entrymod._R13_WINDOW), (
-        "driver window drifted from _R13_WINDOW"
+    assert window == list(entrymod._R14_WINDOW), (
+        "driver window drifted from _R14_WINDOW"
     )
-    must_lead = {
-        # round-13 additions (never driver-checked)
-        "near_dup_multiband_capped", "ann_recall_eval", "shard_shuffle",
-        "ivf_refit_recall",
-        # all 40 r09-era deferrals — the rotation's whole purpose
-        "ngram_jaccard_pairs", "embedding_cosine_pairs", "simhash_docs",
-        "ann_lsh", "ann_lsh_indexed", "grouping_sets", "sort_limit",
-        "scalar_functions", "pivot_conditional", "topk_frequent",
-        "avg_subquery_join", "ann_pq", "ann_ivf_pq",
-        "ann_ivf_pq_indexed", "ivf_counts", "ann_ivf",
-        "decontaminate_docs", "pack_documents", "vocabulary",
-        "boilerplate_spans", "chunk_tokens", "bm25_multi_query",
-        "exact_substring_pairs", "exact_substring_dedup",
-        "stream_near_dup", "stream_incremental_dedup",
-        "stream_substring_flags", "ann_ivf_incremental",
-        "bm25_passages", "pmi_collocations", "bigram_logprob",
-        "hll_overlap_segments", "langid_ngram_confusion", "agg_rollup",
-        "agg_cube", "topk_per_group", "set_ops", "percentiles",
-        "regexp_extract_parts", "join_full_outer",
-    }
-    missing = must_lead - set(window)
-    assert not missing, f"stale leaders fell out of the first 50: {missing}"
+    assert window == planned, (
+        "declared _R14_WINDOW does not match scripts/window_plan.py — "
+        "re-run the script and paste its tuple body"
+    )
+    # the r14 composition the VERDICT prescribed: 1 addition + ALL 44
+    # r10-era deferrals + the 5 stalest r11-era queries
+    assert breakdown == [
+        ("additions", 1),
+        ("last hard row r10", 44),
+        ("last hard row r11", 5),
+    ], breakdown
     # the full registry is unchanged by the reorder
     assert len(names) == len(set(names)) == len(entrymod._all_queries())
-    # no registered query's last hard driver row may age past three
-    # rounds once this window lands: everything outside it was checked
-    # in r10, r11, or r12 (CORRECTNESS_r10/r11/r12.json); the 44
-    # r10-era leftovers (registry order from pii_redact on) lead the
-    # r14 window (see the _R13_WINDOW comment).
+    # freshness invariant once this window lands: nothing outside it
+    # has a last hard row older than r11
+    outside = set(names[50:])
+    stale = {q for q in outside if last.get(q, 99) < 11}
+    assert not stale, f"stale queries left outside the window: {stale}"
     assert len(window) == 50
