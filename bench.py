@@ -128,6 +128,11 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "near_dup_multiband_capped",
     "ivf_refit_recall",
+    # round 14: recall-floor serving lifecycle, PQ refine stage,
+    # quality-aware survivorship
+    "ivf_recall_refit_lifecycle",
+    "ann_ivf_pq_refine",
+    "dedup_keep_best",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

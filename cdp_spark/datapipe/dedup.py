@@ -19,7 +19,7 @@ num_perm/bands.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import iter_checkpoint
@@ -1020,6 +1020,48 @@ def near_dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def near_dedup_best_survivors(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    quality_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Quality-aware survivorship (r14): from each duplicate cluster
+    keep the member with the BEST ``quality_col`` (ties to the lowest
+    id) instead of the arbitrary minimum id — the policy production
+    pipelines actually want (near-dups differ in truncation,
+    boilerplate, extraction quality; keeping the longest/highest-
+    scoring copy preserves the most signal).  Rows never linked into
+    a cluster pass through as their own singleton component.
+
+    Scale shape: ``components`` is (id, component) for LINKED rows
+    only (a near-dup-density fraction of the corpus), so the join
+    broadcasts; the per-cluster argmax is a window over the linked
+    rows only — the corpus is never shuffled.  Returns the surviving
+    rows with their ``component`` and the cluster's ``n_members``
+    (singletons: component = own id, n_members = 1)."""
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    joined = df.join(F.broadcast(comp), id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    order = (
+        F.col(quality_col).desc() if descending else F.col(quality_col).asc()
+    )
+    w = Window.partitionBy("component").orderBy(order, F.col(id_col))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def exact_dup_clusters(df: DataFrame, id_col: str, content_col: str) -> DataFrame:

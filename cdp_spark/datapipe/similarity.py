@@ -1365,6 +1365,65 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_refine_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_seed: int = 7,
+    pq_seed: int = 11,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ with an EXACT re-rank stage — the standard production
+    shape (faiss ``IndexRefineFlat``; Jégou et al. 2011's re-ranking
+    variant): the coarse probe + ADC scan produce ``n_candidates``
+    approximate hits (codes-only IO, the 100 TB win), then ONLY those
+    candidates' full vectors are fetched and re-ranked by exact
+    cosine.  Quality approaches the exact scan while the expensive
+    distance touches ``n_candidates`` rows instead of the corpus.
+
+    Scale shape: the candidate stage is the same pruned ADC scan as
+    :func:`ivf_pq_topk` (TakeOrderedAndProject — per-partition top-R
+    then a driver merge, no global sort); the refine stage BROADCASTS
+    the R candidate ids back against the base table, so the join adds
+    no shuffle, and the exact cosine runs on R rows.  Ranking: exact
+    cosine DESC (rounded), ties to the lowest id; the candidate set
+    is deterministic via the ADC (ASC, id) rule."""
+    cands = ivf_pq_topk(
+        df,
+        query_vector,
+        k=n_candidates,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        n_sub=n_sub,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        ivf_seed=ivf_seed,
+        pq_seed=pq_seed,
+        round_digits=round_digits,
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    refined = df.join(F.broadcast(cands), id_col)
+    return (
+        refined.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_digits).alias(
+                "cosine_sim"
+            ),
+            F.col("adc_dist"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_pq_write(
     df: DataFrame,
     path: str,

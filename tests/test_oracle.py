@@ -130,12 +130,13 @@ def test_driver_window_matches_script_emitted_plan():
         "declared _R14_WINDOW does not match scripts/window_plan.py — "
         "re-run the script and paste its tuple body"
     )
-    # the r14 composition the VERDICT prescribed: 1 addition + ALL 44
-    # r10-era deferrals + the 5 stalest r11-era queries
+    # the r14 composition the VERDICT prescribed: the round-14
+    # additions + ALL 44 r10-era deferrals + the stalest r11-era
+    # queries filling to 50
     assert breakdown == [
-        ("additions", 1),
+        ("additions", 3),
         ("last hard row r10", 44),
-        ("last hard row r11", 5),
+        ("last hard row r11", 3),
     ], breakdown
     # the full registry is unchanged by the reorder
     assert len(names) == len(set(names)) == len(entrymod._all_queries())

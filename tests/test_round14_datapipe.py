@@ -1,0 +1,117 @@
+"""Round-14 operator contracts: the IVF-PQ exact-refine stage and
+quality-aware near-dedup survivorship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import dedup as ddp
+from cdp_spark.datapipe import similarity as sim
+from cdp_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_pq_refine_restores_exact_ranking_over_candidates(spark):
+    """The refine stage's whole point: within the candidate set the
+    ranking is EXACT cosine — so with candidates covering everything
+    (n_probe = all lists, n_candidates = corpus) the top-k equals the
+    brute-force exact scan, which plain ADC ranking does not."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    refined = sim.ivf_pq_refine_topk(
+        emb, qv, k=10, n_candidates=n, n_centroids=16, n_probe=16,
+        round_digits=4,
+    ).select("vec_id", "cosine_sim")
+    exact = sim.cosine_topk(emb, qv, k=10, round_digits=4)
+    assert _rows(refined) == _rows(exact)
+
+
+def test_pq_refine_candidates_come_from_adc_stage(spark):
+    """With a tight candidate budget the result is exactly the exact-
+    cosine re-rank OF the ADC top-R — never of anything outside it."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    r = 25
+    cands = {
+        row["vec_id"]
+        for row in sim.ivf_pq_topk(
+            emb, qv, k=r, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    refined = sim.ivf_pq_refine_topk(
+        emb, qv, k=10, n_candidates=r, n_centroids=16, n_probe=4,
+        round_digits=4,
+    )
+    got = _rows(refined.select("vec_id", "cosine_sim"))
+    assert {v for v, _ in got} <= cands
+    # and the order within the candidate set is exact cosine
+    manual = sorted(
+        _rows(
+            sim.cosine_topk(
+                emb.filter(F.col("vec_id").isin(*cands)), qv,
+                k=10, round_digits=4,
+            )
+        )
+    )
+    assert sorted(got) == manual
+
+
+def test_pq_refine_join_broadcasts(spark):
+    """The refine join must broadcast the R candidate ids — a shuffle
+    join over the corpus would defeat the stage's purpose at scale."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = sim.ivf_pq_refine_topk(emb, qv, k=10, n_candidates=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_keep_best_survivorship_policy(spark):
+    """Per cluster: the longest member survives (ties to lowest id);
+    singletons pass through as their own component with n_members=1;
+    the surviving set covers every component exactly once."""
+    docs = load_table(spark, SF, "documents")
+    # components from the same blocking graph the query uses
+    from __spark_entry__ import q_dup_clusters
+
+    comp = q_dup_clusters(spark, SF).withColumnRenamed("doc_id", "id")
+    out = ddp.near_dedup_best_survivors(docs, "doc_id", comp, "n_chars")
+    rows = out.select(
+        "doc_id", "n_chars", "component", "n_members"
+    ).collect()
+    comp_map = {r["id"]: r["component"] for r in comp.collect()}
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    # group ALL docs by effective component
+    groups: dict[int, list[int]] = {}
+    for d in chars:
+        groups.setdefault(comp_map.get(d, d), []).append(d)
+    assert len(rows) == len(groups)
+    for r in rows:
+        members = groups[r["component"]]
+        assert r["n_members"] == len(members)
+        best = sorted(members, key=lambda d: (-chars[d], d))[0]
+        assert r["doc_id"] == best
+    # exactly one survivor per component
+    assert len({r["component"] for r in rows}) == len(rows)
+
+
+def test_keep_best_broadcasts_components(spark):
+    """The component map is a near-dup-density fraction of the corpus
+    — the survivorship join must broadcast it, never shuffle the
+    corpus for it."""
+    docs = load_table(spark, SF, "documents")
+    comp = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("component"),
+    ).limit(50)
+    out = ddp.near_dedup_best_survivors(docs, "doc_id", comp, "n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
