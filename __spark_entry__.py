@@ -4325,10 +4325,32 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang", "n_chars", "component", "n_members")
 
 
+def q_resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (r14): per-user 6-hour grid over each
+    user's own observation span with last-observation-carried-forward
+    — TimescaleDB's time_bucket_gapfill + locf / InfluxDB's
+    fill(previous) as ONE window pass (grid generated in-plan via
+    sequence(), observations union in, last(ignorenulls) carries
+    forward; no per-grid-point join).  A leading grid point before a
+    user's first observation is honestly NULL.  The oracle generates
+    the same epoch-aligned grid and replays LOCF with DuckDB's ASOF
+    LEFT JOIN."""
+    from cdp_spark.datapipe import analytics as an
+
+    ev = load_table(spark, sf_dir, "events")
+    out = an.resample_ffill(ev, "user_id", "ts", "value", 21600)
+    return out.select(
+        "user_id",
+        F.unix_micros("grid_ts").alias("grid_us"),
+        F.col("v_ffill"),
+    )
+
+
 _ROUND14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall_refit_lifecycle": q_ivf_recall_refit_lifecycle,
     "ann_ivf_pq_refine": q_ann_ivf_pq_refine,
     "dedup_keep_best": q_dedup_keep_best,
+    "resample_ffill_events": q_resample_ffill_events,
 }
 
 
@@ -4338,9 +4360,9 @@ _ROUND14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # staleness histogram, so the tuple, the counts below, and the
 # tests/test_oracle.py guard can never disagree (the r12/r13
 # hand-written deferral counts were both off by one).  Composition:
-# the 3 round-14 additions, then ALL 44 r10-era deferrals (last hard
+# the 4 round-14 additions, then ALL 44 r10-era deferrals (last hard
 # driver row r10, registry order from pii_redact on — the count the
-# r13 notes got wrong once and VERDICT r13 fixed), then the 3
+# r13 notes got wrong once and VERDICT r13 fixed), then the 2
 # stalest r11-era queries in registry order.  After this round no
 # registered query's last hard driver row is older than r11.
 _R14_WINDOW: tuple[str, ...] = (
@@ -4348,6 +4370,7 @@ _R14_WINDOW: tuple[str, ...] = (
     "ivf_recall_refit_lifecycle",
     "ann_ivf_pq_refine",
     "dedup_keep_best",
+    "resample_ffill_events",
     # -- last driver row r10: all 44 deferrals (registry order) --
     "pii_redact",
     "embedding_near_dup_multiband",
@@ -4393,10 +4416,9 @@ _R14_WINDOW: tuple[str, ...] = (
     "dedup_lines_docs",
     "clean_corpus_e2e",
     "stream_gopher_gate",
-    # -- last driver row r11 (3 stalest, registry order) --
+    # -- last driver row r11 (2 stalest, registry order) --
     "weighted_sample",
     "pagerank_nations",
-    "hll_union_entities",
 )
 
 # Historical r13 window, kept for artifact cross-reference (the judge
@@ -5451,6 +5473,29 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        """,
+        # r14: epoch-aligned 6h grid per user's own span; LOCF via
+        # DuckDB's ASOF LEFT JOIN (latest obs ts <= grid instant —
+        # identical to the Spark window's (ts, grid-flag) order rule)
+        "resample_ffill_events": """
+            WITH obs AS (
+              SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+              FROM events GROUP BY user_id, epoch_us(ts)
+            ),
+            b AS (
+              SELECT user_id,
+                     CAST(floor(min(t_us) / 21600000000) * 21600000000 AS BIGINT) AS mn_us,
+                     CAST(floor(max(t_us) / 21600000000) * 21600000000 AS BIGINT) AS mx_us
+              FROM obs GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(mn_us, mx_us, 21600000000)) AS grid_us
+              FROM b
+            )
+            SELECT g.user_id, g.grid_us, o.v AS v_ffill
+            FROM grid g ASOF LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.grid_us >= o.t_us
         """,
         "time_window_agg": """
             SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,

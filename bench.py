@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "ivf_recall_refit_lifecycle",
     "ann_ivf_pq_refine",
     "dedup_keep_best",
+    "resample_ffill_events",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

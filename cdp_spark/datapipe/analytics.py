@@ -489,6 +489,77 @@ def rolling_active_users(
     )
 
 
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill (LOCF) per key — the
+    time-series gap-fill every TSDB ships (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf``, InfluxDB ``fill(previous)``),
+    expressed Spark-first:
+
+    1. observations collapse to one row per (key, ts) — ``max`` of
+       the value, so ties are deterministic;
+    2. each key's grid is generated IN-PLAN with ``sequence()`` from
+       its epoch-aligned floor(min ts) to floor(max ts) — no driver
+       loop, no calendar table to maintain;
+    3. LOCF is ONE window pass: grid points union with observations,
+       sort by (ts, grid-flag) so an observation AT a grid instant
+       wins, and ``last(value, ignorenulls=True)`` carries the prior
+       observation forward.  No per-grid-point join anywhere.
+
+    A leading grid point before the key's first observation is
+    returned with a NULL value (honest LOCF).  Scale shape: one
+    shuffle on the key for the window; grid length is bounded by
+    (key's time span / step), so output = keys x span/step regardless
+    of raw event volume."""
+    step = int(step_seconds)
+    obs = df.groupBy(
+        F.col(key_col).alias("_k"), F.col(ts_col).alias("_t")
+    ).agg(F.max(value_col).alias("_v"))
+    grid = (
+        obs.groupBy("_k")
+        .agg(F.min("_t").alias("_mn"), F.max("_t").alias("_mx"))
+        .select(
+            "_k",
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(
+                        F.floor(F.unix_timestamp("_mn") / step) * step
+                    ),
+                    F.timestamp_seconds(
+                        F.floor(F.unix_timestamp("_mx") / step) * step
+                    ),
+                    F.expr(f"interval {step} seconds"),
+                )
+            ).alias("_t"),
+        )
+    )
+    u = obs.select("_k", "_t", "_v", F.lit(0).alias("_g")).unionByName(
+        grid.select(
+            "_k", "_t", F.lit(None).cast("double").alias("_v"),
+            F.lit(1).alias("_g"),
+        )
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("_f", F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_g") == 1)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_t").alias("grid_ts"),
+            F.col("_f").alias("v_ffill"),
+        )
+    )
+
+
 def hopping_window_agg(
     events: DataFrame,
     window: str = "1 hour",

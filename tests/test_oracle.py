@@ -134,9 +134,9 @@ def test_driver_window_matches_script_emitted_plan():
     # additions + ALL 44 r10-era deferrals + the stalest r11-era
     # queries filling to 50
     assert breakdown == [
-        ("additions", 3),
+        ("additions", 4),
         ("last hard row r10", 44),
-        ("last hard row r11", 3),
+        ("last hard row r11", 2),
     ], breakdown
     # the full registry is unchanged by the reorder
     assert len(names) == len(set(names)) == len(entrymod._all_queries())

@@ -103,6 +103,57 @@ def test_keep_best_survivorship_policy(spark):
     assert len({r["component"] for r in rows}) == len(rows)
 
 
+def test_resample_ffill_locf_semantics(spark):
+    """Hand-built series pin the gap-fill contract: epoch-aligned
+    grid per key's own span, last observation carried forward, an
+    observation AT a grid instant wins, a leading grid point before
+    the first observation is NULL, and keys never leak into each
+    other."""
+    from cdp_spark.datapipe.analytics import resample_ffill
+
+    rows = [
+        # key 1: obs at 100s (v=1.0), 250s (v=2.0); step 100 ->
+        # grid 100, 200: 100 has an exact obs, 200 carries 1.0
+        (1, 100, 1.0),
+        (1, 250, 2.0),
+        # key 2: obs at 150s, 399s; grid 100 (before first obs ->
+        # NULL), 200, 300 (carry 5.0)
+        (2, 150, 5.0),
+        (2, 399, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, s long, value double"
+    ).select("k", F.timestamp_seconds("s").alias("ts"), "value")
+    out = {
+        (r["k"], int(r["grid_ts"].timestamp())): r["v_ffill"]
+        for r in resample_ffill(df, "k", "ts", "value", 100).collect()
+    }
+    assert out == {
+        (1, 100): 1.0,
+        (1, 200): 1.0,
+        (2, 100): None,
+        (2, 200): 5.0,
+        (2, 300): 5.0,
+    }
+
+
+def test_resample_ffill_single_window_pass(spark):
+    """The LOCF must be ONE window pass over the union — no
+    per-grid-point join (a join against observations per grid point
+    is the scale anti-pattern this operator exists to avoid)."""
+    from cdp_spark.datapipe.analytics import resample_ffill
+
+    ev = load_table(spark, SF, "events")
+    out = resample_ffill(ev, "user_id", "ts", "value", 21600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+
+    # unions and aggregates only — LOCF itself introduces no join
+    assert not re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join",
+                         plan), plan[:2000]
+
+
 def test_keep_best_broadcasts_components(spark):
     """The component map is a near-dup-density fraction of the corpus
     — the survivorship join must broadcast it, never shuffle the
