@@ -4346,11 +4346,62 @@ def q_resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram CONTAINMENT in both directions over consecutive
+    documents (r14) — Broder's asymmetric relation Jaccard misses: a
+    document quoted whole inside a larger one scores ~1.0 in the
+    contained direction while Jaccard vanishes with the size ratio.
+    The decontamination-grade check (is the benchmark INSIDE this
+    training doc?) and subset-dedup (drop the contained copy) both
+    read this score.  Linear pair set so the exact score is
+    oracle-checkable, same as ngram_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+    )
+    pairs = a.join(b, "id_a")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            ddp.containment(F.col("text_a"), F.col("text_b")), 4
+        ).alias("cont_a_in_b"),
+        F.round(
+            ddp.containment(F.col("text_b"), F.col("text_a")), 4
+        ).alias("cont_b_in_a"),
+    )
+
+
+def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH parameter planner as a frame (r14): for every
+    (bands, rows) factorization of num_perm=128, the midpoint-rule
+    S-curve integrals estimate false-positive mass below the 0.5
+    threshold and false-negative mass above it; the minimum-error
+    row is flagged chosen — the design step every MinHash deployment
+    runs before building its index (datasketch _optimal_param),
+    auditable next to the index it configured.  Pure deterministic
+    computation (sf-independent); the oracle replays the identical
+    grid, integrals, and tie rule."""
+    return ddp.minhash_band_plan(
+        spark, num_perm=128, threshold=0.5, grid=100,
+        fp_weight=0.5, fn_weight=0.5,
+    )
+
+
 _ROUND14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall_refit_lifecycle": q_ivf_recall_refit_lifecycle,
     "ann_ivf_pq_refine": q_ann_ivf_pq_refine,
     "dedup_keep_best": q_dedup_keep_best,
     "resample_ffill_events": q_resample_ffill_events,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
+    "minhash_band_plan": q_minhash_band_plan,
 }
 
 
@@ -4360,17 +4411,19 @@ _ROUND14_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # staleness histogram, so the tuple, the counts below, and the
 # tests/test_oracle.py guard can never disagree (the r12/r13
 # hand-written deferral counts were both off by one).  Composition:
-# the 4 round-14 additions, then ALL 44 r10-era deferrals (last hard
+# the 6 round-14 additions, then ALL 44 r10-era deferrals (last hard
 # driver row r10, registry order from pii_redact on — the count the
-# r13 notes got wrong once and VERDICT r13 fixed), then the 2
-# stalest r11-era queries in registry order.  After this round no
-# registered query's last hard driver row is older than r11.
+# r13 notes got wrong once and VERDICT r13 fixed), filling the 50
+# exactly.  After this round no registered query's last hard driver
+# row is older than r11.
 _R14_WINDOW: tuple[str, ...] = (
     # -- round-14 additions --
     "ivf_recall_refit_lifecycle",
     "ann_ivf_pq_refine",
     "dedup_keep_best",
     "resample_ffill_events",
+    "ngram_containment_pairs",
+    "minhash_band_plan",
     # -- last driver row r10: all 44 deferrals (registry order) --
     "pii_redact",
     "embedding_near_dup_multiband",
@@ -4416,9 +4469,6 @@ _R14_WINDOW: tuple[str, ...] = (
     "dedup_lines_docs",
     "clean_corpus_e2e",
     "stream_gopher_gate",
-    # -- last driver row r11 (2 stalest, registry order) --
-    "weighted_sample",
-    "pagerank_nations",
 )
 
 # Historical r13 window, kept for artifact cross-reference (the judge
@@ -5324,6 +5374,70 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
             JOIN counts ca ON ca.doc_id = p.id_a
             JOIN counts cb ON cb.doc_id = p.id_b
+        """,
+        # r14: both containment directions from the same gram/inter
+        # CTEs the jaccard oracle uses
+        "ngram_containment_pairs": f"""
+            WITH tk AS (
+              SELECT doc_id, {tok} AS toks FROM documents WHERE length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[gs:gs+2], ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS gs
+                    FROM tk)
+            ),
+            counts AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1
+            ),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.id_a
+              JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+              GROUP BY p.id_a, p.id_b
+            )
+            SELECT p.id_a, p.id_b,
+                   round(coalesce(i.i, 0) * 1.0 / ca.c, 4) AS cont_a_in_b,
+                   round(coalesce(i.i, 0) * 1.0 / cb.c, 4) AS cont_b_in_a
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN counts ca ON ca.doc_id = p.id_a
+            JOIN counts cb ON cb.doc_id = p.id_b
+        """,
+        # r14: the LSH parameter planner — identical midpoint grid,
+        # S-curve integrals, and (error, bands) tie rule
+        "minhash_band_plan": """
+            WITH div AS (
+              SELECT CAST(b AS INTEGER) AS bands,
+                     CAST(128 // b AS INTEGER) AS rows
+              FROM (SELECT unnest(generate_series(1, 128)) AS b)
+              WHERE 128 % b = 0
+            ),
+            pts AS (
+              SELECT bands, rows, (i + 0.5) / 100.0 AS s
+              FROM div, (SELECT unnest(generate_series(0, 99)) AS i)
+            ),
+            agg AS (
+              SELECT bands, rows,
+                round(sum(CASE WHEN s < 0.5
+                               THEN 1 - power(1 - power(s, rows), bands)
+                               ELSE 0 END) / 100.0, 6) AS fp,
+                round(sum(CASE WHEN s >= 0.5
+                               THEN power(1 - power(s, rows), bands)
+                               ELSE 0 END) / 100.0, 6) AS fn
+              FROM pts GROUP BY bands, rows
+            ),
+            scored AS (
+              SELECT bands, rows, fp, fn,
+                     round(0.5 * fp + 0.5 * fn, 6) AS error
+              FROM agg
+            )
+            SELECT bands, rows, fp, fn, error,
+                   row_number() OVER (ORDER BY error, bands) = 1 AS chosen
+            FROM scored
         """,
         # The count-or-time recurrence (close the running window before
         # adding an event iff it holds max_size events or the event is

@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "ann_ivf_pq_refine",
     "dedup_keep_best",
     "resample_ffill_events",
+    "ngram_containment_pairs",
+    "minhash_band_plan",
     "pack_documents",
     "vocabulary",
     "boilerplate_spans",

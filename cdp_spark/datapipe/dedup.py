@@ -297,6 +297,22 @@ def jaccard(col_a: Column, col_b: Column, n: int = 3) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def containment(col_a: Column, col_b: Column, n: int = 3) -> Column:
+    """Exact word-n-gram CONTAINMENT of ``col_a`` in ``col_b`` —
+    |grams(a) ∩ grams(b)| / |grams(a)| (Broder's containment; the
+    asymmetric relation Jaccard misses): a document quoted or
+    embedded whole inside a much larger one scores ~1.0 here while
+    its Jaccard vanishes with the size ratio.  The decontamination-
+    grade check (is the benchmark INSIDE the training doc?) and the
+    subset-dedup policy (drop the contained copy, keep the superset)
+    both want this direction-aware score.  Empty ``col_a`` scores
+    0.0."""
+    sa, sb = shingles(col_a, n), shingles(col_b, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    denom = F.size(sa).cast("double")
+    return F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
+
+
 def edit_distance_near_dups(
     df: DataFrame,
     id_col: str,
@@ -998,6 +1014,68 @@ def exact_ngram_dup_stats(
         ).alias("dup_token_frac"),
         F.col("_r.covered").cast("long").alias("n_removed_tokens"),
     )
+
+
+def minhash_band_plan(
+    spark,
+    num_perm: int = 128,
+    threshold: float = 0.5,
+    grid: int = 100,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The LSH parameter PLANNER (datasketch's ``_optimal_param``,
+    re-expressed as a frame): for every (bands, rows) factorization of
+    ``num_perm``, integrate the S-curve
+    ``P(match | s) = 1 - (1 - s^rows)^bands`` to estimate the false-
+    positive mass below ``threshold`` and the false-negative mass
+    above it (midpoint rule, ``grid`` points — deterministic, so the
+    oracle replays it exactly), and flag the (bands, rows) minimizing
+    ``fp_weight*fp + fn_weight*fn``.  This is the design step every
+    MinHash deployment runs before building the index; surfacing it
+    as a frame makes the choice auditable next to the index it
+    configured.  The integration grid is built IN-PLAN (divisors x
+    sequence, one aggregate) — trivially small, but shaped like
+    everything else here."""
+    divisors = [
+        (b, num_perm // b) for b in range(1, num_perm + 1)
+        if num_perm % b == 0
+    ]
+    div_df = spark.createDataFrame(divisors, "bands int, rows int")
+    pts = div_df.select(
+        "bands",
+        "rows",
+        F.explode(F.sequence(F.lit(0), F.lit(int(grid) - 1))).alias("_i"),
+    ).withColumn("_s", (F.col("_i") + 0.5) / int(grid))
+    p = 1.0 - F.pow(
+        1.0 - F.pow(F.col("_s"), F.col("rows")), F.col("bands")
+    )
+    agg = pts.groupBy("bands", "rows").agg(
+        F.round(
+            F.sum(F.when(F.col("_s") < threshold, p).otherwise(0.0))
+            / int(grid),
+            round_digits,
+        ).alias("fp"),
+        F.round(
+            F.sum(
+                F.when(F.col("_s") >= threshold, 1.0 - p).otherwise(0.0)
+            )
+            / int(grid),
+            round_digits,
+        ).alias("fn"),
+    )
+    scored = agg.withColumn(
+        "error",
+        F.round(
+            fp_weight * F.col("fp") + fn_weight * F.col("fn"),
+            round_digits,
+        ),
+    )
+    w = Window.orderBy("error", "bands")
+    return scored.withColumn(
+        "chosen", F.row_number().over(w) == 1
+    ).select("bands", "rows", "fp", "fn", "error", "chosen")
 
 
 def near_dedup_survivors(

@@ -134,9 +134,8 @@ def test_driver_window_matches_script_emitted_plan():
     # additions + ALL 44 r10-era deferrals + the stalest r11-era
     # queries filling to 50
     assert breakdown == [
-        ("additions", 4),
+        ("additions", 6),
         ("last hard row r10", 44),
-        ("last hard row r11", 2),
     ], breakdown
     # the full registry is unchanged by the reorder
     assert len(names) == len(set(names)) == len(entrymod._all_queries())

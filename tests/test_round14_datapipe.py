@@ -154,6 +154,55 @@ def test_resample_ffill_single_window_pass(spark):
                          plan), plan[:2000]
 
 
+def test_containment_asymmetry_and_bounds(spark):
+    """The asymmetric contract Jaccard cannot express: a document
+    embedded whole inside a larger one scores 1.0 in the contained
+    direction and < 1 the other way; identical docs score 1.0 both
+    ways; disjoint docs 0.0; empty docs 0.0 (not NaN)."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "x y a b c d e z w q r s t u v"),  # contains doc 1's grams
+        (3, "a b c d e"),
+        (4, "p q r"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    t = {r[0]: r[1] for r in rows}
+
+    def cont(x, y):
+        return df.selectExpr("1").limit(1).select(
+            F.round(ddp.containment(F.lit(t[x]), F.lit(t[y])), 4)
+            .alias("c")
+        ).first()["c"]
+
+    assert cont(1, 2) == 1.0          # 1 embedded in 2
+    assert cont(2, 1) < 1.0           # 2 not contained in 1
+    assert cont(1, 3) == 1.0 == cont(3, 1)  # identical
+    assert cont(1, 4) == 0.0          # disjoint
+    assert cont(5, 1) == 0.0          # empty numerator side
+
+
+def test_minhash_band_plan_s_curve_properties(spark):
+    """The planner's output obeys the S-curve's analytic facts: fp
+    falls and fn rises as rows grow at fixed num_perm (more rows =
+    stricter bands), exactly one chosen row, the chosen row minimizes
+    the weighted error, and the classic 128-perm/0.5-threshold
+    planning picks a mid-granularity banding (neither 1 band nor 128
+    bands — the degenerate ends are dominated)."""
+    out = ddp.minhash_band_plan(
+        spark, num_perm=128, threshold=0.5, grid=100
+    ).collect()
+    by_rows = sorted(out, key=lambda r: r["rows"])
+    fns = [r["fn"] for r in by_rows]
+    fps = [r["fp"] for r in by_rows]
+    assert all(a <= b + 1e-9 for a, b in zip(fns, fns[1:]))
+    assert all(a >= b - 1e-9 for a, b in zip(fps, fps[1:]))
+    chosen = [r for r in out if r["chosen"]]
+    assert len(chosen) == 1
+    assert chosen[0]["error"] == min(r["error"] for r in out)
+    assert 1 < chosen[0]["bands"] < 128
+
+
 def test_keep_best_broadcasts_components(spark):
     """The component map is a near-dup-density fraction of the corpus
     — the survivorship join must broadcast it, never shuffle the
