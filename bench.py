@@ -197,6 +197,16 @@ BENCH_QUERIES = [
     "ann_ivf_pq_indexed",
 ]
 
+# Coverage pack (r15 — VERDICT r14 #4): every remaining registered
+# query appends in registry order, so EVERY queries() entry gets a
+# recorded sf0.1 number each round — and a future round's new query
+# lands in the bench automatically instead of waiting for a
+# hand-edit here.  The curated list above keeps its order so
+# cross-round bench_compare diffs stay aligned.
+BENCH_QUERIES += [
+    q for q in entrymod._all_queries() if q not in set(BENCH_QUERIES)
+]
+
 
 def _cpu_info() -> dict:
     """CPU model/MHz/core-count from /proc/cpuinfo (Linux)."""

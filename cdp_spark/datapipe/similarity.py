@@ -1853,18 +1853,51 @@ def compact_foldcounts(path: str) -> bool:
     compactions are excluded by an O_EXCL lock (losers skip — the
     next Nth fold retries); concurrent FOLDS are safe because a fold
     writes only its own new sidecar, which this merge either sees or
-    leaves for next time.  Returns False when the lock is held."""
+    leaves for next time.  Returns False when the lock is held.
+
+    The lock carries the holder's PID (ADVICE r14): a crash between
+    lock creation and the finally-block cleanup used to leave the
+    lock on disk forever, silently disabling every later compaction
+    — the unbounded sidecar growth this function exists to stop,
+    with no operator signal.  Now a lock whose recorded pid is no
+    longer alive (or an old-style empty lock older than an hour) is
+    treated as stale, WARN-logged, and broken; a live holder's lock
+    logs a warning instead of skipping silently."""
     import json as _json
     import os as _os
+    import time as _time
 
     from .dedup_index import _read_meta
 
     lock = _os.path.join(path, "_foldcounts_compact.lock")
+
+    def _acquire():
+        return _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+
     try:
-        fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        fd = _acquire()
     except FileExistsError:
-        return False
+        if _lock_is_stale(lock, _time.time()):
+            logger.warning(
+                "breaking stale foldcounts-compaction lock %s "
+                "(holder dead or lock aged out)", lock,
+            )
+            try:
+                _os.remove(lock)
+            except FileNotFoundError:
+                pass
+            try:
+                fd = _acquire()
+            except FileExistsError:  # another process won the re-race
+                return False
+        else:
+            logger.warning(
+                "foldcounts compaction skipped: lock %s held by a "
+                "live process", lock,
+            )
+            return False
     try:
+        _os.write(fd, str(_os.getpid()).encode())
         _os.close(fd)
         meta = _read_meta(path, "ivf")
         compact = _read_compact_foldcounts(path)
@@ -1918,6 +1951,32 @@ def compact_foldcounts(path: str) -> bool:
             _os.remove(lock)
         except FileNotFoundError:
             pass
+
+
+def _lock_is_stale(lock: str, now: float, max_age: float = 3600.0) -> bool:
+    """True when a foldcounts-compaction lock's recorded pid is no
+    longer alive, or (for empty/unreadable locks — pre-pid layout or
+    a crash before the pid write) the file is older than ``max_age``
+    seconds.  A live pid is never stale, whatever its age."""
+    import os as _os
+
+    try:
+        with open(lock) as f:
+            pid_text = f.read().strip()
+    except OSError:
+        return False  # vanished or unreadable: let the caller skip
+    if pid_text.isdigit():
+        try:
+            _os.kill(int(pid_text), 0)
+            return False  # holder alive
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive, owned by someone else
+    try:
+        return now - _os.path.getmtime(lock) > max_age
+    except OSError:
+        return False
 
 
 def _fold_counts_from_footers(fold_dir: str) -> dict[int, int]:

@@ -655,7 +655,19 @@ class IncrementFoldRunner:
 
         m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]+):(?=/)", checkpoint_dir)
         scheme = m.group(1).lower() if m else None
-        if scheme is not None and scheme != "file":
+        remote = scheme is not None and scheme != "file"
+        if scheme == "file":
+            # A file: URI with a non-local authority (file://host/path)
+            # is NOT this machine's /path — urlparse would silently
+            # drop the host and the guard would no-op against the
+            # wrong (usually missing) local file (ADVICE r14).  Route
+            # it through the Hadoop FS branch, which resolves the
+            # authority like the streaming engine itself does.
+            from urllib.parse import urlparse
+
+            netloc = urlparse(checkpoint_dir).netloc
+            remote = netloc not in ("", "localhost")
+        if remote:
             from pyspark.sql import SparkSession
 
             spark = SparkSession.getActiveSession()
@@ -684,10 +696,17 @@ class IncrementFoldRunner:
             return json.loads(raw.decode("utf-8")).get("id")
         local = checkpoint_dir
         if scheme == "file":
-            # file:///x, file:/x, file://x -> local path /x
+            # file:///x, file:/x, file://localhost/x -> local path /x.
+            # urlparse("file://x") yields path '' (x is the netloc) —
+            # that form was routed to the Hadoop branch above, so an
+            # empty path can only mean the bare "file://" root; fall
+            # back to stripping the scheme rather than letting a ''
+            # path resolve "metadata" against the CWD (ADVICE r14).
             from urllib.parse import urlparse
 
             local = urlparse(checkpoint_dir).path
+            if not local:
+                local = "/" + checkpoint_dir.split(":", 1)[1].lstrip("/")
         meta = os.path.join(local, "metadata")
         if not os.path.isfile(meta):
             return None

@@ -384,10 +384,21 @@ def test_checkpoint_id_resolves_single_slash_uris(spark, tmp_path):
     assert read(str(ckpt)) == qid  # plain local path
     assert read("file://" + str(ckpt)) == qid  # file:///abs form
     assert read("file:" + str(ckpt)) == qid  # Hadoop single-slash form
+    assert read("file://localhost" + str(ckpt)) == qid  # local authority
     # a single-slash remote scheme routes through the Hadoop FS API
     # (here: loudly fails to resolve, never the silent local no-op)
     with pytest.raises(Exception):
         read("hdfs:/definitely/missing/ckpt")
+    # ADVICE r14: a file: URI with a NON-local authority is not this
+    # machine's path — urlparse used to drop the host and the guard
+    # no-opped against the wrong local file.  Now it routes through
+    # the Hadoop FS resolver, which rejects the foreign authority
+    # loudly ("Wrong FS"), and the netloc-as-path form file://x never
+    # resolves "metadata" against the CWD.
+    with pytest.raises(Exception, match="[Ww]rong FS|otherhost"):
+        read("file://otherhost" + str(ckpt))
+    with pytest.raises(Exception, match="[Ww]rong FS|file://x"):
+        read("file://x")
 
 
 def test_lineage_tag_validated(spark, tmp_path):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -478,9 +479,38 @@ def test_foldcounts_compaction_keeps_policy_reads_o1_at_120_folds(
     assert not os.path.isfile(sim._foldcounts_path(path, "s-e0"))
     assert sim.ivf_index_occupancy(path) == before
 
-    # concurrent-compaction exclusion: the lock makes losers no-op
+    # concurrent-compaction exclusion: a LIVE holder's lock makes
+    # losers no-op (our own pid is alive, so the lock is not stale)
     lock = os.path.join(path, "_foldcounts_compact.lock")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    assert sim.compact_foldcounts(path) is False
+    os.remove(lock)
+
+    # ADVICE r14: a lock orphaned by a crash must NOT disable
+    # compaction forever.  (a) dead-pid lock -> broken and compaction
+    # proceeds; (b) empty legacy lock older than an hour -> aged out;
+    # (c) fresh empty lock -> still respected (pre-pid writer may be
+    # mid-acquire).
+    sim._write_foldcounts(path, "s-e0", {0: 1})  # give it work to do
+    dead = os.fork()
+    if dead == 0:
+        os._exit(0)
+    os.waitpid(dead, 0)
+    with open(lock, "w") as f:
+        f.write(str(dead))
+    assert sim.compact_foldcounts(path) is True
+    assert not os.path.isfile(lock)
+    assert not os.path.isfile(sim._foldcounts_path(path, "s-e0"))
+
+    sim._write_foldcounts(path, "s-e0", {0: 1})
     open(lock, "w").close()
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    assert sim.compact_foldcounts(path) is True
+    assert not os.path.isfile(lock)
+
+    open(lock, "w").close()  # fresh empty lock: respected
     assert sim.compact_foldcounts(path) is False
     os.remove(lock)
 

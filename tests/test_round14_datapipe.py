@@ -205,8 +205,14 @@ def test_minhash_band_plan_s_curve_properties(spark):
 
 def test_keep_best_broadcasts_components(spark):
     """The component map is a near-dup-density fraction of the corpus
-    — the survivorship join must broadcast it, never shuffle the
-    corpus for it."""
+    — the survivorship joins must broadcast it, never shuffle the
+    corpus for it.  VERDICT r14 #2 pin: the ONLY hash exchange in the
+    plan is the window's repartition of the LINKED SUBSET (keyed by
+    component, downstream of the inner broadcast join); the corpus
+    branch (the anti-join that passes singletons through) has no
+    exchange at all, so the plan carries exactly one
+    `Exchange hashpartitioning` total — the r14 bug was a SECOND full
+    -corpus one."""
     docs = load_table(spark, SF, "documents")
     comp = docs.select(
         F.col("doc_id").alias("id"),
@@ -215,3 +221,9 @@ def test_keep_best_broadcasts_components(spark):
     out = ddp.near_dedup_best_survivors(docs, "doc_id", comp, "n_chars")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, plan[:4000]
+    assert "component" in exchanges[0], exchanges[0]

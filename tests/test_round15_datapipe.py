@@ -1,0 +1,132 @@
+"""Round-15 operator contracts: the containment-verified subset-dedup
+pipeline (MinHash-LSH candidates -> directional containment verify ->
+components -> quality-aware survivorship).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import dedup as ddp
+
+BASE = " ".join(f"w{i}" for i in range(40))
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),  # contained whole inside doc 2
+        (2, BASE + " " + " ".join(f"x{i}" for i in range(40))),
+        (3, " ".join(f"z{i}" for i in range(40))),  # unrelated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_verified_dups_finds_subset_pair(spark):
+    """Doc 1 is a strict PREFIX of doc 2: every trigram of 1 appears
+    in 2, so cont(1 in 2) = 1.0 while Jaccard is ~0.49 (38 shared of
+    78 distinct trigrams) — a Jaccard-0.6 verify drops this true
+    subset, the containment verify keeps it.  The unrelated doc 3
+    never pairs."""
+    docs = _docs(spark)
+    out = ddp.containment_verified_dups(
+        docs, "doc_id", "text", threshold=0.9, num_perm=32, bands=16
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["cont_a_in_b"] == 1.0
+    assert out[0]["cont_b_in_a"] < 0.5
+    # the same candidates under a symmetric Jaccard 0.6 verify: none
+    sym = ddp.verified_near_dups(
+        docs, "doc_id", "text", threshold=0.6, num_perm=32, bands=16
+    ).collect()
+    assert sym == []
+
+
+def test_containment_threshold_is_max_of_directions(spark):
+    """A pair passes when EITHER direction clears the threshold —
+    subset dedup cares that one side is (mostly) inside the other,
+    whichever side that is."""
+    docs = _docs(spark)
+    # 0.9 keeps the subset pair; 1.01 would drop everything
+    kept = ddp.containment_verified_dups(
+        docs, "doc_id", "text", threshold=0.9, num_perm=32, bands=16
+    ).count()
+    dropped = ddp.containment_verified_dups(
+        docs, "doc_id", "text", threshold=1.01, num_perm=32, bands=16
+    ).count()
+    assert (kept, dropped) == (1, 0)
+
+
+def test_simhash_near_dups_equals_bruteforce(spark):
+    """The Manku banding is a LOSSLESS candidate generator: with
+    chunks covering all bits and n_chunks > max_hamming, the operator
+    returns EXACTLY the all-pairs hamming <= k set — verified against
+    a brute-force cross-join on the real sf0.001 corpus."""
+    from cdp_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    out = ddp.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=5, n_chunks=6, bits=60,
+        hash_fn=ddp.md5_hash60,
+    )
+    got = sorted(tuple(r) for r in out.collect())
+
+    sh = docs.select(
+        "doc_id",
+        ddp.simhash64(F.col("text"), hash_fn=ddp.md5_hash60).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ddp.hamming64(F.col("sa"), F.col("sb")))
+        .filter(F.col("hamming") <= 5)
+        .select("id_a", "id_b", "hamming")
+    )
+    want = sorted(tuple(r) for r in brute.collect())
+    assert got == want and len(got) > 0
+
+
+def test_simhash_near_dups_pigeonhole_guard_and_cap(spark):
+    """n_chunks <= max_hamming loses the pigeonhole guarantee and
+    must refuse; max_bucket only ever REMOVES pairs (a documented
+    semantic cap, never an addition)."""
+    import pytest
+
+    from cdp_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        ddp.simhash_near_dups(docs, "doc_id", "text", max_hamming=5, n_chunks=5)
+    full = ddp.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=5, n_chunks=6, bits=60,
+        hash_fn=ddp.md5_hash60,
+    )
+    capped = ddp.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=5, n_chunks=6, bits=60,
+        hash_fn=ddp.md5_hash60, max_bucket=2,
+    )
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert capped_pairs <= full_pairs
+
+
+def test_containment_dedup_keeps_superset_copy(spark):
+    """End-to-end shape of q_containment_dedup_corpus at toy scale:
+    the contained copy (doc 1) is dropped, its SUPERSET (doc 2, the
+    longest member) survives carrying the cluster size, and the
+    unrelated doc passes through as a singleton."""
+    docs = _docs(spark).withColumn("n_chars", F.length("text"))
+    pairs = ddp.containment_verified_dups(
+        docs, "doc_id", "text", threshold=0.9, num_perm=32, bands=16
+    )
+    comp = ddp.connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    out = ddp.near_dedup_best_survivors(docs, "doc_id", comp, "n_chars")
+    rows = {r["doc_id"]: (r["component"], r["n_members"]) for r in out.collect()}
+    assert rows == {2: (1, 2), 3: (3, 1)}
