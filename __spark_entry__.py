@@ -4453,9 +4453,65 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bounded kNN self-join (r15): every vector's top-3 cosine
+    neighbors among its 2 nearest IVF cells — the all-rows similarity
+    join (embedding dedup sweeps, kNN graphs, corpus-scale hard
+    negatives), where the ann_* queries serve one query vector.
+    Candidates are ids-only cell-key joins bounded by n_probe x cell
+    occupancy (never all-pairs); scoring is the shared Arrow-batched
+    einsum pair scorer; the oracle replays the seeded anchors, the
+    probe ranking, the cell join, and the per-query top-3 window with
+    the same tie rules."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_knn_join(
+        emb, dim=64, k=3, n_centroids=16, n_probe=2, seed=7,
+        round_digits=4,
+    )
+
+
+def q_stream_simhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SimHash dedup gate vs the static corpus (r15): docs
+    with doc_id % 5 == 0 stream in as 4 JSON micro-batches; each
+    batch fingerprints and chunk-bands inside the stream (pure
+    Columns, stateless), hits the corpus chunk index, and the exact
+    xor-popcount verify flags streamed docs within hamming 5 of a
+    corpus doc with their closest partner (min hamming, ties to the
+    lowest corpus id).  Banding is lossless (pigeonhole), so the
+    oracle replays it INDEPENDENTLY as brute-force all-pairs
+    new-vs-old hamming <= 5 — a stronger cross-check than re-running
+    the bands.  The min-struct aggregate is order-insensitive, so
+    micro-batch boundaries cannot change the answer."""
+    import tempfile
+
+    from cdp_spark.streaming.analytics import stream_simhash_flags
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    newdocs = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="cdp_stream_simhash_src_")
+    newdocs.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = stream_simhash_flags(
+        stream, corpus, max_hamming=5, n_chunks=6, bits=60,
+        hash_fn=ddp.md5_hash60,
+    )
+    return _drive_memory_stream(
+        spark, out, "cdp_stream_simhash_", src, output_mode="complete"
+    )
+
+
 _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_dedup_corpus": q_containment_dedup_corpus,
     "simhash_near_dups": q_simhash_near_dups,
+    "knn_join_ivf": q_knn_join_ivf,
+    "stream_simhash_gate": q_stream_simhash_gate,
 }
 
 
@@ -4464,17 +4520,19 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # round argument (hard rows from rounds < 15 only) and anchors its
 # artifact glob to the repo root, so the plan is identical whether or
 # not CORRECTNESS_r15.json has landed yet and wherever pytest runs
-# (VERDICT r14 #1).  Composition: the round-15 additions, then 48 of
-# the 50 r11-era deferrals (last hard driver row r11, registry
-# order), filling the 50 exactly.  After this round only TWO
-# registered queries' last hard driver row is r11
-# (q13_customer_distribution and q19_disjunctive_revenue miss the
-# cut by two slots — they lead the r16 cohort).
+# (VERDICT r14 #1).  Composition: the 4 round-15 additions, then 46
+# of the 50 r11-era deferrals (last hard driver row r11, registry
+# order), filling the 50 exactly.  After this round FOUR registered
+# queries' last hard driver row is r11 (zscore_outliers,
+# window_nav_funcs, q13_customer_distribution,
+# q19_disjunctive_revenue miss the cut — they lead the r16 cohort).
 _R15_WINDOW: tuple[str, ...] = (
     # -- round-15 additions --
     "containment_dedup_corpus",
     "simhash_near_dups",
-    # -- last driver row r11: 48 of the 50 deferrals (registry order) --
+    "knn_join_ivf",
+    "stream_simhash_gate",
+    # -- last driver row r11: 46 of the 50 deferrals (registry order) --
     "weighted_sample",
     "pagerank_nations",
     "hll_union_entities",
@@ -4521,8 +4579,6 @@ _R15_WINDOW: tuple[str, ...] = (
     "q14_promo_share",
     "q15_top_supplier",
     "q16_part_supplier_counts",
-    "zscore_outliers",
-    "window_nav_funcs",
 )
 
 # Historical r14 window, kept for artifact cross-reference (the judge
@@ -6823,6 +6879,47 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY adc_dist, c.vec_id
         LIMIT 10
     """
+    # r15: IVF-bounded kNN self-join — same seeded anchors; probe
+    # ranking (dot DESC, ties to the lowest anchor id), the ids-only
+    # cell join, the pair cosine, and the per-query top-3 window all
+    # replay with the operator's exact tie rules.
+    oracles["knn_join_ivf"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        scored AS (SELECT vec_id, emb, {dots_expr} AS dots FROM base),
+        assigned AS (SELECT vec_id,
+                            list_indexof(dots, list_max(dots)) - 1 AS centroid
+                     FROM scored),
+        pr AS (
+          SELECT vec_id AS qid, ci - 1 AS pc,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, ci) AS prn
+          FROM (SELECT vec_id, unnest(dots) AS s,
+                       unnest(generate_series(1, len(dots))) AS ci
+                FROM scored)
+        ),
+        cand AS (
+          SELECT DISTINCT p.qid, a.vec_id AS bid
+          FROM pr p JOIN assigned a
+            ON a.centroid = p.pc AND a.vec_id <> p.qid
+          WHERE p.prn <= 2
+        ),
+        sc AS (
+          SELECT c.qid, c.bid,
+                 round(list_cosine_similarity(qa.emb, qb.emb), 4) AS cosine_sim
+          FROM cand c
+          JOIN base qa ON qa.vec_id = c.qid
+          JOIN base qb ON qb.vec_id = c.bid
+        ),
+        rk AS (
+          SELECT qid, bid, cosine_sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine_sim DESC, bid) AS r
+          FROM sc
+        )
+        SELECT qid AS vec_id, bid AS neighbor_id, cosine_sim,
+               r AS "rank"
+        FROM rk WHERE r <= 3
+    """
     oracles["ann_ivf_pq"] = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         scored AS (SELECT vec_id, emb, {dots_expr} AS dots FROM base),
@@ -6928,6 +7025,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sa ON sa.doc_id = c.id_a
             JOIN sh sb ON sb.doc_id = c.id_b
             WHERE bit_count(xor(sa.s, sb.s)) <= 5
+    """
+    # r15 streaming gate: the oracle deliberately SKIPS the banding
+    # and brute-forces all new-vs-old pairs — the banding is lossless
+    # (pigeonhole), so an independent formulation cross-checks it.
+    oracles["stream_simhash_gate"] = f"""
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            hx AS (SELECT doc_id, {h60('tok')} AS h
+                   FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+            sh AS (SELECT doc_id, {votes} AS s FROM hx GROUP BY doc_id),
+            flags AS (
+              SELECT n.doc_id, o.doc_id AS dup_of,
+                     bit_count(xor(n.s, o.s)) AS hamming,
+                     row_number() OVER (
+                       PARTITION BY n.doc_id
+                       ORDER BY bit_count(xor(n.s, o.s)), o.doc_id) AS rn
+              FROM sh n JOIN sh o
+                ON n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+               AND bit_count(xor(n.s, o.s)) <= 5
+            )
+            SELECT doc_id, dup_of, hamming FROM flags WHERE rn = 1
     """
     oracles["cohort_retention"] = """
         WITH wk AS (

@@ -681,6 +681,24 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_chunk_keys(s: Column, n_chunks: int, bits: int) -> Column:
+    """The Manku-07 banding of one SimHash fingerprint: an array of
+    (band, bucket) structs, one per chunk, covering all ``bits`` (the
+    last chunk absorbs any leftover high bits — full coverage is what
+    the pigeonhole guarantee rests on).  Shared by the batch pair
+    operator and the streaming ingest gate so both sides of a
+    stream-vs-corpus join band identically."""
+    width = bits // n_chunks
+    chunk_cols = []
+    for c in range(n_chunks):
+        w = width + (bits - n_chunks * width if c == n_chunks - 1 else 0)
+        val = F.shiftrightunsigned(s, c * width).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        chunk_cols.append(F.struct(F.lit(c).alias("band"), val.alias("bucket")))
+    return F.array(*chunk_cols)
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -723,7 +741,6 @@ def simhash_near_dups(
             f"n_chunks={n_chunks} must exceed max_hamming={max_hamming} "
             "for the pigeonhole guarantee"
         )
-    width = bits // n_chunks
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -731,17 +748,9 @@ def simhash_near_dups(
         )
         .localCheckpoint(eager=True)
     )
-    chunk_cols = []
-    for c in range(n_chunks):
-        # the last chunk absorbs any leftover high bits so the chunks
-        # cover all `bits` (pigeonhole needs full coverage)
-        w = width + (bits - n_chunks * width if c == n_chunks - 1 else 0)
-        val = F.shiftrightunsigned(F.col("_s"), c * width).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
-        chunk_cols.append(F.struct(F.lit(c).alias("band"), val.alias("bucket")))
     exploded = sh.select(
-        "_id", F.explode(F.array(*chunk_cols)).alias("bk")
+        "_id",
+        F.explode(simhash_chunk_keys(F.col("_s"), n_chunks, bits)).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     buckets = (
         exploded.groupBy("band", "bucket")

@@ -525,6 +525,30 @@ def embedding_near_dup_pairs_multiband(
         .select("id_a", "id_b")
         .distinct()
     )
+    _pair_cosine = _pair_cosine_udf()
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        pairs.join(vecs.alias("a"), pairs.id_a == F.col("a._vid"))
+        .join(vecs.alias("b"), pairs.id_b == F.col("b._vid"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _pair_cosine(F.col("a._v"), F.col("b._v")), round_digits
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _pair_cosine_udf():
+    """Arrow-batched pairwise cosine over two vector columns — one
+    numpy einsum per batch (dots + both norms in three vectorized
+    passes).  The scorer for candidate-PAIR frames, where Catalyst's
+    interpreted higher-order ``aggregate`` lambda costs ~10x more per
+    pair (the multiband measurement); shared by the multiband
+    embedding dedup and the IVF kNN join."""
+
     @F.pandas_udf("double")
     def _pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
         import numpy as np
@@ -539,18 +563,101 @@ def embedding_near_dup_pairs_multiband(
         )
         return pd.Series(np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0))
 
+    return _pair_cosine
+
+
+def ivf_knn_join(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """kNN SELF-JOIN, IVF-bounded (r15): for EVERY vector, its top-k
+    cosine neighbors among the vectors assigned to its ``n_probe``
+    nearest IVF cells — the all-rows similarity join that powers
+    embedding-level dedup sweeps, hard-negative mining at corpus
+    scale, and kNN-graph construction, where the ``ann_*`` queries
+    serve one query vector at a time.
+
+    Scale shape: NEVER all-pairs — each row generates ``n_probe``
+    (id, probe_cell) keys; the candidate join is ids-only on the cell
+    key (the vectors do NOT ride the join), so its fan-out is bounded
+    by n_probe x cell occupancy, the IVF contract.  Vectors are
+    fetched ONLY for surviving candidate pairs by two id equi-joins,
+    and pair scoring is the shared Arrow-batched einsum scorer
+    (:func:`_pair_cosine_udf` — the multiband economics).  The final
+    top-k is a per-query window over the bounded candidate set.  With
+    the corpus written partitioned-by-centroid the base side of the
+    cell join is already co-located.
+
+    Probe ranking reuses :func:`ivf_topk`'s rule (dot DESC — anchors
+    are unit-norm so the argsort equals cosine's — ties to the lowest
+    anchor id); assignment is :func:`ivf_assign` with the same seed,
+    so a row's own cell is always its first probe and every row is a
+    candidate of itself — the self-pair is excluded explicitly.
+    Output: (``id_col``, neighbor_id, cosine_sim, rank), rank 1..k by
+    (cosine DESC, neighbor id ASC)."""
+    anchors = _anchor_set(dim, n_centroids, seed)
+    anchors_col = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("i"),
+                F.array(*[F.lit(x) for x in a]).alias("a"),
+            )
+            for i, a in enumerate(anchors)
+        ]
+    )
+    # negated score sorts ascending == dot DESC, ties to lowest i
+    scores = F.transform(
+        anchors_col,
+        lambda s: F.struct(
+            (-dot(F.col(vec_col), s["a"])).alias("ns"), s["i"].alias("i")
+        ),
+    )
+    probe_list = F.transform(
+        F.slice(F.array_sort(scores), 1, n_probe), lambda s: s["i"]
+    )
+    probes = df.select(
+        F.col(id_col).alias("_qid"), F.explode(probe_list).alias("_pc")
+    )
+    assigned = ivf_assign(df, dim, n_centroids, id_col, vec_col, seed).select(
+        F.col(id_col).alias("_bid"), F.col("centroid").alias("_pc")
+    )
+    cands = (
+        probes.join(assigned, "_pc")
+        .filter(F.col("_qid") != F.col("_bid"))
+        .select("_qid", "_bid")
+        .distinct()
+    )
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    return (
-        pairs.join(vecs.alias("a"), pairs.id_a == F.col("a._vid"))
-        .join(vecs.alias("b"), pairs.id_b == F.col("b._vid"))
+    scored = (
+        cands.join(vecs.select(F.col("_vid").alias("_qid"), F.col("_v").alias("_qv")), "_qid")
+        .join(vecs.select(F.col("_vid").alias("_bid"), F.col("_v").alias("_bv")), "_bid")
         .select(
-            "id_a",
-            "id_b",
+            "_qid",
+            "_bid",
             F.round(
-                _pair_cosine(F.col("a._v"), F.col("b._v")), round_digits
+                _pair_cosine_udf()(F.col("_qv"), F.col("_bv")), round_digits
             ).alias("cosine_sim"),
         )
-        .where(F.col("cosine_sim") >= threshold)
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("_bid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(id_col),
+            F.col("_bid").alias("neighbor_id"),
+            "cosine_sim",
+            "rank",
+        )
     )
 
 

@@ -205,6 +205,89 @@ def stream_near_dup_flags(
     )
 
 
+def stream_simhash_flags(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 5,
+    n_chunks: int = 6,
+    bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """Streaming SimHash dedup gate against a STATIC corpus — the
+    fingerprint twin of :func:`stream_near_dup_flags`: every streamed
+    document's 64-bit SimHash and Manku chunk keys compute inside the
+    micro-batch (pure Columns, no state), candidates come from a
+    stream-static equi-join on (band, bucket) against the corpus's
+    chunk index, and the exact ``bit_count(xor) <= max_hamming``
+    verify replays the batch operator — the banding is lossless
+    (pigeonhole, chunks cover all bits), so the flagged set is
+    EXACTLY the streamed docs within hamming ``max_hamming`` of some
+    corpus doc.  Output: (id, dup_of, hamming) with dup_of the
+    closest corpus partner (min hamming, ties to the lowest corpus
+    id) — an order-insensitive min-struct aggregate, so micro-batch
+    boundaries cannot change the answer.
+
+    Scale shape: the static side is (id, fingerprint, chunk) rows —
+    24 bytes per chunk per doc, ~100x lighter than the MinHash band
+    index with its shingle arrays — so at 100 TB the corpus index
+    broadcasts far longer before falling back to a shuffled
+    stream-static join; the fingerprint rides the chunk index
+    (one long) so the verify needs NO second corpus join."""
+    from ..datapipe import dedup as ddp
+
+    corpus = corpus_docs.select(
+        F.col(id_col).alias("_old_id"),
+        ddp.simhash64(F.col(text_col), hash_fn=hash_fn).alias("_old_s"),
+    ).localCheckpoint(eager=True)
+    corpus_chunks = corpus.select(
+        "_old_id",
+        "_old_s",
+        F.explode(
+            ddp.simhash_chunk_keys(F.col("_old_s"), n_chunks, bits)
+        ).alias("bk"),
+    ).select(
+        "_old_id",
+        "_old_s",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    s = stream_docs.select(
+        F.col(id_col).alias("_new_id"),
+        ddp.simhash64(F.col(text_col), hash_fn=hash_fn).alias("_new_s"),
+    )
+    cands = (
+        s.select(
+            "_new_id",
+            "_new_s",
+            F.explode(
+                ddp.simhash_chunk_keys(F.col("_new_s"), n_chunks, bits)
+            ).alias("bk"),
+        )
+        .select(
+            "_new_id",
+            "_new_s",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+        .join(corpus_chunks, ["band", "bucket"])
+    )
+    verified = cands.withColumn(
+        "hamming", ddp.hamming64(F.col("_new_s"), F.col("_old_s"))
+    ).filter(F.col("hamming") <= max_hamming)
+    best = F.min(F.struct(F.col("hamming"), F.col("_old_id"))).alias("_best")
+    return (
+        verified.groupBy("_new_id")
+        .agg(best)
+        .select(
+            F.col("_new_id").alias(id_col),
+            F.col("_best._old_id").alias("dup_of"),
+            F.col("_best.hamming").alias("hamming"),
+        )
+    )
+
+
 def stream_incremental_near_dups(
     stream_docs: DataFrame,
     corpus_docs: DataFrame,

@@ -115,6 +115,57 @@ def test_simhash_near_dups_pigeonhole_guard_and_cap(spark):
     assert capped_pairs <= full_pairs
 
 
+def test_knn_join_matches_per_query_ivf_topk(spark):
+    """The self-join must agree row-for-row with the single-query IVF
+    search: for sampled query ids, its top-3 equals ivf_topk over the
+    same probes (self excluded) — same anchors, probe rule, and tie
+    order."""
+    from cdp_spark.datapipe import similarity as sim
+    from cdp_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = sim.ivf_knn_join(
+        emb, dim=64, k=3, n_centroids=16, n_probe=2, seed=7,
+        round_digits=4,
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine_sim"])
+        )
+    assert all(len(v) == 3 for v in by_q.values())
+    for qid in (0, 7, 42):
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        # ivf_topk over the SAME 2 probes includes the query row
+        # itself at rank 1 (cosine 1.0) — drop it before comparing
+        solo = sim.ivf_topk(
+            emb, qv, k=4, n_centroids=16, n_probe=2, seed=7,
+            round_digits=4,
+        ).collect()
+        solo_pairs = [
+            (r["vec_id"], r["cosine_sim"]) for r in solo
+            if r["vec_id"] != qid
+        ][:3]
+        got = [(nid, cs) for _, nid, cs in sorted(by_q[qid])]
+        assert got == solo_pairs, (qid, got, solo_pairs)
+
+
+def test_knn_join_plan_has_no_cartesian_and_ids_only_cell_join(spark):
+    """Scale pins: no CartesianProduct anywhere; the cell-key join
+    carries ids only (no vector column reaches that exchange)."""
+    from cdp_spark.datapipe import similarity as sim
+    from cdp_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = sim.ivf_knn_join(emb, dim=64, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
 def test_containment_dedup_keeps_superset_copy(spark):
     """End-to-end shape of q_containment_dedup_corpus at toy scale:
     the contained copy (doc 1) is dropped, its SUPERSET (doc 2, the

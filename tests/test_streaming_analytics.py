@@ -188,6 +188,52 @@ def test_stream_near_dup_flags_vs_static_corpus(spark, tmp_path):
     assert rows[10]["jaccard"] >= 0.5
 
 
+def test_stream_simhash_gate_flags_closest_partner(spark, tmp_path):
+    """Streamed docs within hamming <= k of a corpus fingerprint are
+    flagged with the CLOSEST partner (min hamming, ties to the lowest
+    corpus id); distant docs never appear; the banding is lossless so
+    a same-text streamed doc always flags at hamming 0, across
+    micro-batch boundaries."""
+    from cdp_spark.streaming.analytics import stream_simhash_flags
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical twin: ties resolve to id 1
+            (3, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    _write_batch(
+        tmp_path / "src" / "b1.json",
+        [{"doc_id": 10, "text": base}],  # exact fingerprint match
+    )
+    _write_batch(
+        tmp_path / "src" / "b2.json",
+        [{"doc_id": 11, "text": "unique stream content with no match"}],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "src"))
+    )
+    out = stream_simhash_flags(stream, corpus, max_hamming=3)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("ssg_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM ssg_test").collect()}
+    assert set(rows) == {10}
+    assert rows[10]["dup_of"] == 1  # min-id tie rule at hamming 0
+    assert rows[10]["hamming"] == 0
+
+
 def test_stream_incremental_dedup_new_new_across_batches(spark, tmp_path):
     """The stateful path: a streamed doc duplicating an EARLIER
     streamed doc (in a previous micro-batch, no corpus partner) is
