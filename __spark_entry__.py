@@ -4507,11 +4507,61 @@ def q_stream_simhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill by LINEAR INTERPOLATION (r15): the same
+    per-user 6-hour grid as resample_ffill_events, each grid point
+    interpolated between the surrounding observations (TimescaleDB
+    time_bucket_gapfill + interpolate); an exact-instant observation
+    wins verbatim, a grid point before the user's first observation
+    is honestly NULL.  Two window passes over ONE (user)-partitioned
+    sort, grid generated in-plan — no per-grid-point join.  The
+    oracle uses TWO DuckDB ASOF joins (prev at-or-before, next
+    at-or-after) — an independent formulation of the same contract —
+    and replays the identical interpolation arithmetic."""
+    from cdp_spark.datapipe import analytics as an
+
+    ev = load_table(spark, sf_dir, "events")
+    out = an.resample_interp(ev, "user_id", "ts", "value", 21600)
+    return out.select(
+        "user_id",
+        F.unix_micros("grid_ts").alias("grid_us"),
+        F.col("v_interp"),
+    )
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over the event sequence (r15): y_0 = x_0,
+    y_i = 0.5*x_i + 0.5*y_{i-1}, ordered by (ts, event_id) — metrics
+    smoothing as a genuinely sequential per-key recurrence, one of
+    the few legitimate applyInPandas sites (no window function
+    expresses it without (1-a)^(-i) blowup).  alpha = 0.5 so (1 - a)
+    is exactly representable and the recurrence is bitwise-identical
+    across IEEE engines; the oracle replays it as a recursive CTE
+    stepping rank-by-rank (depth = max per-user events, 86 at
+    sf0.01).  The EWMA is emitted RAW, not engine-rounded: the
+    recurrence is bitwise-identical across engines, while Spark's
+    HALF_UP round and DuckDB's multiply-through-1e6 round disagree on
+    exact .5-boundary doubles (measured: 2 rows of 10,000 at sf0.01
+    sit on one) — the driver's own 9-digit normalization compares the
+    identical raw doubles instead."""
+    from cdp_spark.datapipe import analytics as an
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = an.ewma(ev, "user_id", ["ts", "event_id"], "value", alpha=0.5)
+    return out.select("event_id", "user_id", "value", "ewma")
+
+
 _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_dedup_corpus": q_containment_dedup_corpus,
     "simhash_near_dups": q_simhash_near_dups,
     "knn_join_ivf": q_knn_join_ivf,
     "stream_simhash_gate": q_stream_simhash_gate,
+    "resample_interp_events": q_resample_interp_events,
+    "ewma_user_value": q_ewma_user_value,
 }
 
 
@@ -4520,19 +4570,22 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # round argument (hard rows from rounds < 15 only) and anchors its
 # artifact glob to the repo root, so the plan is identical whether or
 # not CORRECTNESS_r15.json has landed yet and wherever pytest runs
-# (VERDICT r14 #1).  Composition: the 4 round-15 additions, then 46
+# (VERDICT r14 #1).  Composition: the 6 round-15 additions, then 44
 # of the 50 r11-era deferrals (last hard driver row r11, registry
-# order), filling the 50 exactly.  After this round FOUR registered
-# queries' last hard driver row is r11 (zscore_outliers,
-# window_nav_funcs, q13_customer_distribution,
-# q19_disjunctive_revenue miss the cut — they lead the r16 cohort).
+# order), filling the 50 exactly.  After this round SIX registered
+# queries' last hard driver row is r11 (q15_top_supplier,
+# q16_part_supplier_counts, zscore_outliers, window_nav_funcs,
+# q13_customer_distribution, q19_disjunctive_revenue miss the cut —
+# they lead the r16 cohort).
 _R15_WINDOW: tuple[str, ...] = (
     # -- round-15 additions --
     "containment_dedup_corpus",
     "simhash_near_dups",
     "knn_join_ivf",
     "stream_simhash_gate",
-    # -- last driver row r11: 46 of the 50 deferrals (registry order) --
+    "resample_interp_events",
+    "ewma_user_value",
+    # -- last driver row r11: 44 of the 50 deferrals (registry order) --
     "weighted_sample",
     "pagerank_nations",
     "hll_union_entities",
@@ -4577,8 +4630,6 @@ _R15_WINDOW: tuple[str, ...] = (
     "q10_returned_items",
     "q12_late_shipments",
     "q14_promo_share",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
 )
 
 # Historical r14 window, kept for artifact cross-reference (the judge
@@ -5780,6 +5831,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.user_id, g.grid_us, o.v AS v_ffill
             FROM grid g ASOF LEFT JOIN obs o
               ON g.user_id = o.user_id AND g.grid_us >= o.t_us
+        """,
+        # r15: interpolation sibling — prev via ASOF >= (at-or-before,
+        # so an exact-instant observation resolves through the pv
+        # branch), next via ASOF <= (at-or-after; only consulted when
+        # pt < grid, where "at" is impossible).  The arithmetic is
+        # written exactly as the Spark expression.
+        "resample_interp_events": """
+            WITH obs AS (
+              SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+              FROM events GROUP BY user_id, epoch_us(ts)
+            ),
+            b AS (
+              SELECT user_id,
+                     CAST(floor(min(t_us) / 21600000000) * 21600000000 AS BIGINT) AS mn_us,
+                     CAST(floor(max(t_us) / 21600000000) * 21600000000 AS BIGINT) AS mx_us
+              FROM obs GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(mn_us, mx_us, 21600000000)) AS grid_us
+              FROM b
+            ),
+            joined AS (
+              SELECT g.user_id, g.grid_us,
+                     p.t_us AS pt, p.v AS pv, n.t_us AS nt, n.v AS nv
+              FROM grid g
+              ASOF LEFT JOIN obs p
+                ON g.user_id = p.user_id AND g.grid_us >= p.t_us
+              ASOF LEFT JOIN obs n
+                ON g.user_id = n.user_id AND g.grid_us <= n.t_us
+            )
+            SELECT user_id, grid_us,
+                   CASE WHEN pt IS NULL THEN NULL
+                        WHEN pt = grid_us THEN round(pv, 6)
+                        ELSE round(pv + (nv - pv) *
+                               ((CAST(grid_us AS DOUBLE) - CAST(pt AS DOUBLE))
+                                / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE))), 6)
+                   END AS v_interp
+            FROM joined
+        """,
+        # r15: the sequential EWMA recurrence as a recursive CTE —
+        # rank-by-rank, breadth-parallel across users; alpha = 0.5 is
+        # exactly representable so both engines' doubles agree
+        # bitwise, and the RAW double is emitted (engine-side round()
+        # rules disagree on exact .5-boundary doubles; the driver's
+        # 9-digit normalization does the comparing).
+        "ewma_user_value": """
+            WITH RECURSIVE seq AS (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ),
+            ew(user_id, rn, event_id, value, y) AS (
+              SELECT user_id, rn, event_id, value, value
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.rn, s.event_id, s.value,
+                     0.5 * s.value + 0.5 * e.y
+              FROM ew e JOIN seq s
+                ON s.user_id = e.user_id AND s.rn = e.rn + 1
+            )
+            SELECT event_id, user_id, value, y AS ewma
+            FROM ew
         """,
         "time_window_agg": """
             SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,

@@ -560,6 +560,150 @@ def resample_ffill(
     )
 
 
+def resample_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR INTERPOLATION per key —
+    the gap-fill sibling of :func:`resample_ffill` (TimescaleDB
+    ``time_bucket_gapfill`` + ``interpolate``): each grid point takes
+    the value linearly interpolated between the last observation
+    at-or-before it and the first observation after it.  A grid
+    instant carrying an exact observation returns that observation;
+    a grid point before the key's first observation is honestly NULL
+    (nothing to anchor the left end).
+
+    Same shape as ffill: one collapsed observation frame, the grid
+    generated in-plan with ``sequence()``, grid+observations union,
+    and TWO window passes over one (key)-partitioned sort — the
+    carried-forward (ts, value) struct and the first-following one —
+    never a per-grid-point join.  Interpolation arithmetic is written
+    as ``pv + (nv - pv) * ((t - pt) / (nt - pt))`` over microsecond
+    doubles, the exact expression the DuckDB oracle replays."""
+    step = int(step_seconds)
+    obs = df.groupBy(
+        F.col(key_col).alias("_k"), F.col(ts_col).alias("_t")
+    ).agg(F.max(value_col).alias("_v"))
+    grid = (
+        obs.groupBy("_k")
+        .agg(F.min("_t").alias("_mn"), F.max("_t").alias("_mx"))
+        .select(
+            "_k",
+            F.explode(
+                F.sequence(
+                    F.timestamp_seconds(
+                        F.floor(F.unix_timestamp("_mn") / step) * step
+                    ),
+                    F.timestamp_seconds(
+                        F.floor(F.unix_timestamp("_mx") / step) * step
+                    ),
+                    F.expr(f"interval {step} seconds"),
+                )
+            ).alias("_t"),
+        )
+    )
+    u = obs.select("_k", "_t", "_v", F.lit(0).alias("_g")).unionByName(
+        grid.select(
+            "_k", "_t", F.lit(None).cast("double").alias("_v"),
+            F.lit(1).alias("_g"),
+        )
+    )
+    # observation rows sort BEFORE the grid row at the same instant,
+    # so "previous" includes an exact-instant observation and "next"
+    # never does — an exact hit resolves through the previous struct
+    # with pt == t, where the interpolation fraction is 0.
+    wp = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_g")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ob_struct = F.when(
+        F.col("_g") == 0, F.struct(F.col("_t").alias("t"), F.col("_v").alias("v"))
+    )
+    filled = (
+        u.withColumn("_p", F.last(ob_struct, ignorenulls=True).over(wp))
+        .withColumn("_n", F.first(ob_struct, ignorenulls=True).over(wn))
+        .filter(F.col("_g") == 1)
+    )
+    tu = F.unix_micros("_t").cast("double")
+    pu = F.unix_micros("_p.t").cast("double")
+    nu = F.unix_micros("_n.t").cast("double")
+    interp = F.when(pu == tu, F.col("_p.v")).otherwise(
+        F.col("_p.v")
+        + (F.col("_n.v") - F.col("_p.v")) * ((tu - pu) / (nu - pu))
+    )
+    return filled.select(
+        F.col("_k").alias(key_col),
+        F.col("_t").alias("grid_ts"),
+        F.when(
+            F.col("_p").isNotNull(), F.round(interp, 6)
+        ).alias("v_interp"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over the
+    ``order_cols`` sequence: ``y_0 = x_0``,
+    ``y_i = alpha * x_i + (1 - alpha) * y_{i-1}`` — metrics smoothing
+    / anomaly baselines, the standard streaming-telemetry recurrence.
+
+    This is a genuinely SEQUENTIAL per-key recurrence — no window
+    function expresses it without numeric blowup (the closed form
+    needs (1-alpha)^(-i) factors that overflow beyond ~1e3 rows) — so
+    it is one of the few legitimate ``applyInPandas`` sites: one
+    shuffle on the key, then the recurrence inside each group.  State
+    per task is one group, bounded by per-key cardinality, never
+    corpus-sized.
+
+    The recurrence is written EXPLICITLY as
+    ``alpha * x + (1 - alpha) * y`` rather than via pandas'
+    ``ewm(adjust=False)`` — pandas computes an algebraically equal
+    but floating-point DIFFERENT expression (a normalizing division
+    per step), which drifts a ulp per step and flips round-6 digits
+    against an engine running the textbook recurrence (measured:
+    2 of 10,000 rows at sf0.01).  With an ``alpha`` whose (1 - alpha)
+    is exactly representable (0.5, 0.25, 0.75) this form is
+    bitwise-reproducible against any IEEE engine."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    cols = list(df.columns)
+    a = float(alpha)
+    one_minus = 1.0 - a
+
+    def _fn(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        out = np.empty_like(vals)
+        prev = 0.0
+        for i in range(len(vals)):
+            prev = vals[i] if i == 0 else a * vals[i] + one_minus * prev
+            out[i] = prev
+        pdf[out_col] = out
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(key_col).applyInPandas(_fn, schema)
+
+
 def hopping_window_agg(
     events: DataFrame,
     window: str = "1 hour",

@@ -166,6 +166,65 @@ def test_knn_join_plan_has_no_cartesian_and_ids_only_cell_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
 
 
+def test_resample_interp_semantics(spark):
+    """Hand-built series pin the interpolation contract: an exact
+    grid-instant observation wins verbatim, interior grid points take
+    the linear blend of the surrounding observations, a leading grid
+    point before the first observation is NULL, and keys never leak
+    into each other."""
+    from cdp_spark.datapipe.analytics import resample_interp
+
+    rows = [
+        # key 1: obs at 100s (v=1.0), 300s (v=3.0); step 100 ->
+        # grid 100 (exact hit), 200 (midpoint -> 2.0), 300 (exact)
+        (1, 100, 1.0),
+        (1, 300, 3.0),
+        # key 2: obs at 150s (v=4.0), 250s (v=8.0); grid 100 (before
+        # first obs -> NULL), 200 (halfway -> 6.0)
+        (2, 150, 4.0),
+        (2, 250, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, sec long, v double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    out = resample_interp(df, "k", "ts", "v", 100)
+    got = {
+        (r["k"], int(r["grid_ts"].timestamp())): r["v_interp"]
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 100): 1.0,
+        (1, 200): 2.0,
+        (1, 300): 3.0,
+        (2, 100): None,
+        (2, 200): 6.0,
+    }
+
+
+def test_ewma_recurrence_and_key_isolation(spark):
+    """y_0 = x_0; y_i = a*x_i + (1-a)*y_{i-1}, per key in order-col
+    order; keys never mix."""
+    from cdp_spark.datapipe.analytics import ewma
+
+    rows = [
+        (1, 1, 2.0),
+        (1, 2, 4.0),
+        (1, 3, 8.0),
+        (2, 1, 10.0),
+        (2, 2, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, x double")
+    out = ewma(df, "k", ["i"], "x", alpha=0.5)
+    got = {(r["k"], r["i"]): r["ewma"] for r in out.collect()}
+    assert got == {
+        (1, 1): 2.0,
+        (1, 2): 3.0,   # 0.5*4 + 0.5*2
+        (1, 3): 5.5,   # 0.5*8 + 0.5*3
+        (2, 1): 10.0,
+        (2, 2): 5.0,
+    }
+
+
 def test_containment_dedup_keeps_superset_copy(spark):
     """End-to-end shape of q_containment_dedup_corpus at toy scale:
     the contained copy (doc 1) is dropped, its SUPERSET (doc 2, the
