@@ -4555,6 +4555,53 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", "ewma")
 
 
+def q_fold_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash-index FOLD lifecycle end-to-end (r15) — the
+    fingerprint twin of fold_incremental_dedup: build the persisted
+    (id, fingerprint) index over the corpus (doc_id % 5 != 0), flag
+    increment 1 (doc_id % 10 == 0) against it at hamming <= 5, FOLD
+    increment 1's survivors in, then flag increment 2
+    (doc_id % 10 == 5) as a 4-micro-batch STREAM against the folded
+    index with empty stream state.
+
+    Oracle contract: fold-then-flag == flag-against-rebuilt-corpus —
+    and because the Manku banding is lossless, the DuckDB replay
+    skips the index entirely and brute-forces hamming <= 5 against
+    corpus ∪ survivors(increment 1): an independent formulation of
+    both the fold contract AND the banding guarantee at once."""
+    import tempfile
+
+    from cdp_spark.datapipe import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc1 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    inc2 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+
+    path = _fold_index_dir("cdp_fold_sh_")
+    di.simhash_index_write(corpus, path, bits=60, hash_fn=ddp.md5_hash60)
+    idx, meta = di.simhash_index_load(spark, path)
+    flagged1 = di.flag_against_simhash_index(
+        inc1, idx, meta, max_hamming=5, n_chunks=6
+    )
+    di.simhash_index_fold(inc1, flagged1.select("doc_id"), path)
+
+    idx2, meta2 = di.simhash_index_load(spark, path)
+    src = tempfile.mkdtemp(prefix="cdp_fold_sh_src_")
+    inc2.repartition(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = di.flag_against_simhash_index(
+        stream, idx2, meta2, max_hamming=5, n_chunks=6
+    )
+    return _drive_memory_stream(
+        spark, out, "cdp_fold_sh_", src, output_mode="complete"
+    )
+
+
 _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_dedup_corpus": q_containment_dedup_corpus,
     "simhash_near_dups": q_simhash_near_dups,
@@ -4562,6 +4609,7 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_simhash_gate": q_stream_simhash_gate,
     "resample_interp_events": q_resample_interp_events,
     "ewma_user_value": q_ewma_user_value,
+    "fold_simhash_dedup": q_fold_simhash_dedup,
 }
 
 
@@ -4570,13 +4618,13 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # round argument (hard rows from rounds < 15 only) and anchors its
 # artifact glob to the repo root, so the plan is identical whether or
 # not CORRECTNESS_r15.json has landed yet and wherever pytest runs
-# (VERDICT r14 #1).  Composition: the 6 round-15 additions, then 44
+# (VERDICT r14 #1).  Composition: the 7 round-15 additions, then 43
 # of the 50 r11-era deferrals (last hard driver row r11, registry
-# order), filling the 50 exactly.  After this round SIX registered
-# queries' last hard driver row is r11 (q15_top_supplier,
-# q16_part_supplier_counts, zscore_outliers, window_nav_funcs,
-# q13_customer_distribution, q19_disjunctive_revenue miss the cut —
-# they lead the r16 cohort).
+# order), filling the 50 exactly.  After this round SEVEN registered
+# queries' last hard driver row is r11 (q14_promo_share,
+# q15_top_supplier, q16_part_supplier_counts, zscore_outliers,
+# window_nav_funcs, q13_customer_distribution,
+# q19_disjunctive_revenue miss the cut — they lead the r16 cohort).
 _R15_WINDOW: tuple[str, ...] = (
     # -- round-15 additions --
     "containment_dedup_corpus",
@@ -4585,7 +4633,8 @@ _R15_WINDOW: tuple[str, ...] = (
     "stream_simhash_gate",
     "resample_interp_events",
     "ewma_user_value",
-    # -- last driver row r11: 44 of the 50 deferrals (registry order) --
+    "fold_simhash_dedup",
+    # -- last driver row r11: 43 of the 50 deferrals (registry order) --
     "weighted_sample",
     "pagerank_nations",
     "hll_union_entities",
@@ -4629,7 +4678,6 @@ _R15_WINDOW: tuple[str, ...] = (
     "q9_product_profit",
     "q10_returned_items",
     "q12_late_shipments",
-    "q14_promo_share",
 )
 
 # Historical r14 window, kept for artifact cross-reference (the judge
@@ -7141,6 +7189,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sa ON sa.doc_id = c.id_a
             JOIN sh sb ON sb.doc_id = c.id_b
             WHERE bit_count(xor(sa.s, sb.s)) <= 5
+    """
+    # r15 fold lifecycle: fold-then-flag == flag-vs-rebuilt-corpus,
+    # and the lossless banding lets the oracle brute-force hamming
+    # against corpus ∪ survivors(inc1) with no index at all.
+    oracles["fold_simhash_dedup"] = f"""
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            hx AS (SELECT doc_id, {h60('tok')} AS h
+                   FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+            sh AS (SELECT doc_id, {votes} AS s FROM hx GROUP BY doc_id),
+            corpus0 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+            inc1 AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+            flag1 AS (
+              SELECT DISTINCT n.doc_id FROM inc1 n JOIN corpus0 o
+                ON bit_count(xor(n.s, o.s)) <= 5
+            ),
+            folded AS (
+              SELECT * FROM corpus0
+              UNION ALL
+              SELECT * FROM inc1
+              WHERE doc_id NOT IN (SELECT doc_id FROM flag1)
+            ),
+            inc2 AS (SELECT * FROM sh WHERE doc_id % 10 = 5),
+            fl AS (
+              SELECT n.doc_id, o.doc_id AS dup_of,
+                     bit_count(xor(n.s, o.s)) AS hamming,
+                     row_number() OVER (
+                       PARTITION BY n.doc_id
+                       ORDER BY bit_count(xor(n.s, o.s)), o.doc_id) AS rn
+              FROM inc2 n JOIN folded o
+                ON bit_count(xor(n.s, o.s)) <= 5
+            )
+            SELECT doc_id, dup_of, hamming FROM fl WHERE rn = 1
     """
     # r15 streaming gate: the oracle deliberately SKIPS the banding
     # and brute-forces all new-vs-old pairs — the banding is lossless

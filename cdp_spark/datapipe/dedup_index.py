@@ -546,6 +546,171 @@ def flag_against_banded_minhash(
     )
 
 
+# --------------------------------------------------------------- simhash
+
+
+def _fingerprint_frame(
+    docs: DataFrame, id_col: str, text_col: str, hash_fn
+) -> DataFrame:
+    """(id, s) — the SimHash fingerprint projection index writes and
+    folds share.  Empty-token documents carry no signal (their
+    fingerprint is the constant 0 and would cluster together) and are
+    dropped, the minhash-index semantics."""
+    return ddp._ensure_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).filter(F.size(ddp.tokens(F.col("_t"))) > 0).select(
+        "id", ddp.simhash64(F.col("_t"), hash_fn=hash_fn).alias("s")
+    )
+
+
+def simhash_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn=None,
+) -> None:
+    """Build the persisted SimHash corpus index: ONE parquet table of
+    (id, fingerprint) — 16 bytes a document, the lightest dedup index
+    in the family (the MinHash index stores signature + shingle
+    arrays; this stores a single long).  ``bits`` records how many
+    fingerprint bits carry signal (60 for md5_hash60 — its top 4
+    always vote 0) so flagging chunks exactly the meaningful range."""
+    if hash_fn is None:
+        hash_fn = ddp.default_hash64
+    meta = {"kind": "simhash", "bits": bits, "hash": _hash_name(hash_fn)}
+    _fingerprint_frame(docs, id_col, text_col, hash_fn).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "fps"))
+    _write_meta(path, meta)
+
+
+def simhash_index_load(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """(index frame, meta).  Frame columns: (id, s) — corpus ∪ every
+    folded increment so far; the epoch-fold partition column is
+    lifecycle bookkeeping and dropped."""
+    meta = _read_meta(path, "simhash")
+    frame = spark.read.parquet(os.path.join(path, "fps")).drop("fold")
+    return frame, meta
+
+
+def simhash_index_fold(
+    increment_docs: DataFrame,
+    flagged_ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epoch: int | None = None,
+    lineage: str | None = None,
+) -> None:
+    """FOLD a completed increment's SURVIVORS into the SimHash index
+    — same contract as :func:`minhash_index_fold` (fold-then-flag ==
+    flag-against-rebuilt-corpus; fingerprints are pure functions of
+    (text, hash)), same O(increment) cost, same epoch/lineage
+    idempotence under at-least-once replay."""
+    meta = _read_meta(path, "simhash")
+    if _epoch_already_folded(path, meta, epoch, lineage):
+        return
+    hash_fn = _HASH_FNS[meta["hash"]]
+    survivors = _survivors(increment_docs, flagged_ids, id_col)
+    _fold_write(
+        _fingerprint_frame(survivors, id_col, text_col, hash_fn),
+        os.path.join(path, "fps"),
+        epoch,
+        lineage,
+    )
+    _commit_epoch(path, meta, epoch, lineage)
+
+
+def flag_against_simhash_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 5,
+    n_chunks: int = 6,
+) -> DataFrame:
+    """Flag new documents against a loaded SimHash index: fingerprint
+    and Manku-chunk the new side with pure Column expressions,
+    equi-join the index's chunk keys on (band, bucket), verify with
+    exact xor-popcount, reduce to the CLOSEST partner (min hamming,
+    ties to the lowest corpus id).  Works for BATCH and STREAMING
+    ``new_docs`` alike — stateless except the final order-insensitive
+    min-struct aggregate.  The banding is lossless (pigeonhole over
+    the meta's ``bits``), so the flagged set is exactly
+    {new docs within hamming ``max_hamming`` of the index}.
+
+    Scale shape: the chunk join carries (id, fingerprint, band,
+    bucket) — 24-ish bytes per chunk per indexed doc, ~100× lighter
+    than the MinHash band index, and the fingerprint rides the chunk
+    row so the verify needs NO second index join.  Output: (id,
+    dup_of, hamming)."""
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"n_chunks={n_chunks} must exceed max_hamming={max_hamming} "
+            "for the pigeonhole guarantee"
+        )
+    hash_fn = _HASH_FNS[meta["hash"]]
+    bits = int(meta["bits"])
+    idx_chunks = index.select(
+        F.col("id").alias("_old_id"),
+        F.col("s").alias("_old_s"),
+        F.explode(
+            ddp.simhash_chunk_keys(F.col("s"), n_chunks, bits)
+        ).alias("bk"),
+    ).select(
+        "_old_id",
+        "_old_s",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+    if new_docs.isStreaming:
+        # stream-static joins re-execute the static plan per
+        # micro-batch — materialize the chunk triples once (the
+        # payload is 3-4 longs/row, cheap to checkpoint)
+        from ..session import iter_checkpoint
+
+        idx_chunks = iter_checkpoint(idx_chunks)
+    s = new_docs.select(
+        F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
+    ).filter(F.size(ddp.tokens(F.col("_t"))) > 0).select(
+        "_new_id", ddp.simhash64(F.col("_t"), hash_fn=hash_fn).alias("_new_s")
+    )
+    cands = (
+        s.select(
+            "_new_id",
+            "_new_s",
+            F.explode(
+                ddp.simhash_chunk_keys(F.col("_new_s"), n_chunks, bits)
+            ).alias("bk"),
+        )
+        .select(
+            "_new_id",
+            "_new_s",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+        .join(idx_chunks, ["band", "bucket"])
+    )
+    verified = cands.withColumn(
+        "hamming", ddp.hamming64(F.col("_new_s"), F.col("_old_s"))
+    ).filter(F.col("hamming") <= max_hamming)
+    best = F.min(F.struct(F.col("hamming"), F.col("_old_id"))).alias("_best")
+    return (
+        verified.groupBy("_new_id")
+        .agg(best)
+        .select(
+            F.col("_new_id").alias(id_col),
+            F.col("_best._old_id").alias("dup_of"),
+            F.col("_best.hamming").alias("hamming"),
+        )
+    )
+
+
 # --------------------------------------------------------------- winnowing
 
 

@@ -78,6 +78,81 @@ def test_minhash_fold_equals_rebuild(spark, tmp_path):
     assert idx2.count() == idx.count() + n_surv
 
 
+def test_simhash_fold_equals_rebuild_and_bruteforce(spark, tmp_path):
+    """The SimHash-index fold contract, PLUS the banding guarantee in
+    one test: fold-then-flag equals flag-against-rebuilt-corpus, and
+    both equal brute-force hamming <= k against corpus ∪ survivors
+    (the Manku chunks are a lossless candidate generator)."""
+    corpus, inc1, inc2 = _roles(spark)
+    path = str(tmp_path / "sh")
+    di.simhash_index_write(corpus, path, bits=60, hash_fn=ddp.md5_hash60)
+    idx, meta = di.simhash_index_load(spark, path)
+    flagged1 = di.flag_against_simhash_index(
+        inc1, idx, meta, max_hamming=5, n_chunks=6
+    )
+    di.simhash_index_fold(inc1, flagged1.select("doc_id"), path)
+    idx2, meta2 = di.simhash_index_load(spark, path)
+    folded = {
+        tuple(r)
+        for r in di.flag_against_simhash_index(
+            inc2, idx2, meta2, max_hamming=5, n_chunks=6
+        ).collect()
+    }
+
+    survivors = inc1.join(
+        flagged1.select(F.col("doc_id").alias("_f")),
+        inc1["doc_id"] == F.col("_f"),
+        "left_anti",
+    )
+    rebuilt_path = str(tmp_path / "sh_rebuilt")
+    di.simhash_index_write(
+        corpus.select("doc_id", "text").unionByName(survivors),
+        rebuilt_path, bits=60, hash_fn=ddp.md5_hash60,
+    )
+    ridx, rmeta = di.simhash_index_load(spark, rebuilt_path)
+    rebuilt = {
+        tuple(r)
+        for r in di.flag_against_simhash_index(
+            inc2, ridx, rmeta, max_hamming=5, n_chunks=6
+        ).collect()
+    }
+    assert folded == rebuilt
+    assert folded, "fixture should flag at least one inc2 doc"
+
+    # brute force against the rebuilt index frame: closest partner
+    # per new doc at hamming <= 5, ties to the lowest corpus id
+    new_fp = di._fingerprint_frame(inc2, "doc_id", "text", ddp.md5_hash60)
+    brute = (
+        new_fp.crossJoin(
+            ridx.select(F.col("id").alias("_o"), F.col("s").alias("_os"))
+        )
+        .withColumn("hamming", ddp.hamming64(F.col("s"), F.col("_os")))
+        .filter(F.col("hamming") <= 5)
+    )
+    best = {}
+    for r in brute.collect():
+        k = r["id"]
+        v = (r["hamming"], r["_o"])
+        if k not in best or v < best[k]:
+            best[k] = v
+    assert folded == {(k, o, h) for k, (h, o) in best.items()}
+
+    # epoch idempotence: replaying a committed fold is a no-op.  The
+    # flagged ids are materialized first — an epoch fold migrates the
+    # index to the fold= layout, so a LAZY flag frame still scanning
+    # the pre-migration files would fail mid-write (the runner always
+    # passes concrete per-batch ids, never a plan over the index).
+    flagged_rows = [
+        (r["doc_id"],) for r in flagged1.select("doc_id").collect()
+    ]
+    flagged_df = spark.createDataFrame(flagged_rows, "doc_id long")
+    n_before = di.simhash_index_load(spark, path)[0].count()
+    di.simhash_index_fold(inc1, flagged_df, path, epoch=7, lineage="s")
+    n_mid = di.simhash_index_load(spark, path)[0].count()
+    di.simhash_index_fold(inc1, flagged_df, path, epoch=7, lineage="s")
+    assert di.simhash_index_load(spark, path)[0].count() == n_mid > n_before
+
+
 def test_substring_fold_equals_rebuild(spark, tmp_path):
     corpus, inc1, inc2 = _roles(spark)
     path = str(tmp_path / "ss")
