@@ -4602,6 +4602,45 @@ def q_fold_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup (r15): normalize text (lowercase,
+    strip non-letter/digit, collapse whitespace — the CCNet-style
+    pre-hash normalization, a pure codegen Column) and group by the
+    canonical digest.  The synthetic corpus has no organic case/punct
+    variants, so the query PLANTS them deterministically: every doc
+    with doc_id % 7 == 3 becomes an UPPERCASED, punctuation-noised
+    copy of its predecessor — raw exact hashing sees distinct
+    documents (n_raw_variants = 2), the canonical digest collapses
+    each pair to one cluster with the original as survivor.  The
+    oracle replays the mangle and the normalization."""
+    from cdp_spark.datapipe.curate import canonical_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_prev")
+    )
+    mangled = (
+        docs.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 7 == 3) & F.col("_prev").isNotNull(),
+                F.concat(F.upper(F.col("_prev")), F.lit("  !!  ")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    return (
+        mangled.groupBy(
+            F.md5(canonical_text(F.col("text"))).alias("content_hash")
+        )
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct(F.md5("text")).alias("n_raw_variants"),
+        )
+    )
+
+
 _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_dedup_corpus": q_containment_dedup_corpus,
     "simhash_near_dups": q_simhash_near_dups,
@@ -4610,6 +4649,7 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_interp_events": q_resample_interp_events,
     "ewma_user_value": q_ewma_user_value,
     "fold_simhash_dedup": q_fold_simhash_dedup,
+    "dedup_canonical": q_dedup_canonical,
 }
 
 
@@ -4618,12 +4658,12 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # round argument (hard rows from rounds < 15 only) and anchors its
 # artifact glob to the repo root, so the plan is identical whether or
 # not CORRECTNESS_r15.json has landed yet and wherever pytest runs
-# (VERDICT r14 #1).  Composition: the 7 round-15 additions, then 43
+# (VERDICT r14 #1).  Composition: the 8 round-15 additions, then 42
 # of the 50 r11-era deferrals (last hard driver row r11, registry
-# order), filling the 50 exactly.  After this round SEVEN registered
-# queries' last hard driver row is r11 (q14_promo_share,
-# q15_top_supplier, q16_part_supplier_counts, zscore_outliers,
-# window_nav_funcs, q13_customer_distribution,
+# order), filling the 50 exactly.  After this round EIGHT registered
+# queries' last hard driver row is r11 (q12_late_shipments,
+# q14_promo_share, q15_top_supplier, q16_part_supplier_counts,
+# zscore_outliers, window_nav_funcs, q13_customer_distribution,
 # q19_disjunctive_revenue miss the cut — they lead the r16 cohort).
 _R15_WINDOW: tuple[str, ...] = (
     # -- round-15 additions --
@@ -4634,7 +4674,8 @@ _R15_WINDOW: tuple[str, ...] = (
     "resample_interp_events",
     "ewma_user_value",
     "fold_simhash_dedup",
-    # -- last driver row r11: 43 of the 50 deferrals (registry order) --
+    "dedup_canonical",
+    # -- last driver row r11: 42 of the 50 deferrals (registry order) --
     "weighted_sample",
     "pagerank_nations",
     "hll_union_entities",
@@ -4677,7 +4718,6 @@ _R15_WINDOW: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q12_late_shipments",
 )
 
 # Historical r14 window, kept for artifact cross-reference (the judge
@@ -7189,6 +7229,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sa ON sa.doc_id = c.id_a
             JOIN sh sb ON sb.doc_id = c.id_b
             WHERE bit_count(xor(sa.s, sb.s)) <= 5
+    """
+    # r15 canonical exact dedup: the oracle replays the deterministic
+    # mangle (doc_id % 7 == 3 -> uppercased + punct-noised copy of
+    # the predecessor) and the same normalize-then-md5 digest.
+    oracles["dedup_canonical"] = r"""
+            WITH m AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 7 = 3 AND p.text IS NOT NULL
+                          THEN upper(p.text) || '  !!  '
+                          ELSE d.text END AS text
+              FROM documents d
+              LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+            ),
+            c AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                       string_split_regex(
+                         trim(regexp_replace(lower(text),
+                                             '[^\p{L}\p{N}\s]+', ' ', 'g')),
+                         '\s+'), ' ')) AS ch,
+                     md5(text) AS rh
+              FROM m
+            )
+            SELECT ch AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_copies,
+                   count(DISTINCT rh) AS n_raw_variants
+            FROM c GROUP BY ch
     """
     # r15 fold lifecycle: fold-then-flag == flag-vs-rebuilt-corpus,
     # and the lossless banding lets the oracle brute-force hamming

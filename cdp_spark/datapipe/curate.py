@@ -401,6 +401,28 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?1-555-[0-9]{4}"
 
 
+def canonical_text(col: Column) -> Column:
+    """Dedup-canonical form of a text column: lowercase, strip
+    everything that is not a Unicode letter/digit/whitespace, collapse
+    whitespace runs to single spaces, trim.  The normalization CCNet /
+    Gopher-style pipelines apply BEFORE exact hashing so case,
+    punctuation, and spacing variants of the same document collapse to
+    one digest — raw exact dedup misses all three.
+
+    Pure Column expression (whole-stage codegen, no shuffle, no UDF).
+    The character classes are deliberately limited to ``\\p{L}``,
+    ``\\p{N}`` and the split-on-``\\s+`` the engine's tokenizer
+    already uses — Java regex and RE2 (the DuckDB oracle) agree on
+    these exactly, which keeps the canonical digest cross-engine
+    stable."""
+    cleaned = F.regexp_replace(
+        F.lower(col), r"[^\p{L}\p{N}\s]+", " "
+    )
+    return F.array_join(
+        F.split(F.trim(cleaned), r"\s+"), " "
+    )
+
+
 def redact_pii(col: Column) -> Column:
     """Replace emails/phone numbers with typed placeholders.  Pure
     JVM regex — runs in the scan stage."""

@@ -225,6 +225,28 @@ def test_ewma_recurrence_and_key_isolation(spark):
     }
 
 
+def test_canonical_text_collapses_case_punct_spacing(spark):
+    """lowercase + strip non-letter/digit + collapse whitespace: the
+    three variant classes raw exact hashing misses all canonicalize
+    to the same string; genuinely different words never do."""
+    from cdp_spark.datapipe.curate import canonical_text
+
+    rows = [
+        (1, "Hello, World!  This is FINE."),
+        (2, "hello world this is fine"),
+        (3, "HELLO   world -- this... is (fine)"),
+        (4, "hello world this is different"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonical_text(F.col("t")).alias("c")
+    ).collect()}
+    assert got[1] == got[2] == got[3] == "hello world this is fine"
+    assert got[4] != got[1]
+    assert got[5] == ""
+
+
 def test_containment_dedup_keeps_superset_copy(spark):
     """End-to-end shape of q_containment_dedup_corpus at toy scale:
     the contained copy (doc 1) is dropped, its SUPERSET (doc 2, the
