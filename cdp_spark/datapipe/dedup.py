@@ -732,7 +732,12 @@ def simhash_near_dups(
     or set ``max_bucket`` to drop over-occupied buckets — boilerplate
     fingerprint clusters, the same stop-gram discipline as
     exact_substring_pairs' max_df; a cap changes semantics and is OFF
-    by default.  Output: (id_a, id_b, hamming), id_a < id_b.
+    by default.  Measured r15 (SCALEPROBE_r15.json): 10x data at the
+    fixed 6x10-bit chunks probes exponent 0.99 (the in-bucket
+    pairwise term growing), max_bucket=64 bounds it to 0.61 with
+    per-output-row -0.33; the full-scale Manku deployment widens by
+    probing combinations of chunks (more tables, wider keys) as the
+    corpus grows.  Output: (id_a, id_b, hamming), id_a < id_b.
     """
     if n_chunks is None:
         n_chunks = max_hamming + 1

@@ -601,7 +601,16 @@ def ivf_knn_join(
     so a row's own cell is always its first probe and every row is a
     candidate of itself — the self-pair is excluded explicitly.
     Output: (``id_col``, neighbor_id, cosine_sim, rank), rank 1..k by
-    (cosine DESC, neighbor id ASC)."""
+    (cosine DESC, neighbor id ASC).
+
+    SIZE ``n_centroids`` WITH THE CORPUS (the IVF contract):
+    candidates are O(N x n_probe x N/n_centroids), so a fixed centroid
+    count turns quadratic as N grows — measured r15: 10x data at a
+    fixed 16 probes exponent 1.49, while scaling to 160 (constant
+    occupancy) probes 0.84 with per-output-row -0.16
+    (SCALEPROBE_r15.json: knn_join_ivf_occupancy).  Keep occupancy
+    N/n_centroids roughly constant, exactly as a FAISS IVF deployment
+    sizes nlist."""
     anchors = _anchor_set(dim, n_centroids, seed)
     anchors_col = F.array(
         *[
