@@ -597,9 +597,17 @@ def ivf_knn_join(
 
     Probe ranking reuses :func:`ivf_topk`'s rule (dot DESC — anchors
     are unit-norm so the argsort equals cosine's — ties to the lowest
-    anchor id); assignment is :func:`ivf_assign` with the same seed,
-    so a row's own cell is always its first probe and every row is a
-    candidate of itself — the self-pair is excluded explicitly.
+    anchor id), and the base-side ASSIGNMENT is the FIRST element of
+    the same sorted scores array — one anchor-scoring pass per row
+    feeds both, and assignment and probes share one tie rule by
+    construction, so a row's own cell is always its first probe and
+    every row is a candidate of itself (the self-pair is excluded
+    explicitly).  (``ivf_assign``'s array_max breaks exact ties
+    toward the HIGHEST anchor id — opposite to the probe sort and to
+    the oracle's list_indexof(list_max) — so an all-ties row, e.g. a
+    zero vector, would be assigned a cell its own probes never visit;
+    deriving both from one sort closes that seam and drops the
+    second scoring pass.)
     Output: (``id_col``, neighbor_id, cosine_sim, rank), rank 1..k by
     (cosine DESC, neighbor id ASC).
 
@@ -631,11 +639,14 @@ def ivf_knn_join(
     probe_list = F.transform(
         F.slice(F.array_sort(scores), 1, n_probe), lambda s: s["i"]
     )
-    probes = df.select(
-        F.col(id_col).alias("_qid"), F.explode(probe_list).alias("_pc")
+    ranked = df.select(
+        F.col(id_col).alias("_qid"), probe_list.alias("_pl")
     )
-    assigned = ivf_assign(df, dim, n_centroids, id_col, vec_col, seed).select(
-        F.col(id_col).alias("_bid"), F.col("centroid").alias("_pc")
+    probes = ranked.select("_qid", F.explode("_pl").alias("_pc"))
+    # assignment = the first probe: same scoring pass, same tie rule
+    assigned = ranked.select(
+        F.col("_qid").alias("_bid"),
+        F.element_at("_pl", 1).alias("_pc"),
     )
     cands = (
         probes.join(assigned, "_pc")
@@ -1971,14 +1982,21 @@ def compact_foldcounts(path: str) -> bool:
     writes only its own new sidecar, which this merge either sees or
     leaves for next time.  Returns False when the lock is held.
 
-    The lock carries the holder's PID (ADVICE r14): a crash between
-    lock creation and the finally-block cleanup used to leave the
-    lock on disk forever, silently disabling every later compaction
-    — the unbounded sidecar growth this function exists to stop,
-    with no operator signal.  Now a lock whose recorded pid is no
-    longer alive (or an old-style empty lock older than an hour) is
-    treated as stale, WARN-logged, and broken; a live holder's lock
-    logs a warning instead of skipping silently."""
+    The lock carries the holder's host:pid (ADVICE r14): a crash
+    between lock creation and the finally-block cleanup used to
+    leave the lock on disk forever, silently disabling every later
+    compaction — the unbounded sidecar growth this function exists
+    to stop, with no operator signal.  Now a lock whose recorded
+    holder is provably dead (same host, pid gone) or older than an
+    hour (covers foreign hosts on shared storage, recycled pids, and
+    pre-pid empty locks — a compaction takes seconds, so any
+    hour-old lock is an orphan) is treated as stale, WARN-logged,
+    and broken; a live holder's lock logs a warning instead of
+    skipping silently.  Breaking is an atomic RENAME, never a
+    remove: two processes that both judge the lock stale race the
+    rename, exactly one wins and re-acquires, and the loser can
+    never unlink the winner's fresh lock (the delete-then-recreate
+    TOCTOU a plain remove would open)."""
     import json as _json
     import os as _os
     import time as _time
@@ -1994,17 +2012,22 @@ def compact_foldcounts(path: str) -> bool:
         fd = _acquire()
     except FileExistsError:
         if _lock_is_stale(lock, _time.time()):
+            tomb = f"{lock}.stale.{_os.getpid()}"
+            try:
+                _os.rename(lock, tomb)
+            except OSError:  # another process broke it first
+                return False
             logger.warning(
-                "breaking stale foldcounts-compaction lock %s "
+                "broke stale foldcounts-compaction lock %s "
                 "(holder dead or lock aged out)", lock,
             )
             try:
-                _os.remove(lock)
+                _os.remove(tomb)
             except FileNotFoundError:
                 pass
             try:
                 fd = _acquire()
-            except FileExistsError:  # another process won the re-race
+            except FileExistsError:  # the breaker lost the re-race
                 return False
         else:
             logger.warning(
@@ -2013,7 +2036,11 @@ def compact_foldcounts(path: str) -> bool:
             )
             return False
     try:
-        _os.write(fd, str(_os.getpid()).encode())
+        import socket as _socket
+
+        _os.write(
+            fd, f"{_socket.gethostname()}:{_os.getpid()}".encode()
+        )
         _os.close(fd)
         meta = _read_meta(path, "ivf")
         compact = _read_compact_foldcounts(path)
@@ -2070,25 +2097,32 @@ def compact_foldcounts(path: str) -> bool:
 
 
 def _lock_is_stale(lock: str, now: float, max_age: float = 3600.0) -> bool:
-    """True when a foldcounts-compaction lock's recorded pid is no
-    longer alive, or (for empty/unreadable locks — pre-pid layout or
-    a crash before the pid write) the file is older than ``max_age``
-    seconds.  A live pid is never stale, whatever its age."""
+    """True when a foldcounts-compaction lock is provably orphaned:
+    its recorded holder is ``<host>:<pid>`` on THIS host and the pid
+    is gone, or the lock file is older than ``max_age`` seconds.
+    The age bound applies even to apparently-live pids: on shared
+    storage the recorded host may not be this one (a foreign pid is
+    unprobeable), and a local pid can be recycled by an unrelated
+    process — either way an hour-old lock around a seconds-long
+    compaction is an orphan.  (Bare-pid locks from the first r15
+    layout and empty pre-pid locks age out the same way.)"""
     import os as _os
+    import socket as _socket
 
     try:
         with open(lock) as f:
-            pid_text = f.read().strip()
+            text = f.read().strip()
     except OSError:
         return False  # vanished or unreadable: let the caller skip
-    if pid_text.isdigit():
+    host, _, pid_text = text.rpartition(":")
+    same_host = host in ("", _socket.gethostname())
+    if same_host and pid_text.isdigit():
         try:
             _os.kill(int(pid_text), 0)
-            return False  # holder alive
         except ProcessLookupError:
-            return True
+            return True  # provably dead on this host
         except PermissionError:
-            return False  # alive, owned by someone else
+            pass  # alive, owned by someone else -> fall to age bound
     try:
         return now - _os.path.getmtime(lock) > max_age
     except OSError:

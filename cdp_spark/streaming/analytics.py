@@ -234,57 +234,31 @@ def stream_simhash_flags(
     index with its shingle arrays — so at 100 TB the corpus index
     broadcasts far longer before falling back to a shuffled
     stream-static join; the fingerprint rides the chunk index
-    (one long) so the verify needs NO second corpus join."""
-    from ..datapipe import dedup as ddp
+    (one long) so the verify needs NO second corpus join.
 
-    corpus = corpus_docs.select(
-        F.col(id_col).alias("_old_id"),
-        ddp.simhash64(F.col(text_col), hash_fn=hash_fn).alias("_old_s"),
+    Implementation: ONE pipeline shared with the persisted-index path
+    — the corpus fingerprints here are exactly an in-memory
+    :func:`~cdp_spark.datapipe.dedup_index.simhash_index_write`
+    frame, so this delegates to ``flag_against_simhash_index`` (same
+    chunking, verify, tie rule, empty-token filtering on both sides)
+    instead of hand-copying the join tail a third time."""
+    from ..datapipe import dedup as ddp
+    from ..datapipe.dedup_index import (
+        _fingerprint_frame,
+        _hash_name,
+        flag_against_simhash_index,
+    )
+
+    if hash_fn is None:
+        hash_fn = ddp.default_hash64
+    corpus = _fingerprint_frame(
+        corpus_docs, id_col, text_col, hash_fn
     ).localCheckpoint(eager=True)
-    corpus_chunks = corpus.select(
-        "_old_id",
-        "_old_s",
-        F.explode(
-            ddp.simhash_chunk_keys(F.col("_old_s"), n_chunks, bits)
-        ).alias("bk"),
-    ).select(
-        "_old_id",
-        "_old_s",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bucket").alias("bucket"),
-    )
-    s = stream_docs.select(
-        F.col(id_col).alias("_new_id"),
-        ddp.simhash64(F.col(text_col), hash_fn=hash_fn).alias("_new_s"),
-    )
-    cands = (
-        s.select(
-            "_new_id",
-            "_new_s",
-            F.explode(
-                ddp.simhash_chunk_keys(F.col("_new_s"), n_chunks, bits)
-            ).alias("bk"),
-        )
-        .select(
-            "_new_id",
-            "_new_s",
-            F.col("bk.band").alias("band"),
-            F.col("bk.bucket").alias("bucket"),
-        )
-        .join(corpus_chunks, ["band", "bucket"])
-    )
-    verified = cands.withColumn(
-        "hamming", ddp.hamming64(F.col("_new_s"), F.col("_old_s"))
-    ).filter(F.col("hamming") <= max_hamming)
-    best = F.min(F.struct(F.col("hamming"), F.col("_old_id"))).alias("_best")
-    return (
-        verified.groupBy("_new_id")
-        .agg(best)
-        .select(
-            F.col("_new_id").alias(id_col),
-            F.col("_best._old_id").alias("dup_of"),
-            F.col("_best.hamming").alias("hamming"),
-        )
+    meta = {"kind": "simhash", "bits": bits, "hash": _hash_name(hash_fn)}
+    return flag_against_simhash_index(
+        stream_docs, corpus, meta,
+        id_col=id_col, text_col=text_col,
+        max_hamming=max_hamming, n_chunks=n_chunks,
     )
 
 

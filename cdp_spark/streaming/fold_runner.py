@@ -656,6 +656,7 @@ class IncrementFoldRunner:
         m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]+):(?=/)", checkpoint_dir)
         scheme = m.group(1).lower() if m else None
         remote = scheme is not None and scheme != "file"
+        netloc = ""
         if scheme == "file":
             # A file: URI with a non-local authority (file://host/path)
             # is NOT this machine's /path — urlparse would silently
@@ -699,14 +700,18 @@ class IncrementFoldRunner:
             # file:///x, file:/x, file://localhost/x -> local path /x.
             # urlparse("file://x") yields path '' (x is the netloc) —
             # that form was routed to the Hadoop branch above, so an
-            # empty path can only mean the bare "file://" root; fall
-            # back to stripping the scheme rather than letting a ''
-            # path resolve "metadata" against the CWD (ADVICE r14).
+            # empty path here can only be the bare root ("file://" or
+            # "file://localhost"); strip the scheme AND the local
+            # authority rather than letting a '' path resolve
+            # "metadata" against the CWD or "/localhost" (ADVICE r14).
             from urllib.parse import urlparse
 
             local = urlparse(checkpoint_dir).path
             if not local:
-                local = "/" + checkpoint_dir.split(":", 1)[1].lstrip("/")
+                rest = checkpoint_dir.split(":", 1)[1]
+                if rest.startswith("//"):
+                    rest = rest[2 + len(netloc):]
+                local = "/" + rest.lstrip("/")
         meta = os.path.join(local, "metadata")
         if not os.path.isfile(meta):
             return None

@@ -399,6 +399,10 @@ def test_checkpoint_id_resolves_single_slash_uris(spark, tmp_path):
         read("file://otherhost" + str(ckpt))
     with pytest.raises(Exception, match="[Ww]rong FS|file://x"):
         read("file://x")
+    # bare local roots resolve to "/", never to a CWD-relative
+    # "metadata" or to "/localhost" (the netloc must strip too)
+    assert read("file://localhost") is None
+    assert read("file://") is None
 
 
 def test_lineage_tag_validated(spark, tmp_path):

@@ -514,6 +514,18 @@ def test_foldcounts_compaction_keeps_policy_reads_o1_at_120_folds(
     assert sim.compact_foldcounts(path) is False
     os.remove(lock)
 
+    # a fresh FOREIGN-host lock is unprobeable and respected until
+    # the age bound — never broken just because the pid is unknown
+    # here (shared-storage deployments)
+    with open(lock, "w") as f:
+        f.write(f"somewhere-else:{os.getpid()}")
+    assert sim.compact_foldcounts(path) is False
+    old = time.time() - 7200
+    os.utime(lock, (old, old))  # aged out -> broken
+    sim._write_foldcounts(path, "s-e1", {1: 1})
+    assert sim.compact_foldcounts(path) is True
+    assert not os.path.isfile(lock)
+
 
 def test_fold_auto_compaction_in_the_real_lifecycle(spark, tmp_path):
     """The automatic every-Nth-fold trigger, end to end on real data:
