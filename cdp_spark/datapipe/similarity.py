@@ -613,35 +613,67 @@ def ivf_knn_join(
 
     SIZE ``n_centroids`` WITH THE CORPUS (the IVF contract):
     candidates are O(N x n_probe x N/n_centroids), so a fixed centroid
-    count turns quadratic as N grows — measured r15: 10x data at a
-    fixed 16 probes exponent 1.49, while scaling to 160 (constant
-    occupancy) probes 0.84 with per-output-row -0.16
-    (SCALEPROBE_r15.json: knn_join_ivf_occupancy).  Keep occupancy
-    N/n_centroids roughly constant, exactly as a FAISS IVF deployment
-    sizes nlist."""
+    count turns quadratic as N grows — measured r15 (warmed): 10x
+    data at a fixed 16 probes exponent 1.52, while scaling to 160
+    (constant occupancy) probes 0.36 with per-output-row -0.64
+    (SCALEPROBE_r15.json: knn_join_ivf_occupancy) — the latter AFTER
+    vectorizing the probe ranking, whose interpreted form was itself
+    O(N x n_centroids x dim) and dominated the scaled config (89 s of
+    89 s at the slab).  Keep occupancy N/n_centroids roughly
+    constant, exactly as a FAISS IVF deployment sizes nlist."""
     anchors = _anchor_set(dim, n_centroids, seed)
-    anchors_col = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("i"),
-                F.array(*[F.lit(x) for x in a]).alias("a"),
-            )
-            for i, a in enumerate(anchors)
-        ]
-    )
-    # negated score sorts ascending == dot DESC, ties to lowest i
-    scores = F.transform(
-        anchors_col,
-        lambda s: F.struct(
-            (-dot(F.col(vec_col), s["a"])).alias("ns"), s["i"].alias("i")
-        ),
-    )
-    probe_list = F.transform(
-        F.slice(F.array_sort(scores), 1, n_probe), lambda s: s["i"]
-    )
-    ranked = df.select(
-        F.col(id_col).alias("_qid"), probe_list.alias("_pl")
-    )
+    # negated score sorts ascending == dot DESC, ties to lowest i.
+    # The interpreted higher-order transform costs O(n_centroids x
+    # dim) per row — fine at small anchor sets, but the IVF sizing
+    # contract scales n_centroids WITH the corpus, making assignment
+    # N x n_centroids x dim total (measured r15: at 10x data with
+    # n_centroids 16 -> 160 the scoring leg dominated the whole
+    # join).  Above a small threshold the ranking runs as ONE numpy
+    # matmul per Arrow batch with the identical tie rule (stable
+    # argsort of -dots); the float64 sum order differs from the
+    # fold only on near-exact score ties, which only perturbs which
+    # approximate cell gets probed — the oracled small-config path
+    # stays on the fold for bit-exact cross-engine parity.
+    if n_centroids * dim > 4096:
+        amat_t = [list(col) for col in zip(*anchors)]  # dim x nc
+
+        @F.pandas_udf("array<long>")
+        def _probe_rank(v: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            m = np.asarray(v.tolist(), dtype=np.float64)
+            dots = m @ np.asarray(amat_t, dtype=np.float64)
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+            return pd.Series(list(order.astype("int64")))
+
+        ranked = df.select(
+            F.col(id_col).alias("_qid"),
+            _probe_rank(F.col(vec_col)).alias("_pl"),
+        )
+    else:
+        anchors_col = F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("i"),
+                    F.array(*[F.lit(x) for x in a]).alias("a"),
+                )
+                for i, a in enumerate(anchors)
+            ]
+        )
+        scores = F.transform(
+            anchors_col,
+            lambda s: F.struct(
+                (-dot(F.col(vec_col), s["a"])).alias("ns"), s["i"].alias("i")
+            ),
+        )
+        probe_list = F.transform(
+            F.slice(F.array_sort(scores), 1, n_probe), lambda s: s["i"]
+        )
+        ranked = df.select(
+            F.col(id_col).alias("_qid"), probe_list.alias("_pl")
+        )
     probes = ranked.select("_qid", F.explode("_pl").alias("_pc"))
     # assignment = the first probe: same scoring pass, same tie rule
     assigned = ranked.select(

@@ -153,6 +153,59 @@ def test_knn_join_matches_per_query_ivf_topk(spark):
         assert got == solo_pairs, (qid, got, solo_pairs)
 
 
+def test_knn_join_vectorized_ranking_matches_numpy_replay(spark):
+    """Above the anchor-set threshold the probe ranking runs as an
+    Arrow-batched matmul (the IVF sizing contract makes assignment
+    N x n_centroids x dim — measured 14x slower interpreted at 10x);
+    this pins the vectorized path's ENTIRE output against an
+    independent numpy replay of the operator semantics (stable
+    argsort tie rule, cell join, einsum cosine, (sim DESC, id) top-k)
+    at n_centroids=160, which crosses the 4096 threshold."""
+    import numpy as np
+
+    from cdp_spark.datapipe import similarity as sim
+    from cdp_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = sim.ivf_knn_join(
+        emb, dim=64, k=3, n_centroids=160, n_probe=2, seed=7,
+        round_digits=4,
+    )
+    got = sorted(tuple(r) for r in out.collect())
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([list(map(float, r["embedding"])) for r in rows])
+    amat = np.asarray(sim._anchor_set(64, 160, 7), dtype=np.float64)
+    dots = m @ amat.T
+    order = np.argsort(-dots, axis=1, kind="stable")[:, :2]
+    assign = order[:, 0]
+    cells: dict[int, list[int]] = {}
+    for i, c in enumerate(assign):
+        cells.setdefault(int(c), []).append(i)
+    norms = np.sqrt((m * m).sum(axis=1))
+    want = []
+    for qi in range(len(ids)):
+        cand = sorted(
+            {b for pc in order[qi] for b in cells.get(int(pc), [])}
+            - {qi}
+        )
+        if not cand:
+            continue
+        sims = [
+            round((m[qi] @ m[b]) / (norms[qi] * norms[b]), 4)
+            if norms[qi] > 0 and norms[b] > 0 else 0.0
+            for b in cand
+        ]
+        top = sorted(
+            zip(sims, (int(ids[b]) for b in cand)),
+            key=lambda sv: (-sv[0], sv[1]),
+        )[:3]
+        for rank, (s, bid) in enumerate(top, 1):
+            want.append((int(ids[qi]), bid, s, rank))
+    assert got == sorted(want) and len(got) > 0
+
+
 def test_knn_join_plan_has_no_cartesian_and_ids_only_cell_join(spark):
     """Scale pins: no CartesianProduct anywhere; the cell-key join
     carries ids only (no vector column reaches that exchange)."""
