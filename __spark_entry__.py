@@ -7244,11 +7244,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
               SELECT doc_id,
-                     md5(array_to_string(
-                       string_split_regex(
-                         trim(regexp_replace(lower(text),
-                                             '[^\p{L}\p{N}\s]+', ' ', 'g')),
-                         '\s+'), ' ')) AS ch,
+                     md5(coalesce(array_to_string(
+                       list_filter(
+                         string_split_regex(
+                           regexp_replace(lower(text),
+                                          '[^\p{L}\p{N}\s]+', ' ', 'g'),
+                           '\s+'),
+                         x -> x <> ''), ' '), '')) AS ch,
                      md5(text) AS rh
               FROM m
             )

@@ -414,12 +414,21 @@ def canonical_text(col: Column) -> Column:
     ``\\p{N}`` and the split-on-``\\s+`` the engine's tokenizer
     already uses — Java regex and RE2 (the DuckDB oracle) agree on
     these exactly, which keeps the canonical digest cross-engine
-    stable."""
+    stable.
+
+    Edge whitespace is handled by REMOVING empty split tokens, not by
+    ``trim`` (ADVICE r15): ``trim`` strips only ' ', so a trailing
+    ``\\n`` survived the split as an empty edge token and
+    ``'hello world\\n'`` canonicalized to ``'hello world '`` — the
+    most common variant (trailing newline) failed to collapse, in
+    BOTH engines, so the oracle could not catch it.  ``\\s+`` split
+    never yields interior empties, so removing ``''`` is exactly an
+    edge trim over the full ``\\s`` class."""
     cleaned = F.regexp_replace(
         F.lower(col), r"[^\p{L}\p{N}\s]+", " "
     )
     return F.array_join(
-        F.split(F.trim(cleaned), r"\s+"), " "
+        F.array_remove(F.split(cleaned, r"\s+"), ""), " "
     )
 
 

@@ -692,9 +692,11 @@ def simhash_chunk_keys(s: Column, n_chunks: int, bits: int) -> Column:
     chunk_cols = []
     for c in range(n_chunks):
         w = width + (bits - n_chunks * width if c == n_chunks - 1 else 0)
-        val = F.shiftrightunsigned(s, c * width).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
+        # ADVICE r15: (1 << 64) - 1 overflows a long literal, and
+        # n_chunks=1 (legal when max_hamming=0) yields w=64 — an
+        # all-bits mask is just -1 in two's complement.
+        mask = F.lit(-1).cast("long") if w >= 64 else F.lit((1 << w) - 1)
+        val = F.shiftrightunsigned(s, c * width).bitwiseAND(mask)
         chunk_cols.append(F.struct(F.lit(c).alias("band"), val.alias("bucket")))
     return F.array(*chunk_cols)
 
@@ -746,8 +748,14 @@ def simhash_near_dups(
             f"n_chunks={n_chunks} must exceed max_hamming={max_hamming} "
             "for the pigeonhole guarantee"
         )
+    # Empty-token documents carry no signal — their fingerprint is
+    # the constant 0 and every such pair would report hamming 0.
+    # Dropping them here matches the index/stream paths'
+    # ``_fingerprint_frame`` so the whole family shares one
+    # semantics (ADVICE r15; callers no longer need a pre-filter).
     sh = (
-        df.select(
+        df.filter(F.size(tokens(F.col(text_col))) > 0)
+        .select(
             F.col(id_col).alias("_id"),
             simhash64(F.col(text_col), hash_fn=hash_fn).alias("_s"),
         )

@@ -2043,11 +2043,31 @@ def compact_foldcounts(path: str) -> bool:
     try:
         fd = _acquire()
     except FileExistsError:
-        if _lock_is_stale(lock, _time.time()):
+        ident = _lock_identity(lock)
+        if ident is not None and _lock_is_stale(lock, _time.time()):
             tomb = f"{lock}.stale.{_os.getpid()}"
             try:
                 _os.rename(lock, tomb)
             except OSError:  # another process broke it first
+                return False
+            # ADVICE r15 TOCTOU: between our staleness judgment and
+            # the rename, another breaker may have broken the stale
+            # lock AND re-acquired a FRESH one — our rename would
+            # then capture the new holder's LIVE lock.  Verify the
+            # captured file is the very one we judged stale
+            # (inode + mtime + holder text); on mismatch, restore it
+            # non-clobberingly (link fails if the holder already
+            # re-created a lock) and back off — never remove a fresh
+            # lock, which would let two compactions run concurrently.
+            if _lock_identity(tomb) != ident:
+                try:
+                    _os.link(tomb, lock)
+                except OSError:
+                    pass  # a newer lock exists: leave it theirs
+                try:
+                    _os.remove(tomb)
+                except FileNotFoundError:
+                    pass
                 return False
             logger.warning(
                 "broke stale foldcounts-compaction lock %s "
@@ -2126,6 +2146,24 @@ def compact_foldcounts(path: str) -> bool:
             _os.remove(lock)
         except FileNotFoundError:
             pass
+
+
+def _lock_identity(lock: str):
+    """(inode, mtime_ns, holder text) of a lock file, or None when it
+    vanished/changed mid-read — the identity the TOCTOU guard in
+    :func:`compact_foldcounts` compares before and after its
+    lock→tomb rename.  The inode pins the exact file (a re-acquired
+    lock is a new inode); mtime+content guard filesystems that
+    recycle inodes."""
+    import os as _os
+
+    try:
+        st = _os.stat(lock)
+        with open(lock) as f:
+            text = f.read()
+    except OSError:
+        return None
+    return (st.st_ino, st.st_mtime_ns, text)
 
 
 def _lock_is_stale(lock: str, now: float, max_age: float = 3600.0) -> bool:

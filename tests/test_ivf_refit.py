@@ -527,6 +527,58 @@ def test_foldcounts_compaction_keeps_policy_reads_o1_at_120_folds(
     assert not os.path.isfile(lock)
 
 
+def test_stale_lock_break_verifies_identity_after_rename(
+    tmp_path, monkeypatch
+):
+    """ADVICE r15 TOCTOU: between this process judging the lock stale
+    and its rename, a RIVAL breaker can break the same stale lock and
+    re-acquire a fresh live one — the rename then captures the
+    rival's FRESH lock.  The guard must detect the identity mismatch,
+    restore the rival's lock, and back off (never remove it and run a
+    second concurrent compaction).  The race is made deterministic by
+    having the staleness judgment itself play the rival."""
+    import socket
+
+    path = str(tmp_path / "ivf")
+    os.makedirs(path)
+    sim.ivf_index_init(path, dim=8, n_centroids=4, seed=7)
+    os.makedirs(os.path.join(path, "fold=s-e0"))
+    sim._write_foldcounts(path, "s-e0", {0: 1})
+    lock = os.path.join(path, "_foldcounts_compact.lock")
+    old = time.time() - 7200
+    open(lock, "w").close()
+    os.utime(lock, (old, old))  # genuinely stale (aged-out empty)
+
+    fresh_holder = f"{socket.gethostname()}:{os.getpid()}"
+    real_stale = sim._lock_is_stale
+
+    def rival_wins_the_race(lck, now, max_age=3600.0):
+        res = real_stale(lck, now, max_age)
+        if res:  # rival breaks the stale lock and re-acquires NOW
+            os.remove(lck)
+            with open(lck, "w") as f:
+                f.write(fresh_holder)
+        return res
+
+    monkeypatch.setattr(sim, "_lock_is_stale", rival_wins_the_race)
+    assert sim.compact_foldcounts(path) is False  # backed off
+    # the rival's fresh lock survives, byte-identical, no tombs left
+    with open(lock) as f:
+        assert f.read() == fresh_holder
+    assert [e for e in os.listdir(path) if ".stale." in e] == []
+    # and the sidecar was NOT merged (no second compaction ran)
+    assert os.path.isfile(sim._foldcounts_path(path, "s-e0"))
+
+    # control: without the rival, the same stale lock breaks cleanly
+    monkeypatch.setattr(sim, "_lock_is_stale", real_stale)
+    os.remove(lock)
+    open(lock, "w").close()
+    os.utime(lock, (old, old))
+    assert sim.compact_foldcounts(path) is True
+    assert not os.path.isfile(lock)
+    assert not os.path.isfile(sim._foldcounts_path(path, "s-e0"))
+
+
 def test_fold_auto_compaction_in_the_real_lifecycle(spark, tmp_path):
     """The automatic every-Nth-fold trigger, end to end on real data:
     folds past compact_every leave at most compact_every-1 sidecars,

@@ -115,6 +115,46 @@ def test_simhash_near_dups_pigeonhole_guard_and_cap(spark):
     assert capped_pairs <= full_pairs
 
 
+def test_simhash_near_dups_drops_empty_token_docs(spark):
+    """ADVICE r15: empty-token documents fingerprint to the constant
+    0 and used to pair with EACH OTHER at hamming 0 in the batch
+    operator while the index/stream paths filtered them — the whole
+    family now shares the index semantics (no zero-fingerprint
+    pairs, no pre-filter needed)."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, ""),
+        (4, "   "),
+        (5, "\t\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ddp.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=3, n_chunks=4,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}  # never (3,4)/(3,5)/(4,5)
+
+
+def test_simhash_single_chunk_full_width_mask(spark):
+    """ADVICE r15: n_chunks=1 is legal when max_hamming=0 (exact
+    fingerprint equality) but the 64-bit chunk mask (1<<64)-1
+    overflowed a long literal and failed at PLAN time.  The all-bits
+    mask is -1; the single-chunk operator must plan, run, and equal
+    the hamming-0 subset of a multi-chunk run."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "something else entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ddp.simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=0, n_chunks=1, bits=64,
+    )
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in out.collect()} \
+        == {(1, 2, 0)}
+
+
 def test_knn_join_matches_per_query_ivf_topk(spark):
     """The self-join must agree row-for-row with the single-query IVF
     search: for sampled query ids, its top-3 equals ivf_topk over the
@@ -290,6 +330,13 @@ def test_canonical_text_collapses_case_punct_spacing(spark):
         (3, "HELLO   world -- this... is (fine)"),
         (4, "hello world this is different"),
         (5, ""),
+        # ADVICE r15: edge NON-SPACE whitespace must collapse too —
+        # trim() strips only ' ', so the trailing-newline variant
+        # (the most common one for this normalizer) used to
+        # canonicalize to "hello world this is fine " != variant 1.
+        (6, "hello world this is fine\n"),
+        (7, "\t Hello,  world this is fine. \r\n"),
+        (8, " \t\n"),
     ]
     df = spark.createDataFrame(rows, "i long, t string")
     got = {r["i"]: r["c"] for r in df.select(
@@ -298,6 +345,8 @@ def test_canonical_text_collapses_case_punct_spacing(spark):
     assert got[1] == got[2] == got[3] == "hello world this is fine"
     assert got[4] != got[1]
     assert got[5] == ""
+    assert got[6] == got[7] == got[1]
+    assert got[8] == ""
 
 
 def test_containment_dedup_keeps_superset_copy(spark):
