@@ -4641,6 +4641,181 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-SIZED IVF kNN self-join (r16, VERDICT r15 next #2):
+    ``n_centroids=None`` derives the centroid count from the corpus
+    as ceil(count / target_occupancy) — FAISS-nlist style — so the
+    default configuration keeps cell occupancy constant as data
+    grows instead of running the probed-34x fixed-centroid
+    anti-pattern.  target_occupancy=25 -> ceil(500/25) = 20 centroids
+    at sf0.01; the oracle replays the SAME derivation's outcome (its
+    20 seeded anchors are embedded as literals), so a drifted
+    derivation hash-mismatches.  Everything downstream — probe
+    ranking, ids-only cell join, einsum pair scorer, per-query top-3
+    window — is the knn_join_ivf machinery unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_knn_join(
+        emb, dim=64, k=3, n_probe=2, seed=7, round_digits=4,
+        target_occupancy=25,
+    )
+
+
+def q_simhash_combo_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via chunk-COMBINATION banding (r16,
+    VERDICT r15 next #3 — Manku §3's multi-table widening, the actual
+    100 TB answer): the 60-bit fingerprint splits into 8 chunks and
+    buckets on every C(8,3)=56 combination of 3 chunks.  Pigeonhole:
+    a pair within hamming 5 has at most 5 dirty chunks, hence at
+    least 3 clean ones, and the combination equal to those 3 clean
+    chunks is enumerated — lossless like single-chunk banding, but
+    the bucket key is ~22 bits wide, so occupancy falls as
+    corpus/2^22 instead of corpus/2^10: exponential relief with NO
+    semantics-changing max_bucket cap.  The exact xor-popcount verify
+    makes the result EXACTLY {pairs : hamming <= 5} — identical to
+    simhash_near_dups' output, and the oracle is the same
+    banding-free brute-force replay (token votes + all-pairs
+    xor-popcount), proving combination banding == brute force on the
+    real corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ddp.simhash_combo_near_dups(
+        docs, "doc_id", "text", max_hamming=5, n_chunks=8, combo_size=3,
+        bits=60, hash_fn=ddp.md5_hash60,
+    )
+
+
+def q_auto_simhash_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTOMATED fold lifecycle over the SimHash index (r16,
+    VERDICT r15 next #4 — fold_simhash_dedup's production loop):
+    ``IncrementFoldRunner`` now drives the 16-byte-per-doc
+    fingerprint index like the MinHash/exact-ngram/winnow kinds —
+    flag each micro-batch against the cycle snapshot (lossless Manku
+    chunk join + exact xor-popcount verify, closest partner), detect
+    increment completion from the trigger count, fold the increment's
+    SURVIVORS' fingerprints in, snapshot-swap, and open the next
+    increment against the grown index.  Two automatic cycles: inc1
+    (doc_id % 10 == 0) streams in as 2 micro-batches and auto-folds,
+    then inc2 (% 10 == 5) flags against corpus ∪ survivors(inc1) and
+    auto-folds too.  Oracle contract: fold-then-flag ==
+    flag-vs-rebuilt — and the banding is lossless, so the DuckDB
+    replay brute-forces hamming <= 5 with no index at all, checking
+    the fold contract AND the pigeonhole guarantee at once."""
+    import tempfile
+
+    from cdp_spark.datapipe import dedup_index as di
+    from cdp_spark.streaming.fold_runner import IncrementFoldRunner
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc1 = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    inc2 = docs.where(F.col("doc_id") % 10 == 5).select("doc_id", "text")
+
+    path = _fold_index_dir("cdp_autosh_idx_")
+    di.simhash_index_write(corpus, path, bits=60, hash_fn=ddp.md5_hash60)
+    src = _fold_index_dir("cdp_autosh_src_")
+    ckpt = tempfile.mkdtemp(prefix="cdp_autosh_ck_")
+    work = _fold_index_dir("cdp_autosh_work_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    runner = IncrementFoldRunner(
+        stream, path, work,
+        fold_every_batches=2, max_hamming=5, n_chunks=6,
+    )
+    for inc in (inc1, inc2):
+        inc.repartition(2).write.mode("append").json(src)
+        q = runner.start(checkpoint_dir=ckpt, available_now=True)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("auto-simhash pass still running after 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert runner.folds_done == 2, runner.folds_done
+    return runner.flags().select(
+        "doc_id",
+        "dup_of",
+        "hamming",
+        F.col("inc").cast("int").alias("inc"),
+    )
+
+
+def q_stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-user EWMA (r16, VERDICT r15 next #5): the same
+    telemetry-smoothing recurrence as ewma_user_value, carried across
+    micro-batches by ``applyInPandasWithState`` — state per user is
+    (last ewma, seen), two numbers.  Each user's events are staged
+    into 4 micro-batches BY SEQUENCE QUARTILE (ntile(4) over the
+    (ts, event_id) order) with strictly increasing file mtimes, so
+    every key's rows arrive in order across batches — the regime
+    where the stream provably equals the batch operator, and the
+    oracle is LITERALLY the batch recursive-CTE replay (same alpha =
+    0.5, same exactly-representable recurrence, raw doubles compared
+    at the driver's 9-digit normalization).  The within-batch sort
+    happens inside the state function, so shuffle order never leaks
+    into the result."""
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from cdp_spark.streaming.analytics import stream_ewma
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    quart = ev.withColumn(
+        "_q",
+        F.ntile(4).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    src = tempfile.mkdtemp(prefix="cdp_sewma_src_")
+    stage = tempfile.mkdtemp(prefix="cdp_sewma_stage_")
+    base = _time.time() - 400
+    for k in range(1, 5):
+        part_dir = _os.path.join(stage, f"q{k}")
+        (
+            quart.where(F.col("_q") == k)
+            .select(
+                "event_id", "user_id",
+                F.col("ts").cast("string").alias("ts"), "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(part_dir)
+        )
+        part = next(
+            e for e in sorted(_os.listdir(part_dir))
+            if e.startswith("part-") and e.endswith(".json")
+        )
+        dst = _os.path.join(src, f"batch-{k}.json")
+        shutil.move(_os.path.join(part_dir, part), dst)
+        _os.utime(dst, (base + 100 * k, base + 100 * k))
+    shutil.rmtree(stage, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_ewma(
+        stream, "user_id", ["ts", "event_id"], "value", alpha=0.5
+    )
+    mat = _drive_memory_stream(spark, out, "cdp_sewma_", src)
+    return mat.select("event_id", "user_id", "value", "ewma")
+
+
+_ROUND16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_join_ivf_auto": q_knn_join_ivf_auto,
+    "simhash_combo_near_dups": q_simhash_combo_near_dups,
+    "auto_simhash_lifecycle": q_auto_simhash_lifecycle,
+    "stream_ewma_user_value": q_stream_ewma_user_value,
+}
+
+
 _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_dedup_corpus": q_containment_dedup_corpus,
     "simhash_near_dups": q_simhash_near_dups,
@@ -5145,6 +5320,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_ROUND13_QUERIES)
     q.update(_ROUND14_QUERIES)
     q.update(_ROUND15_QUERIES)
+    q.update(_ROUND16_QUERIES)
     # --- r05-green (50): the leading entries fill the window to 50;
     # ordering inside this block puts a representative mix (sessions,
     # jq/jsonnet, dedup, timestamps) nearest the window edge ---
@@ -7124,6 +7300,52 @@ def oracle_sql() -> dict[str, str]:
                r AS "rank"
         FROM rk WHERE r <= 3
     """
+    # r16: the AUTO-SIZED kNN join — the operator derives
+    # n_centroids = ceil(count / target_occupancy) = ceil(500/25) =
+    # 20 at sf0.01; the oracle embeds the 20 seeded anchors that
+    # derivation must produce, so a drifted derivation (wrong count,
+    # wrong rounding, wrong seed chain) hash-mismatches.
+    anchors20 = sim._anchor_set(_EMB_DIM, 20, seed=7)
+    dots20_expr = "[" + ", ".join(
+        f"list_dot_product(emb, {_dl(a)})" for a in anchors20
+    ) + "]"
+    oracles["knn_join_ivf_auto"] = f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        scored AS (SELECT vec_id, emb, {dots20_expr} AS dots FROM base),
+        assigned AS (SELECT vec_id,
+                            list_indexof(dots, list_max(dots)) - 1 AS centroid
+                     FROM scored),
+        pr AS (
+          SELECT vec_id AS qid, ci - 1 AS pc,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, ci) AS prn
+          FROM (SELECT vec_id, unnest(dots) AS s,
+                       unnest(generate_series(1, len(dots))) AS ci
+                FROM scored)
+        ),
+        cand AS (
+          SELECT DISTINCT p.qid, a.vec_id AS bid
+          FROM pr p JOIN assigned a
+            ON a.centroid = p.pc AND a.vec_id <> p.qid
+          WHERE p.prn <= 2
+        ),
+        sc AS (
+          SELECT c.qid, c.bid,
+                 round(list_cosine_similarity(qa.emb, qb.emb), 4) AS cosine_sim
+          FROM cand c
+          JOIN base qa ON qa.vec_id = c.qid
+          JOIN base qb ON qb.vec_id = c.bid
+        ),
+        rk AS (
+          SELECT qid, bid, cosine_sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine_sim DESC, bid) AS r
+          FROM sc
+        )
+        SELECT qid AS vec_id, bid AS neighbor_id, cosine_sim,
+               r AS "rank"
+        FROM rk WHERE r <= 3
+    """
     oracles["ann_ivf_pq"] = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         scored AS (SELECT vec_id, emb, {dots_expr} AS dots FROM base),
@@ -7317,6 +7539,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, dup_of, hamming FROM flags WHERE rn = 1
     """
+    # r16: chunk-COMBINATION banding (Manku §3 multi-table widening)
+    # is lossless by pigeonhole, so the oracle skips the 56 tables
+    # entirely and brute-forces ALL PAIRS xor-popcount — combination
+    # banding == brute force, the strongest independent formulation.
+    oracles["simhash_combo_near_dups"] = f"""
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            hx AS (SELECT doc_id, {h60('tok')} AS h
+                   FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+            sh AS (SELECT doc_id, {votes} AS s FROM hx GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.s, b.s)) AS hamming
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND bit_count(xor(a.s, b.s)) <= 5
+    """
+    # r16 automated simhash fold lifecycle: fold-then-flag ==
+    # flag-vs-rebuilt, replayed index-free (lossless banding) with
+    # the increment label — cycle 0 flags inc1 vs the corpus alone,
+    # cycle 1 flags inc2 vs corpus ∪ survivors(inc1).
+    oracles["auto_simhash_lifecycle"] = f"""
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            hx AS (SELECT doc_id, {h60('tok')} AS h
+                   FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+            sh AS (SELECT doc_id, {votes} AS s FROM hx GROUP BY doc_id),
+            corpus0 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+            inc1 AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+            fl0 AS (
+              SELECT n.doc_id, o.doc_id AS dup_of,
+                     bit_count(xor(n.s, o.s)) AS hamming,
+                     row_number() OVER (
+                       PARTITION BY n.doc_id
+                       ORDER BY bit_count(xor(n.s, o.s)), o.doc_id) AS rn
+              FROM inc1 n JOIN corpus0 o
+                ON bit_count(xor(n.s, o.s)) <= 5
+            ),
+            folded AS (
+              SELECT * FROM corpus0
+              UNION ALL
+              SELECT * FROM inc1
+              WHERE doc_id NOT IN (SELECT doc_id FROM fl0)
+            ),
+            inc2 AS (SELECT * FROM sh WHERE doc_id % 10 = 5),
+            fl1 AS (
+              SELECT n.doc_id, o.doc_id AS dup_of,
+                     bit_count(xor(n.s, o.s)) AS hamming,
+                     row_number() OVER (
+                       PARTITION BY n.doc_id
+                       ORDER BY bit_count(xor(n.s, o.s)), o.doc_id) AS rn
+              FROM inc2 n JOIN folded o
+                ON bit_count(xor(n.s, o.s)) <= 5
+            )
+            SELECT doc_id, dup_of, hamming, 0 AS inc FROM fl0 WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, dup_of, hamming, 1 AS inc FROM fl1 WHERE rn = 1
+    """
+    # r16 streaming EWMA: the staged stream delivers every key's rows
+    # in (ts, event_id) order across micro-batches, the regime where
+    # stream == batch EXACTLY — so the oracle IS the batch
+    # recursive-CTE replay, unchanged.
+    oracles["stream_ewma_user_value"] = oracles["ewma_user_value"]
     oracles["cohort_retention"] = """
         WITH wk AS (
           SELECT user_id, date_trunc('week', ts) AS wk FROM events),

@@ -801,6 +801,118 @@ def simhash_near_dups(
     )
 
 
+def simhash_combo_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    combo_size: int | None = None,
+    bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via chunk-COMBINATION banding —
+    Manku §3's multi-table widening, the design that holds at web
+    scale where :func:`simhash_near_dups`'s single-chunk buckets
+    over-occupy (VERDICT r15 next #3).
+
+    Split the fingerprint into ``n_chunks`` ranges as before, but
+    bucket on every COMBINATION of ``combo_size`` chunks
+    (``C(n_chunks, combo_size)`` tables, key = the concatenated chunk
+    values).  Pigeonhole: a pair within hamming ``max_hamming`` has
+    at most ``max_hamming`` dirty chunks, hence at least
+    ``n_chunks - max_hamming`` clean ones — so as long as
+    ``combo_size <= n_chunks - max_hamming``, SOME enumerated
+    combination consists entirely of clean chunks and the pair
+    shares that bucket exactly.  Lossless, like the single-chunk
+    scheme, but the bucket key is ``combo_size`` chunks wide:
+    occupancy falls as corpus / 2^(combo_size x width) — EXPONENTIAL
+    relief vs the single-chunk corpus / 2^width, bought with
+    ``C(n_chunks, combo_size)`` tables of (id, key) rows.  This is
+    how the Google deployment sizes for 10^10+ docs: more tables,
+    wider keys, never a semantics-changing occupancy cap.
+
+    Defaults: ``n_chunks = max_hamming + 3`` (wide enough for
+    2-chunk combinations), ``combo_size = n_chunks - max_hamming``
+    (the widest lossless key — maximum occupancy relief).  The
+    bucket key is ``xxhash64(table_id, chunk values...)``: equal
+    combinations collide by construction (losslessness preserved);
+    hash collisions only ever ADD candidates, which the exact
+    xor-popcount verify removes.
+
+    Scale shape: the fingerprint frame is (id, long) computed once
+    (localCheckpoint, as the single-chunk operator); the exploded
+    candidate frame is (id, key) — 16 bytes x C(n_chunks, combo_size)
+    per doc; verify joins move ids only.  Empty-token docs are
+    dropped (family semantics).  Output: (id_a, id_b, hamming),
+    id_a < id_b — identical to :func:`simhash_near_dups`.
+    """
+    from itertools import combinations
+
+    if n_chunks is None:
+        n_chunks = max_hamming + 3
+    if combo_size is None:
+        combo_size = n_chunks - max_hamming
+    if not 1 <= combo_size <= n_chunks - max_hamming:
+        raise ValueError(
+            f"combo_size={combo_size} must be in [1, n_chunks - "
+            f"max_hamming] = [1, {n_chunks - max_hamming}] for the "
+            "pigeonhole guarantee"
+        )
+    sh = (
+        df.filter(F.size(tokens(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            simhash64(F.col(text_col), hash_fn=hash_fn).alias("_s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chunk_vals = F.transform(
+        simhash_chunk_keys(F.col("_s"), n_chunks, bits), lambda s: s["bucket"]
+    )
+    keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(t), *[F.element_at(chunk_vals, i + 1) for i in combo]
+            )
+            for t, combo in enumerate(combinations(range(n_chunks), combo_size))
+        ]
+    )
+    exploded = sh.select("_id", F.explode(keys).alias("key"))
+    buckets = (
+        exploded.groupBy("key")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def exact_substring_pairs(
     df: DataFrame,
     id_col: str,

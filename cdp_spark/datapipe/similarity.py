@@ -570,12 +570,13 @@ def ivf_knn_join(
     df: DataFrame,
     dim: int,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
     round_digits: int = 4,
+    target_occupancy: int = 32,
 ) -> DataFrame:
     """kNN SELF-JOIN, IVF-bounded (r15): for EVERY vector, its top-k
     cosine neighbors among the vectors assigned to its ``n_probe``
@@ -620,7 +621,20 @@ def ivf_knn_join(
     vectorizing the probe ranking, whose interpreted form was itself
     O(N x n_centroids x dim) and dominated the scaled config (89 s of
     89 s at the slab).  Keep occupancy N/n_centroids roughly
-    constant, exactly as a FAISS IVF deployment sizes nlist."""
+    constant, exactly as a FAISS IVF deployment sizes nlist.
+
+    The DEFAULT (``n_centroids=None``, VERDICT r15 next #2) applies
+    that contract automatically: the centroid count derives from the
+    corpus as ``ceil(count / target_occupancy)`` — one count job
+    (metadata-only on a plain parquet scan) buys a config that cannot
+    run the probed-34x fixed-centroid anti-pattern at 10x data.  The
+    derived path is pinned result-identical to the same explicit
+    count (tests) — derivation changes only WHICH size runs, never
+    the semantics of a size."""
+    if n_centroids is None:
+        import math as _math
+
+        n_centroids = max(1, _math.ceil(df.count() / target_occupancy))
     anchors = _anchor_set(dim, n_centroids, seed)
     # negated score sorts ascending == dot DESC, ties to lowest i.
     # The interpreted higher-order transform costs O(n_centroids x

@@ -697,3 +697,88 @@ def stream_quality_gate(
         )
         .drop("_pii")
     )
+
+
+def stream_ewma(
+    stream: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """STREAMING per-key EWMA — the telemetry-smoothing recurrence
+    ``y_0 = x_0``, ``y_i = alpha*x_i + (1-alpha)*y_{i-1}`` carried
+    across micro-batches (VERDICT r15 next #5): the canonical
+    ``applyInPandasWithState`` use, where the whole cross-batch state
+    is two numbers per key (the last smoothed value + a seen flag).
+
+    Semantics contract: the recurrence consumes each key's rows in
+    ``order_cols`` order WITHIN a micro-batch (sorted inside the
+    state function — shuffle order never leaks into the result), and
+    in ARRIVAL order across batches; it equals the batch
+    :func:`~cdp_spark.datapipe.analytics.ewma` exactly when the
+    source delivers each key's rows in non-decreasing ``order_cols``
+    order across batches (the normal telemetry regime — per-device
+    readings arrive in time order).  Out-of-order cross-batch
+    arrivals smooth in arrival order, the standard streaming-EWMA
+    behavior.
+
+    The recurrence is the explicit ``a*x + (1-a)*y`` form for the
+    same bitwise-reproducibility reasons as the batch operator (with
+    (1-alpha) exactly representable the stream equals the batch and
+    any IEEE oracle bit-for-bit).  State is bounded by key
+    cardinality — two doubles per key, never corpus-sized; no
+    timeout (a key's baseline persists for its next reading).
+
+    Output: the input columns + ``out_col``, append mode."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        list(stream.schema.fields)
+        + [T.StructField(out_col, T.DoubleType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("prev", T.DoubleType()),
+            T.StructField("seen", T.BooleanType()),
+        ]
+    )
+    cols = list(stream.columns)
+    a = float(alpha)
+    one_minus = 1.0 - a
+
+    def _fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        prev, seen = (state.get if state.exists else (0.0, False))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        out = np.empty_like(vals)
+        for i in range(len(vals)):
+            prev = (
+                a * vals[i] + one_minus * prev if seen else vals[i]
+            )
+            seen = True
+            out[i] = prev
+        state.update((float(prev), True))
+        pdf[out_col] = out
+        yield pdf[cols + [out_col]]
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -490,8 +490,9 @@ class IncrementFoldRunner:
     ``text_col``; each document must arrive in exactly one micro-batch
     (re-deliveries would be re-flagged and, if surviving, re-folded).
     ``index_path``: an index written by ``minhash_index_write``,
-    ``substring_index_write``, or ``exactngram_index_write`` — the
-    kind is read from its meta.
+    ``substring_index_write``, ``exactngram_index_write``, or
+    ``simhash_index_write`` — the kind is read from its meta
+    (``max_hamming``/``n_chunks`` apply to the simhash kind only).
     ``work_dir``: runner-owned spool; ``increments/inc=<k>/epoch=<e>/``
     holds each increment's documents per source epoch,
     ``flags/inc=<k>/epoch=<e>/`` its flags, and
@@ -526,6 +527,8 @@ class IncrementFoldRunner:
         fold_every_batches: Optional[int] = None,
         fold_every_rows: Optional[int] = None,
         lineage: Optional[str] = None,
+        max_hamming: int = 5,
+        n_chunks: int = 6,
     ) -> None:
         if not source_stream.isStreaming:
             raise ValueError("source_stream must be a streaming DataFrame")
@@ -545,6 +548,8 @@ class IncrementFoldRunner:
         self._text = text_col
         self._threshold = threshold
         self._bands = bands
+        self._max_hamming = max_hamming
+        self._n_chunks = n_chunks
         self._every_batches = fold_every_batches
         self._every_rows = fold_every_rows
         self._lineage = lineage
@@ -565,7 +570,7 @@ class IncrementFoldRunner:
 
         with open(os.path.join(index_path, di._META_NAME)) as f:
             self._kind = json.load(f)["kind"]
-        if self._kind not in ("minhash", "substring", "exactngram"):
+        if self._kind not in ("minhash", "substring", "exactngram", "simhash"):
             raise ValueError(
                 f"index at {index_path} has unsupported kind "
                 f"{self._kind!r} for the fold lifecycle"
@@ -769,6 +774,13 @@ class IncrementFoldRunner:
             dfc, meta = di.exactngram_index_load(self._spark, self._path)
             self._meta = meta
             self._idx = iter_checkpoint(di.exactngram_seen_index(dfc))
+        elif self._kind == "simhash":
+            # (id, s) — 16 bytes/doc; materialized once per cycle so
+            # every batch's chunk join reads the snapshot, not the
+            # growing fold directories (VERDICT r15 next #4)
+            idx, meta = di.simhash_index_load(self._spark, self._path)
+            self._meta = meta
+            self._idx = iter_checkpoint(idx)
         else:
             fps, dfc, meta = di.substring_index_load(
                 self._spark, self._path
@@ -810,6 +822,12 @@ class IncrementFoldRunner:
             return di.flag_against_exactngram_index(
                 docs, self._idx, self._meta,
                 id_col=self._id, text_col=self._text,
+            )
+        if self._kind == "simhash":
+            return di.flag_against_simhash_index(
+                docs, self._idx, self._meta,
+                id_col=self._id, text_col=self._text,
+                max_hamming=self._max_hamming, n_chunks=self._n_chunks,
             )
         from .analytics import reduce_substring_flags
 
@@ -927,6 +945,12 @@ class IncrementFoldRunner:
             )
         elif self._kind == "exactngram":
             di.exactngram_index_fold(
+                inc_docs, flagged, self._path,
+                id_col=self._id, text_col=self._text, epoch=upto_epoch,
+                lineage=self._lineage,
+            )
+        elif self._kind == "simhash":
+            di.simhash_index_fold(
                 inc_docs, flagged, self._path,
                 id_col=self._id, text_col=self._text, epoch=upto_epoch,
                 lineage=self._lineage,

@@ -269,3 +269,65 @@ def test_explicit_fold_signal_and_empty_flags_schema(spark, tmp_path):
     ).count()
     assert idx.count() == n_corpus + n_inc1 - n_flagged
     assert os.path.isdir(os.path.join(str(tmp_path / "work"), "flags"))
+
+
+def test_simhash_auto_fold_two_cycles_match_hand_driven(spark, tmp_path):
+    """r16 (VERDICT r15 next #4): the SimHash index joins the
+    automated fold lifecycle — two auto-folded cycles must equal the
+    hand-driven fold-then-flag sequence (itself oracled equal to
+    flag-vs-rebuilt in the fold_simhash_dedup driver row), and the
+    runner's folded index must hold exactly corpus ∪ survivors."""
+    runner_path = str(tmp_path / "sh")
+
+    def writer(corpus, path):
+        di.simhash_index_write(
+            corpus, path, bits=60, hash_fn=ddp.md5_hash60
+        )
+
+    runner, corpus, inc1, inc2 = _run_two_increments(
+        spark, tmp_path, runner_path, writer
+    )
+
+    hand = str(tmp_path / "sh_hand")
+    writer(corpus, hand)
+    idx, meta = di.simhash_index_load(spark, hand)
+    f1 = di.flag_against_simhash_index(
+        inc1, idx, meta, max_hamming=5, n_chunks=6
+    )
+    expected1 = {tuple(r) for r in f1.collect()}
+    di.simhash_index_fold(inc1, f1.select("doc_id"), hand)
+    idx2, meta2 = di.simhash_index_load(spark, hand)
+    expected2 = {
+        tuple(r)
+        for r in di.flag_against_simhash_index(
+            inc2, idx2, meta2, max_hamming=5, n_chunks=6
+        ).collect()
+    }
+
+    flags = runner.flags()
+    got1 = {
+        tuple(r)
+        for r in flags.where(F.col("inc") == 0)
+        .select("doc_id", "dup_of", "hamming")
+        .collect()
+    }
+    got2 = {
+        tuple(r)
+        for r in flags.where(F.col("inc") == 1)
+        .select("doc_id", "dup_of", "hamming")
+        .collect()
+    }
+    assert got1 == expected1 and expected1, "cycle-1 flags drifted"
+    assert got2 == expected2 and expected2, "cycle-2 flags drifted"
+    di.simhash_index_fold(
+        inc2,
+        spark.createDataFrame(
+            [(i,) for (i, *_rest) in expected2], "doc_id long"
+        ),
+        hand,
+    )
+    ridx, _ = di.simhash_index_load(spark, runner_path)
+    hidx2, _ = di.simhash_index_load(spark, hand)
+    assert sorted(tuple(r) for r in ridx.collect()) == sorted(
+        tuple(r) for r in hidx2.collect()
+    )
