@@ -62,11 +62,17 @@ jsonnet programs use only length/map/toString/join):
   go-jsonnet-matching JSON normalization (string keys, ISO-string
   timestamps; multi-doc stream -> array).  Raises loudly if PyYAML
   is absent from the environment.
-- **Not implemented** (error loudly if called): ``native`` /
-  ``thisFile`` (need VM-host context the distributed sandbox doesn't
-  provide) and ``manifestTomlEx`` (full TOML grammar out of scope).
-  A program touching one fails with "std has no field", which the
-  runner routes to dead-letter — never a silently wrong value.
+- ``manifestTomlEx`` / ``manifestToml`` (r16): tables,
+  arrays-of-tables, inline value arrays/objects, bare-vs-quoted keys
+  — the documented go-jsonnet semantics; ``null``/functions error
+  (TOML has no null).
+- **Not implemented BY DESIGN** (error loudly if called): ``native``
+  (binds Go host functions registered on the embedding VM — a
+  distributed evaluator has no host VM to bind against) and
+  ``thisFile`` (needs the importing file's path; snippets evaluated
+  from pipeline templates have none).  A program touching one fails
+  with "std has no field", which the runner routes to dead-letter —
+  never a silently wrong value.
 """
 
 from __future__ import annotations
@@ -488,6 +494,8 @@ class _Parser:
             return ("object", fields, locals_, asserts)
         while True:
             k, v, p = self.peek()
+            if k == "op" and v == "}":
+                break  # trailing comma before '}' (legal jsonnet)
             if k == "kw" and v == "local":
                 self.next()
                 locals_.append(self.bind())
@@ -1698,6 +1706,8 @@ def _make_std(ev: Evaluator) -> dict[str, Any]:
             ),
             # manifestation
             "manifestIni": _manifest_ini,
+            "manifestTomlEx": _manifest_toml,
+            "manifestToml": lambda v: _manifest_toml(v, "  "),
             "manifestPython": _manifest_python,
             "manifestPythonVars": lambda conf: "".join(
                 f"{k} = {_manifest_python(conf[k])}\n" for k in sorted(conf)
@@ -1805,6 +1815,127 @@ def _manifest_python(v: Any) -> str:
             + "}"
         )
     raise JsonnetRuntimeError(f"std.manifestPython of {_typename(v)}")
+
+
+_TOML_BARE_KEY = re.compile(r"^[A-Za-z0-9_-]+$")
+
+
+def _manifest_toml(value: Any, indent: Any) -> str:
+    """go-jsonnet ``std.manifestTomlEx`` semantics (r16, VERDICT r15
+    next #7): simple key-values first within each table, then
+    ``[table]`` sections for object fields and ``[[table]]``
+    array-of-tables sections (an array counts as a table array when
+    non-empty and all-objects; any other array renders as a TOML
+    inline/multi-line value array).  Keys render bare when they match
+    ``[A-Za-z0-9_-]+``, JSON-quoted otherwise; field order is
+    ``std.objectFields`` order (sorted).  ``null`` and functions
+    error — TOML has no null, exactly as go-jsonnet errors."""
+    indent = _want(indent, "string", "std.manifestTomlEx indent")
+    if not isinstance(value, dict):
+        raise JsonnetRuntimeError(
+            f"std.manifestTomlEx: top-level must be an object, got "
+            f"{_typename(value)}"
+        )
+
+    def esc_str(s: str) -> str:
+        return json.dumps(s, ensure_ascii=False)
+
+    def esc_key(k: str) -> str:
+        return k if _TOML_BARE_KEY.match(k) else esc_str(k)
+
+    def is_table_array(v: Any) -> bool:
+        return (
+            isinstance(v, list)
+            and len(v) > 0
+            and all(isinstance(e, dict) for e in v)
+        )
+
+    def is_section(v: Any) -> bool:
+        return isinstance(v, dict) or is_table_array(v)
+
+    def path_str(path: list) -> str:
+        return "".join(f"[{p!r}]" for p in path)
+
+    def render_value(v: Any, path: list, inline: bool, cindent: str) -> str:
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if v is None:
+            raise JsonnetRuntimeError(
+                'std.manifestTomlEx: tried to manifest "null" at '
+                + path_str(path)
+            )
+        if isinstance(v, (int, float)):
+            return _num_repr(v)
+        if isinstance(v, str):
+            return esc_str(v)
+        if isinstance(v, list):
+            if not v:
+                return "[]"
+            new_indent = "" if inline else cindent + indent
+            sep = " " if inline else "\n"
+            items = ("," + sep).join(
+                new_indent + render_value(e, path + [i], True, "")
+                for i, e in enumerate(v)
+            )
+            close = "" if inline else cindent
+            return "[" + sep + items + sep + close + "]"
+        if isinstance(v, dict):
+            body = ", ".join(
+                esc_key(k) + " = " + render_value(v[k], path + [k], True, "")
+                for k in sorted(v)
+            )
+            return "{ " + body + " }"
+        raise JsonnetRuntimeError(
+            "std.manifestTomlEx: tried to manifest "
+            f"{_typename(v)} at " + path_str(path)
+        )
+
+    def render_table_internal(
+        v: dict, path: list, ipath: list, cindent: str
+    ) -> str:
+        kvp = [
+            cindent
+            + esc_key(k)
+            + " = "
+            + render_value(v[k], ipath + [k], False, cindent)
+            for k in sorted(v)
+            if not is_section(v[k])
+        ]
+        sections = [
+            render_table(v[k], path + [k], ipath + [k], cindent)
+            if isinstance(v[k], dict)
+            else render_table_array(v[k], path + [k], ipath + [k], cindent)
+            for k in sorted(v)
+            if is_section(v[k])
+        ]
+        parts = (["\n".join(kvp)] if kvp else []) + sections
+        return "\n\n".join(parts)
+
+    def render_table(v: dict, path: list, ipath: list, cindent: str) -> str:
+        header = cindent + "[" + ".".join(esc_key(p) for p in path) + "]"
+        if not v:
+            return header
+        return header + "\n" + render_table_internal(
+            v, path, ipath, cindent + indent
+        )
+
+    def render_table_array(
+        v: list, path: list, ipath: list, cindent: str
+    ) -> str:
+        name = ".".join(esc_key(p) for p in path)
+        out = []
+        for i, e in enumerate(v):
+            header = cindent + "[[" + name + "]]"
+            if e:
+                header += "\n" + render_table_internal(
+                    e, path, ipath + [i], cindent + indent
+                )
+            out.append(header)
+        return "\n\n".join(out)
+
+    return render_table_internal(value, [], [], "")
 
 
 def _manifest_ini(ini: Any) -> str:

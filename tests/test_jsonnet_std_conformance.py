@@ -137,10 +137,93 @@ def test_ext_var_round_trip_and_undefined():
 
 
 def test_unimplemented_std_errors_loudly():
+    # native/thisFile are host-context-unavailable BY DESIGN: native
+    # binds Go functions registered on the embedding VM; thisFile
+    # needs the importing file's path — snippet evaluation has
+    # neither.  They must fail loudly, never return a wrong value.
     with pytest.raises(JsonnetRuntimeError):
         evaluate_snippet("std.native('f')")
     with pytest.raises(JsonnetRuntimeError):
-        evaluate_snippet("std.manifestTomlEx({a: 1}, '  ')")
+        evaluate_snippet("std.thisFile")
+
+
+def test_manifest_toml_ex_documented_example():
+    """r16: the full jsonnet.org manifestTomlEx example — simple
+    key-values first, [table] sections, [[array-of-tables]] sections,
+    multi-line value arrays with inline nesting, objectFields
+    (sorted) order."""
+    out = evaluate_snippet("""
+std.manifestTomlEx({
+  key1: "value",
+  key2: 1,
+  section: {
+    a: 1,
+    b: "str",
+    c: false,
+    d: [1, "s", [2, 3]],
+    subsection: { k: "v" },
+  },
+  sectionArray: [
+    { k: "v1", v: 123 },
+    { k: "v2", c: "value2" },
+  ],
+}, "  ")
+""")
+    assert out == (
+        'key1 = "value"\n'
+        "key2 = 1\n"
+        "\n"
+        "[section]\n"
+        "  a = 1\n"
+        '  b = "str"\n'
+        "  c = false\n"
+        "  d = [\n"
+        "    1,\n"
+        '    "s",\n'
+        "    [ 2, 3 ]\n"
+        "  ]\n"
+        "\n"
+        "  [section.subsection]\n"
+        '    k = "v"\n'
+        "\n"
+        "[[sectionArray]]\n"
+        '  k = "v1"\n'
+        "  v = 123\n"
+        "\n"
+        "[[sectionArray]]\n"
+        '  c = "value2"\n'
+        '  k = "v2"'
+    )
+
+
+def test_manifest_toml_edges():
+    # quoted keys, empty table/array, empty element in a table array,
+    # the manifestToml two-space default, and the error cases (TOML
+    # has no null; functions never manifest; top level must be object)
+    assert evaluate_snippet(
+        "std.manifestTomlEx({'a b': 1, emptyobj: {}, emptyarr: [],"
+        " arr: [{x: 1}, {}]}, '  ')"
+    ) == (
+        '"a b" = 1\nemptyarr = []\n\n[[arr]]\n  x = 1\n\n[[arr]]'
+        "\n\n[emptyobj]"
+    )
+    assert evaluate_snippet(
+        "std.manifestToml({a: 1.5, b: [true, false]})"
+    ) == "a = 1.5\nb = [\n  true,\n  false\n]"
+    with pytest.raises(JsonnetRuntimeError, match="null"):
+        evaluate_snippet("std.manifestTomlEx({a: null}, ' ')")
+    with pytest.raises(JsonnetRuntimeError, match="object"):
+        evaluate_snippet("std.manifestTomlEx([1], ' ')")
+    with pytest.raises(JsonnetRuntimeError, match="function"):
+        evaluate_snippet("std.manifestTomlEx({f: function(x) x}, ' ')")
+
+
+def test_object_literal_trailing_comma_parses():
+    """Found while wiring the TOML example: a trailing comma in an
+    OBJECT literal (legal jsonnet; arrays already worked) failed to
+    parse."""
+    assert evaluate_snippet("{a: 1, b: {c: 2},}") == {"a": 1, "b": {"c": 2}}
+    assert evaluate_snippet("{a: 1,}") == {"a": 1}
 
 
 def test_parse_yaml_single_doc():
