@@ -4828,11 +4828,79 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# Round-15 driver window (VERDICT r14 "next round" #3): EMITTED BY
-# `python scripts/window_plan.py 15` — the script now honors its
-# round argument (hard rows from rounds < 15 only) and anchors its
-# artifact glob to the repo root, so the plan is identical whether or
-# not CORRECTNESS_r15.json has landed yet and wherever pytest runs
+# Round-16 driver window: EMITTED BY `python scripts/window_plan.py
+# 16`.  Composition: the 4 round-16 additions, then ALL 8 remaining
+# r11-era deferrals (the stalest cohort), then 38 of the 50 r12-era
+# rows (registry order), filling the 50 exactly.  After this round
+# TWELVE registered queries' last hard driver row is r12
+# (sort_limit, scalar_functions, pivot_conditional, topk_frequent,
+# avg_subquery_join, ann_lsh, grouping_sets, dedup_exact_docs,
+# dup_clusters, text_stats, minhash_pairs, ngram_jaccard_pairs,
+# embedding_cosine_pairs, simhash_docs... — the r12 leftovers lead
+# the r17 cohort).
+_R16_WINDOW: tuple[str, ...] = (
+    # -- round-16 additions --
+    "knn_join_ivf_auto",
+    "simhash_combo_near_dups",
+    "auto_simhash_lifecycle",
+    "stream_ewma_user_value",
+    # -- last driver row r11: all 8 remaining deferrals --
+    "q12_late_shipments",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "zscore_outliers",
+    "window_nav_funcs",
+    "q13_customer_distribution",
+    "q19_disjunctive_revenue",
+    # -- last driver row r12: 38 of the 50 (registry order) --
+    "string_agg_sorted",
+    "vector_dim_stats",
+    "stratified_sample",
+    "dataset_mix",
+    "lang_id",
+    "quality_score",
+    "token_count_by_source",
+    "fingerprint_docs",
+    "ann_bruteforce",
+    "near_dup_verified",
+    "exact_ngram_clean_text",
+    "ivf_refit_lifecycle",
+    "exact_ngram_index_clean",
+    "multimodal_bytes",
+    "multimodal_features",
+    "multimodal_resize",
+    "jq_window_stats_keyed",
+    "jsonnet_window_stats_keyed",
+    "pattern_match_drop",
+    "pattern_match_composite",
+    "rename_affix",
+    "window_reduce_agg",
+    "window_flatmap_slide",
+    "window_reduce_keyed",
+    "window_flatmap_keyed",
+    "unpivot_measures",
+    "keep_last_per_window",
+    "keep_when_filter",
+    "keep_when_combinators",
+    "json_extract_props",
+    "q3_shipping_priority",
+    "top_customers",
+    "join_semi",
+    "join_anti",
+    "cohort_retention",
+    "funnel_steps",
+    "value_histogram",
+    "embedding_centroids",
+)
+
+# Historical r15 window, kept for artifact cross-reference (the judge
+# diffs CORRECTNESS keys against the declared window of that round).
+# EMITTED BY `python scripts/window_plan.py 15` — the script honors
+# its round argument (hard rows from rounds < 15 only) and anchors
+# its artifact glob to the repo root, so the plan is identical
+# whether or not CORRECTNESS_r15.json has landed yet and wherever
+# pytest runs
 # (VERDICT r14 #1).  Composition: the 8 round-15 additions, then 42
 # of the 50 r11-era deferrals (last hard driver row r11, registry
 # order), filling the 50 exactly.  After this round EIGHT registered
@@ -5249,7 +5317,7 @@ _R09_WINDOW: tuple[str, ...] = (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _all_queries()
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: full[name] for name in _R15_WINDOW
+        name: full[name] for name in _R16_WINDOW
     }
     q.update(full)  # existing keys keep their (window) position
     return q

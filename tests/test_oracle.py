@@ -97,7 +97,7 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
-ROUND = 15  # the round whose window queries() currently declares
+ROUND = 16  # the round whose window queries() currently declares
 
 
 def test_driver_window_matches_script_emitted_plan():
