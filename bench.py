@@ -273,6 +273,57 @@ def _parallel_spin_calibration(
     return time.perf_counter() - t0
 
 
+def _stream_overhead_calibration(spark, n_batches: int = 6) -> float:
+    """Fixed-cost Structured Streaming drive (VERDICT r15 next #8):
+    ``n_batches`` single-file micro-batches of a ONE-ROW json stream
+    through a memory sink under AvailableNow — no operator work at
+    all, so the per-trigger wall time is pure harness (trigger
+    scheduling, offset/commit log writes, checkpoint fsyncs).  The
+    heavy stream-lifecycle bench rows are dominated by exactly this
+    cost; recording it per round lets bench_compare divide it out so
+    cross-round stream-query comparisons stop aliasing harness drift
+    into operator cost.  Returns seconds per trigger."""
+    import shutil as _sh
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="cdp_bench_so_src_")
+    ckpt = tempfile.mkdtemp(prefix="cdp_bench_so_ck_")
+    base = time.time() - 300
+    for k in range(n_batches):
+        p = os.path.join(src, f"b{k}.json")
+        with open(p, "w") as f:
+            f.write('{"x": %d}\n' % k)
+        os.utime(p, (base + k, base + k))
+    stream = (
+        spark.readStream.schema("x long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    name = "cdp_bench_so_" + uuid.uuid4().hex[:8]
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("stream-overhead calibration hung")
+    finally:
+        if q.isActive:
+            q.stop()
+    dt = time.perf_counter() - t0
+    spark.catalog.dropTempView(name)
+    _sh.rmtree(src, ignore_errors=True)
+    _sh.rmtree(ckpt, ignore_errors=True)
+    return dt / n_batches
+
+
 def _scan_calibration(spark, sf_dir: str, runs: int = 3) -> float:
     """Fixed-cost Spark work: median count() over the cached lineitem
     table (warmed by main()).  Exercises the JVM/scheduler/executor
@@ -328,6 +379,9 @@ def main() -> None:
     bpe_fit_sec = time.perf_counter() - t0
 
     host["scan_sec"] = round(_scan_calibration(spark, sf_dir), 3)
+    host["stream_overhead_sec_start"] = round(
+        _stream_overhead_calibration(spark), 3
+    )
 
     qs = entrymod.queries()
     # Median of 3 warm runs per query (VERDICT r5 "next round" #2): a
@@ -374,6 +428,9 @@ def main() -> None:
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     host["spin_sec_end"] = round(_spin_calibration(), 3)
     host["pspin_sec_end"] = round(_parallel_spin_calibration(), 3)
+    host["stream_overhead_sec_end"] = round(
+        _stream_overhead_calibration(spark), 3
+    )
     payload = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",

@@ -67,6 +67,26 @@ def main() -> None:
     ha, hb = (a.get("host") or {}), (b.get("host") or {})
     if ha.get("scan_sec") and hb.get("scan_sec"):
         print(f"scan calibration (B/A):   {hb['scan_sec']/ha['scan_sec']:.3f}")
+    # Stream-trigger overhead (r16, VERDICT r15 #8): the heavy
+    # stream-lifecycle rows are dominated by trigger scheduling +
+    # checkpoint commits, pure harness cost the pspin gang never
+    # touches.  When both artifacts carry the per-trigger
+    # calibration, report it and re-normalize the trigger-bound rows
+    # (stream_*/auto_*/fold_* drives) by IT instead of pspin — what
+    # remains on those rows is operator drift, not harness drift.
+    oa, ob = spin(a, "stream_overhead"), spin(b, "stream_overhead")
+    if oa and ob:
+        so = ob / oa
+        print(f"stream-trigger overhead (B/A): {so:.3f}  "
+              f"({oa:.3f}s -> {ob:.3f}s per trigger)")
+        trig = [k for k in shared
+                if k.startswith(("stream_", "auto_", "fold_"))]
+        if trig:
+            traw = math.exp(
+                sum(math.log(qb[k] / qa[k]) for k in trig) / len(trig)
+            )
+            print(f"trigger-bound rows ({len(trig)}): raw {traw:.3f}, "
+                  f"overhead-normalized {traw / so:.3f}")
     ranked = sorted(shared, key=lambda k: qb[k] / qa[k])
     print("\nbiggest regressions (raw):")
     for k in ranked[-5:][::-1]:
