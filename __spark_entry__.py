@@ -4808,11 +4808,140 @@ def q_stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mat.select("event_id", "user_id", "value", "ewma")
 
 
+def q_fold_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted SKETCH-index fold lifecycle, HLL half (r16): write
+    the per-event-type HLL register state over a base slice of events
+    (event_id % 3 == 0), FOLD the two remaining slices as epochs 1
+    and 2 (``sketch_index_fold`` — each fold max-merges registers and
+    rewrites the full snapshot, O(state + increment) with O(1) reads
+    and NO compaction lifecycle, because sketch state is
+    O(groups x 2^p) by construction), then estimate from the folded
+    snapshot.  Register max-merge is lossless, so the folded estimate
+    equals a from-scratch sketch of ALL events exactly — the oracle
+    is LITERALLY ``hll_users_by_type``'s full-corpus SQL, never
+    folding anything (cdp_spark/datapipe/sketch_index.py)."""
+    from cdp_spark.datapipe import sketch_index as si
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = _fold_index_dir("cdp_sketchidx_")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 3 == 0), path,
+        col="user_id", group_cols=["event_type"], p=8,
+    )
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 2), path, epoch=2)
+    est = si.sketch_index_hll_estimate(spark, path)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, "event_type")
+
+
+def q_fold_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch-index fold lifecycle, CMS half (r16): same
+    base + two-epoch fold drive as ``fold_sketch_hll``, over the
+    count-min counters (3 x 1024, the ``cms_heavy_users`` shape).
+    Counter SUM-merge is lossless, so the folded top-10 heavy users
+    equal ``cms_heavy_users`` computed from scratch over all events
+    — that query's oracle text is reused verbatim, with the DuckDB
+    side never folding anything."""
+    from cdp_spark.datapipe import sketch_index as si
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = _fold_index_dir("cdp_cmsidx_")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 3 == 0), path,
+        col="user_id", p=8, cms_col="user_id", cms_depth=3, cms_width=1024,
+    )
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 2), path, epoch=2)
+    items = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    est = si.sketch_index_cms_estimates(spark, path, items)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+        )
+    )
+
+
+def q_auto_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTOMATED sketch-index lifecycle (r16): initialize the
+    pack (per-event-type HLL registers + a 3x1024 user CMS) over half
+    the events, then stream the other half in as 4 micro-batches —
+    ``run_sketch_ingest_stream`` folds each batch's partial state
+    straight into the persisted snapshot inside ``foreachBatch``
+    (epoch = batchId, replay-idempotent via the lineage-scoped
+    watermark).  Sketch merges are order-insensitive AND lossless, so
+    the served estimate after the stream drains equals a from-scratch
+    sketch over ALL events exactly — the oracle is the full-corpus
+    ``hll_users_by_type`` SQL, which never folds or streams."""
+    import tempfile
+
+    from cdp_spark.datapipe import sketch_index as si
+    from cdp_spark.streaming.fold_runner import run_sketch_ingest_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = _fold_index_dir("cdp_autosketch_idx_")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 2 == 0), path,
+        col="user_id", group_cols=["event_type"], p=8,
+        cms_col="user_id", cms_depth=3, cms_width=1024,
+    )
+    src = _fold_index_dir("cdp_autosketch_src_")
+    ckpt = tempfile.mkdtemp(prefix="cdp_autosketch_ck_")
+    ev.where(F.col("event_id") % 2 == 1).repartition(4).write.mode(
+        "append"
+    ).json(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = run_sketch_ingest_stream(
+        stream, path, checkpoint_dir=ckpt, available_now=True
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("sketch ingest stream still running after 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # 4 staged files -> 4 single-file triggers; the last committed
+    # epoch proves the folds actually ran batch-by-batch.
+    assert si._read_state(path)["epoch"] == 3, si._read_state(path)
+    est = si.sketch_index_hll_estimate(spark, path)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, "event_type")
+
+
 _ROUND16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join_ivf_auto": q_knn_join_ivf_auto,
     "simhash_combo_near_dups": q_simhash_combo_near_dups,
     "auto_simhash_lifecycle": q_auto_simhash_lifecycle,
     "stream_ewma_user_value": q_stream_ewma_user_value,
+    "fold_sketch_hll": q_fold_sketch_hll,
+    "fold_sketch_cms": q_fold_sketch_cms,
+    "auto_sketch_lifecycle": q_auto_sketch_lifecycle,
 }
 
 
@@ -4839,11 +4968,16 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # embedding_cosine_pairs, simhash_docs... — the r12 leftovers lead
 # the r17 cohort).
 _R16_WINDOW: tuple[str, ...] = (
-    # -- round-16 additions --
+    # -- round-16 additions (7: the 4 early-round ops + the 3
+    #    sketch-index fold queries added mid-round; window re-emitted
+    #    by `python scripts/window_plan.py 16` after registration) --
     "knn_join_ivf_auto",
     "simhash_combo_near_dups",
     "auto_simhash_lifecycle",
     "stream_ewma_user_value",
+    "fold_sketch_hll",
+    "fold_sketch_cms",
+    "auto_sketch_lifecycle",
     # -- last driver row r11: all 8 remaining deferrals --
     "q12_late_shipments",
     "q14_promo_share",
@@ -4853,7 +4987,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "window_nav_funcs",
     "q13_customer_distribution",
     "q19_disjunctive_revenue",
-    # -- last driver row r12: 38 of the 50 (registry order) --
+    # -- last driver row r12: 35 of the 50 (registry order) --
     "string_agg_sorted",
     "vector_dim_stats",
     "stratified_sample",
@@ -4889,9 +5023,6 @@ _R16_WINDOW: tuple[str, ...] = (
     "join_semi",
     "join_anti",
     "cohort_retention",
-    "funnel_steps",
-    "value_histogram",
-    "embedding_centroids",
 )
 
 # Historical r15 window, kept for artifact cross-reference (the judge
@@ -9334,6 +9465,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(unnest(generate_series(1, ne)) AS BIGINT) AS epoch
         FROM e WHERE ne > 0
     """
+
+    # --- round-16 sketch-index folds ------------------------------------
+    # The fold contract is exact (register max-merge / counter
+    # sum-merge are lossless), so the folded queries reuse the
+    # full-corpus oracles VERBATIM — the DuckDB replay never folds,
+    # never streams, and must still hash-match bit-for-bit.
+    oracles["fold_sketch_hll"] = oracles["hll_users_by_type"]
+    oracles["auto_sketch_lifecycle"] = oracles["hll_users_by_type"]
+    oracles["fold_sketch_cms"] = oracles["cms_heavy_users"]
 
     oracles.update(_SHARED_SQL)
     return oracles

@@ -154,6 +154,57 @@ def run_bm25_ingest_stream(
     return writer.start()
 
 
+def run_sketch_ingest_stream(
+    source_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = False,
+    trigger_seconds: Optional[float] = None,
+    lineage: Optional[str] = None,
+) -> StreamingQuery:
+    """Streaming SKETCH index ingest — the analytics twin of the fold
+    lifecycle, degenerate like BM25's (sketch merges are lossless, so
+    there is nothing to flag): each micro-batch folds its HLL/CMS
+    partial state straight into the persisted snapshot
+    (``sketch_index_fold``, epoch = batchId).  The estimate served
+    after any prefix of batches equals a from-scratch sketch over
+    those batches' union — exactly, not approximately — which is the
+    ``auto_sketch_lifecycle`` oracle contract.  Initialize with
+    ``sketch_index_write`` first (a base corpus or an empty frame).
+    Replay-safe: committed epochs skip via the lineage-scoped
+    watermark in ``_state.json``; half-written ones overwrite their
+    own snapshot directory.  Single-writer per index; pass a fresh
+    ``lineage`` when a checkpoint is re-created (epoch ids restart)."""
+    import json as _json
+    import os as _os
+
+    from ..datapipe import sketch_index as si
+    from ..datapipe.dedup_index import _META_NAME
+
+    with open(_os.path.join(index_path, _META_NAME)) as f:
+        kind = _json.load(f).get("kind")
+    if kind != "sketch":
+        raise ValueError(
+            f"index at {index_path} is kind={kind!r}, expected 'sketch'"
+        )
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        si.sketch_index_fold(
+            batch_df, index_path, epoch=epoch_id, lineage=lineage
+        )
+
+    writer = source_stream.writeStream.foreachBatch(_fold)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def run_ivf_ingest_stream(
     source_stream: DataFrame,
     index_path: str,

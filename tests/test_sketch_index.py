@@ -1,0 +1,187 @@
+"""Persisted sketch-index contracts (r16): snapshot folds are
+lossless (fold == rebuild exactly), replay-idempotent, O(1) to read,
+and the streaming ingest runner equals the batch sketch."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from cdp_spark.datapipe import sketch_index as si
+from cdp_spark.datapipe import sketches as sk
+from cdp_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _build(spark, path, ev, cms=True):
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 3 == 0), path,
+        col="user_id", group_cols=["event_type"], p=6,
+        **(dict(cms_col="user_id", cms_depth=3, cms_width=64) if cms else {}),
+    )
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 2), path, epoch=2)
+
+
+def test_fold_equals_rebuild(spark, tmp_path):
+    """Base + two folds == a from-scratch sketch over the full
+    corpus, exactly — registers max-merge, counters sum-merge, both
+    lossless, so estimates (not just states) are identical."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "idx")
+    _build(spark, path, ev)
+
+    got_hll = _rows(si.sketch_index_hll_estimate(spark, path))
+    want_hll = _rows(sk.hll_estimate_by(ev, ["event_type"], "user_id", p=6))
+    assert got_hll == want_hll and len(got_hll) > 0
+
+    items = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    got_cms = _rows(si.sketch_index_cms_estimates(spark, path, items))
+    want_cms = _rows(
+        sk.cms_estimates(
+            sk.cms_sketch(ev, "user_id", depth=3, width=64),
+            items, "user_id", depth=3, width=64,
+        )
+    )
+    assert got_cms == want_cms and len(got_cms) > 0
+
+
+def test_fold_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed epoch (foreachBatch at-least-once) is a
+    no-op: the state pointer stays put and the estimate is unchanged
+    — even when the replayed frame differs (a replay can only ever be
+    the same batch, so the skip must win)."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "idx")
+    _build(spark, path, ev, cms=False)
+    before_state = si._read_state(path)
+    before = _rows(si.sketch_index_hll_estimate(spark, path))
+    # replay epoch 1 with a DIFFERENT (wrong) frame: must be skipped
+    si.sketch_index_fold(ev.limit(5), path, epoch=1)
+    assert si._read_state(path) == before_state
+    assert _rows(si.sketch_index_hll_estimate(spark, path)) == before
+
+
+def test_fresh_lineage_continues_from_snapshot(spark, tmp_path):
+    """A re-created checkpoint restarts epoch ids at 0; its folds
+    carry a fresh lineage tag, so the epoch-skip watermark does not
+    swallow them — the fold runs and continues from the latest
+    committed snapshot."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "idx")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 3 == 0), path,
+        col="user_id", group_cols=["event_type"], p=6,
+    )
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
+    # new lineage, epoch 0 < 1: must NOT skip
+    si.sketch_index_fold(
+        ev.where(F.col("event_id") % 3 == 2), path, epoch=0, lineage="ck2"
+    )
+    got = _rows(si.sketch_index_hll_estimate(spark, path))
+    want = _rows(sk.hll_estimate_by(ev, ["event_type"], "user_id", p=6))
+    assert got == want
+
+
+def test_crash_replay_overwrites_half_written_epoch(spark, tmp_path):
+    """A crash between the epoch's parquet write and the pointer
+    commit leaves a half-written snapshot behind; the replayed fold
+    must overwrite it wholesale (never merge with or trip over it)."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "idx")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 3 == 0), path,
+        col="user_id", group_cols=["event_type"], p=6,
+    )
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
+    # simulate the torn epoch-2 write: garbage where the snapshot goes
+    torn = os.path.join(path, "hll", "fold=e2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 2), path, epoch=2)
+    got = _rows(si.sketch_index_hll_estimate(spark, path))
+    want = _rows(sk.hll_estimate_by(ev, ["event_type"], "user_id", p=6))
+    assert got == want
+
+
+def test_estimate_reads_single_snapshot(spark, tmp_path):
+    """The O(1)-read pin: after N folds the estimate's scan touches
+    ONLY the latest committed snapshot directory — never a fold-union
+    — which is what makes the index compaction-free by design."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "idx")
+    _build(spark, path, ev, cms=False)
+    meta = si._read_meta(path, "sketch")
+    regs = spark.read.parquet(
+        os.path.join(path, "hll", si._read_state(path)["dir"])
+    )
+    files = si.sketch_index_hll_estimate(spark, path).inputFiles()
+    assert files and all("fold=e2" in f for f in files)
+    assert si._read_state(path)["dir"] == "fold=e2"
+    # and the snapshot is genuinely bounded: <= groups x 2^p rows
+    n_groups = ev.select("event_type").distinct().count()
+    assert regs.count() <= n_groups * (1 << int(meta["p"]))
+
+
+def test_streaming_ingest_equals_batch(spark, tmp_path):
+    """run_sketch_ingest_stream over 3 single-file micro-batches (one
+    EMPTY — the skip path must not disturb the watermark chain)
+    equals the batch sketch over base ∪ streamed rows."""
+    from cdp_spark.streaming.fold_runner import run_sketch_ingest_stream
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "idx")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 2 == 0), path,
+        col="user_id", group_cols=["event_type"], p=6,
+    )
+    rest = ev.where(F.col("event_id") % 2 == 1).collect()
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(rest) // 2
+    batches = [rest[:half], [], rest[half:]]
+    base = time.time() - 300
+    for k, batch in enumerate(batches):
+        p = src / f"batch-{k}.json"
+        with open(p, "w") as f:
+            for r in batch:
+                f.write(
+                    f'{{"event_id": {r["event_id"]}, '
+                    f'"user_id": {r["user_id"]}, '
+                    f'"event_type": "{r["event_type"]}"}}\n'
+                )
+        os.utime(p, (base + 60 * k, base + 60 * k))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_sketch_ingest_stream(
+        stream, path, checkpoint_dir=str(tmp_path / "ck"), available_now=True
+    )
+    assert q.awaitTermination(120)
+    got = _rows(si.sketch_index_hll_estimate(spark, path))
+    want = _rows(sk.hll_estimate_by(ev, ["event_type"], "user_id", p=6))
+    assert got == want
