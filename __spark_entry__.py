@@ -4660,6 +4660,24 @@ def q_knn_join_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_ivf_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sqrt-sized IVF kNN self-join (r16): with NEITHER
+    ``n_centroids`` nor ``target_occupancy`` given, the operator
+    derives ``n_centroids = ceil(4 * sqrt(count))`` — the published
+    FAISS nlist guidance — which balances the assignment
+    (N x nlist x dim) and verify (N x n_probe x N/nlist x dim) legs
+    at ~N^1.5, the best an IVF join does without an ANN assignment
+    stage.  ceil(4*sqrt(500)) = 90 anchors at sf0.01; the oracle
+    embeds those 90 seeded anchors as literals, so a drifted
+    derivation (wrong count, wrong constant, wrong rounding)
+    hash-mismatches.  Downstream machinery identical to
+    knn_join_ivf_auto."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_knn_join(
+        emb, dim=64, k=3, n_probe=2, seed=7, round_digits=4,
+    )
+
+
 def q_simhash_combo_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via chunk-COMBINATION banding (r16,
     VERDICT r15 next #3 — Manku §3's multi-table widening, the actual
@@ -4936,6 +4954,7 @@ def q_auto_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROUND16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join_ivf_auto": q_knn_join_ivf_auto,
+    "knn_join_ivf_sqrt": q_knn_join_ivf_sqrt,
     "simhash_combo_near_dups": q_simhash_combo_near_dups,
     "auto_simhash_lifecycle": q_auto_simhash_lifecycle,
     "stream_ewma_user_value": q_stream_ewma_user_value,
@@ -4968,10 +4987,12 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # embedding_cosine_pairs, simhash_docs... — the r12 leftovers lead
 # the r17 cohort).
 _R16_WINDOW: tuple[str, ...] = (
-    # -- round-16 additions (7: the 4 early-round ops + the 3
-    #    sketch-index fold queries added mid-round; window re-emitted
-    #    by `python scripts/window_plan.py 16` after registration) --
+    # -- round-16 additions (8: the 4 early-round ops + the 3
+    #    sketch-index fold queries + the sqrt-sized kNN join added
+    #    mid-round; window re-emitted by
+    #    `python scripts/window_plan.py 16` after each registration) --
     "knn_join_ivf_auto",
+    "knn_join_ivf_sqrt",
     "simhash_combo_near_dups",
     "auto_simhash_lifecycle",
     "stream_ewma_user_value",
@@ -4987,7 +5008,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "window_nav_funcs",
     "q13_customer_distribution",
     "q19_disjunctive_revenue",
-    # -- last driver row r12: 35 of the 50 (registry order) --
+    # -- last driver row r12: 34 of the 50 (registry order) --
     "string_agg_sorted",
     "vector_dim_stats",
     "stratified_sample",
@@ -5022,7 +5043,6 @@ _R16_WINDOW: tuple[str, ...] = (
     "top_customers",
     "join_semi",
     "join_anti",
-    "cohort_retention",
 )
 
 # Historical r15 window, kept for artifact cross-reference (the judge
@@ -7499,18 +7519,23 @@ def oracle_sql() -> dict[str, str]:
                r AS "rank"
         FROM rk WHERE r <= 3
     """
-    # r16: the AUTO-SIZED kNN join — the operator derives
-    # n_centroids = ceil(count / target_occupancy) = ceil(500/25) =
-    # 20 at sf0.01; the oracle embeds the 20 seeded anchors that
-    # derivation must produce, so a drifted derivation (wrong count,
-    # wrong rounding, wrong seed chain) hash-mismatches.
-    anchors20 = sim._anchor_set(_EMB_DIM, 20, seed=7)
-    dots20_expr = "[" + ", ".join(
-        f"list_dot_product(emb, {_dl(a)})" for a in anchors20
-    ) + "]"
-    oracles["knn_join_ivf_auto"] = f"""
+    # r16: the AUTO-SIZED kNN joins — the operator derives
+    # n_centroids from the corpus (ceil(count/target_occupancy) = 20
+    # for the occupancy path, ceil(4*sqrt(count)) = 90 for the FAISS
+    # sqrt default, both at sf0.01's 500 vectors); each oracle embeds
+    # the anchors its derivation must produce, so a drifted
+    # derivation (wrong count, wrong constant, wrong rounding, wrong
+    # seed chain) hash-mismatches.  One template, two anchor sets.
+    def _knn_ivf_auto_oracle(n_anchors: int) -> str:
+        anchors = sim._anchor_set(_EMB_DIM, n_anchors, seed=7)
+        dots = "[" + ", ".join(
+            f"list_dot_product(emb, {_dl(a)})" for a in anchors
+        ) + "]"
+        return _knn_ivf_auto_sql.format(dots_expr=dots)
+
+    _knn_ivf_auto_sql = """
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        scored AS (SELECT vec_id, emb, {dots20_expr} AS dots FROM base),
+        scored AS (SELECT vec_id, emb, {dots_expr} AS dots FROM base),
         assigned AS (SELECT vec_id,
                             list_indexof(dots, list_max(dots)) - 1 AS centroid
                      FROM scored),
@@ -7545,6 +7570,8 @@ def oracle_sql() -> dict[str, str]:
                r AS "rank"
         FROM rk WHERE r <= 3
     """
+    oracles["knn_join_ivf_auto"] = _knn_ivf_auto_oracle(20)
+    oracles["knn_join_ivf_sqrt"] = _knn_ivf_auto_oracle(90)
     oracles["ann_ivf_pq"] = f"""
         WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         scored AS (SELECT vec_id, emb, {dots_expr} AS dots FROM base),

@@ -576,7 +576,7 @@ def ivf_knn_join(
     vec_col: str = "embedding",
     seed: int = 7,
     round_digits: int = 4,
-    target_occupancy: int = 32,
+    target_occupancy: int | None = None,
 ) -> DataFrame:
     """kNN SELF-JOIN, IVF-bounded (r15): for EVERY vector, its top-k
     cosine neighbors among the vectors assigned to its ``n_probe``
@@ -623,18 +623,38 @@ def ivf_knn_join(
     89 s at the slab).  Keep occupancy N/n_centroids roughly
     constant, exactly as a FAISS IVF deployment sizes nlist.
 
-    The DEFAULT (``n_centroids=None``, VERDICT r15 next #2) applies
-    that contract automatically: the centroid count derives from the
-    corpus as ``ceil(count / target_occupancy)`` — one count job
-    (metadata-only on a plain parquet scan) buys a config that cannot
-    run the probed-34x fixed-centroid anti-pattern at 10x data.  The
-    derived path is pinned result-identical to the same explicit
-    count (tests) — derivation changes only WHICH size runs, never
-    the semantics of a size."""
+    The DEFAULT (``n_centroids=None``, VERDICT r15 next #2) derives
+    the centroid count from the corpus with one count job
+    (metadata-only on a plain parquet scan), so the default config
+    can never run the probed-34x fixed-centroid anti-pattern.  Two
+    derivations, picked by ``target_occupancy``:
+
+    - ``target_occupancy=None`` (the default):
+      ``n_centroids = ceil(4 * sqrt(count))`` — the published FAISS
+      nlist guidance (``nlist = c*sqrt(N)``, c in [4, 16]).  This is
+      the BALANCED asymptote: assignment costs N x nlist x dim and
+      verify costs N x n_probe x (N/nlist) x dim, so nlist ∝ sqrt(N)
+      makes both ~N^1.5 — the best an IVF join does without an ANN
+      assignment stage.  Measured r16 (warmed, 10x):
+      ratio ~5, per-output-row negative (SCALEPROBE_r16).
+    - ``target_occupancy=<int>``: ``ceil(count / target_occupancy)``
+      — constant occupancy.  Verify stays LINEAR (N x occupancy) but
+      assignment grows N^2/occupancy x dim; the vectorized Arrow
+      matmul absorbs that to ~10^6 rows (measured r15/r16), beyond
+      which prefer the sqrt default or an explicit size.
+
+    Either derived path is pinned result-identical to the same
+    explicit count (tests) — derivation changes only WHICH size runs,
+    never the semantics of a size."""
     if n_centroids is None:
         import math as _math
 
-        n_centroids = max(1, _math.ceil(df.count() / target_occupancy))
+        cnt = df.count()
+        n_centroids = max(1, (
+            _math.ceil(4 * _math.sqrt(cnt))
+            if target_occupancy is None
+            else _math.ceil(cnt / target_occupancy)
+        ))
     anchors = _anchor_set(dim, n_centroids, seed)
     # negated score sorts ascending == dot DESC, ties to lowest i.
     # The interpreted higher-order transform costs O(n_centroids x

@@ -261,7 +261,7 @@ def _probe_calibration() -> tuple[float, float]:
 
 def run(slab_dir: str = SLAB, base: str = BASE,
         out_path: str = "/tmp/scale_probe.json",
-        names: list[str] | None = None) -> None:
+        names: list[str] | None = None, warm: bool = False) -> None:
     import __spark_entry__ as entrymod
     from cdp_spark.session import get_spark
 
@@ -299,6 +299,12 @@ def run(slab_dir: str = SLAB, base: str = BASE,
         rec: dict = {}
         for tag, sf_dir in (("t1", base), ("t10", slab_dir)):
             print(f"START {name} {tag}", file=sys.stderr, flush=True)
+            if warm:
+                # WARMED protocol (r15: the first knn probe's t1 leg
+                # was cold-codegen-dominated, inflating the exponent):
+                # run the leg once untimed so JVM/codegen/file-listing
+                # caches are hot, then time the second run.
+                fn(spark, sf_dir).count()
             spin, pspin = _probe_calibration()
             rec[f"spin_{tag}"] = spin
             rec[f"pspin_{tag}"] = pspin
@@ -306,6 +312,7 @@ def run(slab_dir: str = SLAB, base: str = BASE,
             n = fn(spark, sf_dir).count()
             rec[tag] = round(time.perf_counter() - t0, 3)
             rec[f"rows_{tag}"] = n
+        rec["warmed"] = bool(warm)
         rec["ratio"] = round(rec["t10"] / rec["t1"], 2)
         rec["scale"] = round(scale, 1)
         rec["exponent"] = round(
@@ -354,10 +361,12 @@ if __name__ == "__main__":
         # scale_probe.py generate [slab] [base] [replicas] [doc_mode]
         generate(*(sys.argv[2:6] or [SLAB]))
     elif cmd == "run":
-        # scale_probe.py run [slab] [base] [out] [query names...]
+        # scale_probe.py run [--warm] [slab] [base] [out] [names...]
         args = sys.argv[2:]
+        warm = "--warm" in args
+        args = [a for a in args if a != "--warm"]
         paths = [SLAB, BASE, "/tmp/scale_probe.json"]
         paths[: min(len(args), 3)] = args[:3]
-        run(*paths, names=args[3:] or None)
+        run(*paths, names=args[3:] or None, warm=warm)
     else:
         raise SystemExit(f"unknown command {cmd!r}")

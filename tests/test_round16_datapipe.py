@@ -55,6 +55,21 @@ def test_knn_join_auto_size_tracks_corpus(spark):
     )
 
 
+def test_knn_join_sqrt_default_equals_explicit(spark):
+    """With NEITHER n_centroids nor target_occupancy, the derivation
+    is the FAISS nlist guidance ceil(4*sqrt(N)) — at the 500-vector
+    corpus that is exactly 90, so the bare-default run must be
+    row-identical to an explicit n_centroids=90 run."""
+    emb = load_table(spark, SF, "embeddings")
+    auto = sim.ivf_knn_join(emb, dim=64, k=3, n_probe=2, seed=7,
+                            round_digits=4)
+    explicit = sim.ivf_knn_join(emb, dim=64, k=3, n_centroids=90,
+                                n_probe=2, seed=7, round_digits=4)
+    got = sorted(tuple(r) for r in auto.collect())
+    want = sorted(tuple(r) for r in explicit.collect())
+    assert got == want and len(got) > 0
+
+
 def test_simhash_combo_equals_bruteforce(spark):
     """Combination banding is LOSSLESS: C(8,3) tables over the 60-bit
     fingerprint return exactly the all-pairs hamming <= 5 set on the
