@@ -4896,6 +4896,51 @@ def q_fold_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fold_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch-index fold lifecycle, BLOOM half (r16): the
+    pack's third lossless merge (position UNION, after register max
+    and counter sum).  Build the 65536-bit / 3-hash filter over
+    PURCHASING users from a base slice of purchase events
+    (event_id % 3 == 0), fold the two remaining slices as epochs 1-2,
+    then probe EVERY distinct user: ``might_contain`` from the folded
+    snapshot, next to exact membership for the false-positive read.
+    Union is idempotent, so the folded filter is bit-identical to one
+    built over all purchase events at once — the oracle replays the
+    unfolded build with the shared ``bloom_oracle_sql`` template and
+    must match per-user, verdict for verdict."""
+    from cdp_spark.datapipe import sketch_index as si
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    path = _fold_index_dir("cdp_bloomidx_")
+    si.sketch_index_write(
+        purchases.where(F.col("event_id") % 3 == 0), path,
+        col="user_id", p=8, bloom_col="user_id",
+        bloom_bits=65536, bloom_k=3,
+    )
+    si.sketch_index_fold(
+        purchases.where(F.col("event_id") % 3 == 1), path, epoch=1
+    )
+    si.sketch_index_fold(
+        purchases.where(F.col("event_id") % 3 == 2), path, epoch=2
+    )
+    items = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    verdict = si.sketch_index_bloom_contains(spark, path, items)
+    truth = (
+        purchases.select("user_id").distinct().withColumn("_m", F.lit(1))
+    )
+    return (
+        verdict.join(truth, "user_id", "left")
+        .select(
+            F.col("user_id").cast("string").alias("v"),
+            "might_contain",
+            (F.coalesce(F.col("_m"), F.lit(0)) == 1).alias("is_member"),
+        )
+    )
+
+
 def q_auto_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AUTOMATED sketch-index lifecycle (r16): initialize the
     pack (per-event-type HLL registers + a 3x1024 user CMS) over half
@@ -4960,6 +5005,7 @@ _ROUND16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "fold_sketch_hll": q_fold_sketch_hll,
     "fold_sketch_cms": q_fold_sketch_cms,
+    "fold_sketch_bloom": q_fold_sketch_bloom,
     "auto_sketch_lifecycle": q_auto_sketch_lifecycle,
 }
 
@@ -4987,7 +5033,7 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # embedding_cosine_pairs, simhash_docs... — the r12 leftovers lead
 # the r17 cohort).
 _R16_WINDOW: tuple[str, ...] = (
-    # -- round-16 additions (8: the 4 early-round ops + the 3
+    # -- round-16 additions (9: the 4 early-round ops + the 4
     #    sketch-index fold queries + the sqrt-sized kNN join added
     #    mid-round; window re-emitted by
     #    `python scripts/window_plan.py 16` after each registration) --
@@ -4998,6 +5044,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "stream_ewma_user_value",
     "fold_sketch_hll",
     "fold_sketch_cms",
+    "fold_sketch_bloom",
     "auto_sketch_lifecycle",
     # -- last driver row r11: all 8 remaining deferrals --
     "q12_late_shipments",
@@ -5008,7 +5055,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "window_nav_funcs",
     "q13_customer_distribution",
     "q19_disjunctive_revenue",
-    # -- last driver row r12: 34 of the 50 (registry order) --
+    # -- last driver row r12: 33 of the 50 (registry order) --
     "string_agg_sorted",
     "vector_dim_stats",
     "stratified_sample",
@@ -5042,7 +5089,6 @@ _R16_WINDOW: tuple[str, ...] = (
     "q3_shipping_priority",
     "top_customers",
     "join_semi",
-    "join_anti",
 )
 
 # Historical r15 window, kept for artifact cross-reference (the judge
@@ -9501,6 +9547,23 @@ def oracle_sql() -> dict[str, str]:
     oracles["fold_sketch_hll"] = oracles["hll_users_by_type"]
     oracles["auto_sketch_lifecycle"] = oracles["hll_users_by_type"]
     oracles["fold_sketch_cms"] = oracles["cms_heavy_users"]
+    from cdp_spark.datapipe.sketches import bloom_oracle_sql as _bosql
+
+    _fold_bloom = _bosql(
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "user_id", "events", "user_id", 65536, 3,
+    )
+    oracles["fold_sketch_bloom"] = f"""
+        WITH bc AS ({_fold_bloom}),
+        truth AS (
+          SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+          FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        )
+        SELECT bc.v, bc.might_contain,
+               (t.v IS NOT NULL) AS is_member
+        FROM bc LEFT JOIN truth t ON t.v = bc.v
+    """
 
     oracles.update(_SHARED_SQL)
     return oracles

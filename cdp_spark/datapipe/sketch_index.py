@@ -94,6 +94,13 @@ def _cms_state(df: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _bloom_state(df: DataFrame, meta: dict) -> DataFrame:
+    b = meta["bloom"]
+    return sk.bloom_positions(
+        df, b["col"], n_bits=int(b["n_bits"]), k=int(b["k"])
+    )
+
+
 def sketch_index_write(
     df: DataFrame,
     path: str,
@@ -103,11 +110,17 @@ def sketch_index_write(
     cms_col: str | None = None,
     cms_depth: int = 3,
     cms_width: int = 256,
+    bloom_col: str | None = None,
+    bloom_bits: int = 131072,
+    bloom_k: int = 3,
 ) -> None:
     """Initialize the index over a base corpus (possibly empty): the
-    per-``group_cols`` HLL register state of ``col`` and, when
-    ``cms_col`` is given, a global CMS of that column, both written as
-    the ``fold=base`` snapshot."""
+    per-``group_cols`` HLL register state of ``col``, plus — when the
+    respective col is given — a global CMS and/or a Bloom filter
+    (set-bit positions) of that column, all written as the
+    ``fold=base`` snapshot.  Bloom positions merge by union+distinct
+    (idempotent like the register max), completing the pack's three
+    lossless merges: max, sum, union."""
     meta = {
         "kind": "sketch",
         "col": col,
@@ -118,12 +131,20 @@ def sketch_index_write(
         meta["cms"] = {
             "col": cms_col, "depth": int(cms_depth), "width": int(cms_width)
         }
+    if bloom_col is not None:
+        meta["bloom"] = {
+            "col": bloom_col, "n_bits": int(bloom_bits), "k": int(bloom_k)
+        }
     _hll_state(df, meta).write.mode("overwrite").parquet(
         os.path.join(path, "hll", "fold=base")
     )
     if cms_col is not None:
         _cms_state(df, meta).write.mode("overwrite").parquet(
             os.path.join(path, "cms", "fold=base")
+        )
+    if bloom_col is not None:
+        _bloom_state(df, meta).write.mode("overwrite").parquet(
+            os.path.join(path, "bloom", "fold=base")
         )
     _write_meta(path, meta)
     _write_state(path, {"dir": "fold=base", "epoch": None, "lineage": None})
@@ -174,6 +195,16 @@ def sketch_index_fold(
         merged_cms.write.mode("overwrite").parquet(
             os.path.join(path, "cms", new_dir)
         )
+    if "bloom" in meta:
+        prev_bloom = spark.read.parquet(
+            os.path.join(path, "bloom", state["dir"])
+        )
+        merged_bloom = prev_bloom.unionByName(
+            _bloom_state(increment_df, meta)
+        ).distinct()
+        merged_bloom.write.mode("overwrite").parquet(
+            os.path.join(path, "bloom", new_dir)
+        )
     _write_state(
         path, {"dir": new_dir, "epoch": int(epoch), "lineage": lineage}
     )
@@ -208,4 +239,23 @@ def sketch_index_cms_estimates(
     return sk.cms_estimates(
         sketch, items, col or c["col"],
         depth=int(c["depth"]), width=int(c["width"]),
+    )
+
+
+def sketch_index_bloom_contains(
+    spark: SparkSession, path: str, items: DataFrame, col: str | None = None
+) -> DataFrame:
+    """Bloom membership verdicts for ``items`` from the committed
+    snapshot (``(col, might_contain)`` — no false negatives; the
+    positions side broadcasts, ≤ n_bits rows).  Position union is
+    idempotent, so the folded filter equals one built from scratch
+    over all folded data — bit-identically."""
+    meta = _read_meta(path, "sketch")
+    b = meta["bloom"]
+    positions = spark.read.parquet(
+        os.path.join(path, "bloom", _read_state(path)["dir"])
+    )
+    return sk.bloom_contains(
+        positions, items, col or b["col"],
+        n_bits=int(b["n_bits"]), k=int(b["k"]),
     )

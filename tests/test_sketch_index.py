@@ -55,6 +55,41 @@ def test_fold_equals_rebuild(spark, tmp_path):
     assert got_cms == want_cms and len(got_cms) > 0
 
 
+def test_bloom_fold_equals_rebuild(spark, tmp_path):
+    """The pack's third merge: folded Bloom positions (union) equal a
+    from-scratch filter — verdicts bit-identical, and no false
+    negatives (every true member reads might_contain)."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    path = str(tmp_path / "idx")
+    si.sketch_index_write(
+        purchases.where(F.col("event_id") % 3 == 0), path,
+        col="user_id", p=6, bloom_col="user_id", bloom_bits=4096, bloom_k=3,
+    )
+    si.sketch_index_fold(
+        purchases.where(F.col("event_id") % 3 == 1), path, epoch=1
+    )
+    si.sketch_index_fold(
+        purchases.where(F.col("event_id") % 3 == 2), path, epoch=2
+    )
+    items = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    got = _rows(si.sketch_index_bloom_contains(spark, path, items))
+    want = _rows(
+        sk.bloom_contains(
+            sk.bloom_positions(purchases, "user_id", n_bits=4096, k=3),
+            items, "user_id", n_bits=4096, k=3,
+        )
+    )
+    assert got == want and len(got) > 0
+    verdict = {u: m for u, m in got}
+    members = {
+        r["user_id"] for r in purchases.select("user_id").distinct().collect()
+    }
+    assert all(verdict[u] for u in members)  # no false negatives
+
+
 def test_fold_replay_is_idempotent(spark, tmp_path):
     """Replaying a committed epoch (foreachBatch at-least-once) is a
     no-op: the state pointer stays put and the estimate is unchanged
