@@ -4941,6 +4941,85 @@ def q_fold_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Bloom SEEN-gate (r16) — the crawler pattern:
+    "have we seen this user before?" at ingest, approximate state,
+    zero false negatives.  Build the 65536-bit/3-hash filter over the
+    users of EVEN events; stream the ODD events in 4 deterministic
+    micro-batches (batch k = event_id % 8 == 2k+1, mtime-staged so
+    the file source triggers them in order); each batch probes the
+    committed snapshot, spools per-event verdicts, then folds its own
+    users' positions in (``run_bloom_gate_stream`` — probe-then-fold,
+    replay-idempotent via the shared epoch watermark).  A batch's
+    verdicts therefore see base ∪ batches < k, never itself — which
+    the oracle replays EXACTLY in SQL: per event, membership =
+    all 3 salted positions present in (base positions ∪ positions of
+    earlier batches), with the batch id derived from the same
+    event_id arithmetic.  Output: (event_id, v, seen_before, epoch)
+    per streamed event."""
+    import tempfile
+    import time as _time
+
+    from cdp_spark.datapipe import sketch_index as si
+    from cdp_spark.streaming.fold_runner import run_bloom_gate_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .where(F.col("user_id").isNotNull())
+    )
+    path = _fold_index_dir("cdp_bloomgate_idx_")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 2 == 0), path,
+        col="user_id", p=8, bloom_col="user_id",
+        bloom_bits=65536, bloom_k=3,
+    )
+    src = _fold_index_dir("cdp_bloomgate_src_")
+    flags_dir = _fold_index_dir("cdp_bloomgate_flags_")
+    ckpt = tempfile.mkdtemp(prefix="cdp_bloomgate_ck_")
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    base_t = _time.time() - 500
+    for k in range(4):
+        part_dir = os.path.join(src, f"stage{k}")
+        (
+            odd.where((F.col("event_id") % 8) == 2 * k + 1)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(part_dir)
+        )
+        part = next(
+            e for e in sorted(os.listdir(part_dir))
+            if e.startswith("part-") and e.endswith(".json")
+        )
+        dst = os.path.join(src, f"batch-{k}.json")
+        shutil.move(os.path.join(part_dir, part), dst)
+        os.utime(dst, (base_t + 100 * k, base_t + 100 * k))
+        shutil.rmtree(part_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = run_bloom_gate_stream(
+        stream, path, flags_dir, id_cols=["event_id"],
+        checkpoint_dir=ckpt, available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("bloom gate stream still running after 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert si._read_state(path)["epoch"] == 3, si._read_state(path)
+    flags = spark.read.option("recursiveFileLookup", "true").parquet(
+        flags_dir
+    )
+    return flags.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("v"),
+        "seen_before",
+        F.col("epoch").cast("int").alias("epoch"),
+    )
+
+
 def q_auto_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AUTOMATED sketch-index lifecycle (r16): initialize the
     pack (per-event-type HLL registers + a 3x1024 user CMS) over half
@@ -5007,6 +5086,7 @@ _ROUND16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fold_sketch_cms": q_fold_sketch_cms,
     "fold_sketch_bloom": q_fold_sketch_bloom,
     "auto_sketch_lifecycle": q_auto_sketch_lifecycle,
+    "stream_bloom_gate": q_stream_bloom_gate,
 }
 
 
@@ -5033,8 +5113,8 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # embedding_cosine_pairs, simhash_docs... — the r12 leftovers lead
 # the r17 cohort).
 _R16_WINDOW: tuple[str, ...] = (
-    # -- round-16 additions (9: the 4 early-round ops + the 4
-    #    sketch-index fold queries + the sqrt-sized kNN join added
+    # -- round-16 additions (10: the 4 early-round ops + the 5
+    #    sketch-index queries + the sqrt-sized kNN join added
     #    mid-round; window re-emitted by
     #    `python scripts/window_plan.py 16` after each registration) --
     "knn_join_ivf_auto",
@@ -5046,6 +5126,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "fold_sketch_cms",
     "fold_sketch_bloom",
     "auto_sketch_lifecycle",
+    "stream_bloom_gate",
     # -- last driver row r11: all 8 remaining deferrals --
     "q12_late_shipments",
     "q14_promo_share",
@@ -5055,7 +5136,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "window_nav_funcs",
     "q13_customer_distribution",
     "q19_disjunctive_revenue",
-    # -- last driver row r12: 33 of the 50 (registry order) --
+    # -- last driver row r12: 32 of the 50 (registry order) --
     "string_agg_sorted",
     "vector_dim_stats",
     "stratified_sample",
@@ -5088,7 +5169,6 @@ _R16_WINDOW: tuple[str, ...] = (
     "json_extract_props",
     "q3_shipping_priority",
     "top_customers",
-    "join_semi",
 )
 
 # Historical r15 window, kept for artifact cross-reference (the judge
@@ -9563,6 +9643,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT bc.v, bc.might_contain,
                (t.v IS NOT NULL) AS is_member
         FROM bc LEFT JOIN truth t ON t.v = bc.v
+    """
+    # Streaming Bloom gate: probe-then-fold replayed in SQL — a
+    # position is available to batch k iff the base set has it or
+    # some batch b < k contributed it (first-available-batch join);
+    # batch id derives from the same event_id % 8 arithmetic the
+    # query stages files by.  Same salts/positions as bloom_oracle_sql.
+    def _bg_salted(src: str, extra: str = "") -> str:
+        return " UNION ALL ".join(
+            f"SELECT {extra}v, CAST('0x' || substr(md5('b{j}:' || v), 1, 15) "
+            f"AS BIGINT) % 65536 AS pos FROM {src}"
+            for j in range(3)
+        )
+
+    oracles["stream_bloom_gate"] = f"""
+        WITH s AS (
+          SELECT event_id, CAST(user_id AS VARCHAR) AS v,
+                 CAST(((event_id % 8) - 1) // 2 AS INTEGER) AS b
+          FROM events WHERE event_id % 2 = 1 AND user_id IS NOT NULL
+        ),
+        basev AS (
+          SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+          FROM events WHERE event_id % 2 = 0 AND user_id IS NOT NULL
+        ),
+        basepos AS (SELECT DISTINCT pos FROM ({_bg_salted("basev")})),
+        bvals AS (SELECT DISTINCT b, v FROM s),
+        bpos AS (
+          SELECT DISTINCT b, pos FROM ({_bg_salted("bvals", "b, ")})
+        ),
+        firstpos AS (
+          SELECT pos, min(b) AS fb FROM (
+            SELECT pos, -1 AS b FROM basepos
+            UNION ALL SELECT pos, b FROM bpos
+          ) GROUP BY pos
+        ),
+        probes AS (
+          SELECT DISTINCT event_id, v, b, pos
+          FROM (
+            SELECT s.event_id, p.v, s.b, p.pos
+            FROM ({_bg_salted("s", "")}) p JOIN s ON s.v = p.v
+          )
+        )
+        SELECT p.event_id, p.v,
+               (min(CASE WHEN f.fb IS NOT NULL AND f.fb < p.b
+                         THEN 1 ELSE 0 END) = 1) AS seen_before,
+               p.b AS epoch
+        FROM probes p LEFT JOIN firstpos f ON f.pos = p.pos
+        GROUP BY p.event_id, p.v, p.b
     """
 
     oracles.update(_SHARED_SQL)

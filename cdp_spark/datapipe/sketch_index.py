@@ -150,6 +150,20 @@ def sketch_index_write(
     _write_state(path, {"dir": "fold=base", "epoch": None, "lineage": None})
 
 
+def _epoch_committed(path: str, epoch: int, lineage: str | None) -> bool:
+    """True when this (lineage, epoch) fold already committed — the
+    replay-skip rule shared by :func:`sketch_index_fold` and the
+    probe-then-fold gate runner (which must skip its PROBE too: after
+    the fold commits, re-probing the batch would read a snapshot that
+    already contains it and flag everything as seen)."""
+    state = _read_state(path)
+    return (
+        state.get("epoch") is not None
+        and state.get("lineage") == lineage
+        and int(epoch) <= int(state["epoch"])
+    )
+
+
 def sketch_index_fold(
     increment_df: DataFrame,
     path: str,
@@ -164,13 +178,9 @@ def sketch_index_fold(
     rewrite cleanly).  ``epoch`` is required — every sketch fold is a
     full snapshot, so there is no unlabeled append form."""
     meta = _read_meta(path, "sketch")
-    state = _read_state(path)
-    if (
-        state.get("epoch") is not None
-        and state.get("lineage") == lineage
-        and int(epoch) <= int(state["epoch"])
-    ):
+    if _epoch_committed(path, epoch, lineage):
         return
+    state = _read_state(path)
     spark = increment_df.sparkSession
     prefix = "" if lineage is None else f"{lineage}-"
     new_dir = f"fold={prefix}e{int(epoch)}"

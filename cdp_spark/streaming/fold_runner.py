@@ -205,6 +205,95 @@ def run_sketch_ingest_stream(
     return writer.start()
 
 
+def run_bloom_gate_stream(
+    source_stream: DataFrame,
+    index_path: str,
+    flags_dir: str,
+    id_cols: Optional[list] = None,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = False,
+    trigger_seconds: Optional[float] = None,
+    lineage: Optional[str] = None,
+) -> StreamingQuery:
+    """Streaming Bloom SEEN-gate — the crawler's "have we seen this
+    URL/key before?" filter at ingest: each micro-batch PROBES the
+    persisted Bloom snapshot (``sketch_index_bloom_contains``, no
+    false negatives), writes per-row verdicts to ``flags_dir``, and
+    only then FOLDS its own positions in — so a batch's verdicts see
+    base ∪ all earlier batches, never itself (within-batch repeats of
+    a never-seen key all read unseen; the fold makes them seen for
+    the NEXT batch — the documented probe-then-fold semantics).
+
+    Verdict output per row: ``id_cols`` + the probed column +
+    ``seen_before`` (bool) + ``epoch`` (the batch id).  Replay-safe
+    end to end: flags land in per-epoch subdirectories with overwrite
+    semantics and the whole step SKIPS once the epoch's fold has
+    committed — re-probing after the fold would read a snapshot that
+    already contains the batch and flag everything seen
+    (``sketch_index._epoch_committed`` guards both).
+
+    Scale shape: the positions side is ≤ n_bits rows and broadcasts;
+    the probe is k hash Columns per row — no state store, no shuffle
+    beyond the verdict groupBy on the probed column.  At crawl scale
+    this is the classic bloom-front to an exact dedup: unseen rows
+    (the vast majority) skip the expensive path with zero false
+    skips."""
+    import json as _json
+    import os as _os
+
+    from ..datapipe import sketch_index as si
+    from ..datapipe.dedup_index import _META_NAME
+
+    with open(_os.path.join(index_path, _META_NAME)) as f:
+        meta = _json.load(f)
+    if meta.get("kind") != "sketch" or "bloom" not in meta:
+        raise ValueError(
+            f"index at {index_path} must be a 'sketch' index with a "
+            f"bloom stat (kind={meta.get('kind')!r})"
+        )
+    col = meta["bloom"]["col"]
+
+    def _step(batch_df: DataFrame, epoch_id: int) -> None:
+        if si._epoch_committed(index_path, epoch_id, lineage):
+            return
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        # pin the batch: probe, flag-write, and fold must all see the
+        # exact same rows (a re-evaluated source could not change a
+        # file batch, but the checkpoint also saves the double read)
+        batch = batch_df.localCheckpoint(eager=True)
+        items = batch.select(col).where(F.col(col).isNotNull()).distinct()
+        verdict = si.sketch_index_bloom_contains(spark, index_path, items)
+        keep = list(id_cols or [])
+        flags = batch.join(verdict, col, "left").select(
+            *keep,
+            F.col(col),
+            F.coalesce(F.col("might_contain"), F.lit(False)).alias(
+                "seen_before"
+            ),
+            F.lit(int(epoch_id)).alias("epoch"),
+        )
+        # plain subdirectory (not partition syntax — the epoch already
+        # rides in-file as an int column); read the spool back with
+        # spark.read.option("recursiveFileLookup", "true")
+        flags.write.mode("overwrite").parquet(
+            _os.path.join(flags_dir, f"epoch-{int(epoch_id)}")
+        )
+        si.sketch_index_fold(
+            batch, index_path, epoch=epoch_id, lineage=lineage
+        )
+
+    writer = source_stream.writeStream.foreachBatch(_step)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def run_ivf_ingest_stream(
     source_stream: DataFrame,
     index_path: str,

@@ -176,6 +176,81 @@ def test_estimate_reads_single_snapshot(spark, tmp_path):
     assert regs.count() <= n_groups * (1 << int(meta["p"]))
 
 
+def test_bloom_gate_probe_then_fold_semantics(spark, tmp_path):
+    """The gate's verdicts see base ∪ earlier batches, never the
+    batch's own rows: a key first streamed in batch 1 reads unseen
+    there (even when repeated within the batch) and seen in batch 2;
+    base keys read seen everywhere.  And the replay guard: once an
+    epoch's fold committed, re-running its step is a no-op (the
+    verdicts on disk keep their pre-fold reading — they do NOT flip
+    to all-seen)."""
+    from cdp_spark.streaming.fold_runner import run_bloom_gate_stream
+
+    base_rows = [(0, 100), (2, 101)]
+    b0 = [(1, 100), (3, 200), (5, 200)]   # 100 seen; 200 new, twice
+    b1 = [(7, 200), (9, 300)]             # 200 now seen; 300 new
+    path = str(tmp_path / "idx")
+    spark.createDataFrame(
+        base_rows, "event_id long, user_id long"
+    ).createOrReplaceTempView("_bg_base")
+    si.sketch_index_write(
+        spark.table("_bg_base"), path,
+        col="user_id", p=6, bloom_col="user_id", bloom_bits=4096,
+        bloom_k=3,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    base_t = time.time() - 300
+    for k, batch in enumerate([b0, b1]):
+        p = src / f"batch-{k}.json"
+        with open(p, "w") as f:
+            for eid, uid in batch:
+                f.write(f'{{"event_id": {eid}, "user_id": {uid}}}\n')
+        os.utime(p, (base_t + 60 * k, base_t + 60 * k))
+    flags_dir = str(tmp_path / "flags")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_bloom_gate_stream(
+        stream, path, flags_dir, id_cols=["event_id"],
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    assert q.awaitTermination(120)
+
+    def _read():
+        return {
+            r["event_id"]: (r["seen_before"], r["epoch"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(flags_dir).collect()
+        }
+
+    got = _read()
+    assert got == {
+        1: (True, 0),   # in base
+        3: (False, 0),  # first sighting
+        5: (False, 0),  # repeat within OWN batch: still unseen
+        7: (True, 1),   # folded by batch 0
+        9: (False, 1),
+    }
+    # replay epochs 0-1 after their folds committed (fresh checkpoint
+    # restreams both files under the same default lineage): the guard
+    # must skip each step wholesale — verdicts unchanged, not flipped
+    # to all-seen by a post-fold re-probe
+    stream2 = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = run_bloom_gate_stream(
+        stream2, path, flags_dir, id_cols=["event_id"],
+        checkpoint_dir=str(tmp_path / "ck2"), available_now=True,
+    )
+    assert q2.awaitTermination(120)
+    assert _read() == got  # fresh checkpoint replays epochs 0-1: all skipped
+
+
 def test_streaming_ingest_equals_batch(spark, tmp_path):
     """run_sketch_ingest_stream over 3 single-file micro-batches (one
     EMPTY — the skip path must not disturb the watermark chain)
