@@ -237,7 +237,17 @@ def run_bloom_gate_stream(
     beyond the verdict groupBy on the probed column.  At crawl scale
     this is the classic bloom-front to an exact dedup: unseen rows
     (the vast majority) skip the expensive path with zero false
-    skips."""
+    skips.
+
+    Checkpoint contract (stricter than the ingest runner's): the
+    epoch-skip guard is LINEAGE-scoped, so a RE-CREATED checkpoint
+    must pass a fresh ``lineage`` — and for this gate that also
+    means a fresh ``flags_dir`` and a source that does not redeliver
+    already-gated files: a fresh lineage reprocesses whatever the
+    new checkpoint delivers, and any key folded in a previous
+    lineage now honestly reads ``seen_before`` (it IS in the
+    filter).  One checkpoint lineage per flags spool, for the
+    spool's whole life."""
     import json as _json
     import os as _os
 
