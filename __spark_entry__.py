@@ -4941,6 +4941,37 @@ def q_fold_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fold_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch-index fold lifecycle, HISTOGRAM half (r16):
+    the pack's fourth stat — a FIXED-BOUNDS equi-width histogram of
+    event values ([0, 1000) in 1000 unit bins, bounds pinned in the
+    index meta because fold counters only merge when bins mean the
+    same interval — the Prometheus fixed-buckets rule; the ad-hoc
+    histogram_sketch derives bounds from data and therefore cannot
+    fold).  Base + two epoch folds, then p50/p90/p95/p99 from the
+    folded snapshot: bin-count sums are lossless, so the folded
+    quantiles equal a from-scratch histogram over ALL events — the
+    oracle replays the fixed-bounds build + the identical
+    cumulative/interpolation/half-up-round arithmetic, never
+    folding."""
+    from cdp_spark.datapipe import sketch_index as si
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = _fold_index_dir("cdp_histidx_")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 3 == 0), path,
+        col="user_id", p=8,
+        hist_col="value", hist_lo=0.0, hist_hi=1000.0, hist_bins=1000,
+    )
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 2), path, epoch=2)
+    return si.sketch_index_hist_quantiles(
+        spark, path, quantiles=(0.5, 0.9, 0.95, 0.99)
+    )
+
+
 def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming Bloom SEEN-gate (r16) — the crawler pattern:
     "have we seen this user before?" at ingest, approximate state,
@@ -5085,6 +5116,7 @@ _ROUND16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fold_sketch_hll": q_fold_sketch_hll,
     "fold_sketch_cms": q_fold_sketch_cms,
     "fold_sketch_bloom": q_fold_sketch_bloom,
+    "fold_sketch_quantiles": q_fold_sketch_quantiles,
     "auto_sketch_lifecycle": q_auto_sketch_lifecycle,
     "stream_bloom_gate": q_stream_bloom_gate,
 }
@@ -5113,7 +5145,7 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # embedding_cosine_pairs, simhash_docs... — the r12 leftovers lead
 # the r17 cohort).
 _R16_WINDOW: tuple[str, ...] = (
-    # -- round-16 additions (10: the 4 early-round ops + the 5
+    # -- round-16 additions (11: the 4 early-round ops + the 6
     #    sketch-index queries + the sqrt-sized kNN join added
     #    mid-round; window re-emitted by
     #    `python scripts/window_plan.py 16` after each registration) --
@@ -5125,6 +5157,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "fold_sketch_hll",
     "fold_sketch_cms",
     "fold_sketch_bloom",
+    "fold_sketch_quantiles",
     "auto_sketch_lifecycle",
     "stream_bloom_gate",
     # -- last driver row r11: all 8 remaining deferrals --
@@ -5136,7 +5169,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "window_nav_funcs",
     "q13_customer_distribution",
     "q19_disjunctive_revenue",
-    # -- last driver row r12: 32 of the 50 (registry order) --
+    # -- last driver row r12: 31 of the 50 (registry order) --
     "string_agg_sorted",
     "vector_dim_stats",
     "stratified_sample",
@@ -5168,7 +5201,6 @@ _R16_WINDOW: tuple[str, ...] = (
     "keep_when_combinators",
     "json_extract_props",
     "q3_shipping_priority",
-    "top_customers",
 )
 
 # Historical r15 window, kept for artifact cross-reference (the judge
@@ -9643,6 +9675,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT bc.v, bc.might_contain,
                (t.v IS NOT NULL) AS is_member
         FROM bc LEFT JOIN truth t ON t.v = bc.v
+    """
+    # Fixed-bounds histogram quantiles from the folded snapshot: the
+    # oracle replays the fixed-[0,1000)x1000-bin build over ALL
+    # events (never folding) with the identical cumulative /
+    # interpolation / half-up-round arithmetic of
+    # histogram_quantiles_oracle_sql, bounds as literals.
+    _fsq_qs = ", ".join(
+        f"(CAST({float(q)!r} AS DOUBLE))" for q in (0.5, 0.9, 0.95, 0.99)
+    )
+    oracles["fold_sketch_quantiles"] = f"""
+        WITH binned AS (
+          SELECT least(999, greatest(0,
+                   CAST(floor((CAST(value AS DOUBLE) - 0.0) / 1.0)
+                        AS BIGINT))) AS bin
+          FROM events WHERE value IS NOT NULL
+        ),
+        hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+        cum AS (
+          SELECT bin, cnt,
+                 sum(cnt) OVER (ORDER BY bin) AS cum,
+                 sum(cnt) OVER () AS n
+          FROM hist
+        ),
+        qs(q) AS (VALUES {_fsq_qs})
+        SELECT q,
+               floor((0.0 + 1.0
+                      * (CAST(bin AS DOUBLE)
+                         + CAST(ceil(q * n) - (cum - cnt) AS DOUBLE) / cnt))
+                     * 10000.0 + 0.5) / 10000.0 AS estimate
+        FROM qs, cum
+        WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)
     """
     # Streaming Bloom gate: probe-then-fold replayed in SQL — a
     # position is available to batch k iff the base set has it or

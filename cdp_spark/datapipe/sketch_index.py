@@ -101,6 +101,30 @@ def _bloom_state(df: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _hist_state(df: DataFrame, meta: dict) -> DataFrame:
+    """(bin, cnt) over FIXED bounds — unlike the ad-hoc
+    :func:`~cdp_spark.datapipe.sketches.histogram_sketch` (which
+    derives lo/hi from the data), the indexed histogram PINS its
+    bucket boundaries in the meta, because counters from different
+    folds only merge when their bins mean the same interval — the
+    Prometheus fixed-buckets rule.  Out-of-range values clamp into
+    the edge bins (documented estimator semantics, not data loss)."""
+    h = meta["hist"]
+    lo, hi, bins = float(h["lo"]), float(h["hi"]), int(h["bins"])
+    width = (hi - lo) / bins
+    c = F.col(h["col"]).cast("double")
+    bin_ = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width))),
+    ).cast("long")
+    return (
+        df.where(F.col(h["col"]).isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def sketch_index_write(
     df: DataFrame,
     path: str,
@@ -113,14 +137,21 @@ def sketch_index_write(
     bloom_col: str | None = None,
     bloom_bits: int = 131072,
     bloom_k: int = 3,
+    hist_col: str | None = None,
+    hist_lo: float = 0.0,
+    hist_hi: float = 1.0,
+    hist_bins: int = 1000,
 ) -> None:
     """Initialize the index over a base corpus (possibly empty): the
     per-``group_cols`` HLL register state of ``col``, plus — when the
-    respective col is given — a global CMS and/or a Bloom filter
-    (set-bit positions) of that column, all written as the
-    ``fold=base`` snapshot.  Bloom positions merge by union+distinct
-    (idempotent like the register max), completing the pack's three
-    lossless merges: max, sum, union."""
+    respective col is given — a global CMS, a Bloom filter (set-bit
+    positions), and/or a fixed-bounds histogram of that column, all
+    written as the ``fold=base`` snapshot.  Every stat merges
+    losslessly: register MAX, counter SUM, position UNION, bin-count
+    SUM — so fold==rebuild is exact for the whole pack.  The
+    histogram's ``hist_lo``/``hist_hi`` bounds are pinned in the meta
+    (folds only merge when bins mean the same interval); values
+    outside clamp into the edge bins."""
     meta = {
         "kind": "sketch",
         "col": col,
@@ -135,6 +166,11 @@ def sketch_index_write(
         meta["bloom"] = {
             "col": bloom_col, "n_bits": int(bloom_bits), "k": int(bloom_k)
         }
+    if hist_col is not None:
+        meta["hist"] = {
+            "col": hist_col, "lo": float(hist_lo), "hi": float(hist_hi),
+            "bins": int(hist_bins),
+        }
     _hll_state(df, meta).write.mode("overwrite").parquet(
         os.path.join(path, "hll", "fold=base")
     )
@@ -145,6 +181,10 @@ def sketch_index_write(
     if bloom_col is not None:
         _bloom_state(df, meta).write.mode("overwrite").parquet(
             os.path.join(path, "bloom", "fold=base")
+        )
+    if hist_col is not None:
+        _hist_state(df, meta).write.mode("overwrite").parquet(
+            os.path.join(path, "hist", "fold=base")
         )
     _write_meta(path, meta)
     _write_state(path, {"dir": "fold=base", "epoch": None, "lineage": None})
@@ -215,6 +255,18 @@ def sketch_index_fold(
         merged_bloom.write.mode("overwrite").parquet(
             os.path.join(path, "bloom", new_dir)
         )
+    if "hist" in meta:
+        prev_hist = spark.read.parquet(
+            os.path.join(path, "hist", state["dir"])
+        )
+        merged_hist = (
+            prev_hist.unionByName(_hist_state(increment_df, meta))
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        merged_hist.write.mode("overwrite").parquet(
+            os.path.join(path, "hist", new_dir)
+        )
     _write_state(
         path, {"dir": new_dir, "epoch": int(epoch), "lineage": lineage}
     )
@@ -249,6 +301,66 @@ def sketch_index_cms_estimates(
     return sk.cms_estimates(
         sketch, items, col or c["col"],
         depth=int(c["depth"]), width=int(c["width"]),
+    )
+
+
+def sketch_index_hist_quantiles(
+    spark: SparkSession, path: str, quantiles=(0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Approximate quantiles from the committed histogram snapshot —
+    the same one-pass-over-≤bins-rows estimator as
+    :func:`~cdp_spark.datapipe.sketches.histogram_quantiles` (first
+    bin whose cumulative count reaches ceil(q·N), linear
+    interpolation inside it, half-up rounding at 4 digits), but with
+    the bounds READ FROM THE META instead of the data, so the answer
+    over base ∪ all folds is exact fold==rebuild (bin-count sums are
+    lossless).  Error bound: one bin width (hi−lo)/bins."""
+    from pyspark.sql import Window as W
+
+    from .sketches import _round_half_up
+
+    meta = _read_meta(path, "sketch")
+    h = meta["hist"]
+    lo, hi, bins = float(h["lo"]), float(h["hi"]), int(h["bins"])
+    width = (hi - lo) / bins
+    hist = spark.read.parquet(
+        os.path.join(path, "hist", _read_state(path)["dir"])
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    full = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(full).alias("n"),
+    )
+    target = F.ceil(F.col("q") * F.col("n"))
+    return (
+        cum.select(
+            "bin", "cnt", "cum", "n",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in quantiles])
+            ).alias("q"),
+        )
+        .where(
+            (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+        )
+        .select(
+            "q",
+            _round_half_up(
+                F.lit(lo)
+                + F.lit(width)
+                * (
+                    F.col("bin").cast("double")
+                    + (
+                        (target - (F.col("cum") - F.col("cnt"))).cast("double")
+                        / F.col("cnt")
+                    )
+                ),
+                4,
+            ).alias("estimate"),
+        )
     )
 
 

@@ -176,6 +176,29 @@ def test_estimate_reads_single_snapshot(spark, tmp_path):
     assert regs.count() <= n_groups * (1 << int(meta["p"]))
 
 
+def test_hist_fold_equals_rebuild(spark, tmp_path):
+    """Fixed-bounds histogram folds (bin-count SUM) are lossless:
+    quantiles from base + two folds equal quantiles from an index
+    built over the full corpus in one shot."""
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    kw = dict(col="value", p=6, hist_col="value",
+              hist_lo=0.0, hist_hi=1000.0, hist_bins=500)
+    folded = str(tmp_path / "folded")
+    si.sketch_index_write(ev.where(F.col("event_id") % 3 == 0), folded, **kw)
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), folded, epoch=1)
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 2), folded, epoch=2)
+    whole = str(tmp_path / "whole")
+    si.sketch_index_write(ev, whole, **kw)
+    got = _rows(si.sketch_index_hist_quantiles(spark, folded))
+    want = _rows(si.sketch_index_hist_quantiles(spark, whole))
+    assert got == want and len(got) == 3
+    # estimates bounded by one bin width around the exact quantiles
+    exact = ev.approxQuantile("value", [0.5, 0.95, 0.99], 0.0)
+    est = dict(got)
+    for q, ex in zip((0.5, 0.95, 0.99), exact):
+        assert abs(est[q] - ex) <= 2.0 + 1e-9, (q, est[q], ex)
+
+
 def test_bloom_gate_probe_then_fold_semantics(spark, tmp_path):
     """The gate's verdicts see base ∪ earlier batches, never the
     batch's own rows: a key first streamed in batch 1 reads unseen
