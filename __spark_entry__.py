@@ -5107,6 +5107,134 @@ def q_auto_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+def q_assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori association rules over TPC-H order baskets (r16):
+    every part pair co-bought in >= 2 orders, with support /
+    directional confidence / lift — frequent-pairs mining as one
+    broadcast-pruned self-join (Agrawal & Srikant VLDB'94; the
+    co-occurrence structure a curation pipeline mines from its event
+    or document streams).  Scale notes in
+    ``analytics.association_rules``: singleton prune broadcasts, the
+    self-join co-partitions on the basket key, per-basket blowup is
+    bounded by max basket size squared."""
+    from cdp_spark.datapipe import analytics as an
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = an.association_rules(
+        li, "l_orderkey", "l_partkey", min_item_count=2, min_pair_count=2
+    )
+    return out.select(
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        "pair_n", "n_a", "n_b", "n_baskets",
+        "support", "conf_ab", "conf_ba", "lift",
+    )
+
+
+def q_scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (r16): compact each user's event
+    stream into validity intervals of their event_type — one row per
+    run of equal attribute, valid_from/valid_to microseconds, run
+    length, is_current flag.  The CDC dimension-history pattern
+    (Kimball type-2) as pure gaps-and-islands: two row_numbers over
+    ONE (user)-partitioned sort, a groupBy on the run label, a lead
+    over the already-reduced run rows — no joins, no second shuffle
+    of the raw events (``analytics.scd2_intervals``)."""
+    from cdp_spark.datapipe import analytics as an
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    out = an.scd2_intervals(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "n_events",
+        "is_current",
+    )
+
+
+def q_mad_outliers_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by modified z-score (r16): per event_type
+    exact median + MAD, flag |0.6745*(v-med)/MAD| > 3.5 (Iglewicz &
+    Hoaglin) — the heavy-tail-proof twin of zscore_outliers.  The
+    detail table is never shuffled: both stat frames are n_groups
+    rows and broadcast back (``analytics.mad_outliers``).  mod_z is
+    emitted RAW: Spark percentile and DuckDB quantile_cont produce
+    bitwise-identical interpolations (measured on this corpus), so
+    the full expression is reproducible and the driver's 9-digit
+    normalization compares equal doubles."""
+    from cdp_spark.datapipe import analytics as an
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    out = an.mad_outliers(ev, "event_type", "value", threshold=3.5)
+    return out.select("event_id", "event_type", "value", "mod_z")
+
+
+def q_holt_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double exponential smoothing (r16): level +
+    linear trend over the (ts, event_id) sequence, alpha = beta =
+    0.5 — the trend-aware step up from ewma_user_value, same
+    legitimate-applyInPandas justification (two-state sequential
+    recurrence, no stable closed form).  Raw doubles out; the oracle
+    replays the identical parenthesisation as a recursive CTE, so
+    both engines walk bitwise-equal state."""
+    from cdp_spark.datapipe import analytics as an
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = an.holt(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.5, beta=0.5
+    )
+    return out.select("event_id", "user_id", "value", "level", "trend")
+
+
+def q_ntile_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile profile of event values (r16):
+    NTILE(10) with a deterministic (value, event_id) tie order, then
+    per-decile count/min/max/mean — the quantile-bucket feature
+    profile (equal-population bins; value_histogram is the
+    equal-width twin).  The global sort is a RANGE exchange (sampled
+    split points, n-way parallel); the aggregate reduces with
+    map-side partials (``analytics.ntile_profile``)."""
+    from cdp_spark.datapipe import analytics as an
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return an.ntile_profile(ev, "value", ["event_id"], n_tiles=10)
+
+
+def q_skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics on events.user_id (r16): per-key counts
+    reduced to the distribution stats that predict shuffle behaviour
+    (n_keys, max, exact p50/p99, max/mean skew ratio) plus the top-5
+    heavy keys — the profile you run before a 100 TB join to pick
+    broadcast vs shuffle vs salting; salted_join_revenue and AQE
+    skew-join consume exactly this signal.  One shuffle to counts
+    (map-side partials), TakeOrderedAndProject TopK, broadcast
+    globals (``analytics.key_skew_profile``)."""
+    from cdp_spark.datapipe import analytics as an
+
+    ev = load_table(spark, sf_dir, "events")
+    return an.key_skew_profile(ev, "user_id", top_k=5)
+
+
 _ROUND16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join_ivf_auto": q_knn_join_ivf_auto,
     "knn_join_ivf_sqrt": q_knn_join_ivf_sqrt,
@@ -5119,6 +5247,12 @@ _ROUND16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fold_sketch_quantiles": q_fold_sketch_quantiles,
     "auto_sketch_lifecycle": q_auto_sketch_lifecycle,
     "stream_bloom_gate": q_stream_bloom_gate,
+    "assoc_rules_parts": q_assoc_rules_parts,
+    "scd2_user_event_type": q_scd2_user_event_type,
+    "mad_outliers_value": q_mad_outliers_value,
+    "holt_user_value": q_holt_user_value,
+    "ntile_value_profile": q_ntile_value_profile,
+    "skew_profile_users": q_skew_profile_users,
 }
 
 
@@ -5135,20 +5269,23 @@ _ROUND15_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # Round-16 driver window: EMITTED BY `python scripts/window_plan.py
-# 16`.  Composition: the 4 round-16 additions, then ALL 8 remaining
-# r11-era deferrals (the stalest cohort), then 38 of the 50 r12-era
+# 16`.  Composition: the 17 round-16 additions, then ALL 8 remaining
+# r11-era deferrals (the stalest cohort), then 25 of the 50 r12-era
 # rows (registry order), filling the 50 exactly.  After this round
-# TWELVE registered queries' last hard driver row is r12
-# (sort_limit, scalar_functions, pivot_conditional, topk_frequent,
+# TWENTY-FIVE registered queries' last hard driver row is r12
+# (unpivot_measures, keep_last_per_window, keep_when_filter,
+# keep_when_combinators, json_extract_props, q3_shipping_priority,
+# sort_limit, scalar_functions, pivot_conditional, topk_frequent,
 # avg_subquery_join, ann_lsh, grouping_sets, dedup_exact_docs,
 # dup_clusters, text_stats, minhash_pairs, ngram_jaccard_pairs,
 # embedding_cosine_pairs, simhash_docs... — the r12 leftovers lead
 # the r17 cohort).
 _R16_WINDOW: tuple[str, ...] = (
-    # -- round-16 additions (11: the 4 early-round ops + the 6
-    #    sketch-index queries + the sqrt-sized kNN join added
-    #    mid-round; window re-emitted by
-    #    `python scripts/window_plan.py 16` after each registration) --
+    # -- round-16 additions (17: the 4 early-round ops + the 6
+    #    sketch-index queries + the sqrt-sized kNN join + the 6
+    #    relational-analytics/time-series ops added late-round;
+    #    window re-emitted by `python scripts/window_plan.py 16`
+    #    after each registration) --
     "knn_join_ivf_auto",
     "knn_join_ivf_sqrt",
     "simhash_combo_near_dups",
@@ -5160,6 +5297,12 @@ _R16_WINDOW: tuple[str, ...] = (
     "fold_sketch_quantiles",
     "auto_sketch_lifecycle",
     "stream_bloom_gate",
+    "assoc_rules_parts",
+    "scd2_user_event_type",
+    "mad_outliers_value",
+    "holt_user_value",
+    "ntile_value_profile",
+    "skew_profile_users",
     # -- last driver row r11: all 8 remaining deferrals --
     "q12_late_shipments",
     "q14_promo_share",
@@ -5169,7 +5312,7 @@ _R16_WINDOW: tuple[str, ...] = (
     "window_nav_funcs",
     "q13_customer_distribution",
     "q19_disjunctive_revenue",
-    # -- last driver row r12: 31 of the 50 (registry order) --
+    # -- last driver row r12: 25 of the 50 (registry order) --
     "string_agg_sorted",
     "vector_dim_stats",
     "stratified_sample",
@@ -5195,12 +5338,6 @@ _R16_WINDOW: tuple[str, ...] = (
     "window_flatmap_slide",
     "window_reduce_keyed",
     "window_flatmap_keyed",
-    "unpivot_measures",
-    "keep_last_per_window",
-    "keep_when_filter",
-    "keep_when_combinators",
-    "json_extract_props",
-    "q3_shipping_priority",
 )
 
 # Historical r15 window, kept for artifact cross-reference (the judge
@@ -9753,6 +9890,161 @@ def oracle_sql() -> dict[str, str]:
                p.b AS epoch
         FROM probes p LEFT JOIN firstpos f ON f.pos = p.pos
         GROUP BY p.event_id, p.v, p.b
+    """
+
+    # r16 second half: relational-analytics + time-series pack.
+    oracles["assoc_rules_parts"] = """
+        WITH d AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        ),
+        nb AS (SELECT count(DISTINCT b) AS n_baskets FROM d),
+        it AS (
+          SELECT i, count(*) AS n_i FROM d GROUP BY 1
+          HAVING count(*) >= 2
+        ),
+        p AS (
+          SELECT a.i AS part_a, c.i AS part_b, count(*) AS pair_n
+          FROM d a
+          JOIN d c ON a.b = c.b AND a.i < c.i
+          JOIN it x ON x.i = a.i
+          JOIN it y ON y.i = c.i
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, pair_n, x.n_i AS n_a, y.n_i AS n_b,
+               nb.n_baskets AS n_baskets,
+               round(CAST(pair_n AS DOUBLE)
+                     / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+               round(CAST(pair_n AS DOUBLE)
+                     / CAST(x.n_i AS DOUBLE), 6) AS conf_ab,
+               round(CAST(pair_n AS DOUBLE)
+                     / CAST(y.n_i AS DOUBLE), 6) AS conf_ba,
+               round((CAST(pair_n AS DOUBLE) * nb.n_baskets)
+                     / (CAST(x.n_i AS DOUBLE) * y.n_i), 6) AS lift
+        FROM p
+        JOIN it x ON x.i = part_a
+        JOIN it y ON y.i = part_b
+        CROSS JOIN nb
+    """
+    # Gaps-and-islands SCD2: the lead() orders by the run's first
+    # GLOBAL row number (start_rn), never valid_from — two runs may
+    # legitimately share a start timestamp.
+    oracles["scd2_user_event_type"] = """
+        WITH seq AS (
+          SELECT user_id, event_type, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn_all,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn_attr
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ),
+        runs AS (
+          SELECT user_id, event_type,
+                 min(ts) AS valid_from,
+                 min(rn_all) AS start_rn,
+                 count(*) AS n_events
+          FROM seq GROUP BY user_id, event_type, rn_all - rn_attr
+        )
+        SELECT user_id, event_type,
+               CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+               CAST(epoch_us(lead(valid_from) OVER w) AS BIGINT)
+                 AS valid_to_us,
+               n_events,
+               (lead(valid_from) OVER w IS NULL) AS is_current
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    """
+    # Raw mod_z doubles: Spark percentile and DuckDB quantile_cont
+    # interpolate bitwise-identically (measured), so the threshold
+    # compare can never flip between engines.
+    oracles["mad_outliers_value"] = """
+        WITH base AS (
+          SELECT event_id, event_type, value FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ),
+        med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM base GROUP BY 1
+        ),
+        mad AS (
+          SELECT b.event_type,
+                 quantile_cont(abs(b.value - m.med), 0.5) AS mad
+          FROM base b JOIN med m USING (event_type) GROUP BY 1
+        )
+        SELECT b.event_id, b.event_type, b.value,
+               0.6745 * (b.value - m.med) / d.mad AS mod_z
+        FROM base b
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE d.mad > 0
+          AND abs(0.6745 * (b.value - m.med) / d.mad) > 3.5
+    """
+    # Holt recurrence replayed rank-by-rank; the trend expression
+    # repeats the level expression TEXTUALLY so the parenthesisation
+    # (and therefore every IEEE intermediate) matches the operator.
+    oracles["holt_user_value"] = """
+        WITH RECURSIVE seq AS (
+          SELECT event_id, user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ),
+        h(user_id, rn, event_id, value, l, b) AS (
+          SELECT user_id, rn, event_id, value, value,
+                 CAST(0.0 AS DOUBLE)
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.rn, s.event_id, s.value,
+                 0.5 * s.value + 0.5 * (h.l + h.b),
+                 0.5 * ((0.5 * s.value + 0.5 * (h.l + h.b)) - h.l)
+                   + 0.5 * h.b
+          FROM h JOIN seq s
+            ON s.user_id = h.user_id AND s.rn = h.rn + 1
+        )
+        SELECT event_id, user_id, value, l AS level, b AS trend FROM h
+    """
+    oracles["ntile_value_profile"] = """
+        WITH binned AS (
+          SELECT value,
+                 ntile(10) OVER (ORDER BY value, event_id) AS tile
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT tile, count(*) AS n,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v,
+               round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(value), 4) AS avg_v
+        FROM binned GROUP BY 1
+    """
+    oracles["skew_profile_users"] = """
+        WITH counts AS (
+          SELECT user_id AS key, count(*) AS n_rows FROM events
+          WHERE user_id IS NOT NULL GROUP BY 1
+        ),
+        stats AS (
+          SELECT count(*) AS n_keys,
+                 CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                 max(n_rows) AS max_rows,
+                 round(quantile_cont(CAST(n_rows AS DOUBLE), 0.5), 4)
+                   AS p50_rows,
+                 round(quantile_cont(CAST(n_rows AS DOUBLE), 0.99), 4)
+                   AS p99_rows,
+                 round(max(n_rows)
+                       / (CAST(sum(n_rows) AS DOUBLE) / count(*)), 4)
+                   AS skew_ratio
+          FROM counts
+        ),
+        top AS (
+          SELECT key, n_rows,
+                 row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+          FROM counts ORDER BY n_rows DESC, key LIMIT 5
+        )
+        SELECT rank, key, n_rows, n_keys, total_rows, max_rows,
+               p50_rows, p99_rows, skew_ratio
+        FROM top CROSS JOIN stats
     """
 
     oracles.update(_SHARED_SQL)

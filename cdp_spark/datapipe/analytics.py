@@ -772,3 +772,419 @@ def pareto_top_customers(
             ).alias("cum_share"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_count: int = 2,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) pairs:
+    for every unordered item pair co-occurring in >= min_pair_count
+    baskets, emit counts plus support / directional confidence /
+    lift — the a-priori frequent-pairs mine (Agrawal & Srikant,
+    VLDB'94) that a curation pipeline uses for co-occurrence
+    structure (reference parity: the closest the reference gets is
+    jq-side group counting, src/api.ts window reducers; this is the
+    relational superset).
+
+    Scale shape: pass 1 counts singletons (one shuffle, map-side
+    partials) and keeps items with count >= min_item_count — the
+    a-priori prune: a pair can only reach min_pair_count if both
+    members reach it alone, so pruned items never enter the
+    self-join.  The frequent-item set under any sane support
+    threshold is orders of magnitude smaller than the basket table
+    (bounded by distinct-item cardinality, not row count), so it
+    rides a broadcast hash join with NO extra shuffle.  Pass 2
+    self-joins the pruned baskets on the basket key — both sides
+    hash-partition on the SAME key so AQE plans one exchange per
+    side — and the per-basket pair blowup is bounded by the max
+    basket size squared (TPC-H: 13^2), constant per basket at any
+    scale.  The basket total rides along as a broadcast scalar
+    (collect-free).  All ratios are integer-count divisions done in
+    double with one rounding site, so results are order- and
+    engine-stable.
+    """
+    d = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = d.agg(F.countDistinct("b").alias("n_baskets"))
+    item_counts = d.groupBy("i").agg(F.count("*").alias("n_i"))
+    frequent = item_counts.where(F.col("n_i") >= int(min_item_count))
+    pruned = d.join(F.broadcast(frequent.select("i")), "i")
+    left = pruned.select(F.col("b"), F.col("i").alias("ia"))
+    right = pruned.select(F.col("b"), F.col("i").alias("ib"))
+    pair_counts = (
+        left.join(right, "b")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("pair_n"))
+        .where(F.col("pair_n") >= int(min_pair_count))
+    )
+    with_counts = (
+        pair_counts.join(
+            F.broadcast(frequent.select(F.col("i").alias("ia"),
+                                        F.col("n_i").alias("n_a"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(frequent.select(F.col("i").alias("ib"),
+                                        F.col("n_i").alias("n_b"))),
+            "ib",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    nb = F.col("n_baskets").cast("double")
+    return with_counts.select(
+        F.col("ia").alias("item_a"),
+        F.col("ib").alias("item_b"),
+        "pair_n",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        F.round(F.col("pair_n").cast("double") / nb, 6).alias("support"),
+        F.round(
+            F.col("pair_n").cast("double") / F.col("n_a").cast("double"), 6
+        ).alias("conf_ab"),
+        F.round(
+            F.col("pair_n").cast("double") / F.col("n_b").cast("double"), 6
+        ).alias("conf_ba"),
+        F.round(
+            (F.col("pair_n").cast("double") * F.col("n_baskets"))
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    attr_col: str,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) compaction: collapse a
+    change log into validity intervals — one row per RUN of equal
+    ``attr_col`` per key, with ``valid_from`` (first order value of
+    the run), ``valid_to`` (the next run's start, NULL while
+    current), ``n_events`` in the run, and ``is_current`` — the CDC
+    dimension-history build every warehouse does on its mutation
+    feeds.
+
+    Scale shape: classic gaps-and-islands — two ``row_number``
+    windows over the SAME (key)-partitioned sort (Spark plans one
+    exchange + one sort, both windows ride it), their difference
+    labels the run; one groupBy on (key, attr, run) with map-side
+    partials; then ``lead`` over the per-key RUN rows (already
+    reduced — bounded by change count, not event count).  No joins,
+    no second shuffle of the raw events.
+    """
+    ts_col = ts_col or order_cols[0]
+    order = [F.col(c) for c in order_cols]
+    w_all = Window.partitionBy(key_col).orderBy(*order)
+    w_attr = Window.partitionBy(key_col, attr_col).orderBy(*order)
+    labeled = df.select(
+        F.col(key_col).alias("k"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("_ts"),
+        F.row_number().over(w_all).alias("rn_all"),
+        (F.row_number().over(w_all) - F.row_number().over(w_attr)).alias(
+            "run"
+        ),
+    )
+    runs = labeled.groupBy("k", "attr", "run").agg(
+        F.min("_ts").alias("valid_from"),
+        # run ordering key: the run's first GLOBAL row number — unlike
+        # valid_from it can never tie (two runs may share a start
+        # timestamp when the boundary events carry equal ts), so the
+        # lead() below is deterministic.
+        F.min("rn_all").alias("start_rn"),
+        F.count("*").alias("n_events"),
+    )
+    w_runs = Window.partitionBy("k").orderBy("start_rn")
+    return runs.select(
+        F.col("k").alias(key_col),
+        F.col("attr").alias(attr_col),
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_events",
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outliers by modified z-score (Iglewicz &
+    Hoaglin): flag rows where
+    ``|0.6745 * (x - median) / MAD| > threshold`` with MAD the
+    median absolute deviation — the outlier rule that survives the
+    heavy tails that wreck plain z-scores (the ``zscore_outliers``
+    twin's failure mode on power-law values).
+
+    Scale shape: two aggregation passes (median, then MAD around it)
+    — exact ``percentile`` per group, which Spark computes with a
+    per-group sorted fold; the group count is bounded (event types /
+    categories), never corpus-cardinality, so the exact quantile
+    state stays small even when rows per group are huge.  Both
+    per-group stat frames are broadcast back onto the events —
+    stats rows == n_groups, always tiny — so the detail table is
+    never shuffled at all: scan -> broadcast join -> filter, one
+    stage.  Groups whose MAD is zero (constant-majority values)
+    yield no outliers by definition, not a divide-by-zero.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    deviations = df.join(F.broadcast(med), group_col).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = deviations.groupBy(group_col).agg(
+        F.expr("percentile(_absdev, 0.5)").alias("mad")
+    )
+    scored = (
+        df.join(F.broadcast(med), group_col)
+        .join(F.broadcast(mad), group_col)
+        .where(F.col("mad") > 0)
+        .withColumn(
+            "mod_z",
+            F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+        )
+    )
+    return scored.where(F.abs(F.col("mod_z")) > float(threshold))
+
+
+def holt(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear
+    trend): ``l_1 = x_1, b_1 = 0``;
+    ``l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})``,
+    ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}`` — the
+    trend-aware forecasting recurrence one step up from [[ewma]]
+    (which a ramping series always lags).
+
+    Like ``ewma`` this is a genuinely sequential two-state per-key
+    recurrence — no closed form survives floating point beyond ~1e3
+    rows — so it is a legitimate ``applyInPandas`` site: one shuffle
+    on the key, recurrence inside each group, state bounded by
+    per-key cardinality.  The arithmetic is written EXACTLY as the
+    textbook expressions above (same parenthesisation as the oracle
+    CTE), so with alpha/beta whose complements are exactly
+    representable (0.5, 0.25, 0.75) the doubles are bitwise equal on
+    any IEEE engine.  Emits raw ``level`` and ``trend`` doubles —
+    rounding is the comparer's job (engine round() rules disagree on
+    exact .5-boundary doubles; see ewma's note).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("level", DoubleType()),
+           StructField("trend", DoubleType())]
+    )
+    cols = list(df.columns)
+    a = float(alpha)
+    one_minus_a = 1.0 - a
+    be = float(beta)
+    one_minus_b = 1.0 - be
+
+    def _fn(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        lev = np.empty_like(vals)
+        tre = np.empty_like(vals)
+        l_prev = 0.0
+        b_prev = 0.0
+        for i in range(len(vals)):
+            if i == 0:
+                l_new = vals[0]
+                b_new = 0.0
+            else:
+                l_new = a * vals[i] + one_minus_a * (l_prev + b_prev)
+                b_new = be * (l_new - l_prev) + one_minus_b * b_prev
+            lev[i] = l_new
+            tre[i] = b_new
+            l_prev, b_prev = l_new, b_new
+        pdf["level"] = lev
+        pdf["trend"] = tre
+        return pdf[cols + ["level", "trend"]]
+
+    return df.groupBy(key_col).applyInPandas(_fn, schema)
+
+
+def ntile_profile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Equal-frequency binning profile: NTILE(n) over the value
+    (deterministic tie order via ``tiebreak_cols``), then per-bin
+    count / min / max / mean — the quantile-bucket feature profile
+    (equal-POPULATION bins, where [[value-histogram]] is
+    equal-WIDTH).
+
+    Scale shape: a naive ``ntile().over(Window.orderBy(...))`` moves
+    the WHOLE table into one partition (Spark's unpartitioned-window
+    plan) — the classic global-rank trap.  This operator computes the
+    exact global rank the distributed way instead, with DRIVER-FROZEN
+    bucket boundaries so every pass sees the identical partitioning
+    (``repartitionByRange`` re-SAMPLES split points per action, which
+    desynchronized the count pass from the rank pass — measured, 11
+    tiles from 10): one ``approxQuantile`` pass picks ~equi-depth cut
+    values, frozen as plan literals; a deterministic bucket id
+    (`count of cuts < value`, a JVM-side lambda over a literal
+    array) keys both the per-bucket count aggregate (metadata-sized,
+    prefix-summed on the driver) and one ``applyInPandas`` pass that
+    sorts each bucket and adds ``offset + position``.  Bucket
+    placement only affects BALANCE — buckets are contiguous value
+    ranges, so the rank is exact whatever the cuts — and each bucket
+    holds ~N/P rows, the same memory envelope as a range-sort
+    partition.  The ANSI NTILE bucket arithmetic (first ``N mod n``
+    buckets take the extra row) is then pure column math, and the
+    per-bin aggregate reduces with map-side partials.  The detail
+    rows shuffle exactly ONCE (the bucket exchange), regardless of
+    scale.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order_cols = [value_col] + list(tiebreak_cols)
+    base = df.where(F.col(value_col).isNotNull()).select(*order_cols)
+    n_buckets = base.sparkSession.sparkContext.defaultParallelism
+    cuts = sorted(
+        set(
+            base.approxQuantile(
+                value_col,
+                [i / n_buckets for i in range(1, n_buckets)],
+                0.001,
+            )
+        )
+    )
+    if cuts:
+        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(
+            F.filter(cuts_arr, lambda c: c < F.col(value_col))
+        ).alias("_bkt")
+    else:
+        bucket = F.lit(0).alias("_bkt")
+    bucketed = base.select("*", bucket)
+    sizes = {
+        r["_bkt"]: r["cnt"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    total = sum(sizes.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+
+    schema = StructType(
+        [f for f in base.schema.fields]
+        + [StructField("rank", LongType())]
+    )
+
+    def _rank(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pos = offsets[int(pdf["_bkt"].iloc[0])]
+        pdf = pdf.drop(columns=["_bkt"])
+        pdf["rank"] = np.arange(pos + 1, pos + 1 + len(pdf), dtype="int64")
+        return pdf
+
+    ranked = bucketed.groupBy("_bkt").applyInPandas(_rank, schema)
+    n = int(n_tiles)
+    q, r = divmod(total, n) if total else (0, 0)
+    big_sz = q + 1
+    k0 = F.col("rank") - 1  # 0-based rank
+    cutoff = r * big_sz  # rows living in the (q+1)-sized buckets
+    tile = F.when(
+        k0 < cutoff, F.floor(k0 / F.lit(big_sz)) + 1
+    ).otherwise(
+        F.lit(r) + F.floor((k0 - cutoff) / F.lit(max(q, 1))) + 1
+    )
+    return (
+        ranked.withColumn("tile", tile.cast("int"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(value_col), 6).alias("min_v"),
+            F.round(F.max(value_col), 6).alias("max_v"),
+            _stable_avg(F.col(value_col)).alias("avg_v"),
+        )
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join/groupBy-key skew diagnostics: per-key row counts reduced
+    to the distribution stats that predict shuffle behaviour —
+    n_keys, mean/max rows per key, exact p50/p99 of the count
+    distribution, max/mean skew ratio — plus the top-K heavy keys,
+    each stat row carrying the globals.  This is the profile you run
+    BEFORE a 100 TB join to decide broadcast vs shuffle vs salting
+    (the engine's own salted_join_revenue / AQE skew handling are the
+    consumers of exactly this signal).
+
+    Scale shape: one shuffle to per-key counts (map-side partials
+    collapse the detail rows, so the shuffle carries one record per
+    key); the stats aggregate over counts is a single reduction whose
+    input is key-cardinality-sized; the heavy-key TopK is
+    TakeOrderedAndProject (no global sort); globals ride a broadcast
+    cross join.  Percentiles over per-key counts are exact
+    ``percentile`` — the count frame is already reduced, so exact is
+    affordable at any detail scale.
+    """
+    counts = df.where(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("key")
+    ).agg(F.count("*").alias("n_rows"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.expr("percentile(n_rows, 0.5)").alias("p50_rows"),
+        F.expr("percentile(n_rows, 0.99)").alias("p99_rows"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        F.round("p50_rows", 4).alias("p50_rows"),
+        F.round("p99_rows", 4).alias("p99_rows"),
+        F.round(
+            F.col("max_rows")
+            / (F.col("total_rows").cast("double") / F.col("n_keys")),
+            4,
+        ).alias("skew_ratio"),
+    )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(int(top_k))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rank", "key", "n_rows", "n_keys", "total_rows", "max_rows",
+        "p50_rows", "p99_rows", "skew_ratio",
+    )
