@@ -782,3 +782,93 @@ def stream_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_holt(
+    stream: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """STREAMING per-key Holt double exponential smoothing — the
+    two-state (level, trend) recurrence of
+    :func:`~cdp_spark.datapipe.analytics.holt` carried across
+    micro-batches: ``l_1 = x_1, b_1 = 0``;
+    ``l_i = alpha*x_i + (1-alpha)*(l + b)``,
+    ``b_i = beta*(l_i - l) + (1-beta)*b`` — trend-aware smoothing
+    where :func:`stream_ewma` systematically lags a ramp.
+
+    Same contract as stream_ewma: rows consume in ``order_cols``
+    order WITHIN a batch (sorted in the state function) and arrival
+    order ACROSS batches, equal to the batch operator whenever each
+    key's rows arrive in non-decreasing order across batches.  State
+    per key is three numbers (level, trend, seen) — bounded by key
+    cardinality, no timeout.  The arithmetic repeats the batch
+    operator's exact parenthesisation, so with exactly-representable
+    complements the stream, the batch operator, and a recursive-CTE
+    oracle agree bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        list(stream.schema.fields)
+        + [T.StructField("level", T.DoubleType()),
+           T.StructField("trend", T.DoubleType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("seen", T.BooleanType()),
+        ]
+    )
+    cols = list(stream.columns)
+    a = float(alpha)
+    one_minus_a = 1.0 - a
+    be = float(beta)
+    one_minus_b = 1.0 - be
+
+    def _fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        l_prev, b_prev, seen = (
+            state.get if state.exists else (0.0, 0.0, False)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        lev = np.empty_like(vals)
+        tre = np.empty_like(vals)
+        for i in range(len(vals)):
+            if not seen:
+                l_new = vals[i]
+                b_new = 0.0
+                seen = True
+            else:
+                l_new = a * vals[i] + one_minus_a * (l_prev + b_prev)
+                b_new = be * (l_new - l_prev) + one_minus_b * b_prev
+            lev[i] = l_new
+            tre[i] = b_new
+            l_prev, b_prev = l_new, b_new
+        state.update((float(l_prev), float(b_prev), True))
+        pdf["level"] = lev
+        pdf["trend"] = tre
+        yield pdf[cols + ["level", "trend"]]
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

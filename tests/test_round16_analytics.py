@@ -262,3 +262,71 @@ def test_key_skew_profile_ignores_null_keys(spark):
     out = an.key_skew_profile(df, "k", top_k=5).collect()
     assert [(r["key"], r["n_rows"]) for r in out] == [("a", 2)]
     assert out[0]["n_keys"] == 1 and out[0]["total_rows"] == 2
+
+
+# ----------------------------------------------------------- stream holt
+
+
+def test_stream_holt_equals_batch(spark, tmp_path):
+    """The streaming Holt carry equals the batch operator exactly
+    when each key's rows arrive in order across micro-batches: 3
+    hand-staged batches interleaving two keys, one batch empty for a
+    key (its (level, trend) state must persist untouched), shuffled
+    within-batch row order (the state function sorts), alpha=0.25 /
+    beta=0.75 to exercise non-default smoothing."""
+    import os
+    import time
+
+    from cdp_spark.datapipe.analytics import holt
+    from cdp_spark.streaming.analytics import stream_holt
+
+    rows = [
+        (1, "a", 1, 10.0), (2, "a", 2, 20.0), (3, "b", 1, 5.0),
+        (4, "a", 3, 30.0), (5, "a", 4, 2.0),
+        (6, "b", 2, 7.0), (7, "a", 5, 40.0), (8, "b", 3, 1.0),
+    ]
+    batches = [rows[:3], rows[3:5], rows[5:]]
+    src = tmp_path / "src"
+    src.mkdir()
+    base = time.time() - 300
+    for k, batch in enumerate(batches):
+        p = src / f"batch-{k}.json"
+        with open(p, "w") as f:
+            for eid, key, seq, val in reversed(batch):
+                f.write(
+                    f'{{"event_id": {eid}, "k": "{key}", '
+                    f'"seq": {seq}, "value": {val}}}\n'
+                )
+        os.utime(p, (base + 60 * k, base + 60 * k))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, k string, seq long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stream_holt(stream, "k", ["seq"], "value", alpha=0.25, beta=0.75)
+    name = "sholt_t16"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in spark.table(name).collect()
+    }
+
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, seq long, value double"
+    )
+    want = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in holt(
+            df, "k", ["seq"], "value", alpha=0.25, beta=0.75
+        ).collect()
+    }
+    assert got == want and len(got) == len(rows)
