@@ -11,10 +11,13 @@
   few bits (hamming via xor+popcount).
 - n-gram Jaccard: exact verification primitive.
 
-Everything is JVM-side (xxhash64, higher-order array functions,
-bitwise aggregates): no Python in the hot path, deterministic across
-runs (fixed seeds), linear row amplification bounded by
-num_perm/bands.
+String hashing and tokenization are JVM-side (xxhash64/md5,
+codegen); the wide per-document arithmetic folds (minhash
+permutation minima, simhash bit votes, winnowing window minima)
+run as exact-int64 Arrow/numpy kernels — the interpreted
+higher-order-function formulations they replaced were the measured
+hot loop (OPTIMIZATION_r16.md).  Deterministic across runs (fixed
+seeds), linear row amplification bounded by num_perm/bands.
 """
 
 from __future__ import annotations
@@ -44,8 +47,13 @@ def shingles(col: Column, n: int = 3) -> Column:
         starts = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
             F.when(cnt > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
         )
+        # slice() clamps at the array end, so a plain literal length is
+        # identical to least(n, cnt) for every start emitted above —
+        # and the least(lit, size(outer-var)) form inside the nested
+        # lambda broke ExtractPythonUDFs for any downstream kernel UDF
+        # (Cannot-generate-code fallback, measured r16).
         grams = F.transform(
-            starts, lambda i: F.array_join(F.slice(tk, i, F.least(F.lit(n), cnt)), " ")
+            starts, lambda i: F.array_join(F.slice(tk, i, n), " ")
         )
         return F.array_distinct(grams)
 
@@ -77,6 +85,16 @@ def winnow_fingerprints(
     """
     if hash_fn is None:
         hash_fn = default_hash64
+
+    # NOTE (optimization r16): a vectorized Arrow kernel for the
+    # window-min pass was prototyped and REVERTED — the isolated win
+    # was only 1.36x (gram md5 hashing dominates and stays JVM-side
+    # either way), while every consumer explodes the fingerprint array
+    # immediately, which trips the Spark 4.1.2 Python-UDF extraction
+    # gap described in _kernels.py (Generate above + any plan node
+    # below the UDF projection), and the STREAMING flag paths cannot
+    # take the localCheckpoint barrier that works around it.  The
+    # all-Column fold below is Generate-safe everywhere.
 
     def select_mins(hashes: Column) -> Column:
         m = F.size(hashes)
@@ -143,20 +161,13 @@ def signature_from_shingles(
 ) -> Column:
     """MinHash signature from a precomputed shingle array — lets a
     caller that also needs the shingles (e.g. the verify join) pay
-    the tokenize/shingle cost once."""
-    params = _permutation_params(num_perm, seed)
-    consts = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
-    )
-    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_perm)])
+    the tokenize/shingle cost once.  Shingle hashing is JVM-side;
+    the permutation-min fold runs in the vectorized Arrow kernel
+    (bit-identical, see _kernels module docstring)."""
+    from ._kernels import minhash_sig_kernel
+
     hashes = F.transform(sh, lambda s: hash_fn(s) % F.lit(_MERSENNE))
-    return F.aggregate(
-        hashes,
-        init,
-        lambda acc, x: F.zip_with(
-            acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % F.lit(_MERSENNE))
-        ),
-    )
+    return minhash_sig_kernel(num_perm, seed, _permutation_params)(hashes)
 
 
 def minhash_signature(
@@ -209,22 +220,43 @@ def minhash_signatures_df(
     hash_fn=default_hash64,
 ) -> DataFrame:
     """(id, signature array<long>) — the zero-shuffle plan: each row
-    folds its own shingle-hash array through ``minhash_signature``'s
-    single aggregate (all permutation minima updated per hash via
-    zip_with), so the signature never leaves the row.  This strictly
-    dominates the explode-to-(id, perm, value)+groupBy formulation at
-    every scale: that plan amplifies rows by shingles x num_perm
-    before the exchange and still pays a shuffle (measured 5x slower
-    at sf0.1 even after map-side combine).  Documents with an empty
-    shingle set carry no signal and are dropped, matching the explode
-    plan's semantics."""
+    folds its own shingle-hash array into all permutation minima at
+    once (the vectorized Arrow kernel since r16), so the signature
+    never leaves the row.  This strictly dominates the
+    explode-to-(id, perm, value)+groupBy formulation at every scale:
+    that plan amplifies rows by shingles x num_perm before the
+    exchange and still pays a shuffle (measured 5x slower at sf0.1
+    even after map-side combine).  Documents with an empty shingle
+    set carry no signal and are dropped, matching the explode plan's
+    semantics."""
+    from ._kernels import minhash_sig_kernel
+
     narrow = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
-    return (
-        narrow.filter(F.size(tokens(F.col("_t"))) > 0)
-        .select(
+    # The shingle-HASH array (the signature kernel's exact input) is
+    # materialized via iter_checkpoint: Spark 4.1.2 skips Python-UDF
+    # extraction when the UDF projection collapses onto a
+    # Repartition/Filter chain (measured, _kernels.py docstring), so
+    # the kernel must see a plain attribute over a LogicalRDD leaf.
+    # The checkpointed payload is (id, array<long>) — a few hundred
+    # bytes per document, released by the ContextCleaner with the
+    # returned frame; the tokenize/shingle/md5 work it stores is also
+    # exactly the expensive half of the signature pipeline, so the
+    # barrier doubles as the compute-once materialization the
+    # _enrich_signatures path has always used.
+    hashes = iter_checkpoint(
+        narrow.filter(F.size(tokens(F.col("_t"))) > 0).select(
             "_id",
-            minhash_signature(F.col("_t"), num_perm, n, seed, hash_fn).alias("signature"),
+            F.transform(
+                shingles(F.col("_t"), n),
+                lambda s: hash_fn(s) % F.lit(_MERSENNE),
+            ).alias("_hs"),
         )
+    )
+    return hashes.select(
+        "_id",
+        minhash_sig_kernel(num_perm, seed, _permutation_params)(
+            F.col("_hs")
+        ).alias("signature"),
     )
 
 
@@ -659,22 +691,12 @@ def simhash64(col: Column, hash_fn=None) -> Column:
 
     With ``hash_fn=md5_hash60`` the hash has only 60 useful bits (the
     top 4 always vote -1 → 0) — accepted for cross-engine parity."""
+    from ._kernels import simhash_fp_kernel
+
     tk = tokens(col)
     token_hash = hash_fn if hash_fn is not None else F.xxhash64
     hashes = F.transform(tk, lambda t: token_hash(t))
-    masks = F.array(*[F.lit(m).cast("long") for m in _SIMHASH_MASKS])
-    init = F.array(*[F.lit(0).cast("long") for _ in _SIMHASH_MASKS])
-    votes = F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            masks,
-            lambda cnt, m: cnt + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        ),
-    )
-    signed = F.zip_with(votes, masks, lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")))
-    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, m: acc.bitwiseOR(m))
+    return simhash_fp_kernel()(hashes)
 
 
 def hamming64(a: Column, b: Column) -> Column:
