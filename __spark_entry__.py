@@ -1151,12 +1151,13 @@ def q_stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     ckpt = tempfile.mkdtemp(prefix="cdp_bm25_stream_ck_")
-    q = run_bm25_ingest_stream(
-        stream, path, checkpoint_dir=ckpt, available_now=True
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("bm25 ingest stream still running after 300s")
+    with _stream_shuffle_conf(spark):
+        q = run_bm25_ingest_stream(
+            stream, path, checkpoint_dir=ckpt, available_now=True
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("bm25 ingest stream still running after 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     return ri.bm25_index_topk(spark, path, list(_BM25_TERMS), k=20)
 
@@ -1190,12 +1191,13 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     ckpt = tempfile.mkdtemp(prefix="cdp_ivf_stream_ck_")
-    q = run_ivf_ingest_stream(
-        stream, path, checkpoint_dir=ckpt, available_now=True
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("ivf ingest stream still running after 300s")
+    with _stream_shuffle_conf(spark):
+        q = run_ivf_ingest_stream(
+            stream, path, checkpoint_dir=ckpt, available_now=True
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("ivf ingest stream still running after 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     return sim.ivf_index_topk(spark, path, qvec, k=10, n_probe=4, round_digits=4)
 
@@ -2742,12 +2744,13 @@ def q_auto_fold_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, path, work,
         threshold=0.5, bands=8, fold_every_batches=2,
     )
-    for inc in (inc1, inc2):
-        inc.repartition(2).write.mode("append").json(src)
-        q = runner.start(checkpoint_dir=ckpt, available_now=True)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("auto-fold pass still running after 300s")
+    with _stream_shuffle_conf(spark):
+        for inc in (inc1, inc2):
+            inc.repartition(2).write.mode("append").json(src)
+            q = runner.start(checkpoint_dir=ckpt, available_now=True)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("auto-fold pass still running after 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     assert runner.folds_done == 2, runner.folds_done
     return runner.flags().select(
@@ -2792,12 +2795,13 @@ def q_auto_exact_ngram_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     runner = IncrementFoldRunner(stream, path, work, fold_every_batches=2)
-    for inc in (inc1, inc2):
-        inc.repartition(2).write.mode("append").json(src)
-        q = runner.start(checkpoint_dir=ckpt, available_now=True)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("exact-ngram fold pass still running after 300s")
+    with _stream_shuffle_conf(spark):
+        for inc in (inc1, inc2):
+            inc.repartition(2).write.mode("append").json(src)
+            q = runner.start(checkpoint_dir=ckpt, available_now=True)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("exact-ngram fold pass still running after 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     assert runner.folds_done == 2, runner.folds_done
     return runner.flags().select(
@@ -2987,29 +2991,30 @@ def q_stream_pipeline_keyed_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     template = from_yaml(_KEYED_STATEFUL_RUNNER_YAML % src)
     flushed: list[tuple[str, str]] = []
     stream = stream_ndjson_files(spark, src, max_files_per_trigger=1)
-    query = run_pipeline_stream(
-        template,
-        spark=spark,
-        input_stream=stream,
-        on_batch=lambda df, _e: flushed.extend(
-            (r.n, r.d) for r in df.select("n", "d").collect()
-        ),
-        trigger_seconds=0.2,
-        checkpoint_dir=ckpt,
-    )
-    try:
-        deadline = _time.time() + 240
-        while len(flushed) < expected and _time.time() < deadline:
-            _time.sleep(0.5)
-        if len(flushed) < expected:
-            raise TimeoutError(
-                f"keyed stateful runner flushed {len(flushed)}/{expected} "
-                f"windows after 240s (checkpoint kept at {ckpt})"
-            )
-    except BaseException:
+    with _stream_shuffle_conf(spark):
+        query = run_pipeline_stream(
+            template,
+            spark=spark,
+            input_stream=stream,
+            on_batch=lambda df, _e: flushed.extend(
+                (r.n, r.d) for r in df.select("n", "d").collect()
+            ),
+            trigger_seconds=0.2,
+            checkpoint_dir=ckpt,
+        )
+        try:
+            deadline = _time.time() + 240
+            while len(flushed) < expected and _time.time() < deadline:
+                _time.sleep(0.5)
+            if len(flushed) < expected:
+                raise TimeoutError(
+                    f"keyed stateful runner flushed {len(flushed)}/{expected} "
+                    f"windows after 240s (checkpoint kept at {ckpt})"
+                )
+        except BaseException:
+            query.stop()
+            raise
         query.stop()
-        raise
-    query.stop()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return (
@@ -3760,6 +3765,48 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_partitions(spark: SparkSession) -> int:
+    """Shuffle/state partition count for the driver queries'
+    micro-batch streams.  AQE cannot coalesce inside Structured
+    Streaming (ResolveWriteToStream disables it), so every stateful or
+    shuffle stage of every micro-batch runs the session's FULL
+    ``spark.sql.shuffle.partitions`` — with the bench session's
+    core-count-sized value, a trivial 4-trigger HLL stream spends
+    seconds scheduling empty tasks and committing empty state-store
+    deltas (measured 16.5s -> 3.5s at sf0.1 by sizing this to the
+    micro-batch volume).  Partitioning should track the data, not the
+    core count (guide §2): these streams carry at most a few MB and a
+    few thousand state keys per trigger, so the default is
+    min(8, defaultParallelism).  Production deployments with large
+    micro-batches size it via CDP_SPARK_STREAM_SHUFFLE_PARTITIONS."""
+    env = os.environ.get("CDP_SPARK_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(8, spark.sparkContext.defaultParallelism))
+
+
+class _stream_shuffle_conf:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` to the
+    stream-sized value for the duration of a stream drive (the value
+    is captured into the stream's offset metadata at start), restoring
+    the session value afterwards.  Purely a partitioning change —
+    keyed state and aggregations are hash-partitioned by key, so
+    results are identical at any partition count."""
+
+    def __init__(self, spark: SparkSession, n: int | None = None):
+        self.spark = spark
+        self.n = n if n is not None else _stream_partitions(spark)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def _drive_memory_stream(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -3781,31 +3828,32 @@ def _drive_memory_stream(
 
     ckpt = tempfile.mkdtemp(prefix=prefix + "ck_")
     name = prefix + uuid.uuid4().hex[:12]
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     keep_dirs = False
-    try:
-        if not query.awaitTermination(300):
-            keep_dirs = True
-            query.stop()
-            raise TimeoutError(
-                f"AvailableNow stream {name} still running after 300s; "
-                f"refusing to read a partial result (checkpoint kept for "
-                f"diagnosis at {ckpt})"
-            )
-    finally:
-        if query.isActive:
-            query.stop()
-        if not keep_dirs:
-            shutil.rmtree(ckpt, ignore_errors=True)
-            if src:
-                shutil.rmtree(src, ignore_errors=True)
+    with _stream_shuffle_conf(spark):
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                keep_dirs = True
+                query.stop()
+                raise TimeoutError(
+                    f"AvailableNow stream {name} still running after 300s; "
+                    f"refusing to read a partial result (checkpoint kept "
+                    f"for diagnosis at {ckpt})"
+                )
+        finally:
+            if query.isActive:
+                query.stop()
+            if not keep_dirs:
+                shutil.rmtree(ckpt, ignore_errors=True)
+                if src:
+                    shutil.rmtree(src, ignore_errors=True)
     return spark.table(name)
 
 
@@ -4741,12 +4789,13 @@ def q_auto_simhash_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, path, work,
         fold_every_batches=2, max_hamming=5, n_chunks=6,
     )
-    for inc in (inc1, inc2):
-        inc.repartition(2).write.mode("append").json(src)
-        q = runner.start(checkpoint_dir=ckpt, available_now=True)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("auto-simhash pass still running after 300s")
+    with _stream_shuffle_conf(spark):
+        for inc in (inc1, inc2):
+            inc.repartition(2).write.mode("append").json(src)
+            q = runner.start(checkpoint_dir=ckpt, available_now=True)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("auto-simhash pass still running after 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     assert runner.folds_done == 2, runner.folds_done
     return runner.flags().select(
@@ -5031,13 +5080,14 @@ def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
-    q = run_bloom_gate_stream(
-        stream, path, flags_dir, id_cols=["event_id"],
-        checkpoint_dir=ckpt, available_now=True,
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("bloom gate stream still running after 300s")
+    with _stream_shuffle_conf(spark):
+        q = run_bloom_gate_stream(
+            stream, path, flags_dir, id_cols=["event_id"],
+            checkpoint_dir=ckpt, available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("bloom gate stream still running after 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     assert si._read_state(path)["epoch"] == 3, si._read_state(path)
     flags = spark.read.option("recursiveFileLookup", "true").parquet(
@@ -5088,12 +5138,13 @@ def q_auto_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
-    q = run_sketch_ingest_stream(
-        stream, path, checkpoint_dir=ckpt, available_now=True
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("sketch ingest stream still running after 300s")
+    with _stream_shuffle_conf(spark):
+        q = run_sketch_ingest_stream(
+            stream, path, checkpoint_dir=ckpt, available_now=True
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("sketch ingest stream still running after 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     # 4 staged files -> 4 single-file triggers; the last committed
     # epoch proves the folds actually ran batch-by-batch.
