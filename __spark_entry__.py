@@ -1612,8 +1612,8 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per document (md5-based 60-bit token hash, oracled)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", ddp.simhash64(F.col("text"), hash_fn=ddp.md5_hash60).alias("simhash")
+    return ddp.attach_simhash(
+        docs, ["doc_id"], "text", hash_fn=ddp.md5_hash60, out="simhash"
     )
 
 

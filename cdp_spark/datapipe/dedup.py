@@ -161,13 +161,56 @@ def signature_from_shingles(
 ) -> Column:
     """MinHash signature from a precomputed shingle array — lets a
     caller that also needs the shingles (e.g. the verify join) pay
-    the tokenize/shingle cost once.  Shingle hashing is JVM-side;
-    the permutation-min fold runs in the vectorized Arrow kernel
-    (bit-identical, see _kernels module docstring)."""
-    from ._kernels import minhash_sig_kernel
+    the tokenize/shingle cost once.
 
+    This is the all-Column REFERENCE implementation (interpreted
+    higher-order fold — correct anywhere a Column composes, but
+    O(shingles x num_perm) interpreted steps per document).  The hot
+    operators attach signatures with :func:`attach_minhash_signature`
+    instead — one vectorized Arrow pass, bit-identical results
+    (tests/test_round16_kernels.py)."""
+    params = _permutation_params(num_perm, seed)
+    consts = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
+    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_perm)])
     hashes = F.transform(sh, lambda s: hash_fn(s) % F.lit(_MERSENNE))
-    return minhash_sig_kernel(num_perm, seed, _permutation_params)(hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % F.lit(_MERSENNE))
+        ),
+    )
+
+
+def attach_minhash_signature(
+    df: DataFrame,
+    carry: list[str],
+    sh_col: str,
+    num_perm: int,
+    seed: int,
+    hash_fn,
+    out: str = "signature",
+) -> DataFrame:
+    """``df.select(*carry, minhash(sh_col) AS out)`` with the
+    permutation-min fold in the vectorized Arrow kernel (ONE
+    mapInPandas pass over JVM-hashed shingles; _kernels.py explains
+    why this is a plan node rather than a scalar UDF expression).
+    ``carry`` may include ``sh_col`` itself when the caller needs the
+    shingle arrays downstream (the verify-join pattern)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField
+
+    from ._kernels import attach_kernel_column, minhash_sig_row_fn
+
+    hashes = F.transform(F.col(sh_col), lambda s: hash_fn(s) % F.lit(_MERSENNE))
+    return attach_kernel_column(
+        df,
+        carry,
+        hashes,
+        StructField(out, ArrayType(LongType())),
+        minhash_sig_row_fn(num_perm, seed, _permutation_params),
+    )
 
 
 def minhash_signature(
@@ -229,34 +272,12 @@ def minhash_signatures_df(
     even after map-side combine).  Documents with an empty shingle
     set carry no signal and are dropped, matching the explode plan's
     semantics."""
-    from ._kernels import minhash_sig_kernel
-
     narrow = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
-    # The shingle-HASH array (the signature kernel's exact input) is
-    # materialized via iter_checkpoint: Spark 4.1.2 skips Python-UDF
-    # extraction when the UDF projection collapses onto a
-    # Repartition/Filter chain (measured, _kernels.py docstring), so
-    # the kernel must see a plain attribute over a LogicalRDD leaf.
-    # The checkpointed payload is (id, array<long>) — a few hundred
-    # bytes per document, released by the ContextCleaner with the
-    # returned frame; the tokenize/shingle/md5 work it stores is also
-    # exactly the expensive half of the signature pipeline, so the
-    # barrier doubles as the compute-once materialization the
-    # _enrich_signatures path has always used.
-    hashes = iter_checkpoint(
-        narrow.filter(F.size(tokens(F.col("_t"))) > 0).select(
-            "_id",
-            F.transform(
-                shingles(F.col("_t"), n),
-                lambda s: hash_fn(s) % F.lit(_MERSENNE),
-            ).alias("_hs"),
-        )
+    base = narrow.filter(F.size(tokens(F.col("_t"))) > 0).select(
+        "_id", shingles(F.col("_t"), n).alias("_sh")
     )
-    return hashes.select(
-        "_id",
-        minhash_sig_kernel(num_perm, seed, _permutation_params)(
-            F.col("_hs")
-        ).alias("signature"),
+    return attach_minhash_signature(
+        base, ["_id"], "_sh", num_perm, seed, hash_fn
     )
 
 
@@ -537,17 +558,14 @@ def _enrich_signatures(
             F.col(text_col).alias("_t"),
         )
     ).filter(F.size(tokens(F.col("_t"))) > 0)
-    return (
-        base.select(*names, shingles(F.col("_t"), n).alias("_sh"))
-        .select(
-            *names,
-            "_sh",
-            signature_from_shingles(F.col("_sh"), num_perm, 42, hash_fn).alias(
-                "signature"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
+    return attach_minhash_signature(
+        base.select(*names, shingles(F.col("_t"), n).alias("_sh")),
+        names + ["_sh"],
+        "_sh",
+        num_perm,
+        42,
+        hash_fn,
+    ).localCheckpoint(eager=True)
 
 
 def _verify_pairs(
@@ -689,14 +707,52 @@ def simhash64(col: Column, hash_fn=None) -> Column:
     final fold ORs the positive-counter masks together.  Evaluating
     the token pipeline per bit would be a 64x re-evaluation.
 
+    This is the all-Column REFERENCE implementation; the hot
+    operators attach fingerprints with :func:`attach_simhash` (one
+    vectorized Arrow pass, bit-identical —
+    tests/test_round16_kernels.py).
+
     With ``hash_fn=md5_hash60`` the hash has only 60 useful bits (the
     top 4 always vote -1 → 0) — accepted for cross-engine parity."""
-    from ._kernels import simhash_fp_kernel
-
     tk = tokens(col)
     token_hash = hash_fn if hash_fn is not None else F.xxhash64
     hashes = F.transform(tk, lambda t: token_hash(t))
-    return simhash_fp_kernel()(hashes)
+    masks = F.array(*[F.lit(m).cast("long") for m in _SIMHASH_MASKS])
+    init = F.array(*[F.lit(0).cast("long") for _ in _SIMHASH_MASKS])
+    votes = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda cnt, m: cnt + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    signed = F.zip_with(votes, masks, lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, m: acc.bitwiseOR(m))
+
+
+def attach_simhash(
+    df: DataFrame,
+    carry: list[str],
+    text_col: str,
+    hash_fn=None,
+    out: str = "s",
+) -> DataFrame:
+    """``df.select(*carry, simhash64(text_col) AS out)`` with the
+    64-wide vote fold in the vectorized Arrow kernel (ONE mapInPandas
+    pass over JVM-hashed tokens; _kernels.py explains why this is a
+    plan node rather than a scalar UDF expression).  Bit-identical to
+    :func:`simhash64` (tests/test_round16_kernels.py)."""
+    from pyspark.sql.types import LongType, StructField
+
+    from ._kernels import attach_kernel_column, simhash_row_fn
+
+    token_hash = hash_fn if hash_fn is not None else F.xxhash64
+    hashes = F.transform(tokens(F.col(text_col)), lambda t: token_hash(t))
+    return attach_kernel_column(
+        df, carry, hashes, StructField(out, LongType()), simhash_row_fn()
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -775,14 +831,15 @@ def simhash_near_dups(
     # Dropping them here matches the index/stream paths'
     # ``_fingerprint_frame`` so the whole family shares one
     # semantics (ADVICE r15; callers no longer need a pre-filter).
-    sh = (
-        df.filter(F.size(tokens(F.col(text_col))) > 0)
-        .select(
-            F.col(id_col).alias("_id"),
-            simhash64(F.col(text_col), hash_fn=hash_fn).alias("_s"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    sh = attach_simhash(
+        df.filter(F.size(tokens(F.col(text_col))) > 0).select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+        ),
+        ["_id"],
+        "_t",
+        hash_fn=hash_fn,
+        out="_s",
+    ).localCheckpoint(eager=True)
     exploded = sh.select(
         "_id",
         F.explode(simhash_chunk_keys(F.col("_s"), n_chunks, bits)).alias("bk"),
@@ -881,14 +938,15 @@ def simhash_combo_near_dups(
             f"max_hamming] = [1, {n_chunks - max_hamming}] for the "
             "pigeonhole guarantee"
         )
-    sh = (
-        df.filter(F.size(tokens(F.col(text_col))) > 0)
-        .select(
-            F.col(id_col).alias("_id"),
-            simhash64(F.col(text_col), hash_fn=hash_fn).alias("_s"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    sh = attach_simhash(
+        df.filter(F.size(tokens(F.col(text_col))) > 0).select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+        ),
+        ["_id"],
+        "_t",
+        hash_fn=hash_fn,
+        out="_s",
+    ).localCheckpoint(eager=True)
     chunk_vals = F.transform(
         simhash_chunk_keys(F.col("_s"), n_chunks, bits), lambda s: s["bucket"]
     )

@@ -299,15 +299,14 @@ def _signature_frame(
             F.col(id_col).alias("id"), F.col(text_col).alias("_t")
         )
     ).filter(F.size(ddp.tokens(F.col("_t"))) > 0)
-    return base.select(
-        "id", ddp.shingles(F.col("_t"), n).alias("shingles")
-    ).select(
-        "id",
-        ddp.signature_from_shingles(
-            F.col("shingles"), num_perm, 42, hash_fn
-        ).alias("signature"),
+    return ddp.attach_minhash_signature(
+        base.select("id", ddp.shingles(F.col("_t"), n).alias("shingles")),
+        ["id", "shingles"],
         "shingles",
-    )
+        num_perm,
+        42,
+        hash_fn,
+    ).select("id", "signature", "shingles")
 
 
 def minhash_index_write(
@@ -495,21 +494,17 @@ def flag_against_banded_minhash(
     rows = num_perm // bands
     bucket_fn = None if hash_fn is ddp.default_hash64 else hash_fn
 
-    s = (
+    s = ddp.attach_minhash_signature(
         new_docs.select(
             F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
         )
         .filter(F.size(ddp.tokens(F.col("_t"))) > 0)
-        .select(
-            "_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")
-        )
-        .select(
-            "_new_id",
-            "_new_sh",
-            ddp.signature_from_shingles(
-                F.col("_new_sh"), num_perm, 42, hash_fn
-            ).alias("signature"),
-        )
+        .select("_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")),
+        ["_new_id", "_new_sh"],
+        "_new_sh",
+        num_perm,
+        42,
+        hash_fn,
     )
     cands = (
         s.select(
@@ -556,10 +551,14 @@ def _fingerprint_frame(
     folds share.  Empty-token documents carry no signal (their
     fingerprint is the constant 0 and would cluster together) and are
     dropped, the minhash-index semantics."""
-    return ddp._ensure_parallelism(
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    ).filter(F.size(ddp.tokens(F.col("_t"))) > 0).select(
-        "id", ddp.simhash64(F.col("_t"), hash_fn=hash_fn).alias("s")
+    return ddp.attach_simhash(
+        ddp._ensure_parallelism(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        ).filter(F.size(ddp.tokens(F.col("_t"))) > 0),
+        ["id"],
+        "_t",
+        hash_fn=hash_fn,
+        out="s",
     )
 
 
@@ -675,10 +674,14 @@ def flag_against_simhash_index(
         from ..session import iter_checkpoint
 
         idx_chunks = iter_checkpoint(idx_chunks)
-    s = new_docs.select(
-        F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
-    ).filter(F.size(ddp.tokens(F.col("_t"))) > 0).select(
-        "_new_id", ddp.simhash64(F.col("_t"), hash_fn=hash_fn).alias("_new_s")
+    s = ddp.attach_simhash(
+        new_docs.select(
+            F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
+        ).filter(F.size(ddp.tokens(F.col("_t"))) > 0),
+        ["_new_id"],
+        "_t",
+        hash_fn=hash_fn,
+        out="_new_s",
     )
     cands = (
         s.select(

