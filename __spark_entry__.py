@@ -3813,6 +3813,7 @@ def _drive_memory_stream(
     prefix: str,
     src: str | None,
     output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion with AvailableNow
     into a memory sink and return the materialized table — the ONE
@@ -3829,7 +3830,7 @@ def _drive_memory_stream(
     ckpt = tempfile.mkdtemp(prefix=prefix + "ck_")
     name = prefix + uuid.uuid4().hex[:12]
     keep_dirs = False
-    with _stream_shuffle_conf(spark):
+    with _stream_shuffle_conf(spark, shuffle_partitions):
         query = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -4871,7 +4872,14 @@ def q_stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_ewma(
         stream, "user_id", ["ts", "event_id"], "value", alpha=0.5
     )
-    mat = _drive_memory_stream(spark, out, "cdp_sewma_", src)
+    # applyInPandasWithState here is PYTHON-bound (one pandas call per
+    # user per batch, ~1500 users); unlike the JVM-stateful streams the
+    # work is constant and wants every core, so keep the session's full
+    # parallelism instead of the volume-sized stream default.
+    mat = _drive_memory_stream(
+        spark, out, "cdp_sewma_", src,
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
     return mat.select("event_id", "user_id", "value", "ewma")
 
 
@@ -5221,7 +5229,11 @@ def q_stream_holt_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "user_id", ["ts", "event_id"], "value",
         alpha=0.5, beta=0.5,
     )
-    mat = _drive_memory_stream(spark, out, "cdp_sholt_", src)
+    # python-bound per-key state, like stream_ewma: keep full cores
+    mat = _drive_memory_stream(
+        spark, out, "cdp_sholt_", src,
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
+    )
     return mat.select("event_id", "user_id", "value", "level", "trend")
 
 
