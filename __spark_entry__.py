@@ -3791,7 +3791,14 @@ class _stream_shuffle_conf:
     is captured into the stream's offset metadata at start), restoring
     the session value afterwards.  Purely a partitioning change —
     keyed state and aggregations are hash-partitioned by key, so
-    results are identical at any partition count."""
+    results are identical at any partition count.
+
+    NOTE (ADVICE r16): this mutates the SESSION-global conf for the
+    drive's duration; a batch query planned concurrently from another
+    thread of the same session would silently pick up the reduced
+    partition count.  The driver queries here are single-threaded —
+    callers that plan queries concurrently must scope the setting to
+    a cloned session instead."""
 
     def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark

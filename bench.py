@@ -431,44 +431,51 @@ def main() -> None:
     host["stream_overhead_sec_end"] = round(
         _stream_overhead_calibration(spark), 3
     )
-    payload = json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                # Host telemetry + fixed-cost calibration (VERDICT r7
-                # #3): spin_sec_* is a constant single-core Python
-                # loop, scan_sec a constant cached-parquet count() —
-                # neither depends on repo code, so a cross-round bench
-                # ratio can be divided by the calibration ratio to
-                # separate machine drift from plan drift.
-                "host": host,
-                "shared_fit": {
-                    "kmeans_fit_sec": round(kmeans_fit_sec, 3),
-                    "consumers": [
-                        "kmeans_centroids",
-                        "ann_ivf_kmeans",
-                        "ann_ivf_kmeans_indexed",
-                        "semantic_dedup",
-                        "embedding_outliers",
-                    ],
-                    "bpe_fit_sec": round(bpe_fit_sec, 3),
-                    "bpe_consumers": [
-                        "bpe_token_counts",
-                        "bpe_fertility",
-                    ],
-                    "note": "consumers share one cached Lloyd fit / "
-                    "one cached BPE merge list; their per-query times "
-                    "exclude training (train-once-serve-many); fit "
-                    "costs are these fields.  bpe_merges and "
-                    "bpe_production_merges pay full training in their "
-                    "own numbers — they ARE the training benchmark",
-                },
-            }
-    )
-    print(payload, flush=True)
+    # The printed line carries ONLY the driver contract fields
+    # (metric/value/unit/queries/sf) in compact-separator JSON
+    # (VERDICT r16 #2: the driver keeps a bounded tail of stdout and
+    # r15's round-over-round table was destroyed when the line
+    # out-grew it; 226 query names alone need ~5.9 kB so the line
+    # cannot fit a 2000-char window, but every byte trimmed widens
+    # the margin).  Host calibration and shared-fit telemetry move to
+    # the side file, which keeps the complete record.
+    line_doc = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    # Host telemetry + fixed-cost calibration (VERDICT r7 #3):
+    # spin_sec_* is a constant single-core Python loop, scan_sec a
+    # constant cached-parquet count() — neither depends on repo code,
+    # so a cross-round bench ratio can be divided by the calibration
+    # ratio to separate machine drift from plan drift.
+    file_doc = dict(line_doc)
+    file_doc["host"] = host
+    file_doc["shared_fit"] = {
+        "kmeans_fit_sec": round(kmeans_fit_sec, 3),
+        "consumers": [
+            "kmeans_centroids",
+            "ann_ivf_kmeans",
+            "ann_ivf_kmeans_indexed",
+            "semantic_dedup",
+            "embedding_outliers",
+        ],
+        "bpe_fit_sec": round(bpe_fit_sec, 3),
+        "bpe_consumers": [
+            "bpe_token_counts",
+            "bpe_fertility",
+        ],
+        "note": "consumers share one cached Lloyd fit / "
+        "one cached BPE merge list; their per-query times "
+        "exclude training (train-once-serve-many); fit "
+        "costs are these fields.  bpe_merges and "
+        "bpe_production_merges pay full training in their "
+        "own numbers — they ARE the training benchmark",
+    }
+    payload = json.dumps(file_doc, separators=(",", ":"))
+    print(json.dumps(line_doc, separators=(",", ":")), flush=True)
     # The driver captures only the tail of stdout (VERDICT r6 #3
     # found BENCH_r06.json truncated at 2000 chars) — also persist the
     # full JSON to a file so cross-round comparison never depends on

@@ -35,6 +35,7 @@ _MERSENNE = (1 << 31) - 1
 
 _SIG_ROW_FNS: dict = {}
 _SIMHASH_ROW_FN: list = []
+_WINNOW_ROW_FNS: dict = {}
 
 
 def attach_kernel_column(df, carry, input_expr, out_field: StructField, row_fn):
@@ -44,6 +45,9 @@ def attach_kernel_column(df, carry, input_expr, out_field: StructField, row_fn):
     input cross the Arrow boundary (guide §4.1: pass the columns the
     function needs, nothing else), and the output schema is
     ``carry + [out_field]``."""
+    # A carry column named __kernel_in would make pdf["__kernel_in"]
+    # ambiguous / pick the wrong column (ADVICE r16) — reject loudly.
+    assert "__kernel_in" not in carry, "carry collides with temp column"
     src = df.select(*carry, input_expr.alias("__kernel_in"))
     carry_fields = [src.schema[c] for c in carry]
     schema = StructType(carry_fields + [out_field])
@@ -56,6 +60,84 @@ def attach_kernel_column(df, carry, input_expr, out_field: StructField, row_fn):
             yield out
 
     return src.mapInPandas(run, schema)
+
+
+def attach_kernel_column_batch(
+    df, carry, input_expr, out_field: StructField, batch_fn
+):
+    """:func:`attach_kernel_column` with a BATCH-level kernel:
+    ``batch_fn`` receives the whole input pandas Series and returns a
+    same-length sequence/ndarray — for kernels whose per-row work is
+    a handful of numpy ops (vector argmin/argmax), where a per-row
+    Python call would dominate the arithmetic."""
+    assert "__kernel_in" not in carry, "carry collides with temp column"
+    src = df.select(*carry, input_expr.alias("__kernel_in"))
+    carry_fields = [src.schema[c] for c in carry]
+    schema = StructType(carry_fields + [out_field])
+    out_name = out_field.name
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[list(carry)].copy()
+            out[out_name] = batch_fn(pdf["__kernel_in"])
+            yield out
+
+    return src.mapInPandas(run, schema)
+
+
+def centroid_argmin_fn(cents):
+    """Batch kernel: embedding column -> squared-L2 argmin centroid id
+    (int64), ties to the LOWEST id — the exact twin of
+    ``array_position(dists, array_min(dists)) - 1`` over
+    ``_sq_dists_to``.  The accumulation is per-dimension SEQUENTIAL
+    (``acc += (v_d - c_d)^2`` in dimension order), reproducing the
+    Catalyst fold's left-to-right double summation bit-for-bit, so
+    ulp-level distance ties resolve identically (guide §4.2; the
+    interpreted fold evaluates k x dim x 2 lambda steps per row)."""
+    C = np.asarray(cents, dtype=np.float64)
+    k, dim = C.shape
+
+    def run(col: pd.Series) -> np.ndarray:
+        n = len(col)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in col])
+        D = np.zeros((n, k), dtype=np.float64)
+        for j in range(k):
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                t = V[:, d] - C[j, d]
+                acc += t * t
+            D[:, j] = acc
+        return np.argmin(D, axis=1).astype(np.int64)
+
+    return run
+
+
+def anchor_argmax_fn(anchors):
+    """Batch kernel: embedding column -> dot-product argmax anchor id
+    (int64), ties to the HIGHEST id — the exact twin of
+    ``array_max(transform(anchors, struct(dot, i)))["i"]`` (struct max
+    compares score first, then index, so equal scores pick the larger
+    index).  Sequential per-dimension accumulation, as above."""
+    A = np.asarray(anchors, dtype=np.float64)
+    k, dim = A.shape
+
+    def run(col: pd.Series) -> np.ndarray:
+        n = len(col)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in col])
+        S = np.zeros((n, k), dtype=np.float64)
+        for j in range(k):
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                acc += V[:, d] * A[j, d]
+            S[:, j] = acc
+        # first max over reversed columns == last max == highest id
+        return (k - 1 - np.argmax(S[:, ::-1], axis=1)).astype(np.int64)
+
+    return run
 
 
 def minhash_sig_row_fn(num_perm: int, seed: int, permutation_params):
@@ -82,6 +164,44 @@ def minhash_sig_row_fn(num_perm: int, seed: int, permutation_params):
             )
 
         _SIG_ROW_FNS[key] = fn
+    return fn
+
+
+def winnow_row_fn(w: int):
+    """Cached row kernel: array of k-gram hashes -> the winnowing
+    fingerprint array (distinct minimum of every window of ``w``
+    consecutive gram hashes, first-occurrence order).  Exact twin of
+    the Column fold in ``dedup.winnow_fingerprints``'s select_mins:
+    fewer than ``w`` grams yield ONE fingerprint (the whole-doc
+    minimum — slice clamps at the boundary), zero grams yield an
+    empty array, None yields None.  Exact int64 arithmetic
+    (optimization r17, guide §4.2: the per-window slice+array_min
+    fold is O(grams x w) INTERPRETED expression evaluations per doc)."""
+    key = int(w)
+    fn = _WINNOW_ROW_FNS.get(key)
+    if fn is None:
+        width = int(w)
+        empty = np.empty(0, dtype=np.int64)
+
+        def fn(h):
+            if h is None:
+                return None
+            m = len(h)
+            if m == 0:
+                return empty
+            hh = np.asarray(h, dtype=np.int64)
+            if m <= width:
+                mins = hh.min()[None]
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    hh, width
+                ).min(axis=1)
+            # array_distinct parity: first-occurrence order
+            _, idx = np.unique(mins, return_index=True)
+            idx.sort()
+            return mins[idx]
+
+        _WINNOW_ROW_FNS[key] = fn
     return fn
 
 

@@ -678,7 +678,12 @@ def ewma(
     against an engine running the textbook recurrence (measured:
     2 of 10,000 rows at sf0.01).  With an ``alpha`` whose (1 - alpha)
     is exactly representable (0.5, 0.25, 0.75) this form is
-    bitwise-reproducible against any IEEE engine."""
+    bitwise-reproducible against any IEEE engine.
+
+    ``order_cols`` must be a TOTAL order within each key (e.g.
+    ``(ts, event_id)``): ``sortWithinPartitions`` is not a stable
+    sort, so rows tied on every order col may come back in either
+    order and the recurrence result would be nondeterministic."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     schema = StructType(
@@ -700,7 +705,14 @@ def ewma(
     # inside the task.
     def _fn(batches):
         import numpy as np
+        import pandas as pd
 
+        # Null-aware key-change test (ADVICE r16): a nullable numeric
+        # key arrives in pandas as float64 with NaN, and NaN != NaN
+        # would reset the recurrence on EVERY null-key row — the old
+        # groupBy().applyInPandas path treated all null keys as one
+        # group, and the repartition/sort above co-locates them the
+        # same way.  Two nulls compare equal here for parity.
         cur_key, prev, seen = None, 0.0, False
         for pdf in batches:
             vals = pdf[value_col].to_numpy(dtype=np.float64)
@@ -708,7 +720,10 @@ def ewma(
             out = np.empty_like(vals)
             for i in range(len(vals)):
                 k = keys[i]
-                if not seen or k != cur_key:
+                if not seen or (
+                    k != cur_key
+                    and not (pd.isna(k) and pd.isna(cur_key))
+                ):
                     cur_key, seen = k, False
                 prev = vals[i] if not seen else a * vals[i] + one_minus * prev
                 seen = True
@@ -1004,6 +1019,9 @@ def holt(
     any IEEE engine.  Emits raw ``level`` and ``trend`` doubles —
     rounding is the comparer's job (engine round() rules disagree on
     exact .5-boundary doubles; see ewma's note).
+
+    ``order_cols`` must be a TOTAL order within each key — see
+    ewma's note on ``sortWithinPartitions`` instability under ties.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1024,7 +1042,10 @@ def holt(
     # carry survives batch boundaries inside the task.
     def _fn(batches):
         import numpy as np
+        import pandas as pd
 
+        # Null-aware key-change test — see ewma._fn for why two nulls
+        # must compare equal (ADVICE r16).
         cur_key, l_prev, b_prev, seen = None, 0.0, 0.0, False
         for pdf in batches:
             vals = pdf[value_col].to_numpy(dtype=np.float64)
@@ -1033,7 +1054,10 @@ def holt(
             tre = np.empty_like(vals)
             for i in range(len(vals)):
                 k = keys[i]
-                if not seen or k != cur_key:
+                if not seen or (
+                    k != cur_key
+                    and not (pd.isna(k) and pd.isna(cur_key))
+                ):
                     cur_key, seen = k, False
                 if not seen:
                     l_new = vals[i]

@@ -86,15 +86,13 @@ def winnow_fingerprints(
     if hash_fn is None:
         hash_fn = default_hash64
 
-    # NOTE (optimization r16): a vectorized Arrow kernel for the
-    # window-min pass was prototyped and REVERTED — the isolated win
-    # was only 1.36x (gram md5 hashing dominates and stays JVM-side
-    # either way), while every consumer explodes the fingerprint array
-    # immediately, which trips the Spark 4.1.2 Python-UDF extraction
-    # gap described in _kernels.py (Generate above + any plan node
-    # below the UDF projection), and the STREAMING flag paths cannot
-    # take the localCheckpoint barrier that works around it.  The
-    # all-Column fold below is Generate-safe everywhere.
+    # NOTE: every production call site now uses
+    # attach_winnow_fingerprints (optimization r17) — the mapInPandas
+    # NODE form composes under the consumers' explode, unlike the r16
+    # scalar-UDF prototype that tripped Spark 4.1.2's Python-UDF
+    # extraction gap (_kernels.py).  This all-Column fold remains the
+    # reference implementation the kernel is equality-tested against,
+    # and the entry point for one-off Column-context use.
 
     def select_mins(hashes: Column) -> Column:
         m = F.size(hashes)
@@ -124,6 +122,57 @@ def winnow_fingerprints(
     return F.element_at(F.transform(F.array(col), build), 1)
 
 
+def gram_hashes(col: Column, k: int, hash_fn=None) -> Column:
+    """The hash of every character ``k``-gram of a document (stride
+    1), as array<long> — the winnowing input, let-bound so each gram
+    is hashed exactly once (the shingles() lesson).  Documents
+    shorter than ``k`` yield an empty array."""
+    if hash_fn is None:
+        hash_fn = default_hash64
+
+    def build(s: Column) -> Column:
+        n = F.length(s)
+        gram_starts = F.when(
+            n >= k, F.sequence(F.lit(1), n - k + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            gram_starts, lambda i: hash_fn(F.substring(s, i, k))
+        )
+
+    return F.element_at(F.transform(F.array(col), build), 1)
+
+
+def attach_winnow_fingerprints(
+    df: DataFrame,
+    carry: list[str],
+    text_col: str,
+    k: int = 20,
+    w: int = 8,
+    hash_fn=None,
+    out: str = "fps",
+) -> DataFrame:
+    """``df.select(*carry, winnow_fingerprints(text_col) AS out)``
+    with the window-minimum pass in the vectorized Arrow kernel (ONE
+    mapInPandas pass over JVM-hashed grams — _kernels.py explains why
+    a plan node rather than a scalar UDF expression; the node
+    composes under the explode every consumer applies, which is what
+    blocked the r16 prototype).  Gram hashing (the md5/xxhash64 part)
+    stays JVM-side; only the O(grams x w) interpreted slice/array_min
+    fold crosses to numpy.  Bit-identical to
+    :func:`winnow_fingerprints` (tests/test_round16_kernels.py)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField
+
+    from ._kernels import attach_kernel_column, winnow_row_fn
+
+    return attach_kernel_column(
+        df,
+        carry,
+        gram_hashes(F.col(text_col), k, hash_fn),
+        StructField(out, ArrayType(LongType())),
+        winnow_row_fn(w),
+    )
+
+
 def default_hash64(col: Column) -> Column:
     """Fast engine-native 64-bit string hash (xxhash64, JVM-side)."""
     return F.abs(F.xxhash64(col))
@@ -144,7 +193,7 @@ def shingle_hashes(col: Column, n: int = 3, hash_fn=default_hash64) -> Column:
     """Shingle set hashed to non-negative longs."""
     return F.transform(
         shingles(col, n),
-        lambda s: hash_fn(s) % F.lit(_MERSENNE),
+        lambda s: F.pmod(hash_fn(s), F.lit(_MERSENNE)),
     )
 
 
@@ -174,7 +223,12 @@ def signature_from_shingles(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
     )
     init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_perm)])
-    hashes = F.transform(sh, lambda s: hash_fn(s) % F.lit(_MERSENNE))
+    # pmod, not %: JVM % is sign-preserving while the numpy kernel's %
+    # is floor-mod, so a hash_fn that can return a negative long (the
+    # abs(Long.MIN_VALUE) corner of default_hash64, or a user fn) would
+    # make the two paths diverge (ADVICE r16).  With x in [0, p) the
+    # (a*x + b) % p fold below is already non-negative everywhere.
+    hashes = F.transform(sh, lambda s: F.pmod(hash_fn(s), F.lit(_MERSENNE)))
     return F.aggregate(
         hashes,
         init,
@@ -203,7 +257,7 @@ def attach_minhash_signature(
 
     from ._kernels import attach_kernel_column, minhash_sig_row_fn
 
-    hashes = F.transform(F.col(sh_col), lambda s: hash_fn(s) % F.lit(_MERSENNE))
+    hashes = F.transform(F.col(sh_col), lambda s: F.pmod(hash_fn(s), F.lit(_MERSENNE)))
     return attach_kernel_column(
         df,
         carry,
@@ -1031,12 +1085,15 @@ def exact_substring_pairs(
     many distinct surviving fingerprints the pair shares.
     """
     fps = iter_checkpoint(
-        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                winnow_fingerprints(F.col(text_col), k=k, w=w, hash_fn=hash_fn)
-            ).alias("fp"),
-        )
+        attach_winnow_fingerprints(
+            _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
+            [id_col],
+            text_col,
+            k=k,
+            w=w,
+            hash_fn=hash_fn,
+            out="_fps",
+        ).select(F.col(id_col).alias("_id"), F.explode("_fps").alias("fp"))
     )
     good = (
         fps.groupBy("fp")

@@ -769,16 +769,15 @@ def _doc_fingerprints(
 ) -> DataFrame:
     from ..session import iter_checkpoint
 
-    frame = ddp._ensure_parallelism(
-        docs.select(F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            ddp.winnow_fingerprints(
-                F.col(text_col), k=k, w=w, hash_fn=hash_fn
-            )
-        ).alias("fp"),
-    )
+    frame = ddp.attach_winnow_fingerprints(
+        ddp._ensure_parallelism(docs.select(F.col(id_col), F.col(text_col))),
+        [id_col],
+        text_col,
+        k=k,
+        w=w,
+        hash_fn=hash_fn,
+        out="_fps",
+    ).select(F.col(id_col).alias("id"), F.explode("_fps").alias("fp"))
     return iter_checkpoint(frame) if checkpoint else frame
 
 
@@ -1069,14 +1068,15 @@ def flag_against_surviving_substrings(
     the entry point for callers that flag MANY batches against one
     index snapshot (the fold runner)."""
     hash_fn = _HASH_FNS[meta["hash"]]
-    s_fps = new_docs.select(
-        F.col(id_col).alias("_new_id"),
-        F.explode(
-            ddp.winnow_fingerprints(
-                F.col(text_col), k=meta["k"], w=meta["w"], hash_fn=hash_fn
-            )
-        ).alias("fp"),
-    )
+    s_fps = ddp.attach_winnow_fingerprints(
+        new_docs.select(F.col(id_col), F.col(text_col)),
+        [id_col],
+        text_col,
+        k=meta["k"],
+        w=meta["w"],
+        hash_fn=hash_fn,
+        out="_fps",
+    ).select(F.col(id_col).alias("_new_id"), F.explode("_fps").alias("fp"))
     return s_fps.join(idx, "fp").select(
         F.col("_new_id").alias("id"), F.col("id").alias("partner")
     )

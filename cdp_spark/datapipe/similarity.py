@@ -780,17 +780,31 @@ def kmeans_fit(
     See :func:`kmeans_lloyd` for the scale shape; this is the reusable
     training seam (the IVF-from-kmeans query builds its index lists
     from it)."""
-    cents = _anchor_set(dim, k, seed)
-    assigned = None
-    for _ in range(iters):
-        dists = _sq_dists_to(F.col(vec_col), cents)
-        assigned = df.select(
-            F.col(id_col),
-            F.col(vec_col).alias("_v"),
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("cid"),
+    # Assignment via the vectorized Arrow argmin kernel (optimization
+    # r17, guide §4.2): the Column form —
+    # (array_position(dists, array_min(dists)) - 1) over _sq_dists_to —
+    # evaluates k x dim x 2 INTERPRETED higher-order lambda steps per
+    # row; the kernel reproduces its per-dimension sequential double
+    # summation and first-minimum tie-break bit-for-bit
+    # (tests/test_round17_kernels.py).
+    def _assign(cents_now):
+        from pyspark.sql.types import LongType, StructField
+
+        from ._kernels import attach_kernel_column_batch, centroid_argmin_fn
+
+        return attach_kernel_column_batch(
+            df.select(F.col(id_col), F.col(vec_col).alias("_v")),
+            [id_col, "_v"],
+            F.col("_v"),
+            StructField("cid", LongType()),
+            centroid_argmin_fn(cents_now),
         )
+
+    cents = _anchor_set(dim, k, seed)
+    for _ in range(iters):
         means = (
-            assigned.select("cid", F.posexplode("_v").alias("j", "x"))
+            _assign(cents)
+            .select("cid", F.posexplode("_v").alias("j", "x"))
             .groupBy("cid", "j")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
             .collect()
@@ -804,13 +818,7 @@ def kmeans_fit(
         ]
     # final assignment against the POST-update centroids (the lists a
     # written index would hold)
-    dists = _sq_dists_to(F.col(vec_col), cents)
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        (F.array_position(dists, F.array_min(dists)) - 1).alias("cid"),
-    )
-    return cents, assigned
+    return cents, _assign(cents)
 
 
 def kmeans_lloyd(
@@ -1059,33 +1067,26 @@ def ivf_assign(
     and dependency-free).  Output adds ``centroid`` — write-partition
     by it so queries scan only the probed lists."""
     anchors = _anchor_set(dim, n_centroids, seed)
-    # argmax via one transform + array_max: each score evaluates
-    # exactly once.  (A chained-when formulation duplicates the
-    # running-best subtree into every later step — the interpreted
-    # higher-order cosine then re-runs O(n^2) times; measured 7x
-    # slower at 16 centroids.)
-    #
     # Score = plain dot product, NOT cosine: anchors are unit-norm and
     # the row's own norm is a constant positive factor across all
     # n_centroids scores, so argmax(dot) == argmax(cosine) exactly —
-    # dropping per-anchor norm() work (2x fewer array aggregates).
-    # Zero vectors: every dot is 0, same all-tie behavior as cosine.
-    anchors_col = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("i"),
-                F.array(*[F.lit(x) for x in a]).alias("a"),
-            )
-            for i, a in enumerate(anchors)
-        ]
+    # dropping per-anchor norm() work.  Zero vectors: every dot is 0,
+    # same all-tie behavior as cosine.  The argmax runs in the
+    # vectorized Arrow kernel (optimization r17, guide §4.2) — exact
+    # twin of the prior transform + array_max(struct(dot, i)) Column
+    # fold, including its ties-to-the-HIGHEST-index rule
+    # (tests/test_round17_kernels.py pins both).
+    from pyspark.sql.types import LongType, StructField
+
+    from ._kernels import anchor_argmax_fn, attach_kernel_column_batch
+
+    return attach_kernel_column_batch(
+        df,
+        list(df.columns),
+        F.col(vec_col),
+        StructField("centroid", LongType()),
+        anchor_argmax_fn(anchors),
     )
-    scores = F.transform(
-        anchors_col,
-        lambda s: F.struct(
-            dot(F.col(vec_col), s["a"]).alias("s"), s["i"].alias("i")
-        ),
-    )
-    return df.withColumn("centroid", F.array_max(scores)["i"])
 
 
 def _anchor_set(dim: int, n_centroids: int, seed: int) -> list[list[float]]:
@@ -1823,10 +1824,19 @@ def _ivf_meta_assign(df: DataFrame, meta: dict) -> DataFrame:
             meta["vec_col"],
             meta["seed"],
         )
-    dists = _sq_dists_to(F.col(meta["vec_col"]), cents)
-    return df.withColumn(
-        "centroid",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("long"),
+    from pyspark.sql.types import LongType, StructField
+
+    from ._kernels import attach_kernel_column_batch, centroid_argmin_fn
+
+    # vectorized argmin kernel (optimization r17) — exact twin of
+    # (array_position(dists, array_min(dists)) - 1) over _sq_dists_to,
+    # see kmeans_fit._assign
+    return attach_kernel_column_batch(
+        df,
+        list(df.columns),
+        F.col(meta["vec_col"]),
+        StructField("centroid", LongType()),
+        centroid_argmin_fn(cents),
     )
 
 

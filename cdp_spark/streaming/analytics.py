@@ -554,16 +554,17 @@ def stream_exact_substring_flags(
     # and the semi-join both consume it — the dsir/winnow-pairs
     # double-eval lesson), then filter to surviving fingerprints.
     corpus_fps = iter_checkpoint(
-        _ensure_parallelism(
-            corpus_docs.select(F.col(id_col), F.col(text_col))
-        ).select(
-            F.col(id_col).alias("_old_id"),
-            F.explode(
-                ddp.winnow_fingerprints(
-                    F.col(text_col), k=k, w=w, hash_fn=hash_fn
-                )
-            ).alias("fp"),
-        )
+        ddp.attach_winnow_fingerprints(
+            _ensure_parallelism(
+                corpus_docs.select(F.col(id_col), F.col(text_col))
+            ),
+            [id_col],
+            text_col,
+            k=k,
+            w=w,
+            hash_fn=hash_fn,
+            out="_fps",
+        ).select(F.col(id_col).alias("_old_id"), F.explode("_fps").alias("fp"))
     )
     good = (
         corpus_fps.groupBy("fp")
@@ -573,14 +574,15 @@ def stream_exact_substring_flags(
     )
     corpus_index = corpus_fps.join(good, "fp", "left_semi")
 
-    s_fps = stream_docs.select(
-        F.col(id_col).alias("_new_id"),
-        F.explode(
-            ddp.winnow_fingerprints(
-                F.col(text_col), k=k, w=w, hash_fn=hash_fn
-            )
-        ).alias("fp"),
-    )
+    s_fps = ddp.attach_winnow_fingerprints(
+        stream_docs.select(F.col(id_col), F.col(text_col)),
+        [id_col],
+        text_col,
+        k=k,
+        w=w,
+        hash_fn=hash_fn,
+        out="_fps",
+    ).select(F.col(id_col).alias("_new_id"), F.explode("_fps").alias("fp"))
     return s_fps.join(corpus_index, "fp").select(
         F.col("_new_id").alias("id"), F.col("_old_id").alias("partner")
     )

@@ -1,6 +1,6 @@
 """Capture .explain("formatted") output for declared queries:
 ``python scripts/capture_plans.py <suffix> name1 name2 ...`` writes
-``plans/r16/<name>_<suffix>.txt`` for each query (suffix = before/after).
+``plans/$CDP_PLANS_ROUND (default r17)/<name>_<suffix>.txt`` for each query (suffix = before/after).
 
 Streaming/lifecycle queries execute their side-effect phases while the
 frame is being built (the returned frame is a materialized memory-sink
@@ -21,7 +21,7 @@ from cdp_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("CDP_PLANS_ROUND", "r17")
 )
 
 
