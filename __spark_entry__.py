@@ -3004,8 +3004,11 @@ def q_stream_pipeline_keyed_stateful(spark: SparkSession, sf_dir: str) -> DataFr
         )
         try:
             deadline = _time.time() + 240
+            # 50ms poll: the coarse 0.5s granularity added up to half a
+            # second of dead wait after the final flush (optimization
+            # r17); the check is a len() on a driver-local list.
             while len(flushed) < expected and _time.time() < deadline:
-                _time.sleep(0.5)
+                _time.sleep(0.05)
             if len(flushed) < expected:
                 raise TimeoutError(
                     f"keyed stateful runner flushed {len(flushed)}/{expected} "
@@ -4937,7 +4940,7 @@ def q_fold_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fold_index_dir("cdp_cmsidx_")
     si.sketch_index_write(
         ev.where(F.col("event_id") % 3 == 0), path,
-        col="user_id", p=8, cms_col="user_id", cms_depth=3, cms_width=1024,
+        cms_col="user_id", cms_depth=3, cms_width=1024,
     )
     si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
     si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 2), path, epoch=2)
@@ -4981,7 +4984,7 @@ def q_fold_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fold_index_dir("cdp_bloomidx_")
     si.sketch_index_write(
         purchases.where(F.col("event_id") % 3 == 0), path,
-        col="user_id", p=8, bloom_col="user_id",
+        bloom_col="user_id",
         bloom_bits=65536, bloom_k=3,
     )
     si.sketch_index_fold(
@@ -5026,7 +5029,6 @@ def q_fold_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fold_index_dir("cdp_histidx_")
     si.sketch_index_write(
         ev.where(F.col("event_id") % 3 == 0), path,
-        col="user_id", p=8,
         hist_col="value", hist_lo=0.0, hist_hi=1000.0, hist_bins=1000,
     )
     si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
@@ -5066,7 +5068,7 @@ def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fold_index_dir("cdp_bloomgate_idx_")
     si.sketch_index_write(
         ev.where(F.col("event_id") % 2 == 0), path,
-        col="user_id", p=8, bloom_col="user_id",
+        bloom_col="user_id",
         bloom_bits=65536, bloom_k=3,
     )
     src = _fold_index_dir("cdp_bloomgate_src_")

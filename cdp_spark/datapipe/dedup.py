@@ -857,10 +857,13 @@ def simhash_near_dups(
     shingle array).
 
     Scale shape: the fingerprint frame is (id, long) — 16 bytes/doc —
-    computed ONCE (eager localCheckpoint: the bucket branch and both
-    verify joins would otherwise re-hash the corpus three times);
-    the only shuffled payloads are (id, chunk_idx, chunk_val) for
-    bucketing and ids for the verify joins.  Bucket occupancy is
+    computed ONCE, in the single pass that feeds the bucket exchange
+    (optimization r17: the fingerprint RIDES the bucket rows — 8
+    extra bytes/row — so the pairwise hamming verify runs inside the
+    bucket, before the distinct; the old shape localCheckpointed the
+    fingerprint frame and joined ids back twice).  The only shuffled
+    payload is (id, fingerprint, chunk_idx, chunk_val).  Bucket
+    occupancy is
     corpus_size / 2^(bits/n_chunks): at 100 TB widen chunks (raise
     ``bits``/lower ``n_chunks``, re-checking n_chunks > max_hamming)
     or set ``max_bucket`` to drop over-occupied buckets — boilerplate
@@ -893,44 +896,54 @@ def simhash_near_dups(
         "_t",
         hash_fn=hash_fn,
         out="_s",
-    ).localCheckpoint(eager=True)
+    )
     exploded = sh.select(
         "_id",
+        "_s",
         F.explode(simhash_chunk_keys(F.col("_s"), n_chunks, bits)).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select(
+        "_id", "_s", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
     buckets = (
         exploded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_s"))).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    cands = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
+    return _simhash_bucket_pairs(buckets, max_hamming)
+
+
+def _simhash_bucket_pairs(buckets: DataFrame, max_hamming: int) -> DataFrame:
+    """Shared verify tail of the simhash banding operators
+    (optimization r17): ``buckets`` carries an id-sorted
+    ``docs array<struct<_id, _s>>`` per bucket — enumerate the i<j
+    pairs WITH their fingerprints, verify hamming inside the array
+    (before any explode), and dedup pairs seen in several buckets.
+    Equivalent to the old enumerate-ids → distinct → two
+    fingerprint-joins shape (hamming is a pure function of the pair),
+    minus the joins and the checkpointed third pass over the corpus.
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                    lambda y: F.struct(
+                        x["_id"].alias("id_a"),
+                        y["_id"].alias("id_b"),
+                        hamming64(x["_s"], y["_s"]).alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["hamming"] <= F.lit(max_hamming),
     )
     return (
-        cands.join(
-            sh.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb")),
-            "id_b",
-        )
-        .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
     )
 
 
@@ -973,12 +986,14 @@ def simhash_combo_near_dups(
     hash collisions only ever ADD candidates, which the exact
     xor-popcount verify removes.
 
-    Scale shape: the fingerprint frame is (id, long) computed once
-    (localCheckpoint, as the single-chunk operator); the exploded
-    candidate frame is (id, key) — 16 bytes x C(n_chunks, combo_size)
-    per doc; verify joins move ids only.  Empty-token docs are
-    dropped (family semantics).  Output: (id_a, id_b, hamming),
-    id_a < id_b — identical to :func:`simhash_near_dups`.
+    Scale shape: the fingerprint frame is (id, long) computed once,
+    in the single pass feeding the bucket exchange (the fingerprint
+    rides the bucket rows, as the single-chunk operator); the
+    exploded candidate frame is (id, fingerprint, key) — 24 bytes x
+    C(n_chunks, combo_size) per doc; the hamming verify runs
+    in-bucket, so no join ever re-touches the corpus.  Empty-token
+    docs are dropped (family semantics).  Output: (id_a, id_b,
+    hamming), id_a < id_b — identical to :func:`simhash_near_dups`.
     """
     from itertools import combinations
 
@@ -1000,7 +1015,7 @@ def simhash_combo_near_dups(
         "_t",
         hash_fn=hash_fn,
         out="_s",
-    ).localCheckpoint(eager=True)
+    )
     chunk_vals = F.transform(
         simhash_chunk_keys(F.col("_s"), n_chunks, bits), lambda s: s["bucket"]
     )
@@ -1012,39 +1027,13 @@ def simhash_combo_near_dups(
             for t, combo in enumerate(combinations(range(n_chunks), combo_size))
         ]
     )
-    exploded = sh.select("_id", F.explode(keys).alias("key"))
+    exploded = sh.select("_id", "_s", F.explode(keys).alias("key"))
     buckets = (
         exploded.groupBy("key")
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_s"))).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    cands = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
-    return (
-        cands.join(
-            sh.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb")),
-            "id_b",
-        )
-        .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _simhash_bucket_pairs(buckets, max_hamming)
 
 
 def exact_substring_pairs(

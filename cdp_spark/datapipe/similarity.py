@@ -1894,31 +1894,31 @@ def ivf_index_fold(
     # fold=base, which the derivation reads from meta, not footers
     track_base = epoch is None and meta.get("base_counts") is not None
     want_counts = return_counts or epoch is not None or track_base
-    if want_counts:
-        assigned = assigned.persist()
     _migrate_to_fold_layout(path)
+    # Per-centroid counts come from the PARQUET FOOTERS of the files
+    # this fold just wrote (optimization r17, guide §1.2/§5: the write
+    # already materialized every row — a persist + second aggregation
+    # job over the assignment recomputed what the file metadata states
+    # for free).  Append-mode folds count only the files NEW in this
+    # write (part file names are unique per task attempt).
     if epoch is None:
-        assigned.write.mode("append").partitionBy("centroid").parquet(
-            _os.path.join(path, "fold=base")
-        )
+        fold_dir = _os.path.join(path, "fold=base")
+        before = _fold_part_files(fold_dir) if want_counts else set()
+        assigned.write.mode("append").partitionBy("centroid").parquet(fold_dir)
         fold_name = None
+        counts = (
+            _fold_footer_counts(fold_dir, only=_fold_part_files(fold_dir) - before)
+            if want_counts
+            else None
+        )
     else:
         from .dedup_index import _lineage_label
 
         prefix = f"{_lineage_label(lineage)}-" if lineage is not None else ""
         fold_name = f"{prefix}e{int(epoch)}"
-        assigned.write.mode("overwrite").partitionBy("centroid").parquet(
-            _os.path.join(path, f"fold={fold_name}")
-        )
-    counts = None
-    if want_counts:
-        counts = {
-            int(r["centroid"]): int(r["n"])
-            for r in assigned.groupBy("centroid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        assigned.unpersist()
+        fold_dir = _os.path.join(path, f"fold={fold_name}")
+        assigned.write.mode("overwrite").partitionBy("centroid").parquet(fold_dir)
+        counts = _fold_footer_counts(fold_dir) if want_counts else None
     if fold_name is not None:
         _write_foldcounts(path, fold_name, counts)
     elif track_base:
@@ -1935,6 +1935,55 @@ def ivf_index_fold(
         if n_sidecars >= int(compact_every):
             compact_foldcounts(path)
     return counts if return_counts else None
+
+
+def _fold_part_files(fold_dir: str) -> set[str]:
+    """Relative ``centroid=<c>/part-*.parquet`` paths currently in a
+    fold directory (empty when the directory does not exist yet)."""
+    import os as _os
+
+    files: set[str] = set()
+    if not _os.path.isdir(fold_dir):
+        return files
+    for entry in _os.listdir(fold_dir):
+        if not entry.startswith("centroid="):
+            continue
+        cdir = _os.path.join(fold_dir, entry)
+        for f in _os.listdir(cdir):
+            if f.endswith(".parquet"):
+                files.add(_os.path.join(entry, f))
+    return files
+
+
+def _fold_footer_counts(
+    fold_dir: str, only: set[str] | None = None
+) -> dict[int, int]:
+    """Per-centroid row counts of a centroid-partitioned fold
+    directory, summed from the parquet FOOTERS — exact file-level
+    metadata, no Spark job (optimization r17).  ``only`` restricts the
+    sum to the given relative paths (the append-mode delta); centroids
+    with zero counted rows are omitted, matching the groupBy shape
+    this replaces."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    counts: dict[int, int] = {}
+    for entry in _os.listdir(fold_dir):
+        if not entry.startswith("centroid="):
+            continue
+        cid = int(entry.split("=", 1)[1])
+        cdir = _os.path.join(fold_dir, entry)
+        n = 0
+        for f in _os.listdir(cdir):
+            if not f.endswith(".parquet"):
+                continue
+            if only is not None and _os.path.join(entry, f) not in only:
+                continue
+            n += _pq.ParquetFile(_os.path.join(cdir, f)).metadata.num_rows
+        if n:
+            counts[cid] = n
+    return counts
 
 
 def _foldcounts_path(path: str, fold_name: str) -> str:
@@ -2618,17 +2667,13 @@ def ivf_serving_refit(
                 F.col(id_col),
                 F.col("_v").alias(vec_col),
                 F.col("cid").cast("long").alias("centroid"),
-            ).persist()
+            )
             out.write.mode("overwrite").partitionBy("centroid").parquet(
                 new_gen
             )
-            counts = {
-                int(r["centroid"]): int(r["n"])
-                for r in out.groupBy("centroid")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            out.unpersist()
+            # occupancy from the written footers — no persist, no
+            # second aggregation job (optimization r17)
+            counts = _fold_footer_counts(new_gen)
             if _ivf_watermark_state(cur) == marks:
                 break
             logger.warning(

@@ -128,7 +128,7 @@ def _hist_state(df: DataFrame, meta: dict) -> DataFrame:
 def sketch_index_write(
     df: DataFrame,
     path: str,
-    col: str,
+    col: str | None = None,
     group_cols: list[str] | None = None,
     p: int = 8,
     cms_col: str | None = None,
@@ -151,13 +151,17 @@ def sketch_index_write(
     SUM — so fold==rebuild is exact for the whole pack.  The
     histogram's ``hist_lo``/``hist_hi`` bounds are pinned in the meta
     (folds only merge when bins mean the same interval); values
-    outside clamp into the edge bins."""
-    meta = {
-        "kind": "sketch",
-        "col": col,
-        "group_cols": list(group_cols or []),
-        "p": int(p),
-    }
+    outside clamp into the edge bins.
+
+    Every stat is OPTIONAL, the HLL included (optimization r17):
+    an index that only serves CMS/bloom/histogram estimates passes
+    ``col=None`` and never computes, writes, or re-merges the unused
+    register state — one state job per fold instead of two."""
+    meta: dict = {"kind": "sketch"}
+    if col is not None:
+        meta["col"] = col
+        meta["group_cols"] = list(group_cols or [])
+        meta["p"] = int(p)
     if cms_col is not None:
         meta["cms"] = {
             "col": cms_col, "depth": int(cms_depth), "width": int(cms_width)
@@ -171,9 +175,10 @@ def sketch_index_write(
             "col": hist_col, "lo": float(hist_lo), "hi": float(hist_hi),
             "bins": int(hist_bins),
         }
-    _hll_state(df, meta).write.mode("overwrite").parquet(
-        os.path.join(path, "hll", "fold=base")
-    )
+    if col is not None:
+        _hll_state(df, meta).write.mode("overwrite").parquet(
+            os.path.join(path, "hll", "fold=base")
+        )
     if cms_col is not None:
         _cms_state(df, meta).write.mode("overwrite").parquet(
             os.path.join(path, "cms", "fold=base")
@@ -224,17 +229,18 @@ def sketch_index_fold(
     spark = increment_df.sparkSession
     prefix = "" if lineage is None else f"{lineage}-"
     new_dir = f"fold={prefix}e{int(epoch)}"
-    groups = list(meta["group_cols"])
 
-    prev_hll = spark.read.parquet(os.path.join(path, "hll", state["dir"]))
-    merged_hll = (
-        prev_hll.unionByName(_hll_state(increment_df, meta))
-        .groupBy(*groups, "register")
-        .agg(F.max("max_rank").alias("max_rank"))
-    )
-    merged_hll.write.mode("overwrite").parquet(
-        os.path.join(path, "hll", new_dir)
-    )
+    if "col" in meta:
+        groups = list(meta["group_cols"])
+        prev_hll = spark.read.parquet(os.path.join(path, "hll", state["dir"]))
+        merged_hll = (
+            prev_hll.unionByName(_hll_state(increment_df, meta))
+            .groupBy(*groups, "register")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+        merged_hll.write.mode("overwrite").parquet(
+            os.path.join(path, "hll", new_dir)
+        )
     if "cms" in meta:
         prev_cms = spark.read.parquet(os.path.join(path, "cms", state["dir"]))
         merged_cms = (

@@ -318,3 +318,28 @@ def test_streaming_ingest_equals_batch(spark, tmp_path):
     got = _rows(si.sketch_index_hll_estimate(spark, path))
     want = _rows(sk.hll_estimate_by(ev, ["event_type"], "user_id", p=6))
     assert got == want
+
+
+def test_cms_only_index_skips_hll_state(spark, tmp_path):
+    """optimization r17: every stat is optional, the HLL included — a
+    CMS-only index (col=None) writes and folds no register state (no
+    hll/ directory at all) and its folded estimates still equal the
+    from-scratch sketch exactly."""
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    path = str(tmp_path / "idx")
+    si.sketch_index_write(
+        ev.where(F.col("event_id") % 3 == 0), path,
+        cms_col="user_id", cms_depth=3, cms_width=64,
+    )
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 1), path, epoch=1)
+    si.sketch_index_fold(ev.where(F.col("event_id") % 3 == 2), path, epoch=2)
+    assert not os.path.isdir(os.path.join(path, "hll"))
+    items = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    got = _rows(si.sketch_index_cms_estimates(spark, path, items))
+    want = _rows(
+        sk.cms_estimates(
+            sk.cms_sketch(ev, "user_id", depth=3, width=64),
+            items, "user_id", depth=3, width=64,
+        )
+    )
+    assert got == want and len(got) > 0
