@@ -4879,13 +4879,18 @@ def q_stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+    # key_buckets (optimization r17): ~15k users x 4 triggers paid one
+    # Python call + pandas frame PER USER; 2 buckets/core amortizes the
+    # call overhead while the in-bucket recurrence stays per-user
+    # (bit-identical, pinned by tests/test_round17_kernels.py).
     out = stream_ewma(
-        stream, "user_id", ["ts", "event_id"], "value", alpha=0.5
+        stream, "user_id", ["ts", "event_id"], "value", alpha=0.5,
+        key_buckets=2 * spark.sparkContext.defaultParallelism,
     )
-    # applyInPandasWithState here is PYTHON-bound (one pandas call per
-    # user per batch, ~1500 users); unlike the JVM-stateful streams the
-    # work is constant and wants every core, so keep the session's full
-    # parallelism instead of the volume-sized stream default.
+    # applyInPandasWithState here is PYTHON-bound; unlike the
+    # JVM-stateful streams the work is constant and wants every core,
+    # so keep the session's full parallelism instead of the
+    # volume-sized stream default.
     mat = _drive_memory_stream(
         spark, out, "cdp_sewma_", src,
         shuffle_partitions=spark.sparkContext.defaultParallelism,
@@ -5237,6 +5242,7 @@ def q_stream_holt_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_holt(
         stream, "user_id", ["ts", "event_id"], "value",
         alpha=0.5, beta=0.5,
+        key_buckets=2 * spark.sparkContext.defaultParallelism,
     )
     # python-bound per-key state, like stream_ewma: keep full cores
     mat = _drive_memory_stream(

@@ -813,24 +813,35 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_chunk_keys(s: Column, n_chunks: int, bits: int) -> Column:
-    """The Manku-07 banding of one SimHash fingerprint: an array of
-    (band, bucket) structs, one per chunk, covering all ``bits`` (the
-    last chunk absorbs any leftover high bits — full coverage is what
-    the pigeonhole guarantee rests on).  Shared by the batch pair
-    operator and the streaming ingest gate so both sides of a
-    stream-vs-corpus join band identically."""
+def simhash_chunk_vals(s: Column, n_chunks: int, bits: int) -> list[Column]:
+    """The per-chunk bucket VALUES of one SimHash fingerprint as plain
+    shift/mask Columns (whole-stage-codegen friendly — no higher-order
+    functions).  The last chunk absorbs any leftover high bits so the
+    chunks cover all ``bits`` — full coverage is what the pigeonhole
+    guarantee rests on."""
     width = bits // n_chunks
-    chunk_cols = []
+    vals = []
     for c in range(n_chunks):
         w = width + (bits - n_chunks * width if c == n_chunks - 1 else 0)
         # ADVICE r15: (1 << 64) - 1 overflows a long literal, and
         # n_chunks=1 (legal when max_hamming=0) yields w=64 — an
         # all-bits mask is just -1 in two's complement.
         mask = F.lit(-1).cast("long") if w >= 64 else F.lit((1 << w) - 1)
-        val = F.shiftrightunsigned(s, c * width).bitwiseAND(mask)
-        chunk_cols.append(F.struct(F.lit(c).alias("band"), val.alias("bucket")))
-    return F.array(*chunk_cols)
+        vals.append(F.shiftrightunsigned(s, c * width).bitwiseAND(mask))
+    return vals
+
+
+def simhash_chunk_keys(s: Column, n_chunks: int, bits: int) -> Column:
+    """The Manku-07 banding of one SimHash fingerprint: an array of
+    (band, bucket) structs, one per chunk (:func:`simhash_chunk_vals`).
+    Shared by the batch pair operator and the streaming ingest gate so
+    both sides of a stream-vs-corpus join band identically."""
+    return F.array(
+        *[
+            F.struct(F.lit(c).alias("band"), val.alias("bucket"))
+            for c, val in enumerate(simhash_chunk_vals(s, n_chunks, bits))
+        ]
+    )
 
 
 def simhash_near_dups(
@@ -1016,14 +1027,15 @@ def simhash_combo_near_dups(
         hash_fn=hash_fn,
         out="_s",
     )
-    chunk_vals = F.transform(
-        simhash_chunk_keys(F.col("_s"), n_chunks, bits), lambda s: s["bucket"]
-    )
+    # Direct shift/mask chunk Columns, NOT element_at over a transform
+    # array: the higher-order form is interpreted and was re-inlined
+    # into every one of the C(n_chunks, combo_size) x combo_size key
+    # references — measured 6.2s -> codegen for the key projection
+    # (optimization r17, guide §4.1: prefer built-ins that codegen).
+    chunk_vals = simhash_chunk_vals(F.col("_s"), n_chunks, bits)
     keys = F.array(
         *[
-            F.xxhash64(
-                F.lit(t), *[F.element_at(chunk_vals, i + 1) for i in combo]
-            )
+            F.xxhash64(F.lit(t), *[chunk_vals[i] for i in combo])
             for t, combo in enumerate(combinations(range(n_chunks), combo_size))
         ]
     )

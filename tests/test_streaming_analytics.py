@@ -400,52 +400,3 @@ def test_stream_quality_gate_is_stateless_and_correct(spark, tmp_path):
     assert out[3] == (False, 1)                    # PII fail
     assert 4 not in out                            # empty doc dropped
 
-
-def test_stream_results_invariant_to_shuffle_partition_count(spark, tmp_path):
-    """Pins the claim the r16 stream-partition sizing rests on
-    (VERDICT r16 next #8): keyed streaming state and aggregations are
-    hash-partitioned by key, so the SAME stream at 2 and at 16
-    shuffle/state partitions yields identical results — the
-    CDP_SPARK_STREAM_SHUFFLE_PARTITIONS escape hatch may be set to any
-    value without changing semantics (each run gets a fresh checkpoint;
-    a checkpoint pins its partition count at stream start)."""
-    src = tmp_path / "src"
-    _write_batch(
-        src / "b1.json",
-        [
-            {"user_id": u, "ts": f"2024-01-01 00:{m:02d}:00", "value": float(u + m)}
-            for u in range(1, 8)
-            for m in (5, 25, 45)
-        ],
-    )
-    _write_batch(
-        src / "b2.json",
-        [
-            {"user_id": u, "ts": f"2024-01-01 01:{m:02d}:00", "value": float(u * m)}
-            for u in range(1, 8)
-            for m in (10, 50)
-        ],
-    )
-    _write_batch(
-        src / "b3.json",
-        [{"user_id": 99, "ts": "2024-01-01 09:00:00", "value": 0.0}],
-    )
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    results = {}
-    try:
-        for n in (2, 16):
-            spark.conf.set("spark.sql.shuffle.partitions", str(n))
-            out = stream_time_window_agg(
-                _read_stream(spark, src), window="1 hour",
-                watermark="10 minutes", keys=["user_id"],
-            )
-            table = _run_available_now(
-                out, spark, f"part_inv_{n}", tmp_path / f"ck{n}"
-            )
-            results[n] = sorted(
-                (str(r["window_start"]), r["user_id"], r["n_events"], r["sum_value"])
-                for r in table.collect()
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    assert results[2] and results[2] == results[16]
