@@ -2634,8 +2634,13 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
+    # key_buckets: most (band, bucket) LSH groups hold 1-2 rows per
+    # trigger — per-group state paid ~2000 Python calls + state rows
+    # per batch of pure overhead (optimization r17, guide §4); the
+    # emitted pair set is bucket-count invariant (pinned by test).
     pair_stream = stream_incremental_near_dups(
-        stream, corpus, num_perm=32, bands=8, hash_fn=ddp.md5_hash60
+        stream, corpus, num_perm=32, bands=8, hash_fn=ddp.md5_hash60,
+        key_buckets=64,
     )
     pairs = _drive_memory_stream(
         spark, pair_stream, "cdp_stream_incdup_", src

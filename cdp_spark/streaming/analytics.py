@@ -271,6 +271,7 @@ def stream_incremental_near_dups(
     n: int = 3,
     hash_fn=None,
     max_bucket_members: int | None = None,
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """FULL streaming incremental near-dedup: flag streamed documents
     that duplicate the static corpus OR an EARLIER streamed document
@@ -320,6 +321,20 @@ def stream_incremental_near_dups(
       corpus, and the fold makes that true indefinitely
       (fold-then-flag == flag-against-rebuilt-corpus, oracled by the
       ``fold_incremental_dedup`` driver query).
+
+    ``key_buckets`` (optimization r17, guide §4): most (band, bucket)
+    groups hold one or two rows per trigger, so per-GROUP state pays
+    one Python call + one state-store row per occupied bucket per
+    batch — thousands of calls of pure overhead.  Pass a bucket count
+    to group by ``pmod(xxhash64(band, bucket), key_buckets)`` and run
+    the SAME per-(band, bucket) pairing inside the physical bucket:
+    state becomes one JSON object mapping "band:bucket" -> members,
+    each logical bucket keeps its own member list, cap, and
+    ascending-id processing order, so the emitted candidate set is
+    IDENTICAL (pinned by test) at O(key_buckets) Python calls and
+    state rows per trigger.  Trade: a changed physical bucket
+    re-encodes its whole map (the per-logical-bucket skip only
+    applies bucket-internally), the usual bucketing trade.
     """
     import json as _json
 
@@ -415,28 +430,7 @@ def stream_incremental_near_dups(
                 rows_in.append((int(i), list(sh)))
         rows_in.sort(key=lambda t: t[0])
         out = []
-        changed = False
-        capped = False
-        for nid, nsh in rows_in:
-            nset = set(nsh)
-            for mid, msh in members:
-                a = set(msh)
-                out.append(
-                    (
-                        max(nid, mid),
-                        min(nid, mid),
-                        len(nset & a),
-                        len(nset | a),
-                    )
-                )
-            if (
-                max_bucket_members is None
-                or len(members) < max_bucket_members
-            ):
-                members.append((nid, nsh))
-                changed = True
-            else:
-                capped = True
+        changed, capped = _pair_bucket(members, rows_in, out)
         if capped:
             # Cap hit: arrivals above still flagged against the held
             # members, but not retained as future partners (bounded
@@ -462,18 +456,105 @@ def stream_incremental_near_dups(
                 out, columns=["id", "partner", "inter_n", "union_n"]
             )
 
-    new_new = (
-        banded.groupBy("band", "bucket")
-        .applyInPandasWithState(
-            pair_fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        .select(
-            "id", "partner", F.lit(1).alias("p_new"), "inter_n", "union_n"
-        )
+    def _pair_bucket(members, rows_in, out):
+        """The per-(band, bucket) pairing shared verbatim by the
+        per-group and bucketed state functions: rows_in ascending by
+        id, each arrival pairs against every held member, then joins
+        the member list unless the cap holds it out.  Returns
+        (changed, capped)."""
+        changed = False
+        capped = False
+        for nid, nsh in rows_in:
+            nset = set(nsh)
+            for mid, msh in members:
+                a = set(msh)
+                out.append(
+                    (
+                        max(nid, mid),
+                        min(nid, mid),
+                        len(nset & a),
+                        len(nset | a),
+                    )
+                )
+            if (
+                max_bucket_members is None
+                or len(members) < max_bucket_members
+            ):
+                members.append((nid, nsh))
+                changed = True
+            else:
+                capped = True
+        return changed, capped
+
+    def pair_fn_bucketed(key, pdfs, state: GroupState):
+        # state = one JSON object "band:bucket" -> members for every
+        # logical bucket hashed into this physical bucket; the pairing
+        # per logical bucket is _pair_bucket, identical to the
+        # per-group path.
+        buckets: dict[str, list]
+        if state.exists:
+            buckets = {
+                bk: [(int(i), sh) for i, sh in mem]
+                for bk, mem in _json.loads(state.get[0]).items()
+            }
+        else:
+            buckets = {}
+        per_bucket: dict[str, list[tuple[int, list[str]]]] = {}
+        for pdf in pdfs:
+            for b, k, i, sh in zip(
+                pdf["band"], pdf["bucket"], pdf["_new_id"], pdf["_new_sh"]
+            ):
+                per_bucket.setdefault(f"{int(b)}:{int(k)}", []).append(
+                    (int(i), list(sh))
+                )
+        out = []
+        changed = False
+        capped_keys = []
+        for bk, rows_in in per_bucket.items():
+            rows_in.sort(key=lambda t: t[0])
+            members = buckets.setdefault(bk, [])
+            ch, capped = _pair_bucket(members, rows_in, out)
+            changed = changed or ch
+            if capped:
+                capped_keys.append(bk)
+        if capped_keys:
+            import logging as _logging
+
+            _logging.getLogger(__name__).warning(
+                "stream_incremental_near_dups buckets %s at "
+                "max_bucket_members=%d: new arrivals flag against "
+                "held members but are not retained; fold the "
+                "increment into the corpus index to reset state",
+                capped_keys,
+                max_bucket_members,
+            )
+        if changed:
+            state.update((_json.dumps(buckets),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["id", "partner", "inter_n", "union_n"]
+            )
+
+    if key_buckets is not None:
+        grouped = banded.withColumn(
+            "_kb",
+            F.pmod(
+                F.xxhash64(F.col("band"), F.col("bucket")),
+                F.lit(int(key_buckets)),
+            ),
+        ).groupBy("_kb")
+        state_fn = pair_fn_bucketed
+    else:
+        grouped = banded.groupBy("band", "bucket")
+        state_fn = pair_fn
+    new_new = grouped.applyInPandasWithState(
+        state_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ).select(
+        "id", "partner", F.lit(1).alias("p_new"), "inter_n", "union_n"
     )
     return new_old.unionByName(new_new)
 

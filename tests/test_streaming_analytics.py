@@ -252,12 +252,17 @@ def test_stream_simhash_gate_flags_closest_partner(spark, tmp_path):
     assert rows[10]["hamming"] == 0
 
 
-def test_stream_incremental_dedup_new_new_across_batches(spark, tmp_path):
+@pytest.mark.parametrize("key_buckets", [None, 4])
+def test_stream_incremental_dedup_new_new_across_batches(
+    spark, tmp_path, key_buckets
+):
     """The stateful path: a streamed doc duplicating an EARLIER
     streamed doc (in a previous micro-batch, no corpus partner) is
     flagged with the smaller streamed id; when both a corpus and a
     streamed partner match, the corpus partner wins (precedence
-    (is_corpus, id), independent of arrival order)."""
+    (is_corpus, id), independent of arrival order).  Parametrized over
+    ``key_buckets`` (r17): the bucketed state path must emit the
+    identical result."""
     from cdp_spark.streaming.analytics import (
         reduce_incremental_pairs,
         stream_incremental_near_dups,
@@ -291,10 +296,12 @@ def test_stream_incremental_dedup_new_new_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(str(tmp_path / "src"))
     )
-    pair_stream = stream_incremental_near_dups(stream, corpus)
+    pair_stream = stream_incremental_near_dups(
+        stream, corpus, key_buckets=key_buckets
+    )
     query = (
         pair_stream.writeStream.format("memory")
-        .queryName("sid_test")
+        .queryName(f"sid_test_{key_buckets or 0}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
@@ -302,20 +309,25 @@ def test_stream_incremental_dedup_new_new_across_batches(spark, tmp_path):
     )
     _await_done(query)
     out = reduce_incremental_pairs(
-        spark.sql("SELECT * FROM sid_test"), threshold=0.5, id_col="doc_id"
+        spark.sql(f"SELECT * FROM sid_test_{key_buckets or 0}"), threshold=0.5, id_col="doc_id"
     )
     rows = {r["doc_id"]: r["dup_of"] for r in out.collect()}
     assert rows == {20: 1, 30: 22}
 
 
-def test_stream_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
+@pytest.mark.parametrize("key_buckets", [None, 4])
+def test_stream_incremental_dedup_bucket_cap_bounds_state(
+    spark, tmp_path, key_buckets
+):
     """ADVICE r8: with max_bucket_members=1 only the FIRST streamed
     member of each bucket is retained.  Three identical texts (so all
     three docs land in exactly the same buckets, deterministically)
     across three micro-batches: 22 and 23 both flag against the held
     member 21, but the (23, 22) pair an uncapped run emits never
     appears — 22 was not retained anywhere.  Bounded state, the only
-    loss is dropped members as future partners."""
+    loss is dropped members as future partners.  Parametrized over
+    ``key_buckets`` (r17): the cap is per LOGICAL (band, bucket) and
+    must bound state identically under bucketed grouping."""
     from cdp_spark.streaming.analytics import (
         reduce_incremental_pairs,
         stream_incremental_near_dups,
@@ -336,11 +348,11 @@ def test_stream_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
         .json(str(tmp_path / "src"))
     )
     pair_stream = stream_incremental_near_dups(
-        stream, corpus, max_bucket_members=1
+        stream, corpus, max_bucket_members=1, key_buckets=key_buckets
     )
     query = (
         pair_stream.writeStream.format("memory")
-        .queryName("sid_cap_test")
+        .queryName(f"sid_cap_test_{key_buckets or 0}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
@@ -349,11 +361,11 @@ def test_stream_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
     _await_done(query)
     pairs = {
         (r["id"], r["partner"])
-        for r in spark.sql("SELECT * FROM sid_cap_test").collect()
+        for r in spark.sql(f"SELECT * FROM sid_cap_test_{key_buckets or 0}").collect()
     }
     assert pairs == {(22, 21), (23, 21)}, pairs  # no (23, 22): 22 dropped
     out = reduce_incremental_pairs(
-        spark.sql("SELECT * FROM sid_cap_test"), threshold=0.5,
+        spark.sql(f"SELECT * FROM sid_cap_test_{key_buckets or 0}"), threshold=0.5,
         id_col="doc_id",
     )
     rows = {r["doc_id"]: r["dup_of"] for r in out.collect()}
